@@ -1,0 +1,31 @@
+"""Ray Data execution-context tuning shared by pipelines, tests and bench.
+
+Centralising the knobs keeps every entry point (driver, bench.py, pytest)
+on the same block-size / ordering policy.  Never calls ``ray.init``.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def tune_data_context(*, preserve_order: bool = False, quiet: bool = True) -> None:
+    """Apply scale-oriented DataContext defaults.
+
+    - default 128 MiB target blocks (Ray default) — overridable via
+      ``ONTOEA_TARGET_BLOCK_MB`` for wide-binary (html) workloads;
+    - unordered streaming execution unless an operator needs order;
+    - progress bars off for clean JSON-emitting bench/driver output.
+    """
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    block_mb = int(os.environ.get("ONTOEA_TARGET_BLOCK_MB", "128"))
+    ctx.target_max_block_size = block_mb * 1024 * 1024
+    ctx.execution_options.preserve_order = preserve_order
+    if quiet:
+        ctx.enable_progress_bars = False
+        try:
+            ctx.execution_options.verbose_progress = False
+        except AttributeError:
+            pass

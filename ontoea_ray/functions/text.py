@@ -1,0 +1,155 @@
+"""Vectorized text kernels used inside ``map_batches`` stages.
+
+All functions are pure Arrow-in / Arrow-out (or numpy) so the hot path never
+iterates Python rows.  The HTML wrap/extract pair is deliberately a bijection
+on the ``text`` payload: ``extract_text(wrap_html(text)) == text`` byte for
+byte, which is the per-row invariant the driver/pytest check
+(BASELINE.json input_hint; cf. reference text loaders
+``/root/reference/code/src/openea/modules/load/read.py:219-236`` which are
+likewise exact, lossless parsers).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+ARTICLE_OPEN = "<article>"
+ARTICLE_CLOSE = "</article>"
+
+# Minimal HTML entity escaping — order matters: '&' first on escape, last on
+# unescape, so the mapping is a bijection for arbitrary input text.
+_ESCAPES = [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")]
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on")
+
+# Tiny deterministic stopword profiles for language identification —
+# an n-gram/stopword heuristic in the spirit of public langid approaches.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is"),
+    "de": ("der", "die", "und", "das", "nicht", "ist", "ein"),
+    "fr": ("le", "la", "et", "les", "des", "un", "est"),
+    "es": ("el", "la", "que", "los", "una", "es", "y"),
+}
+
+
+def _as_array(arr) -> pa.Array:
+    """Normalize ChunkedArray (what pa.Table columns are) to a flat Array."""
+    if isinstance(arr, pa.ChunkedArray):
+        return arr.combine_chunks()
+    return arr
+
+
+def escape_html_text(arr: pa.Array) -> pa.Array:
+    """Escape text for embedding into the deterministic HTML template."""
+    for raw, esc in _ESCAPES:
+        arr = pc.replace_substring(arr, pattern=raw, replacement=esc)
+    return arr
+
+
+def unescape_html_text(arr: pa.Array) -> pa.Array:
+    for raw, esc in reversed(_ESCAPES):
+        arr = pc.replace_substring(arr, pattern=esc, replacement=raw)
+    return arr
+
+
+def wrap_html(text: pa.Array) -> pa.Array:
+    """Build deterministic page HTML around ``text`` (binary column out)."""
+    esc = escape_html_text(_as_array(text))
+    html = pc.binary_join_element_wise(
+        "<html><head><meta charset=\"utf-8\"/></head><body>" + ARTICLE_OPEN,
+        esc,
+        ARTICLE_CLOSE + "</body></html>",
+        "",
+    )
+    return html.cast(pa.binary())
+
+
+def extract_text(html: pa.Array) -> pa.Array:
+    """Recover the article text from page HTML, byte-identical to the source.
+
+    Vectorized: split on the article markers, take the enclosed segment,
+    unescape entities.  Pages without an <article> segment yield "".
+    """
+    s = _as_array(html).cast(pa.string())
+    after_open = pc.list_element(pc.split_pattern(s, pattern=ARTICLE_OPEN, max_splits=1), 1)
+    body = pc.list_element(pc.split_pattern(after_open, pattern=ARTICLE_CLOSE, max_splits=1), 0)
+    body = pc.if_else(pc.is_valid(body), body, pa.scalar("", pa.string()))
+    return unescape_html_text(body)
+
+
+def tokenize(text: pa.Array) -> pa.ListArray:
+    """Split on single spaces (exact, oracle-friendly semantics)."""
+    return pc.split_pattern(_as_array(text), pattern=" ")
+
+
+def token_count(text: pa.Array) -> pa.Array:
+    return pc.list_value_length(tokenize(text)).cast(pa.int64())
+
+
+def stopword_count(text: pa.Array, stopwords=STOPWORDS) -> pa.Array:
+    toks = tokenize(text)
+    flat = toks.flatten()
+    hit = pc.is_in(flat, value_set=pa.array(stopwords)).cast(pa.int64())
+    # sum hits back per row using the list offsets
+    offsets = toks.offsets.to_numpy(zero_copy_only=False)
+    csum = np.concatenate([[0], np.cumsum(hit.to_numpy(zero_copy_only=False))])
+    return pa.array(csum[offsets[1:]] - csum[offsets[:-1]], pa.int64())
+
+
+def predict_lang(text: pa.Array) -> pa.Array:
+    """Language ID: argmax of per-language stopword-profile hit counts.
+
+    Deterministic tie-break: languages compared in sorted code order, first
+    max wins; rows with zero profile hits get "und".
+    """
+    toks = tokenize(text)
+    flat = toks.flatten()
+    offsets = toks.offsets.to_numpy(zero_copy_only=False)
+    langs = sorted(LANG_PROFILES)
+    scores = np.zeros((len(langs), len(offsets) - 1), dtype=np.int64)
+    for li, lang in enumerate(langs):
+        hit = pc.is_in(flat, value_set=pa.array(LANG_PROFILES[lang])).cast(pa.int64())
+        csum = np.concatenate([[0], np.cumsum(hit.to_numpy(zero_copy_only=False))])
+        scores[li] = csum[offsets[1:]] - csum[offsets[:-1]]
+    best = np.argmax(scores, axis=0)
+    none = scores.max(axis=0) == 0
+    out = np.array(langs, dtype=object)[best]
+    out[none] = "und"
+    return pa.array(out, pa.string())
+
+
+def quality_stats(text: pa.Array) -> dict[str, pa.Array]:
+    """Quality-scoring signals: char length, token count, stopword ratio,
+    mean token length.  Pure Arrow/numpy."""
+    text = _as_array(text)
+    n_chars = pc.utf8_length(text).cast(pa.int64())
+    n_tokens = token_count(text)
+    n_stop = stopword_count(text)
+    nt = n_tokens.to_numpy(zero_copy_only=False).astype(np.float64)
+    ratio = n_stop.to_numpy(zero_copy_only=False) / np.maximum(nt, 1.0)
+    mean_tok = (
+        (n_chars.to_numpy(zero_copy_only=False) - np.maximum(nt - 1, 0))  # chars minus separators
+        / np.maximum(nt, 1.0)
+    )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "n_stopwords": n_stop,
+        "stopword_ratio": pa.array(ratio, pa.float64()),
+        "mean_token_len": pa.array(mean_tok, pa.float64()),
+    }
+
+
+def fingerprint_md5(text: pa.Array) -> pa.Array:
+    """Document fingerprint: md5 hex of the lowercased text.
+
+    SQL-oracle equivalent: ``md5(lower(text))`` in DuckDB.  (hashlib is the
+    only loop here; md5 over full strings is C-speed per row.)
+    """
+    low = pc.utf8_lower(text)
+    vals = low.to_pylist()
+    return pa.array([hashlib.md5(v.encode("utf-8")).hexdigest() if v is not None else None for v in vals], pa.string())

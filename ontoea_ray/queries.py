@@ -1,0 +1,477 @@
+"""Driver-checkable operator queries + DuckDB oracle SQL.
+
+Every entry in QUERIES is a callable ``sf_dir -> Dataset|DataFrame|Table``;
+ORACLE_SQL holds the equivalent ANSI SQL for the SQL-expressible ones (the
+driver registers views named region nation customer supplier part orders
+lineitem events documents embeddings).  Column names and dtypes are matched
+deliberately: float aggregates are integer-ized (cents / milli) so the
+order-insensitive value hash is exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+QUERIES: dict = {}
+ORACLE_SQL: dict = {}
+
+
+def _register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+
+    return deco
+
+
+def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# relational core: aggregate / join / sort / window over TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(sf_dir: str):
+    """Grouped aggregate with per-batch partial pre-aggregation (the
+    combiner bounds the shuffle to #blocks × #groups rows)."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["sum_qty"] = df["l_quantity"].astype(np.int64)
+        df["sum_price_cents"] = np.round(df["l_extendedprice"] * 100).astype(np.int64)
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .agg(sum_qty=("sum_qty", "sum"), sum_price_cents=("sum_price_cents", "sum"), n=("l_quantity", "size"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_price_cents", alias_name="sum_price_cents"),
+            Sum("n", alias_name="n"),
+        )
+    )
+
+
+@_register(
+    "q_top_customers",
+    """
+    SELECT c.c_custkey, c.c_name,
+           SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS total_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY total_cents DESC, c_custkey ASC
+    LIMIT 10
+    """,
+)
+def q_top_customers(sf_dir: str):
+    """Broadcast hash join (customer is the small side, shipped once via
+    ray.put) + partial aggregation + global top-k."""
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    name_of = dict(zip(cust["c_custkey"].to_pylist(), cust["c_name"].to_pylist()))
+    ref = ray.put(name_of)
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["total_cents"] = np.round(df["o_totalprice"] * 100).astype(np.int64)
+        g = df.groupby("o_custkey", sort=False)["total_cents"].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("total_cents", alias_name="total_cents"))
+    )
+    top = agg.sort(["total_cents", "o_custkey"], descending=[True, False]).limit(10)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        names = ray.get(ref)
+        keys = batch["o_custkey"].to_pylist()
+        return pa.table(
+            {
+                "c_custkey": pa.array(keys, pa.int64()),
+                "c_name": pa.array([names[k] for k in keys], pa.string()),
+                "total_cents": batch["total_cents"],
+            }
+        )
+
+    return top.map_batches(attach, batch_format="pyarrow")
+
+
+@_register(
+    "q_events_hourly",
+    """
+    SELECT event_type,
+           CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+           COUNT(*) AS n,
+           SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS sum_value_milli
+    FROM events
+    GROUP BY event_type, hour_epoch
+    """,
+)
+def q_events_hourly(sf_dir: str):
+    """Tumbling 1-hour window aggregate (streaming-shaped workload over the
+    events log; event-time from ts)."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"].combine_chunks(), unit="hour")
+        hour_epoch = pc.divide(hour.cast(pa.int64()), 1_000_000)
+        vmilli = pc.cast(pc.floor(pc.multiply(batch["value"].combine_chunks(), 1000.0)), pa.int64())
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_pandas(),
+                "hour_epoch": hour_epoch.to_numpy(zero_copy_only=False),
+                "v": vmilli.to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby(["event_type", "hour_epoch"], sort=False).agg(
+            n=("v", "size"), sum_value_milli=("v", "sum")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour_epoch"])
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_value_milli", alias_name="sum_value_milli"))
+    )
+
+
+@_register(
+    "q_sessionize",
+    """
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, event_id,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM e
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           CAST(epoch_us(MIN(ts)) // 1000000 AS BIGINT) AS start_epoch
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize(sf_dir: str):
+    """Session windows (30-min gap) per user: groupby(user).map_groups over
+    the ts-sorted group — the Ray Data pattern for sessionization."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
+        sid = gap.cumsum().fillna(0).astype(np.int64) + 1
+        out = (
+            g.assign(session_id=sid)
+            .groupby("session_id", sort=True)
+            .agg(user_id=("user_id", "first"), n_events=("ts", "size"), start=("ts", "min"))
+            .reset_index()
+        )
+        out["start_epoch"] = ((out["start"] - pd.Timestamp(0)) // pd.Timedelta(seconds=1)).astype(np.int64)
+        return out[["user_id", "session_id", "n_events", "start_epoch"]]
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# KG-flavored relational: edge table from the star schema
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q_edge_counts",
+    """
+    WITH edges AS (
+      SELECT DISTINCT 'cust/' || o_custkey AS subj, 'placed' AS pred, 'order/' || o_orderkey AS obj
+      FROM orders
+      UNION ALL
+      SELECT DISTINCT 'order/' || l_orderkey, 'contains', 'part/' || l_partkey FROM lineitem
+      UNION ALL
+      SELECT DISTINCT 'supp/' || s_suppkey, 'located_in', 'nation/' || n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    )
+    SELECT pred, COUNT(*) AS n_edges FROM edges GROUP BY pred
+    """,
+)
+def q_edge_counts(sf_dir: str):
+    """Materialize a (subj, pred, obj) edge table from the relational star
+    schema (union + distinct + broadcast join) and count edges per
+    predicate — the relational analog of the flagship's edge sink."""
+
+    def o_edges(batch: pa.Table) -> pa.Table:
+        subj = pc.binary_join_element_wise("cust/", pc.cast(batch["o_custkey"].combine_chunks(), pa.string()), "")
+        obj = pc.binary_join_element_wise("order/", pc.cast(batch["o_orderkey"].combine_chunks(), pa.string()), "")
+        return pa.table({"subj": subj, "pred": pa.array(["placed"] * len(batch)), "obj": obj})
+
+    def l_edges(batch: pa.Table) -> pa.Table:
+        subj = pc.binary_join_element_wise("order/", pc.cast(batch["l_orderkey"].combine_chunks(), pa.string()), "")
+        obj = pc.binary_join_element_wise("part/", pc.cast(batch["l_partkey"].combine_chunks(), pa.string()), "")
+        return pa.table({"subj": subj, "pred": pa.array(["contains"] * len(batch)), "obj": obj})
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nmap = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
+    nref = ray.put(nmap)
+
+    def s_edges(batch: pa.Table) -> pa.Table:
+        nm = ray.get(nref)
+        subj = pc.binary_join_element_wise("supp/", pc.cast(batch["s_suppkey"].combine_chunks(), pa.string()), "")
+        obj = pa.array([f"nation/{nm[k]}" for k in batch["s_nationkey"].to_pylist()], pa.string())
+        return pa.table({"subj": subj, "pred": pa.array(["located_in"] * len(batch)), "obj": obj})
+
+    edges = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderkey"]).map_batches(o_edges, batch_format="pyarrow")
+        .union(_read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).map_batches(l_edges, batch_format="pyarrow"))
+        .union(_read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(s_edges, batch_format="pyarrow"))
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates()
+        g = df.groupby("pred", sort=False).size().reset_index(name="n_edges")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    # distinct per (subj,pred,obj) requires a full dedup before counting:
+    from ontoea_ray.stages.canonicalize import SEP
+
+    def key_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    distinct = (
+        edges.map_batches(key_partial, batch_format="pyarrow")
+        .groupby(["subj", "pred", "obj"])
+        .aggregate(Count(alias_name="c"))
+    )
+    return (
+        distinct.map_batches(partial, batch_format="pyarrow")
+        .groupby("pred")
+        .aggregate(Sum("n_edges", alias_name="n_edges"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis over documents
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q_token_counts",
+    "SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents",
+)
+def q_token_counts(sf_dir: str):
+    from ontoea_ray.functions.text import token_count
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"], "n_tokens": token_count(b["text"])}),
+        batch_format="pyarrow",
+    )
+
+
+@_register(
+    "q_doc_stats",
+    """
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_text,
+           CAST(len(list_filter(str_split(text, ' '),
+                t -> t IN ('the','a','of','and','to','in','is','on'))) AS BIGINT) AS n_stopwords
+    FROM documents
+    """,
+)
+def q_doc_stats(sf_dir: str):
+    from ontoea_ray.functions.text import quality_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        q = quality_stats(b["text"])
+        return pa.table({"doc_id": b["doc_id"], "n_chars_text": q["n_chars"], "n_stopwords": q["n_stopwords"]})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+@_register(
+    "q_fingerprint",
+    "SELECT doc_id, md5(lower(text)) AS fp FROM documents",
+)
+def q_fingerprint(sf_dir: str):
+    from ontoea_ray.functions.text import fingerprint_md5
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"], "fp": fingerprint_md5(b["text"])}),
+        batch_format="pyarrow",
+    )
+
+
+@_register(
+    "q_term_freq",
+    """
+    SELECT token, freq,
+           CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token DESC) - 1 AS BIGINT) AS rank
+    FROM (
+      SELECT token, COUNT(*) AS freq
+      FROM (SELECT unnest(str_split(text, ' ')) AS token FROM documents)
+      GROUP BY token
+    )
+    """,
+)
+def q_term_freq(sf_dir: str):
+    """Vocabulary frequency + global rank — the reference's sort_elements
+    total order (freq desc, uri desc) as a distributed sort + block-offset
+    zip-with-index (state/ids.py)."""
+    from ontoea_ray.state.ids import rank_by_frequency, token_frequencies
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return rank_by_frequency(token_frequencies(ds), key="token")
+
+
+@_register("q_langid")  # heuristic — no SQL oracle (rows-only check)
+def q_langid(sf_dir: str):
+    from ontoea_ray.functions.text import predict_lang
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"], "pred_lang": predict_lang(b["text"])}),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q_dedup_exact",
+    "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text",
+)
+def q_dedup_exact(sf_dir: str):
+    from ontoea_ray.stages.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return exact_dedup(ds).select_columns(["doc_id"])
+
+
+_SHINGLE_SQL = """
+    WITH toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+           unnest(CASE WHEN len(t) >= 3
+                  THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
+                  ELSE [array_to_string(t, ' ')] END) AS s
+           FROM toks),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT id_a, id_b
+    FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
+               JOIN sizes sb ON inter.id_b = sb.doc_id
+    WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.5
+"""
+
+
+@_register("q_jaccard_pairs", _SHINGLE_SQL)
+def q_jaccard_pairs(sf_dir: str):
+    """Exact 3-gram-shingle Jaccard near-dup pairs at threshold 0.5."""
+    from ontoea_ray.stages.dedup import jaccard_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return jaccard_pairs(ds, threshold=0.5, shingle_n=3)
+
+
+@_register("q_minhash_lsh")  # approximate — verified in pytest against exact
+def q_minhash_lsh(sf_dir: str):
+    from ontoea_ray.stages.dedup import lsh_candidate_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return lsh_candidate_pairs(ds, num_perm=64, bands=16)
+
+
+@_register("q_simhash")  # bit-level hash — no SQL oracle (rows-only check)
+def q_simhash(sf_dir: str):
+    from ontoea_ray.stages.dedup import simhash64
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash64(ds)
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q_ann_topk",
+    """
+    SELECT vec_id, CAST(rnk AS BIGINT) AS rnk FROM (
+      SELECT e.vec_id,
+             ROW_NUMBER() OVER (
+               ORDER BY list_cosine_similarity(e.embedding,
+                        (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC,
+                        e.vec_id ASC) AS rnk
+      FROM embeddings e
+    ) WHERE rnk <= 10
+    """,
+)
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-10 against the vec_id=0 query vector."""
+    from ontoea_ray.stages.ann import brute_force_topk
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = np.asarray(tbl.filter(pc.equal(tbl["vec_id"], 0))["embedding"].to_pylist()[0], np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = brute_force_topk(ds, q[None, :], k=10)
+    return out.select(["vec_id", "rnk"])
+
+
+@_register("q_ann_lsh")  # approximate — verified in pytest against brute force
+def q_ann_lsh(sf_dir: str):
+    from ontoea_ray.stages.ann import lsh_bucketed_topk
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = np.asarray(tbl.filter(pc.equal(tbl["vec_id"], 0))["embedding"].to_pylist()[0], np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = lsh_bucketed_topk(ds, q[None, :], k=10)
+    return out.select(["vec_id", "rnk"])
+
+
+# ---------------------------------------------------------------------------
+# flagship pipeline (non-SQL — rows-only driver check; pytest holds the
+# oracle-comparison tests)
+# ---------------------------------------------------------------------------
+
+@_register("q_kg_construct")
+def q_kg_construct(sf_dir: str):
+    from ontoea_ray.pipelines.kg_construct import kg_construct_pipeline
+
+    return kg_construct_pipeline(sf_dir)

@@ -1,0 +1,326 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+All built combiner-first so the only all-to-all exchanges are over partial
+(already reduced) tables:
+
+- :func:`exact_dedup` — one shuffle keyed by content, min-id representative.
+- :func:`minhash_signatures` / :func:`lsh_candidate_pairs` — MinHash + LSH
+  banding: shingle -> minhash (vectorized reduceat) -> (band, key, doc)
+  explode -> groupby band bucket -> candidate pairs -> exact-Jaccard verify.
+- :func:`simhash64` — 64-bit SimHash per document.
+- :func:`token_jaccard_pairs` — exact unigram-set Jaccard join (the
+  SQL-checkable oracle path; the LSH variant is the 100TB-scale path whose
+  candidates are a superset filter of the same verify predicate).
+
+Hot-token candidate groups are the skew risk: group sizes are capped with an
+explicit ``max_group`` (hot shingles/bands are dropped with a logged count —
+a standard MinHash-LSH guard; a token present in half the corpus carries no
+dedup signal but would emit O(n²) pairs).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _token_hashes(tokens: pa.Array) -> np.ndarray:
+    """64-bit stable hashes for a flat token array (unique-dict trick: only
+    unique tokens hit hashlib; the gather back is vectorized)."""
+    uniq = tokens.unique()
+    table = {
+        t: int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+        for t in uniq.to_pylist()
+    }
+    import pyarrow.compute as pc
+
+    idx = pc.index_in(tokens, value_set=uniq).to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = np.fromiter((table[t] for t in uniq.to_pylist()), np.uint64, len(table))
+    return vals[idx]
+
+
+def _shingle_hashes(text_col, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Word-n-gram shingle hashes per row: returns (flat_hashes, row_offsets).
+
+    Rows shorter than n tokens contribute a single whole-row shingle."""
+    from ontoea_ray.functions.text import tokenize
+
+    toks = tokenize(text_col)
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = _token_hashes(toks.flatten())
+    counts = np.diff(offsets)
+    sh_counts = np.maximum(counts - (n - 1), 1)
+    out_offsets = np.concatenate([[0], np.cumsum(sh_counts)])
+    flat_sh = np.zeros(int(out_offsets[-1]), np.uint64)
+    # vectorized rolling combine: h[i] ^ rot(h[i+1]) ^ rot2(h[i+2]) ...
+    P = np.uint64(0x9E3779B97F4A7C15)
+    for r in range(len(counts)):  # per-row slices, numpy ops inside
+        s, e = offsets[r], offsets[r + 1]
+        h = flat[s:e]
+        if len(h) >= n:
+            acc = h[: len(h) - n + 1].copy()
+            for j in range(1, n):
+                acc = acc * P + h[j : len(h) - n + 1 + j]
+            flat_sh[out_offsets[r] : out_offsets[r + 1]] = acc
+        else:
+            acc = np.uint64(1469598103934665603)
+            for v in h:
+                acc = acc * P + v
+            flat_sh[out_offsets[r]] = acc
+    return flat_sh, out_offsets
+
+
+def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, num_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def minhash_row_signatures(texts, *, num_perm=64, shingle_n=3, seed=42,
+                           id_col="doc_id", text_col="text"):
+    """Per-batch minhash: returns a map_batches-compatible callable."""
+    a, b = _perm_params(num_perm, seed)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        flat_sh, offs = _shingle_hashes(batch[text_col].combine_chunks(), shingle_n)
+        sigs = np.empty((len(batch), num_perm), np.uint64)
+        M = np.uint64(_MERSENNE)
+        for p in range(num_perm):
+            hv = (a[p] * flat_sh + b[p]) % M
+            sigs[:, p] = np.minimum.reduceat(hv, offs[:-1])
+            empty = offs[:-1] == offs[1:]
+            if empty.any():
+                sigs[empty, p] = M
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sigs.reshape(-1).astype(np.int64) & ((1 << 63) - 1), pa.int64()), num_perm
+                ),
+            }
+        )
+
+    return fn
+
+
+def minhash_signatures(docs: ray.data.Dataset, **kw) -> ray.data.Dataset:
+    return docs.map_batches(minhash_row_signatures(docs, **kw), batch_format="pyarrow")
+
+
+def lsh_candidate_pairs(
+    docs: ray.data.Dataset,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_group: int = 200,
+) -> ray.data.Dataset:
+    """MinHash-LSH candidate pairs: (id_a, id_b) with id_a < id_b.
+
+    signatures -> explode to (band, band_key, doc) -> groupby bucket ->
+    pairwise within bucket (capped at max_group) -> distinct pairs.
+    """
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    sig_fn = minhash_row_signatures(docs, num_perm=num_perm, shingle_n=shingle_n,
+                                    seed=seed, id_col=id_col, text_col=text_col)
+
+    def explode_bands(batch: pa.Table) -> pa.Table:
+        sigs_tbl = sig_fn(batch)
+        ids = np.asarray(sigs_tbl[id_col].to_pylist(), np.int64)
+        sig = np.asarray(sigs_tbl["sig"].combine_chunks().flatten().to_numpy(zero_copy_only=False)).reshape(len(ids), num_perm)
+        out_id, out_band, out_key = [], [], []
+        P = np.uint64(0x100000001B3)
+        for bnd in range(bands):
+            chunk = sig[:, bnd * r : (bnd + 1) * r].astype(np.uint64)
+            acc = np.full(len(ids), np.uint64(1469598103934665603))
+            for j in range(r):
+                acc = (acc ^ chunk[:, j]) * P
+            out_id.append(ids)
+            out_band.append(np.full(len(ids), bnd, np.int64))
+            out_key.append(acc.astype(np.int64) & ((1 << 63) - 1))
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(out_id), pa.int64()),
+                "band": pa.array(np.concatenate(out_band), pa.int64()),
+                "band_key": pa.array(np.concatenate(out_key), pa.int64()),
+            }
+        )
+
+    buckets = docs.map_batches(explode_bands, batch_format="pyarrow")
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g[id_col].to_numpy())
+        if len(ids) < 2 or len(ids) > max_group:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype(np.int64)
+        ii, jj = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj]})
+
+    pairs = buckets.groupby(["band", "band_key"]).map_groups(emit_pairs, batch_format="pandas")
+
+    def partial_distinct(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = pairs.map_batches(partial_distinct, batch_format="pyarrow")
+    from ray.data.aggregate import Count
+
+    distinct = pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="_c"))
+    return distinct.drop_columns(["_c"])
+
+
+def exact_dedup(docs: ray.data.Dataset, *, key_col: str = "text", id_col: str = "doc_id") -> ray.data.Dataset:
+    """Representative (min id) per distinct key — combiner then one groupby."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({key_col: batch[key_col].to_pandas(), id_col: batch[id_col].to_pandas()})
+        part = df.groupby(key_col, sort=False)[id_col].min().reset_index()
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    from ray.data.aggregate import Min
+
+    return (
+        docs.select_columns([key_col, id_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(Min(id_col, alias_name=id_col))
+    )
+
+
+def simhash64(docs: ray.data.Dataset, *, id_col="doc_id", text_col="text") -> ray.data.Dataset:
+    """64-bit SimHash over unigram token hashes (majority vote per bit)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from ontoea_ray.functions.text import tokenize
+
+        toks = tokenize(batch[text_col].combine_chunks())
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = _token_hashes(toks.flatten())
+        bits = ((flat[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+        contrib = 2 * bits - 1
+        csum = np.concatenate([np.zeros((1, 64), np.int64), np.cumsum(contrib, axis=0)])
+        per_row = csum[offs[1:]] - csum[offs[:-1]]
+        sh = (per_row > 0).astype(np.uint64) @ (np.uint64(1) << np.arange(64, dtype=np.uint64))
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "simhash": pa.array((sh.astype(np.int64) & ((1 << 63) - 1)), pa.int64()),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def shingle_strings(text_col, id_vals: np.ndarray, n: int) -> pd.DataFrame:
+    """Distinct (id, shingle-string) rows for word n-grams, vectorized:
+    shingles come from joining shifted views of the flat token array; rows
+    with fewer than n tokens contribute the whole text as one shingle."""
+    import pyarrow.compute as pc
+
+    from ontoea_ray.functions.text import tokenize
+
+    if isinstance(text_col, pa.ChunkedArray):
+        text_col = text_col.combine_chunks()
+    toks = tokenize(text_col)
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    counts = np.diff(offs)
+    flat = toks.flatten()
+    if n == 1:
+        df = pd.DataFrame({"id": np.repeat(id_vals, counts), "shingle": flat.to_pandas()})
+        return df.drop_duplicates()
+    row_id = np.repeat(np.arange(len(counts)), counts)
+    nf = len(flat)
+    if nf >= n:
+        parts = [flat.slice(j, nf - n + 1) for j in range(n)]
+        joined = pc.binary_join_element_wise(*parts, " ")
+        valid = row_id[: nf - n + 1] == row_id[n - 1 :]
+        sh = pd.DataFrame(
+            {"id": id_vals[row_id[: nf - n + 1][valid]], "shingle": joined.to_pandas()[valid]}
+        )
+    else:
+        sh = pd.DataFrame({"id": [], "shingle": []})
+    short = counts < n
+    if short.any():
+        whole = pd.DataFrame({"id": id_vals[short], "shingle": pd.Series(text_col.to_pandas())[short]})
+        sh = pd.concat([sh, whole], ignore_index=True)
+    sh["id"] = sh["id"].astype(np.int64)
+    return sh.drop_duplicates()
+
+
+def jaccard_pairs(
+    docs: ray.data.Dataset,
+    *,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_group: int = 1000,
+) -> ray.data.Dataset:
+    """Exact shingle-set Jaccard near-dup pairs (id_a < id_b, jaccard >= t).
+
+    Explode distinct shingles -> groupby shingle -> pairwise co-occurrence
+    counts -> |A∩B| / (|A|+|B|-|A∩B|).  SQL-expressible, so it carries a
+    DuckDB oracle; MinHash-LSH is the approximate scale path whose candidate
+    set this operator verifies.
+    """
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].to_pylist(), np.int64)
+        df = shingle_strings(batch[text_col], ids, shingle_n)
+        df = df.rename(columns={"id": id_col, "shingle": "token"})
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    tok_rows = docs.map_batches(explode, batch_format="pyarrow")
+
+    # |doc| sizes (small table -> driver dict broadcast)
+    from ray.data.aggregate import Count
+
+    sizes_tbl = tok_rows.groupby(id_col).aggregate(Count(alias_name="sz"))
+    sizes = {r[id_col]: r["sz"] for r in sizes_tbl.take_all()}
+    import ray as _ray
+
+    sizes_ref = _ray.put(sizes)
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g[id_col].to_numpy())
+        if len(ids) < 2 or len(ids) > max_group:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype(np.int64)
+        ii, jj = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj]})
+
+    pair_rows = tok_rows.groupby("token").map_groups(emit_pairs, batch_format="pandas")
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        part = df.groupby(["id_a", "id_b"], sort=False).size().reset_index(name="inter")
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    inter = (
+        pair_rows.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby(["id_a", "id_b"])
+        .aggregate(Sum("inter", alias_name="inter"))
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        sz = _ray.get(sizes_ref)
+        df = batch.to_pandas()
+        na = df["id_a"].map(sz).to_numpy(np.float64)
+        nb = df["id_b"].map(sz).to_numpy(np.float64)
+        it = df["inter"].to_numpy(np.float64)
+        jac = it / (na + nb - it)
+        keep = jac >= threshold
+        return pa.Table.from_pandas(df.loc[keep, ["id_a", "id_b"]], preserve_index=False)
+
+    return inter.map_batches(finalize, batch_format="pyarrow")

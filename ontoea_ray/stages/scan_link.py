@@ -1,0 +1,137 @@
+"""S2+S4+S5 fused — mention scan + ontology-aware linking + triple emit.
+
+One actor-pool ``map_batches`` stage: the gazetteer / candidate index /
+embeddings / CCM are fetched from the object store ONCE per actor in
+``__init__`` (broadcast via ``ray.put``), then every batch is processed with
+pure numpy/Arrow gathers — no Python loop over rows or tokens.
+
+Fusing detection + linking avoids materializing a mentions table and a
+url-keyed join for page context (the page-majority class is computed inside
+the same batch).  Reference analogs: mention->entity candidate lookup is the
+dictionary-encode join family (`read.py:120-163`), scoring is the fused
+type-aware similarity (`alignment.py:40-44`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from ontoea_ray.functions.text import tokenize
+from ontoea_ray.state.linker import LinkerState
+
+TRIPLE_SCHEMA = pa.schema(
+    [
+        ("subj", pa.string()),
+        ("pred", pa.string()),
+        ("obj", pa.string()),
+        ("url", pa.string()),
+    ]
+)
+
+
+class ScanAndLink:
+    """Callable class for ``map_batches(..., concurrency=N)`` actor pools."""
+
+    def __init__(self, state_ref):
+        # ray.get on a ray.put ref is zero-copy for numpy payloads and runs
+        # once per actor, not once per batch.
+        self.state: LinkerState = ray.get(state_ref) if isinstance(state_ref, ray.ObjectRef) else state_ref
+        st = self.state
+        self._surf_lookup = pa.array(st.surfaces.tolist(), pa.string())
+        self._pred_lookup = pa.array(st.predicates.tolist(), pa.string())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        st = self.state
+        toks = tokenize(batch["text"])
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = toks.flatten()
+        n_rows = len(batch)
+        n_flat = len(flat)
+        if n_flat == 0:
+            return TRIPLE_SCHEMA.empty_table()
+        row_id = np.repeat(np.arange(n_rows, dtype=np.int64), np.diff(offsets))
+
+        import pyarrow.compute as pc
+
+        surf_id = pc.index_in(flat, value_set=self._surf_lookup).to_numpy(zero_copy_only=False)
+        pred_id = pc.index_in(flat, value_set=self._pred_lookup).to_numpy(zero_copy_only=False)
+        is_surf = ~np.isnan(surf_id) if surf_id.dtype.kind == "f" else surf_id >= 0
+        is_pred = ~np.isnan(pred_id) if pred_id.dtype.kind == "f" else pred_id >= 0
+        surf_id = np.where(is_surf, surf_id, 0).astype(np.int64)
+
+        # --- page context class: majority class of unambiguous mentions ---
+        unamb = is_surf & (st.cand_counts[surf_id] == 1)
+        C = st.num_classes
+        page_class = np.full(n_rows, st.root_class, np.int64)
+        if unamb.any():
+            cls = st.ent_class[st.cand_ids[surf_id[unamb], 0]].astype(np.int64)
+            counts = np.bincount(row_id[unamb] * C + cls, minlength=n_rows * C).reshape(n_rows, C)
+            has = counts.sum(axis=1) > 0
+            page_class[has] = counts[has].argmax(axis=1)  # ties -> lowest class id
+
+        # --- pattern scan: ENTITY PREDICATE ENTITY at consecutive tokens ---
+        m = (
+            is_surf[:-2]
+            & is_pred[1:-1]
+            & is_surf[2:]
+            & (row_id[:-2] == row_id[2:])
+        )
+        pos = np.nonzero(m)[0]
+        if len(pos) == 0:
+            return TRIPLE_SCHEMA.empty_table()
+        rows = row_id[pos]
+
+        def resolve(mention_pos: np.ndarray) -> np.ndarray:
+            """Argmax over candidates of sim + type_weight*CCM[class, ctx]."""
+            sid = surf_id[mention_pos]
+            ctx = page_class[row_id[mention_pos]]
+            cid = st.cand_ids[sid]                       # [m, maxC]
+            sim = st.cand_sim[sid].astype(np.float64)    # [m, maxC], -inf pads
+            cls = st.ent_class[np.maximum(cid, 0)]       # pad-safe gather
+            score = sim + st.type_weight * st.ccm[cls, ctx[:, None]]
+            score[cid < 0] = -np.inf
+            best = score.argmax(axis=1)                  # ties -> lowest slot = lexicographically smallest URI
+            return cid[np.arange(len(sid)), best]
+
+        subj_ids = resolve(pos)
+        obj_ids = resolve(pos + 2)
+        flat_np = np.asarray(flat.to_pylist(), dtype=object)
+        urls = np.asarray(batch["url"].to_pylist(), dtype=object)
+        return pa.table(
+            {
+                "subj": pa.array(st.ent_uris[subj_ids].tolist(), pa.string()),
+                "pred": pa.array(flat_np[pos + 1].tolist(), pa.string()),
+                "obj": pa.array(st.ent_uris[obj_ids].tolist(), pa.string()),
+                "url": pa.array(urls[rows].tolist(), pa.string()),
+            }
+        )
+
+
+def default_pool_size(requested=None) -> int:
+    """Actor-pool size that always leaves CPUs for the surrounding task
+    stages (read / shuffle) — an all-CPU pool starves the pipeline."""
+    if requested is not None:
+        return requested
+    total = int(ray.cluster_resources().get("CPU", 4))
+    return max(1, min(total - 2, max(1, total // 2)))
+
+
+def scan_and_link_stage(
+    texts: ray.data.Dataset,
+    state_ref,
+    *,
+    concurrency: int | tuple[int, int] | None = None,
+    batch_size: int = 2048,
+    num_cpus: float = 1,
+) -> ray.data.Dataset:
+    concurrency = default_pool_size(concurrency)
+    return texts.map_batches(
+        ScanAndLink,
+        fn_constructor_args=(state_ref,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=num_cpus,
+    )

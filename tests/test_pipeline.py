@@ -1,0 +1,86 @@
+"""Flagship pipeline end-to-end on sf0.001 (M1/M6 milestones)."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from ontoea_ray.pipelines.kg_construct import (
+    bootstrap_linker_from_corpus,
+    construct_kg,
+    kg_construct_pipeline,
+    write_edge_table,
+)
+from ontoea_ray.sources.pages import pages_from_documents
+from ontoea_ray.stages.extract import extract_text_stage
+
+
+def test_extraction_invariant_byte_identical(sf_dir):
+    """north_rule invariant: extracted text per url == source text bytes."""
+    pages = pages_from_documents(sf_dir)
+    texts = extract_text_stage(pages)
+    got = pa.Table.from_pylist(texts.take_all()).sort_by("url")
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"])
+    url = [
+        f"https://{s}.example.org/doc/{d}"
+        for d, s in zip(docs["doc_id"].to_pylist(), docs["source"].to_pylist())
+    ]
+    exp = pa.table({"url": url, "text": docs["text"]}).sort_by("url")
+    assert got.column("url").to_pylist() == exp.column("url").to_pylist()
+    for a, b in zip(got.column("text").to_pylist(), exp.column("text").to_pylist()):
+        assert a.encode() == b.encode()
+
+
+def test_kg_construct_end_to_end(sf_dir, tmp_path):
+    triples = kg_construct_pipeline(sf_dir, concurrency=2, batch_size=256)
+    tbl = pa.Table.from_pylist(triples.take_all())
+    assert tbl.num_rows > 0
+    assert set(tbl.column_names) >= {"subj", "pred", "obj", "first_url", "n_mentions"}
+    # dedup really deduplicated
+    keys = list(zip(tbl["subj"].to_pylist(), tbl["pred"].to_pylist(), tbl["obj"].to_pylist()))
+    assert len(keys) == len(set(keys))
+    # all subjects/objects are canonical entity URIs
+    assert all(s.startswith("kg://ent/") for s in tbl["subj"].to_pylist())
+    assert all(o.startswith("kg://ent/") for o in tbl["obj"].to_pylist())
+
+    # determinism: a second run yields the identical triple set
+    tbl2 = pa.Table.from_pylist(kg_construct_pipeline(sf_dir, concurrency=2, batch_size=256).take_all())
+    keys2 = set(zip(tbl2["subj"].to_pylist(), tbl2["pred"].to_pylist(), tbl2["obj"].to_pylist()))
+    assert set(keys) == keys2
+
+    # partitioned, resumable sink
+    out = str(tmp_path / "edges")
+    manifest = write_edge_table(triples, out, num_buckets=4)
+    total = sum(v["rows"] for v in manifest["partitions"].values())
+    assert total == tbl.num_rows
+    back = ray.data.read_parquet(out).take_all()
+    assert len(back) == tbl.num_rows
+
+
+def test_scan_link_oracle_small(sf_dir):
+    """Triple extraction P/R vs a directly-computed oracle on a small slice:
+    the pipeline's raw scan must equal the pure-python pattern scan."""
+    import ray
+
+    from ontoea_ray.stages.scan_link import ScanAndLink
+
+    pages = pages_from_documents(sf_dir)
+    texts = extract_text_stage(pages).limit(50)
+    state = bootstrap_linker_from_corpus(extract_text_stage(pages_from_documents(sf_dir)))
+    rows = texts.take_all()
+    got = ScanAndLink(state)(pa.Table.from_pylist(rows))
+
+    surf = set(state.surfaces.tolist())
+    preds = set(state.predicates.tolist())
+    cand1 = {
+        s: state.ent_uris[state.cand_ids[i, 0]]
+        for i, s in enumerate(state.surfaces.tolist())
+        if state.cand_counts[i] == 1
+    }
+    expected = []
+    for r in rows:
+        toks = r["text"].split(" ")
+        for i in range(len(toks) - 2):
+            if toks[i] in surf and toks[i + 1] in preds and toks[i + 2] in surf:
+                expected.append((cand1[toks[i]], toks[i + 1], cand1[toks[i + 2]], r["url"]))
+    got_keys = list(zip(got["subj"].to_pylist(), got["pred"].to_pylist(), got["obj"].to_pylist(), got["url"].to_pylist()))
+    assert got_keys == expected
