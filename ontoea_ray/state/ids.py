@@ -123,6 +123,35 @@ def single_kg_ids(rank: pa.Table, key: str = "uri") -> dict:
     return dict(zip(rank[key].to_pylist(), rank["rank"].to_pylist()))
 
 
+def encode_pairs(links: ray.data.Dataset, ids1: dict, ids2: dict) -> ray.data.Dataset:
+    """Dictionary-encode (e1, e2) link pairs, SILENTLY dropping pairs whose
+    either URI is unknown — the reference's exact drop semantics
+    (uris_pair_2ids, read.py:129-138)."""
+    ref1, ref2 = ray.put(ids1), ray.put(ids2)
+
+    def enc(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        d1, d2 = ray.get(ref1), ray.get(ref2)
+        k1 = pa.array(list(d1.keys()), pa.string())
+        v1 = np.fromiter(d1.values(), np.int64, len(d1))
+        k2 = pa.array(list(d2.keys()), pa.string())
+        v2 = np.fromiter(d2.values(), np.int64, len(d2))
+        i1 = pc.index_in(batch["e1"].combine_chunks(), value_set=k1).to_numpy(zero_copy_only=False)
+        i2 = pc.index_in(batch["e2"].combine_chunks(), value_set=k2).to_numpy(zero_copy_only=False)
+        m1 = np.isnan(i1) if i1.dtype.kind == "f" else i1 < 0
+        m2 = np.isnan(i2) if i2.dtype.kind == "f" else i2 < 0
+        keep = ~(m1 | m2)
+        return pa.table(
+            {
+                "id1": pa.array(v1[np.where(keep, i1, 0).astype(np.int64)][keep], pa.int64()),
+                "id2": pa.array(v2[np.where(keep, i2, 0).astype(np.int64)][keep], pa.int64()),
+            }
+        )
+
+    return links.map_batches(enc, batch_format="pyarrow")
+
+
 def encode_triples(
     triples: ray.data.Dataset,
     ent_ids: dict,
