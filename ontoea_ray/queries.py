@@ -475,3 +475,36 @@ def q_kg_construct(sf_dir: str):
     from ontoea_ray.pipelines.kg_construct import kg_construct_pipeline
 
     return kg_construct_pipeline(sf_dir)
+
+
+@_register("q_ontoea_align")
+def q_ontoea_align(sf_dir: str):
+    """OntoEA parity track on the deterministic fixture benchmark (the
+    input is seeded, not sf-dependent): loaders -> interleaved ids -> CCM ->
+    joint training -> fused Hits@k/MR/MRR.  Rows-only check (iterative
+    model training is not SQL-expressible); the quality gate lives in
+    tests/test_training.py."""
+    import tempfile
+
+    from ontoea_ray.pipelines.kg_parity import run_parity
+    from ontoea_ray.pipelines.training import OntoEAConfig
+    from ontoea_ray.sources import fixtures as FX
+
+    kg = FX.generate_fixture_kg(n_entities=120, seed=42)
+    root = tempfile.mkdtemp(prefix="ontoea_parity_")
+    FX.write_reference_layout(kg, root)
+    cfg = OntoEAConfig(
+        dim=64, onto_dim=32, max_epoch=200, sub_epoch=10, start_valid=100,
+        eval_freq=2, batch_size=512, neg_triple_num=10,
+    )
+    res = run_parity(root, cfg, as_actor=True)
+    t = res["test"]
+    return pa.table(
+        {
+            "hits1": pa.array([t["hits"][1]], pa.float64()),
+            "hits5": pa.array([t["hits"][5]], pa.float64()),
+            "hits10": pa.array([t["hits"][10]], pa.float64()),
+            "mr": pa.array([t["mr"]], pa.float64()),
+            "mrr": pa.array([t["mrr"]], pa.float64()),
+        }
+    )

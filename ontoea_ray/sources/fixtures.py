@@ -84,8 +84,10 @@ def generate_fixture_kg(n_entities: int = 200, seed: int = 42) -> FixtureKG:
         cls1[a] = THING if rng.random() < 0.08 else c
         cls2[b] = THING if rng.random() < 0.08 else c
 
-    def gen_triples(ents, rng, n_rel):
-        # skewed head frequency so frequency-rank ids have non-trivial order
+    def gen_triples(ents, rng, n_rel, ns):
+        # skewed head frequency so frequency-rank ids have non-trivial
+        # order; relation URIs are namespaced per KG (as in the OpenEA
+        # benchmarks, where the two KGs share no URI space)
         w = 1.0 / (np.arange(len(ents)) + 1.0)
         w /= w.sum()
         triples = set()
@@ -94,11 +96,21 @@ def generate_fixture_kg(n_entities: int = 200, seed: int = 42) -> FixtureKG:
             t = ents[int(rng.integers(0, len(ents)))]
             r = PREDICATES[int(rng.integers(0, len(PREDICATES)))]
             if h != t:
-                triples.add((h, f"http://fixture.org/rel/{r}", t))
+                triples.add((h, f"{ns}rel/{r}", t))
         return sorted(triples)
 
-    rel1 = gen_triples(ent1, rng, n_entities * 4)
-    rel2 = gen_triples(ent2, rng, n_entities * 4)
+    rel1 = gen_triples(ent1, rng, n_entities * 4, "http://kg1.fixture.org/")
+    # KG2 mirrors KG1's structure through the gold alignment (the OpenEA
+    # benchmarks describe the same underlying entities), with ~15% of edges
+    # dropped and ~15% random edges added so the KGs are not isomorphic.
+    e1_to_e2 = dict(zip(ent1, ent2))
+    rel2_set = set()
+    for h, r, t in rel1:
+        if rng.random() < 0.85:
+            local = r.rsplit("/", 1)[1]
+            rel2_set.add((e1_to_e2[h], f"http://kg2.fixture.org/rel/{local}", e1_to_e2[t]))
+    rel2_set.update(gen_triples(ent2, rng, int(n_entities * 0.6), "http://kg2.fixture.org/"))
+    rel2 = sorted(rel2_set)
 
     def gen_attrs(ents, rng):
         out = []
