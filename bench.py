@@ -65,13 +65,15 @@ def run_bench() -> dict:
     from ontoea_ray.pipelines.kg_construct import kg_construct_pipeline
     from ontoea_ray.queries import QUERIES
 
-    # warm OS page cache (untimed)
+    # warm OS page cache AND the Ray worker pool (untimed) so timings
+    # measure compute + shuffle, not process cold-start
     import pyarrow.parquet as pq
 
     for t in ("documents", "lineitem", "orders", "events", "embeddings"):
         pq.read_table(f"{SF_DIR}/{t}.parquet")
+    import ray.data as _rd
 
-    import pyarrow.parquet  # noqa: F401
+    _rd.range(NUM_CPUS * 1000, override_num_blocks=NUM_CPUS).map_batches(lambda b: b).materialize()
 
     t0 = time.time()
     triples = kg_construct_pipeline(SF_DIR)

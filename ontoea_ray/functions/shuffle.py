@@ -1,0 +1,65 @@
+"""Shuffle-width tuning.
+
+Ray Data's sort-based groupby/aggregate inherits the upstream block count
+as its partition count; a combiner output of 64 near-empty blocks then pays
+~10s of task/barrier overhead for milliseconds of work.  ``compact()``
+repartitions (cheap block move, no row shuffle semantics change) to a width
+proportional to the session's CPUs before a wide op, so the shuffle has
+O(cpus) partitions regardless of how finely the input was split.  On a
+multi-node cluster ``cluster_resources`` grows with the node count, so the
+width scales with the cluster exactly like a Spark ``spark.sql.shuffle
+partitions`` tuned to cores.
+
+Override with ONTOEA_SHUFFLE_PARTITIONS when a workload needs more
+(e.g. very high-cardinality keys on huge inputs).
+"""
+
+from __future__ import annotations
+
+import os
+
+import ray
+import ray.data
+
+
+def shuffle_width(lo: int = 2, hi: int = 64) -> int:
+    env = os.environ.get("ONTOEA_SHUFFLE_PARTITIONS")
+    if env:
+        return max(1, int(env))
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(lo, min(cpus // 2, hi))
+
+
+def compact(ds: ray.data.Dataset, width: int | None = None) -> ray.data.Dataset:
+    """Coalesce blocks ahead of a wide op (groupby/sort/aggregate)."""
+    return ds.repartition(width or shuffle_width())
+
+
+def with_partition_key(
+    ds: ray.data.Dataset, keys: list[str], *, width: int | None = None, col: str = "pkey"
+) -> ray.data.Dataset:
+    """Append ``col`` = stable_hash(keys) % width.
+
+    ``groupby(col).map_groups(fn)`` then gives width-way key-co-located
+    partition processing with ONE fn call per partition — the portable
+    alternative to hash-shuffle ``repartition(keys=...)`` (whose aggregator
+    actor fleet starves small sessions).  Rows with equal key values always
+    share a partition.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    w = width or shuffle_width()
+
+    def add(batch: pa.Table) -> pa.Table:
+        acc = np.zeros(len(batch), np.uint64)
+        for k in keys:
+            vals = batch[k].to_pandas().to_numpy()
+            acc = acc * np.uint64(1099511628211) ^ pd.util.hash_array(vals).astype(np.uint64)
+        return batch.append_column(col, pa.array((acc % np.uint64(w)).astype(np.int64), pa.int64()))
+
+    return ds.map_batches(add, batch_format="pyarrow")

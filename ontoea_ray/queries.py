@@ -19,6 +19,8 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
+from ontoea_ray.functions.shuffle import compact
+
 QUERIES: dict = {}
 ORACLE_SQL: dict = {}
 
@@ -69,7 +71,7 @@ def q_pricing_summary(sf_dir: str):
         return pa.Table.from_pandas(g, preserve_index=False)
 
     return (
-        ds.map_batches(partial, batch_format="pyarrow")
+        compact(ds.map_batches(partial, batch_format="pyarrow"))
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
             Sum("sum_qty", alias_name="sum_qty"),
@@ -105,7 +107,7 @@ def q_top_customers(sf_dir: str):
         return pa.Table.from_pandas(g, preserve_index=False)
 
     agg = (
-        orders.map_batches(partial, batch_format="pyarrow")
+        compact(orders.map_batches(partial, batch_format="pyarrow"))
         .groupby("o_custkey")
         .aggregate(Sum("total_cents", alias_name="total_cents"))
     )
@@ -158,7 +160,7 @@ def q_events_hourly(sf_dir: str):
         return pa.Table.from_pandas(g, preserve_index=False)
 
     return (
-        ds.map_batches(partial, batch_format="pyarrow")
+        compact(ds.map_batches(partial, batch_format="pyarrow"))
         .groupby(["event_type", "hour_epoch"])
         .aggregate(Sum("n", alias_name="n"), Sum("sum_value_milli", alias_name="sum_value_milli"))
     )
@@ -204,7 +206,7 @@ def q_sessionize(sf_dir: str):
         out["start_epoch"] = ((out["start"] - pd.Timestamp(0)) // pd.Timedelta(seconds=1)).astype(np.int64)
         return out[["user_id", "session_id", "n_events", "start_epoch"]]
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return compact(ds).groupby("user_id").map_groups(sessions, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -270,12 +272,12 @@ def q_edge_counts(sf_dir: str):
         return pa.Table.from_pandas(df, preserve_index=False)
 
     distinct = (
-        edges.map_batches(key_partial, batch_format="pyarrow")
+        compact(edges.map_batches(key_partial, batch_format="pyarrow"))
         .groupby(["subj", "pred", "obj"])
         .aggregate(Count(alias_name="c"))
     )
     return (
-        distinct.map_batches(partial, batch_format="pyarrow")
+        compact(distinct.map_batches(partial, batch_format="pyarrow"))
         .groupby("pred")
         .aggregate(Sum("n_edges", alias_name="n_edges"))
     )

@@ -62,8 +62,10 @@ def _pick_canonical(g: pd.DataFrame) -> pd.DataFrame:
 def build_canonical_map(triples: ray.data.Dataset) -> pa.Table:
     """Distributed frequency count per (cluster, uri) -> canonical map table
     (uri, canonical, cluster_size).  Vocabulary-sized — safe to broadcast."""
+    from ontoea_ray.functions.shuffle import compact
+
     partials = triples.map_batches(_partial_uri_counts, batch_format="pyarrow")
-    per_uri = partials.groupby(["ckey", "uri"]).aggregate(Sum("n", alias_name="n"))
+    per_uri = compact(partials).groupby(["ckey", "uri"]).aggregate(Sum("n", alias_name="n"))
     merged = per_uri.groupby("ckey").map_groups(_pick_canonical, batch_format="pandas")
     return pa.Table.from_pandas(merged.to_pandas(), preserve_index=False)
 
@@ -127,8 +129,10 @@ def dedup_triples(triples: ray.data.Dataset) -> ray.data.Dataset:
 
     Native groupby-aggregate merge (no per-group Python): within a tkey
     group subj/pred/obj are constant, so Min is an exact representative."""
+    from ontoea_ray.functions.shuffle import compact
+
     partials = triples.map_batches(_partial_dedup, batch_format="pyarrow")
-    out = partials.groupby("tkey").aggregate(
+    out = compact(partials).groupby("tkey").aggregate(
         Min("subj", alias_name="subj"),
         Min("pred", alias_name="pred"),
         Min("obj", alias_name="obj"),

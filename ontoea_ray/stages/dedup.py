@@ -114,6 +114,37 @@ def minhash_signatures(docs: ray.data.Dataset, **kw) -> ray.data.Dataset:
     return docs.map_batches(minhash_row_signatures(docs, **kw), batch_format="pyarrow")
 
 
+def _pairs_from_bucket_block(
+    id_col: str, max_group: int, keys: tuple[str, ...] = ("band", "band_key"), distinct: bool = True
+):
+    """Blockwise candidate-pair emitter for hash-partitioned bucket rows.
+
+    ``distinct=False`` keeps one pair row PER shared bucket (the Jaccard
+    intersection-count path); True dedups within the block (LSH candidates).
+    """
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64), "id_b": pd.Series([], dtype=np.int64)})
+        if df.empty:
+            return empty
+        sizes = df.groupby(list(keys), sort=False)[id_col].transform("size")
+        df = df[(sizes >= 2) & (sizes <= max_group)]
+        out_a, out_b = [], []
+        for _, g in df.groupby(list(keys), sort=False):
+            ids = np.sort(g[id_col].to_numpy())
+            ii, jj = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ii])
+            out_b.append(ids[jj])
+        if not out_a:
+            return empty
+        out = pd.DataFrame(
+            {"id_a": np.concatenate(out_a).astype(np.int64), "id_b": np.concatenate(out_b).astype(np.int64)}
+        )
+        return out.drop_duplicates() if distinct else out
+
+    return emit
+
+
 def lsh_candidate_pairs(
     docs: ray.data.Dataset,
     *,
@@ -159,14 +190,16 @@ def lsh_candidate_pairs(
 
     buckets = docs.map_batches(explode_bands, batch_format="pyarrow")
 
-    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g[id_col].to_numpy())
-        if len(ids) < 2 or len(ids) > max_group:
-            return pd.DataFrame({"id_a": [], "id_b": []}).astype(np.int64)
-        ii, jj = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj]})
+    from ontoea_ray.functions.shuffle import compact, with_partition_key
 
-    pairs = buckets.groupby(["band", "band_key"]).map_groups(emit_pairs, batch_format="pandas")
+    # Co-locate buckets via an explicit pkey = hash(band_key) % width column
+    # and group by THAT: map_groups then runs once per partition (width
+    # calls total), and pair generation inside is one vectorized pandas pass
+    # — no per-bucket task, no hash-shuffle actor fleet.
+    parted = with_partition_key(buckets, ["band", "band_key"])
+    pairs = parted.groupby("pkey").map_groups(
+        _pairs_from_bucket_block(id_col, max_group), batch_format="pandas"
+    )
 
     def partial_distinct(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas().drop_duplicates()
@@ -175,7 +208,7 @@ def lsh_candidate_pairs(
     pairs = pairs.map_batches(partial_distinct, batch_format="pyarrow")
     from ray.data.aggregate import Count
 
-    distinct = pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="_c"))
+    distinct = compact(pairs).groupby(["id_a", "id_b"]).aggregate(Count(alias_name="_c"))
     return distinct.drop_columns(["_c"])
 
 
@@ -189,12 +222,10 @@ def exact_dedup(docs: ray.data.Dataset, *, key_col: str = "text", id_col: str = 
 
     from ray.data.aggregate import Min
 
-    return (
-        docs.select_columns([key_col, id_col])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby(key_col)
-        .aggregate(Min(id_col, alias_name=id_col))
-    )
+    from ontoea_ray.functions.shuffle import compact
+
+    partials = docs.select_columns([key_col, id_col]).map_batches(partial, batch_format="pyarrow")
+    return compact(partials).groupby(key_col).aggregate(Min(id_col, alias_name=id_col))
 
 
 def simhash64(docs: ray.data.Dataset, *, id_col="doc_id", text_col="text") -> ray.data.Dataset:
@@ -285,20 +316,22 @@ def jaccard_pairs(
     # |doc| sizes (small table -> driver dict broadcast)
     from ray.data.aggregate import Count
 
-    sizes_tbl = tok_rows.groupby(id_col).aggregate(Count(alias_name="sz"))
+    from ontoea_ray.functions.shuffle import compact, shuffle_width
+
+    tok_rows = tok_rows.materialize()  # reused by the sizes pass + pair pass
+    sizes_tbl = compact(tok_rows).groupby(id_col).aggregate(Count(alias_name="sz"))
     sizes = {r[id_col]: r["sz"] for r in sizes_tbl.take_all()}
     import ray as _ray
 
     sizes_ref = _ray.put(sizes)
 
-    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g[id_col].to_numpy())
-        if len(ids) < 2 or len(ids) > max_group:
-            return pd.DataFrame({"id_a": [], "id_b": []}).astype(np.int64)
-        ii, jj = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj]})
+    from ontoea_ray.functions.shuffle import with_partition_key
 
-    pair_rows = tok_rows.groupby("token").map_groups(emit_pairs, batch_format="pandas")
+    parted = with_partition_key(tok_rows, ["token"])
+    pair_rows = parted.groupby("pkey").map_groups(
+        _pairs_from_bucket_block(id_col, max_group, keys=("token",), distinct=False),
+        batch_format="pandas",
+    )
 
     def partial_counts(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -308,7 +341,7 @@ def jaccard_pairs(
     from ray.data.aggregate import Sum
 
     inter = (
-        pair_rows.map_batches(partial_counts, batch_format="pyarrow")
+        compact(pair_rows.map_batches(partial_counts, batch_format="pyarrow"))
         .groupby(["id_a", "id_b"])
         .aggregate(Sum("inter", alias_name="inter"))
     )

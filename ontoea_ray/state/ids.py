@@ -66,7 +66,9 @@ def token_frequencies(texts: ray.data.Dataset, column: str = "text") -> ray.data
     partials = texts.map_batches(partial, batch_format="pyarrow")
     from ray.data.aggregate import Sum
 
-    return partials.groupby("token").aggregate(Sum("freq", alias_name="freq"))
+    from ontoea_ray.functions.shuffle import compact
+
+    return compact(partials).groupby("token").aggregate(Sum("freq", alias_name="freq"))
 
 
 def element_frequencies(triples: ray.data.Dataset, columns: tuple[str, ...]) -> ray.data.Dataset:
@@ -82,7 +84,9 @@ def element_frequencies(triples: ray.data.Dataset, columns: tuple[str, ...]) -> 
     partials = triples.map_batches(partial, batch_format="pyarrow")
     from ray.data.aggregate import Sum
 
-    return partials.groupby("uri").aggregate(Sum("freq", alias_name="freq"))
+    from ontoea_ray.functions.shuffle import compact
+
+    return compact(partials).groupby("uri").aggregate(Sum("freq", alias_name="freq"))
 
 
 def rank_by_frequency(freq: ray.data.Dataset, key: str = "uri") -> ray.data.Dataset:

@@ -39,11 +39,13 @@ def test_attribute_triples_roundtrip(kg, layout):
 
 
 def test_links_and_splits_roundtrip(kg, layout):
+    # unordered-executor semantics: compare as multisets (row order of a
+    # Dataset is not part of the contract unless preserve_order is set)
     links = [(r["e1"], r["e2"]) for r in KF.read_links(f"{layout}/ent_links").take_all()]
-    assert links == kg.links
+    assert sorted(links) == sorted(kg.links)
     train, valid, test = kg.splits()
     got_train = [(r["e1"], r["e2"]) for r in KF.read_links(f"{layout}/721_5fold/1/train_links").take_all()]
-    assert got_train == train
+    assert sorted(got_train) == sorted(train)
     assert len(train) + len(valid) + len(test) == len(kg.links)
 
 
