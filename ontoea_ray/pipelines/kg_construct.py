@@ -29,7 +29,8 @@ import ray.data
 
 from ontoea_ray.stages.canonicalize import (
     build_canonical_map,
-    dedup_triples,
+    dedup_merge,
+    dedup_partials_stage,
     make_canonicalizer,
 )
 from ontoea_ray.stages.extract import extract_text_stage
@@ -71,12 +72,10 @@ def bootstrap_linker_from_corpus(
     Tokens ranked [0, n_entities) by (freq desc, token desc) become entity
     surfaces; the next n_predicates become predicates.
     """
-    from ontoea_ray.state.ids import rank_by_frequency, token_frequencies
+    from ontoea_ray.state.ids import token_frequencies, top_k_by_frequency
 
-    ranked = rank_by_frequency(token_frequencies(texts), key="token")
-    top = ranked.sort("rank").limit(n_entities + n_predicates)
-    tbl = pa.Table.from_pylist(top.take_all()).sort_by("rank")
-    toks = tbl["token"].to_pylist()
+    top = top_k_by_frequency(token_frequencies(texts), n_entities + n_predicates, key="token")
+    toks = [t for t, _ in top]
     # Small corpora can have fewer distinct tokens than requested: keep the
     # entity/predicate split proportional so both gazetteers are non-empty.
     n_ent = min(n_entities, max(1, (2 * len(toks)) // 3))
@@ -117,15 +116,18 @@ def construct_kg(
     state_ref = ray.put(linker_state)
     texts = extract_text_stage(pages)
     raw = scan_and_link_stage(texts, state_ref, concurrency=concurrency, batch_size=batch_size)
-    # The raw linked-triple stream feeds two consumers (the canonical-map
-    # prepass and the substitution pass).  Materializing avoids re-running
-    # the scan actors; at 100TB the equivalent is checkpointing this stage
-    # to partitioned Parquet (which doubles as the resume point).
-    raw = raw.materialize()
-    canon_map = build_canonical_map(raw)
+    # The dedup combiner fuses into the scan pass, so the corpus is read and
+    # scanned exactly ONCE; everything materialized/consumed below is
+    # combiner-sized (distinct triples per block), not corpus-sized.  At
+    # 100TB the materialize is the checkpoint/resume point (equivalently: a
+    # write to partitioned Parquet).
+    partials = dedup_partials_stage(raw).materialize()
+    # Canonical-map counts over partials are n_mentions-weighted, which
+    # equals counting over the raw stream exactly.
+    canon_map = build_canonical_map(partials, weight_col="n_mentions")
     map_ref = ray.put(canon_map)
-    canon = raw.map_batches(make_canonicalizer(map_ref), batch_format="pyarrow")
-    return dedup_triples(canon)
+    canon = partials.map_batches(make_canonicalizer(map_ref, partial=True), batch_format="pyarrow")
+    return dedup_merge(canon)
 
 
 def write_edge_table(
@@ -173,12 +175,14 @@ def write_edge_table(
     return manifest
 
 
-def kg_construct_pipeline(sf_dir: str, **kwargs) -> ray.data.Dataset:
+def kg_construct_pipeline(sf_dir: str, *, replicate: int = 1, **kwargs) -> ray.data.Dataset:
     """End-to-end flagship over the deterministic pages derived from
-    ``{sf_dir}/documents.parquet``."""
+    ``{sf_dir}/documents.parquet`` (``replicate`` amplifies the corpus for
+    compute-bound benchmarking; the vocabulary prepass always runs on the
+    unreplicated corpus — same gazetteer either way)."""
     from ontoea_ray.sources.pages import pages_from_documents
 
-    pages = pages_from_documents(sf_dir)
+    pages = pages_from_documents(sf_dir, replicate=replicate)
     texts_for_vocab = extract_text_stage(pages_from_documents(sf_dir))
     state = bootstrap_linker_from_corpus(texts_for_vocab)
     return construct_kg(pages, state, **kwargs)

@@ -49,12 +49,44 @@ def _docs_to_pages(batch: pa.Table) -> pa.Table:
     )
 
 
-def pages_from_documents(sf_dir: str) -> ray.data.Dataset:
-    """Deterministic pages table derived from ``{sf_dir}/documents.parquet``."""
+def pages_from_documents(sf_dir: str, *, replicate: int = 1) -> ray.data.Dataset:
+    """Deterministic pages table derived from ``{sf_dir}/documents.parquet``.
+
+    ``replicate > 1`` fans each document out to that many distinct urls
+    (deterministic ``rep`` offset in doc_id/url) — used by the scaling bench
+    to amplify the same input to a compute-bound size without external data.
+    """
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text", "lang", "source"],
     )
+    if replicate > 1:
+        base = 10_000_000
+        # Yield ~4k-row sub-tables so the amplified stream is split into
+        # many small blocks — downstream stages then parallelize on the
+        # POST-fan-out row count instead of inheriting a handful of huge
+        # blocks (generator UDFs produce one block per yield).
+
+        def fan_out(batch: pa.Table):
+            import numpy as np
+
+            n = len(batch)
+            doc_ids = np.asarray(batch["doc_id"].to_pylist(), np.int64)
+            chunk = max(1, 16384 // max(n, 1))
+            idx_one = np.arange(n, dtype=np.int64)
+            for start in range(0, replicate, chunk):
+                reps = np.arange(start, min(start + chunk, replicate), dtype=np.int64)
+                idx = np.tile(idx_one, len(reps))
+                out = batch.take(pa.array(idx))
+                new_ids = (doc_ids[None, :] + (reps * base)[:, None]).reshape(-1)
+                yield out.set_column(
+                    out.schema.get_field_index("doc_id"), "doc_id", pa.array(new_ids, pa.int64())
+                )
+
+        # num_cpus differs from the default downstream stages on purpose:
+        # mismatched resource requests block operator fusion with the scan
+        # actors (fused, batch sizing would see pre-fan-out rows).
+        ds = ds.map_batches(fan_out, batch_format="pyarrow", num_cpus=1.001)
     return ds.map_batches(_docs_to_pages, batch_format="pyarrow")
 
 

@@ -7,14 +7,16 @@ name); the canonical representative per cluster is the most frequent URI
 groups enormous, so raw rows are NEVER grouped by cluster key: a vectorized
 per-batch combiner reduces each batch to (ckey, uri, partial_count) — the
 moral equivalent of salting by block — and only that tiny partial table is
-shuffled.  The resulting uri->canonical map is vocabulary-sized, broadcast
-via ``ray.put`` and applied to the triple stream with a gather (no second
-shuffle of the big table).
+shuffled/collected.  The resulting uri->canonical map is vocabulary-sized,
+broadcast via ``ray.put`` and applied with a gather (no second shuffle of
+the big table).
 
-Exact dedup: within-batch combiner (distinct triple + partial count + min
-url) then ONE native groupby-aggregate shuffle on the composite key (all
-non-key columns are constant within a group, so Min/Sum merge is exact).
-Reference analog: the ``set()`` dedup on triple load
+Exact dedup is tree-shaped: a per-batch combiner (distinct triple + partial
+count + min url) runs FUSED into the scan pass, a block-level combiner runs
+after a compact(), and only then does ONE keyed groupby-aggregate shuffle
+touch the (already tiny) partials.  Within a tkey group subj/pred/obj are
+constant, so Min/Sum aggregates merge exactly.  Reference analog: the
+``set()`` dedup on triple load
 (`/root/reference/code/src/openea/modules/load/kg.py:56-75`).
 """
 
@@ -41,98 +43,151 @@ def cluster_key(uri: pa.Array) -> pa.Array:
     return pc.utf8_lower(local)
 
 
-def _partial_uri_counts(batch: pa.Table) -> pa.Table:
-    """One pass over subj+obj columns -> (ckey, uri, n) partials."""
-    uris = pa.concat_arrays(
-        [batch["subj"].combine_chunks().cast(pa.string()), batch["obj"].combine_chunks().cast(pa.string())]
-    )
+def _partial_uri_counts(batch: pa.Table, weight_col: str | None = None) -> pa.Table:
+    """One pass over subj+obj columns -> (ckey, uri, n) partials.
+
+    ``weight_col`` (e.g. n_mentions on dedup partials) weights each row so
+    counts over combiner output equal counts over the raw stream."""
+    subj = batch["subj"].combine_chunks().cast(pa.string())
+    obj = batch["obj"].combine_chunks().cast(pa.string())
+    uris = pa.concat_arrays([subj, obj])
+    if weight_col is not None:
+        w = batch[weight_col].to_pandas().to_numpy()
+        weights = np.concatenate([w, w])
+    else:
+        weights = np.ones(len(uris), np.int64)
     key = cluster_key(uris)
-    df = pd.DataFrame({"ckey": key.to_pandas(), "uri": uris.to_pandas()})
-    part = df.groupby(["ckey", "uri"], sort=False).size().reset_index(name="n")
+    df = pd.DataFrame({"ckey": key.to_pandas(), "uri": uris.to_pandas(), "n": weights})
+    part = df.groupby(["ckey", "uri"], sort=False)["n"].sum().reset_index()
     return pa.Table.from_pandas(part, preserve_index=False)
 
 
-def _pick_canonical(g: pd.DataFrame) -> pd.DataFrame:
-    g = g.sort_values(["n", "uri"], ascending=[False, True], kind="mergesort")
-    return pd.DataFrame(
-        {"uri": g["uri"], "canonical": g["uri"].iloc[0], "cluster_size": int(g["n"].sum())}
-    )
+def _merge_canonical_partition(df: pd.DataFrame) -> pd.DataFrame:
+    """Merge (ckey, uri, n) partials of ONE partition: canonical per cluster
+    = most frequent uri, ties -> lexicographically smallest."""
+    g = df.groupby(["ckey", "uri"], sort=False)["n"].sum().reset_index()
+    g = g.sort_values(["ckey", "n", "uri"], ascending=[True, False, True], kind="mergesort")
+    first = g.drop_duplicates("ckey")[["ckey", "uri"]].rename(columns={"uri": "canonical"})
+    sizes = g.groupby("ckey", sort=False)["n"].sum().rename("cluster_size")
+    out = g.merge(first, on="ckey").join(sizes, on="ckey")
+    return out[["uri", "canonical", "cluster_size"]]
 
 
-def build_canonical_map(triples: ray.data.Dataset) -> pa.Table:
+def build_canonical_map(
+    triples: ray.data.Dataset, *, weight_col: str | None = None, driver_merge: bool = True
+) -> pa.Table:
     """Distributed frequency count per (cluster, uri) -> canonical map table
-    (uri, canonical, cluster_size).  Vocabulary-sized — safe to broadcast."""
-    from ontoea_ray.functions.shuffle import compact
+    (uri, canonical, cluster_size).  Vocabulary-sized — safe to broadcast.
 
-    partials = triples.map_batches(_partial_uri_counts, batch_format="pyarrow")
-    per_uri = compact(partials).groupby(["ckey", "uri"]).aggregate(Sum("n", alias_name="n"))
-    merged = per_uri.groupby("ckey").map_groups(_pick_canonical, batch_format="pandas")
-    return pa.Table.from_pandas(merged.to_pandas(), preserve_index=False)
+    ``driver_merge=True`` (default): collect the combiner partials
+    (<= #blocks × per-block vocab rows — the map itself is collected to the
+    driver for broadcast anyway, so this only changes a small constant) and
+    merge in one pandas pass, skipping a shuffle round-trip.
+    ``driver_merge=False``: fully distributed — partials hash-partitioned by
+    cluster key, each partition merged in a vectorized pass (for entity
+    vocabularies too large for one node)."""
+    partials = triples.map_batches(
+        lambda b: _partial_uri_counts(b, weight_col), batch_format="pyarrow"
+    )
+    if driver_merge:
+        df = pd.DataFrame(partials.take_all())
+        if df.empty:
+            return pa.table({"uri": pa.array([], pa.string()), "canonical": pa.array([], pa.string()),
+                             "cluster_size": pa.array([], pa.int64())})
+        return pa.Table.from_pandas(_merge_canonical_partition(df), preserve_index=False)
+    from ontoea_ray.functions.shuffle import with_partition_key
+
+    parted = with_partition_key(partials, ["ckey"])
+    merged = parted.groupby("pkey").map_groups(_merge_canonical_partition, batch_format="pandas")
+    return pa.Table.from_pylist(merged.take_all())
 
 
-def make_canonicalizer(map_ref):
+def _triple_key(subj: pa.Array, pred: pa.Array, obj: pa.Array) -> pa.Array:
+    return pc.binary_join_element_wise(subj, pred, obj, SEP)
+
+
+def make_canonicalizer(map_ref, *, partial: bool = False):
     """Stateless-task canonical substitution (the map is fetched zero-copy
-    from the local object store per task; it is vocabulary-sized)."""
+    from the local object store per task; it is vocabulary-sized).
+
+    ``partial=True`` operates on dedup-partial rows (tkey/n_mentions
+    present): tkey is recomputed after substitution so merged triples
+    re-key correctly."""
 
     def canonicalize(batch: pa.Table) -> pa.Table:
         tbl: pa.Table = ray.get(map_ref) if isinstance(map_ref, ray.ObjectRef) else map_ref
         uris = tbl["uri"].combine_chunks()
-        canon = np.asarray(tbl["canonical"].to_pylist(), dtype=object)
+        canon = tbl["canonical"].combine_chunks()
 
         def sub(col):
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
-            idx = pc.index_in(col, value_set=uris).to_numpy(zero_copy_only=False)
-            miss = np.isnan(idx) if idx.dtype.kind == "f" else idx < 0
-            idx = np.where(miss, 0, idx).astype(np.int64)
-            out = canon[idx]
-            if miss.any():
-                orig = np.asarray(col.to_pylist(), dtype=object)
-                out = np.where(miss, orig, out)
-            return pa.array(out.tolist(), pa.string())
+            idx = pc.index_in(col, value_set=uris)
+            replaced = canon.take(pc.fill_null(idx, 0))
+            return pc.if_else(pc.is_valid(idx), replaced, col)
 
-        return pa.table(
-            {
-                "subj": sub(batch["subj"]),
-                "pred": batch["pred"],
-                "obj": sub(batch["obj"]),
-                "url": batch["url"],
-            }
-        )
+        subj = sub(batch["subj"])
+        obj = sub(batch["obj"])
+        pred = batch["pred"].combine_chunks()
+        out = {"subj": subj, "pred": pred, "obj": obj, "url": batch["url"]}
+        if partial:
+            out["tkey"] = _triple_key(subj, pred, obj)
+            out["n_mentions"] = batch["n_mentions"]
+        return pa.table(out)
 
     return canonicalize
 
 
 def _partial_dedup(batch: pa.Table) -> pa.Table:
-    """Within-batch combiner: distinct triple + occurrence count + min url."""
-    key = pc.binary_join_element_wise(
-        batch["subj"].combine_chunks(), batch["pred"].combine_chunks(), batch["obj"].combine_chunks(), SEP
+    """Within-batch combiner: distinct triple + occurrence count + min url.
+
+    Arrow dictionary-encode + numpy grouping — no per-row string hashing in
+    pandas (this combiner runs over every scanned triple, so it is on the
+    hot path alongside the scan itself)."""
+    key = _triple_key(
+        batch["subj"].combine_chunks(), batch["pred"].combine_chunks(), batch["obj"].combine_chunks()
     )
-    df = pd.DataFrame(
+    enc = pc.dictionary_encode(key)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    n_groups = len(enc.dictionary)
+    n = len(codes)
+    first = np.full(n_groups, n, np.int64)
+    np.minimum.at(first, codes, np.arange(n, dtype=np.int64))
+    counts = np.bincount(codes, minlength=n_groups)
+    take = pa.array(first)
+    # min url per group: int-code pandas groupby (no string keys)
+    url_min = (
+        pd.DataFrame({"c": codes, "u": batch["url"].to_pandas()})
+        .groupby("c", sort=True)["u"].min().to_numpy()
+    )
+    return pa.table(
         {
-            "tkey": key.to_pandas(),
-            "subj": batch["subj"].to_pandas(),
-            "pred": batch["pred"].to_pandas(),
-            "obj": batch["obj"].to_pandas(),
-            "url": batch["url"].to_pandas(),
+            "tkey": enc.dictionary,
+            "subj": batch["subj"].combine_chunks().take(take),
+            "pred": batch["pred"].combine_chunks().take(take),
+            "obj": batch["obj"].combine_chunks().take(take),
+            "url": pa.array(url_min, pa.string()),
+            "n_mentions": pa.array(counts, pa.int64()),
         }
     )
+
+
+def _merge_dedup_partials(batch: pa.Table) -> pa.Table:
+    """Block-level combiner over first-level partials (tree aggregation)."""
+    df = batch.to_pandas()
     part = df.groupby("tkey", sort=False).agg(
         subj=("subj", "first"), pred=("pred", "first"), obj=("obj", "first"),
-        url=("url", "min"), n_mentions=("tkey", "size"),
+        url=("url", "min"), n_mentions=("n_mentions", "sum"),
     ).reset_index()
     return pa.Table.from_pandas(part, preserve_index=False)
 
 
-def dedup_triples(triples: ray.data.Dataset) -> ray.data.Dataset:
-    """Exact distinct over (subj, pred, obj) with provenance counts.
-
-    Native groupby-aggregate merge (no per-group Python): within a tkey
-    group subj/pred/obj are constant, so Min is an exact representative."""
+def dedup_merge(partials: ray.data.Dataset) -> ray.data.Dataset:
+    """Merge dedup partials: compact -> block combine -> keyed aggregate."""
     from ontoea_ray.functions.shuffle import compact
 
-    partials = triples.map_batches(_partial_dedup, batch_format="pyarrow")
-    out = compact(partials).groupby("tkey").aggregate(
+    partials = compact(partials).map_batches(_merge_dedup_partials, batch_format="pyarrow", batch_size=None)
+    out = partials.groupby("tkey").aggregate(
         Min("subj", alias_name="subj"),
         Min("pred", alias_name="pred"),
         Min("obj", alias_name="obj"),
@@ -140,3 +195,13 @@ def dedup_triples(triples: ray.data.Dataset) -> ray.data.Dataset:
         Sum("n_mentions", alias_name="n_mentions"),
     )
     return out.drop_columns(["tkey"])
+
+
+def dedup_partials_stage(triples: ray.data.Dataset) -> ray.data.Dataset:
+    """First-level combiner as a fusable map stage."""
+    return triples.map_batches(_partial_dedup, batch_format="pyarrow")
+
+
+def dedup_triples(triples: ray.data.Dataset) -> ray.data.Dataset:
+    """Exact distinct over (subj, pred, obj) with provenance counts."""
+    return dedup_merge(dedup_partials_stage(triples))

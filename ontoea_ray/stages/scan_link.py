@@ -97,25 +97,28 @@ class ScanAndLink:
 
         subj_ids = resolve(pos)
         obj_ids = resolve(pos + 2)
-        flat_np = np.asarray(flat.to_pylist(), dtype=object)
-        urls = np.asarray(batch["url"].to_pylist(), dtype=object)
+        # all gathers stay in Arrow (no to_pylist on the hot path)
+        if not hasattr(self, "_uri_lookup"):
+            self._uri_lookup = pa.array(st.ent_uris.tolist(), pa.string())
+        url_col = batch["url"].combine_chunks()
         return pa.table(
             {
-                "subj": pa.array(st.ent_uris[subj_ids].tolist(), pa.string()),
-                "pred": pa.array(flat_np[pos + 1].tolist(), pa.string()),
-                "obj": pa.array(st.ent_uris[obj_ids].tolist(), pa.string()),
-                "url": pa.array(urls[rows].tolist(), pa.string()),
+                "subj": self._uri_lookup.take(pa.array(subj_ids)),
+                "pred": flat.take(pa.array(pos + 1)),
+                "obj": self._uri_lookup.take(pa.array(obj_ids)),
+                "url": url_col.take(pa.array(rows)),
             }
         )
 
 
 def default_pool_size(requested=None) -> int:
-    """Actor-pool size that always leaves CPUs for the surrounding task
-    stages (read / shuffle) — an all-CPU pool starves the pipeline."""
+    """Actor-pool size that leaves a few CPUs for the surrounding task
+    stages (read / fan-out / combiners) — an all-CPU pool starves the
+    pipeline, but a half-CPU pool caps the dominant stage's throughput."""
     if requested is not None:
         return requested
     total = int(ray.cluster_resources().get("CPU", 4))
-    return max(1, min(total - 2, max(1, total // 2)))
+    return max(1, min(total - 2, max(1, (2 * total) // 3)))
 
 
 def scan_and_link_stage(

@@ -89,6 +89,22 @@ def element_frequencies(triples: ray.data.Dataset, columns: tuple[str, ...]) -> 
     return compact(partials).groupby("uri").aggregate(Sum("freq", alias_name="freq"))
 
 
+def top_k_by_frequency(freq: ray.data.Dataset, k: int, key: str = "uri") -> list[tuple[str, int]]:
+    """Top-k elements by (freq desc, key desc) WITHOUT a global sort:
+    per-block top-k partials, merged on the driver (k × #blocks rows).
+    Same total order as rank_by_frequency; use when only the head of the
+    ranking is needed (e.g. gazetteer bootstrap)."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({key: batch[key].to_pandas(), "freq": batch["freq"].to_pandas()})
+        df = df.sort_values(["freq", key], ascending=False, kind="mergesort").head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    rows = freq.map_batches(part, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: (r["freq"], r[key]), reverse=True)
+    return [(r[key], r["freq"]) for r in rows[:k]]
+
+
 def rank_by_frequency(freq: ray.data.Dataset, key: str = "uri") -> ray.data.Dataset:
     """Global rank by (freq desc, key desc) — the reference's total order
     (read.py:23-25).  One shuffle (sort) + metadata-offset indexing."""
