@@ -72,6 +72,10 @@ class OntoEAConfig:
     eval_freq: int = 1
     onto_training_method: str = "hier"   # 'hier' | 'linear'
     alignment_neg_sampling: str = "type_based"
+    neg_sampling: str = "uniform"        # 'uniform' | 'truncated'
+    truncated_epsilon: float = 0.9
+    truncated_freq: int = 2              # iterations between kNN refreshes
+    onto_neg_sampling: str | None = None  # None | 'prob_based'
     seed: int = 42
 
 
@@ -191,6 +195,13 @@ class OntoEATrainer:
         self.opt_hier_b = _Adagrad(self.hier_b.shape, c.learning_rate)
 
         self._true_triples = {(int(h), int(r), int(t)) for h, r, t in data.rel_triples}
+        self._neighbors: dict | None = None   # truncated hard-negative pools
+        if c.onto_neg_sampling == "prob_based":
+            # softmax over (1 - CCM) rows: incompatible classes are likelier
+            # negatives (reference ontoea.py:567-568, sample.py:7-8)
+            z = 1.0 - data.ccm
+            e = np.exp(z - z.max(axis=1, keepdims=True))
+            self._onto_neg_prob = e / e.sum(axis=1, keepdims=True)
         # class -> entity pool for type-based alignment negatives
         self._class_pool: dict[int, np.ndarray] = {}
         for cl in np.unique(data.ent_class):
@@ -205,9 +216,25 @@ class OntoEATrainer:
         rep = np.repeat(pos, num_neg, axis=0)
         out = rep.copy()
         corrupt_head = self.rng.random(n) < 0.5
-        cand = self.rng.integers(0, self.d.num_entities, n)
-        out[corrupt_head, 0] = cand[corrupt_head]
-        out[~corrupt_head, 2] = cand[~corrupt_head]
+
+        def draw(orig_ids: np.ndarray) -> np.ndarray:
+            if self._neighbors is None:
+                return self.rng.integers(0, self.d.num_entities, len(orig_ids))
+            # truncated sampling: candidates restricted to each entity's
+            # nearest-neighbor pool (reference basic_model.py:416-432)
+            picks = np.empty(len(orig_ids), np.int64)
+            for i, e in enumerate(orig_ids):
+                pool = self._neighbors.get(int(e))
+                picks[i] = (
+                    pool[self.rng.integers(0, len(pool))]
+                    if pool is not None and len(pool)
+                    else self.rng.integers(0, self.d.num_entities)
+                )
+            return picks
+
+        out[corrupt_head, 0] = draw(rep[corrupt_head, 0])
+        out[~corrupt_head, 2] = draw(rep[~corrupt_head, 2])
+        cand = None
         for _ in range(10):
             bad = np.fromiter(
                 ((int(h), int(r), int(t)) in self._true_triples for h, r, t in out),
@@ -216,11 +243,11 @@ class OntoEATrainer:
             if not bad.any():
                 break
             redo = np.nonzero(bad)[0]
-            cand = self.rng.integers(0, self.d.num_entities, len(redo))
+            cand2 = self.rng.integers(0, self.d.num_entities, len(redo))
             ch = self.rng.random(len(redo)) < 0.5
             out[redo] = rep[redo]
-            out[redo[ch], 0] = cand[ch]
-            out[redo[~ch], 2] = cand[~ch]
+            out[redo[ch], 0] = cand2[ch]
+            out[redo[~ch], 2] = cand2[~ch]
         return out
 
     def _neg_pairs_type_based(self, pos: np.ndarray) -> np.ndarray:
@@ -462,10 +489,33 @@ class OntoEATrainer:
     def _corrupt_onto(self, pos: np.ndarray) -> np.ndarray:
         out = pos.copy()
         side = self.rng.random(len(pos)) < 0.5
-        cand = self.rng.integers(0, self.d.num_classes, len(pos))
+        if self.cfg.onto_neg_sampling == "prob_based":
+            cand = np.array(
+                [
+                    self.rng.choice(self.d.num_classes, p=self._onto_neg_prob[pos[i, 0 if side[i] else 2]])
+                    for i in range(len(pos))
+                ],
+                np.int64,
+            )
+        else:
+            cand = self.rng.integers(0, self.d.num_classes, len(pos))
         out[side, 0] = cand[side]
         out[~side, 2] = cand[~side]
         return out
+
+    def refresh_neighbors(self) -> None:
+        """Rebuild truncated hard-negative pools from the current (L2-
+        normalized) entity embeddings, per KG (reference ontoea.py:606-621)."""
+        from ontoea_ray.stages.neighbors import generate_neighbours
+
+        pools: dict[int, np.ndarray] = {}
+        for ids in (self.d.kg1_entities, self.d.kg2_entities):
+            if len(ids) == 0:
+                continue
+            k = max(1, int((1 - self.cfg.truncated_epsilon) * len(ids)))
+            emb = _norm_rows(self.ent[ids])[0]
+            pools.update(generate_neighbours(emb, ids, k))
+        self._neighbors = pools or None
 
     def _corrupt_cv(self, pos: np.ndarray) -> np.ndarray:
         out = pos.copy()
@@ -524,6 +574,8 @@ class OntoEATrainer:
         history = []
         for i in range(1, iters + 1):
             losses = self.train_iteration()
+            if c.neg_sampling == "truncated" and i % max(c.truncated_freq, 1) == 0:
+                self.refresh_neighbors()
             if i * c.sub_epoch >= c.start_valid and i % c.eval_freq == 0:
                 m = self.evaluate(self.d.valid_pairs if len(self.d.valid_pairs) else self.d.test_pairs)
                 cur = m["hits"][1]

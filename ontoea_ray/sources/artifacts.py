@@ -1,0 +1,104 @@
+"""Artifact sinks/sources: embeddings, id tables, alignment results —
+Parquet/NPZ instead of the reference's npy + tab text files
+(read.py:335-383), plus the eval-from-artifact ("retest") path
+(basic_model.py:289-331) that makes evaluation resumable without retraining.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write_vec_table(path: str, ids: np.ndarray, vecs: np.ndarray) -> None:
+    d = vecs.shape[1]
+    tbl = pa.table(
+        {
+            "id": pa.array(np.asarray(ids, np.int64), pa.int64()),
+            "vec": pa.FixedSizeListArray.from_arrays(
+                pa.array(np.ascontiguousarray(vecs, np.float32).reshape(-1), pa.float32()), d
+            ),
+        }
+    )
+    pq.write_table(tbl, path)
+
+
+def _read_vec_table(path: str) -> tuple[np.ndarray, np.ndarray]:
+    tbl = pq.read_table(path)
+    ids = np.asarray(tbl["id"].to_pylist(), np.int64)
+    vec_arr = tbl["vec"].combine_chunks()
+    d = vec_arr.type.list_size
+    vecs = np.asarray(vec_arr.flatten().to_numpy(zero_copy_only=False), np.float32).reshape(-1, d)
+    return ids, vecs
+
+
+def save_trainer_artifacts(trainer, out_dir: str, *, id_dicts: dict | None = None) -> None:
+    """Persist everything the eval needs: embedding tables (parquet), dense
+    matrices (npz), config (json), optional uri->id dicts (parquet)."""
+    os.makedirs(out_dir, exist_ok=True)
+    _write_vec_table(os.path.join(out_dir, "ent_embeds.parquet"), np.arange(len(trainer.ent)), trainer.ent)
+    _write_vec_table(os.path.join(out_dir, "rel_embeds.parquet"), np.arange(len(trainer.rel)), trainer.rel)
+    _write_vec_table(os.path.join(out_dir, "onto_embeds.parquet"), np.arange(len(trainer.onto)), trainer.onto)
+    np.savez(
+        os.path.join(out_dir, "matrices.npz"),
+        mapping=trainer.M, cv_W=trainer.cv_W, cv_b=trainer.cv_b,
+        hier_W=trainer.hier_W, hier_b=trainer.hier_b,
+        class_paths=trainer.d.class_paths, class_masks=trainer.d.class_masks,
+        ent_class=trainer.d.ent_class, ccm=trainer.d.ccm,
+        test_pairs=trainer.d.test_pairs,
+    )
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+        json.dump({k: v for k, v in vars(trainer.cfg).items()}, f)
+    if id_dicts:
+        for name, dct in id_dicts.items():
+            tbl = pa.table(
+                {
+                    "uri": pa.array(list(dct.keys()), pa.string()),
+                    "id": pa.array(list(dct.values()), pa.int64()),
+                }
+            )
+            pq.write_table(tbl, os.path.join(out_dir, f"{name}_ids.parquet"))
+
+
+def save_alignment_results(out_dir: str, pairs: list[tuple], name: str = "alignment_results_12") -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    tbl = pa.table(
+        {
+            "e1": pa.array([p[0] for p in pairs]),
+            "e2": pa.array([p[1] for p in pairs]),
+        }
+    )
+    pq.write_table(tbl, os.path.join(out_dir, f"{name}.parquet"))
+
+
+def retest(out_dir: str, *, top_k=(1, 5, 10, 50), csls_k: int = 0, type_weight: float = 1.0) -> dict:
+    """Re-run the fused alignment evaluation purely from saved artifacts
+    (no trainer state) — the reference's retest path, which is also the
+    crash-recovery story for evaluation."""
+    from ontoea_ray.functions.similarity import l2_normalize, sim_dense
+    from ontoea_ray.pipelines.alignment import greedy_alignment_eval
+
+    _, ent = _read_vec_table(os.path.join(out_dir, "ent_embeds.parquet"))
+    _, onto = _read_vec_table(os.path.join(out_dir, "onto_embeds.parquet"))
+    m = np.load(os.path.join(out_dir, "matrices.npz"))
+    pairs = m["test_pairs"]
+    cls1 = m["ent_class"][pairs[:, 0]]
+    cls2 = m["ent_class"][pairs[:, 1]]
+    o = l2_normalize(onto[m["class_paths"]].reshape(-1, onto.shape[1])).reshape(
+        m["class_paths"].shape[0], m["class_paths"].shape[1], onto.shape[1]
+    )
+    pooled = (o * m["class_masks"][:, :, None]).sum(axis=1)
+    w1, w2 = pooled[cls1], pooled[cls2]
+    type_mat = sim_dense(l2_normalize(w1), l2_normalize(w2), metric="inner")
+    f1 = ent[pairs[:, 0]] @ m["mapping"]
+    f2 = ent[pairs[:, 1]]
+    return greedy_alignment_eval(
+        l2_normalize(f1).astype(np.float32), l2_normalize(f2).astype(np.float32),
+        top_k=top_k, csls_k=csls_k,
+        class1=np.arange(len(pairs)), class2=np.arange(len(pairs)),
+        ccm=type_mat.astype(np.float32), type_weight=type_weight,
+    )

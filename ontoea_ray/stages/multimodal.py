@@ -1,0 +1,161 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` payloads with
+typed metadata, processed by actor-pool ``map_batches`` stages.
+
+The decode kernels themselves are STUBBED (the container ships no
+image/audio codecs): ``DecodeImage``/``DecodeAudio`` raise
+``NotImplementedError`` unless constructed with ``fake=True``, in which
+case a deterministic fake decoder (seeded from the payload bytes) stands in
+so the Ray-side plumbing — schema, batch size, actor signature, output
+layout — is real and tested end-to-end.  Swap ``_decode_real`` for a
+Pillow/librosa call on a machine that has them.
+
+Batch-size guidance: binary payloads are large; size ``batch_size`` so
+``batch_size × max_payload × concurrency`` fits each worker's heap (pass
+small values like 16-64 for multi-MB media).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("url", pa.string()),
+        ("mime", pa.string()),
+        ("payload", pa.binary()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("duration_ms", pa.int32()),
+    ]
+)
+
+
+def _payload_rng(payload: bytes) -> np.random.Generator:
+    seed = int.from_bytes(hashlib.blake2b(payload, digest_size=8).digest(), "big")
+    return np.random.default_rng(seed)
+
+
+class DecodeImage:
+    """payload binary -> pixels fixed_size_list<uint8>[H*W*3] (+ dims).
+
+    Stateful actor stage: codec initialisation happens once per actor in
+    ``__init__`` (the real decoder would load libraries/ICC tables here)."""
+
+    def __init__(self, *, target: tuple[int, int] = (32, 32), fake: bool = False):
+        self.h, self.w = target
+        self.fake = fake
+
+    def _decode_real(self, payload: bytes) -> np.ndarray:
+        raise NotImplementedError(
+            "image codecs are not available in this environment; construct "
+            "DecodeImage(fake=True) for the deterministic test decoder"
+        )
+
+    def _decode_fake(self, payload: bytes) -> np.ndarray:
+        return _payload_rng(payload).integers(0, 256, self.h * self.w * 3, dtype=np.uint8)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        decode = self._decode_fake if self.fake else self._decode_real
+        pixels = np.stack([decode(p) for p in batch["payload"].to_pylist()])
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "pixels": pa.FixedSizeListArray.from_arrays(
+                    pa.array(pixels.reshape(-1), pa.uint8()), self.h * self.w * 3
+                ),
+                "width": pa.array(np.full(len(batch), self.w, np.int32)),
+                "height": pa.array(np.full(len(batch), self.h, np.int32)),
+            }
+        )
+
+
+class ImageFeatures:
+    """pixels -> feature vector (channel-mean / std / histogram) — a real
+    vectorized kernel over the decoded tensor (no stub needed)."""
+
+    def __init__(self, *, dims: tuple[int, int] = (32, 32)):
+        self.h, self.w = dims
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flat = batch["pixels"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        px = flat.reshape(len(batch), self.h * self.w, 3).astype(np.float32)
+        mean = px.mean(axis=1)
+        std = px.std(axis=1)
+        hist = np.stack([
+            np.histogram(px[i, :, 0], bins=8, range=(0, 256))[0] for i in range(len(batch))
+        ]).astype(np.float32)
+        feats = np.concatenate([mean, std, hist], axis=1)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "features": pa.FixedSizeListArray.from_arrays(
+                    pa.array(feats.reshape(-1), pa.float32()), feats.shape[1]
+                ),
+            }
+        )
+
+
+class FrameSampler:
+    """video payload -> n_frames deterministic frame payloads (stubbed the
+    same way; real impl would seek the container)."""
+
+    def __init__(self, *, n_frames: int = 4, fake: bool = False):
+        self.n_frames = n_frames
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError("video codecs unavailable; use fake=True")
+        ids, frame_idx, frames = [], [], []
+        for mid, payload in zip(batch["media_id"].to_pylist(), batch["payload"].to_pylist()):
+            rng = _payload_rng(payload)
+            for f in range(self.n_frames):
+                ids.append(mid)
+                frame_idx.append(f)
+                frames.append(rng.bytes(64))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame": pa.array(frame_idx, pa.int32()),
+                "payload": pa.array(frames, pa.binary()),
+            }
+        )
+
+
+def decode_image_stage(media: ray.data.Dataset, *, fake: bool = False,
+                       target=(32, 32), concurrency=2, batch_size: int = 64) -> ray.data.Dataset:
+    return media.map_batches(
+        DecodeImage, fn_constructor_kwargs={"fake": fake, "target": target},
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+    )
+
+
+def image_features_stage(decoded: ray.data.Dataset, *, dims=(32, 32), concurrency=2,
+                         batch_size: int = 256) -> ray.data.Dataset:
+    return decoded.map_batches(
+        ImageFeatures, fn_constructor_kwargs={"dims": dims},
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+    )
+
+
+def synth_media_dataset(n: int = 64, seed: int = 42) -> ray.data.Dataset:
+    """Deterministic fake media table in MEDIA_SCHEMA (binary payloads)."""
+    rng = np.random.default_rng(seed)
+    payloads = [rng.bytes(128) for _ in range(n)]
+    tbl = pa.table(
+        {
+            "media_id": pa.array(np.arange(n), pa.int64()),
+            "url": pa.array([f"https://media.example.org/{i}.img" for i in range(n)], pa.string()),
+            "mime": pa.array(["image/fake"] * n, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array(np.full(n, 0, np.int32)),
+            "height": pa.array(np.full(n, 0, np.int32)),
+            "duration_ms": pa.array(np.full(n, 0, np.int32)),
+        }
+    )
+    return ray.data.from_arrow(tbl)
