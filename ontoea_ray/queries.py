@@ -283,6 +283,43 @@ def q_edge_counts(sf_dir: str):
     )
 
 
+@_register(
+    "q_semi_join",
+    "SELECT o_orderkey FROM orders WHERE o_orderkey IN (SELECT DISTINCT l_orderkey FROM lineitem)",
+)
+def q_semi_join(sf_dir: str):
+    """Broadcast-set semi-join (the remove_unlinked_triples family,
+    kgs.py:643-654): orders that have lineitems."""
+    keys = duck_distinct = pq.read_table(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
+    allowed = pa.array(sorted(set(keys["l_orderkey"].to_pylist())), pa.int64())
+    ref = ray.put(allowed)
+    orders = _read(sf_dir, "orders", ["o_orderkey"])
+
+    def filt(batch: pa.Table) -> pa.Table:
+        a = ray.get(ref)
+        return batch.filter(pc.is_in(batch["o_orderkey"].combine_chunks(), value_set=a))
+
+    return orders.map_batches(filt, batch_format="pyarrow")
+
+
+@_register(
+    "q_anti_join",
+    "SELECT o_orderkey FROM orders WHERE o_orderkey NOT IN (SELECT DISTINCT l_orderkey FROM lineitem)",
+)
+def q_anti_join(sf_dir: str):
+    """Broadcast-set anti-join: orders with no lineitems."""
+    keys = pq.read_table(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
+    allowed = pa.array(sorted(set(keys["l_orderkey"].to_pylist())), pa.int64())
+    ref = ray.put(allowed)
+    orders = _read(sf_dir, "orders", ["o_orderkey"])
+
+    def filt(batch: pa.Table) -> pa.Table:
+        a = ray.get(ref)
+        return batch.filter(pc.invert(pc.is_in(batch["o_orderkey"].combine_chunks(), value_set=a)))
+
+    return orders.map_batches(filt, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # text analysis over documents
 # ---------------------------------------------------------------------------

@@ -1,0 +1,81 @@
+"""Semi-join pruning fixpoint, name-based embedding init, config registry."""
+
+import numpy as np
+import pytest
+import ray.data
+
+from ontoea_ray.config import STAGES, PipelineConfig, build_pipeline
+from ontoea_ray.stages.name_init import local_name_tokens, name_based_embeddings
+from ontoea_ray.stages.prune import (
+    prune_to_consistency,
+    remove_no_triples_link,
+    remove_unlinked_triples,
+    triple_entities,
+)
+
+
+def _tri(rows):
+    return ray.data.from_items([{"subj": s, "pred": p, "obj": o} for s, p, o in rows])
+
+
+def test_remove_unlinked_triples():
+    ds = _tri([("a", "r", "b"), ("a", "r", "z"), ("z", "r", "y")])
+    out = remove_unlinked_triples(ds, {"a", "b"}).take_all()
+    assert [(r["subj"], r["obj"]) for r in out] == [("a", "b")]
+
+
+def test_remove_no_triples_link():
+    links = [("a", "X"), ("q", "Y")]
+    assert remove_no_triples_link(links, {"a"}, {"X", "Y"}) == [("a", "X")]
+
+
+def test_prune_fixpoint_converges():
+    # chain that unravels: removing one link strands a triple, which strands
+    # another link, until only the stable core remains
+    tri1 = [("a", "r", "b"), ("b", "r", "c"), ("c", "r", "d")]
+    tri2 = [("A", "r", "B"), ("B", "r", "C")]
+    links = [("a", "A"), ("b", "B"), ("c", "C"), ("d", "D")]
+    t1, t2, out_links = prune_to_consistency(_tri(tri1), _tri(tri2), links)
+    kept1 = {(r["subj"], r["obj"]) for r in t1.take_all()}
+    kept2 = {(r["subj"], r["obj"]) for r in t2.take_all()}
+    # d has no KG2 counterpart with triples -> (c,d) triple and (d,D) link go
+    assert ("c", "d") not in kept1
+    assert ("d", "D") not in out_links
+    # the a-b-c / A-B-C core survives
+    assert ("a", "b") in kept1 and ("A", "B") in kept2
+    assert set(out_links) == {("a", "A"), ("b", "B"), ("c", "C")}
+    assert triple_entities(t1) == {"a", "b", "c"}
+
+
+def test_local_name_tokens():
+    assert local_name_tokens("http://x.org/resource/Albert_Einstein") == ["albert", "einstein"]
+    assert local_name_tokens("http://x.org/e42", {"http://x.org/e42": "Marie Curie"}) == ["marie", "curie"]
+
+
+def test_name_based_embeddings_pull_together():
+    dim = 16
+    rng = np.random.default_rng(0)
+    shared = rng.standard_normal(dim) * 5  # strong shared-token signal
+    word_vecs = {"einstein": shared, "curie": rng.standard_normal(dim) * 5}
+    uris = ray.data.from_items(
+        [
+            {"id": 0, "uri": "http://kg1.org/Albert_Einstein"},
+            {"id": 1, "uri": "http://kg2.org/einstein"},
+            {"id": 2, "uri": "http://kg1.org/Marie_Curie"},
+        ]
+    )
+    rows = {r["id"]: np.asarray(r["vec"]) for r in name_based_embeddings(uris, word_vecs, dim).take_all()}
+    assert np.allclose(np.linalg.norm(rows[0]), 1.0, atol=1e-5)
+    # URIs sharing the token embed closer than unrelated ones
+    assert rows[0] @ rows[1] > rows[0] @ rows[2]
+
+
+def test_config_registry_composition():
+    cfg = PipelineConfig()
+    assert "extract_text" in STAGES and "minhash_lsh" in STAGES
+    docs = ray.data.from_items(
+        [{"text": "the cat is on the mat"}, {"text": "der hund und die katze ist"}]
+    )
+    run = build_pipeline(cfg, ["langid"])
+    out = run(docs).take_all()
+    assert sorted(r["pred_lang"] for r in out) == ["de", "en"]
