@@ -156,20 +156,31 @@ def write_edge_table(
     done: dict = {}
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
-            done = json.load(f).get("partitions", {})
+            done = {k: v for k, v in json.load(f).get("partitions", {}).items() if v.get("complete")}
 
     bucketed = triples.map_batches(add_bucket, batch_format="pyarrow")
+    skipped = sorted(int(k) for k in done)
+    if skipped:
+        # resume: completed buckets are skipped entirely — their rows are
+        # filtered out before the write, the existing files stay untouched
+        skip_ref = ray.put(pa.array(skipped, pa.int32()))
+
+        def drop_done(batch: pa.Table) -> pa.Table:
+            s = ray.get(skip_ref)
+            return batch.filter(pc.invert(pc.is_in(batch["part"].combine_chunks(), value_set=s)))
+
+        bucketed = bucketed.map_batches(drop_done, batch_format="pyarrow")
     bucketed.write_parquet(out_dir, partition_cols=["part"])
+
+    import pyarrow.parquet as pq
 
     parts = {}
     for p in range(num_buckets):
         pdir = os.path.join(out_dir, f"part={p}")
         if os.path.isdir(pdir):
-            import pyarrow.parquet as pq
-
             n = sum(pq.read_metadata(os.path.join(pdir, f)).num_rows for f in os.listdir(pdir) if f.endswith(".parquet"))
-            parts[str(p)] = {"rows": n, "complete": True}
-    manifest = {"partitions": parts, "num_buckets": num_buckets, "previous": done}
+            parts[str(p)] = {"rows": n, "complete": True, "resumed": str(p) in done}
+    manifest = {"partitions": parts, "num_buckets": num_buckets}
     with open(manifest_path, "w") as f:
         json.dump(manifest, f, indent=1)
     return manifest

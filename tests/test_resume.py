@@ -1,0 +1,59 @@
+"""Resumability (north_rule): restart after partial failure -> identical
+final output, completed partitions skipped."""
+
+import json
+import os
+
+import pyarrow as pa
+import ray.data
+
+from ontoea_ray.pipelines.kg_construct import kg_construct_pipeline, write_edge_table
+
+
+def _read_sorted(out):
+    tbl = pa.Table.from_pylist(ray.data.read_parquet(out).take_all())
+    return tbl.sort_by([("subj", "ascending"), ("pred", "ascending"), ("obj", "ascending")])
+
+
+def test_resume_skips_completed_partitions(sf_dir, tmp_path):
+    triples = kg_construct_pipeline(sf_dir, concurrency=2, batch_size=256)
+    full = str(tmp_path / "full")
+    write_edge_table(triples, full, num_buckets=4)
+    expected = _read_sorted(full)
+
+    # simulate a crash after 2 of 4 partitions: keep those files + a partial
+    # manifest, delete the rest
+    partial = str(tmp_path / "partial")
+    os.makedirs(partial)
+    for p in range(4):
+        src = os.path.join(full, f"part={p}")
+        if p < 2:
+            os.system(f"cp -r {src} {partial}/")
+    with open(os.path.join(partial, "_manifest.json"), "w") as f:
+        json.dump(
+            {
+                "partitions": {
+                    "0": {"rows": 0, "complete": True},
+                    "1": {"rows": 0, "complete": True},
+                },
+                "num_buckets": 4,
+            },
+            f,
+        )
+
+    # restart the job into the partially-written directory
+    triples2 = kg_construct_pipeline(sf_dir, concurrency=2, batch_size=256)
+    manifest = write_edge_table(triples2, partial, num_buckets=4)
+    assert manifest["partitions"]["0"]["resumed"] is True
+    assert manifest["partitions"]["3"]["resumed"] is False
+
+    got = _read_sorted(partial)
+    assert got.column("subj").to_pylist() == expected.column("subj").to_pylist()
+    assert got.column("pred").to_pylist() == expected.column("pred").to_pylist()
+    assert got.column("obj").to_pylist() == expected.column("obj").to_pylist()
+
+    # the skipped buckets kept their original files (no rewrite): exactly
+    # one parquet file set from the first run
+    first_run_files = sorted(os.listdir(os.path.join(full, "part=0")))
+    resumed_files = sorted(os.listdir(os.path.join(partial, "part=0")))
+    assert resumed_files == first_run_files
