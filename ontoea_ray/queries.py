@@ -284,6 +284,96 @@ def q_edge_counts(sf_dir: str):
 
 
 @_register(
+    "q_group_topk",
+    """
+    SELECT l_orderkey, l_partkey, CAST(rnk AS BIGINT) AS rnk FROM (
+      SELECT l_orderkey, l_partkey,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_orderkey
+               ORDER BY CAST(ROUND(l_extendedprice * 100) AS BIGINT) DESC,
+                        l_partkey ASC, l_linenumber ASC) AS rnk
+      FROM lineitem
+    ) WHERE rnk <= 2
+    """,
+)
+def q_group_topk(sf_dir: str):
+    """Per-group top-k (top-2 parts per order by price): hash-partitioned
+    blockwise processing via the pkey pattern — no per-group task."""
+    from ontoea_ray.functions.shuffle import with_partition_key
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_extendedprice", "l_linenumber"])
+
+    def topk_block(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["cents"] = np.round(df["l_extendedprice"] * 100).astype(np.int64)
+        df = df.sort_values(
+            ["l_orderkey", "cents", "l_partkey", "l_linenumber"],
+            ascending=[True, False, True, True], kind="mergesort",
+        )
+        df["rnk"] = df.groupby("l_orderkey", sort=False).cumcount() + 1
+        out = df[df["rnk"] <= 2]
+        return out[["l_orderkey", "l_partkey", "rnk"]]
+
+    parted = with_partition_key(ds, ["l_orderkey"])
+    return parted.groupby("pkey").map_groups(topk_block, batch_format="pandas")
+
+
+_INTERLEAVE_SQL = """
+    WITH tok AS (
+      SELECT doc_id % 2 AS kg, unnest(str_split(text, ' ')) AS token
+      FROM documents
+    ),
+    f AS (SELECT kg, token, COUNT(*) AS freq FROM tok GROUP BY kg, token),
+    r AS (SELECT kg, token, freq,
+                 ROW_NUMBER() OVER (PARTITION BY kg ORDER BY freq DESC, token DESC) - 1 AS rnk
+          FROM f),
+    n AS (SELECT
+            (SELECT COUNT(*) FROM r WHERE kg = 0) AS n1,
+            (SELECT COUNT(*) FROM r WHERE kg = 1) AS n2)
+    SELECT r.kg AS kg, r.token AS token,
+           CAST(CASE
+             WHEN r.kg = 0 AND r.rnk < n.n2 THEN 2 * r.rnk
+             WHEN r.kg = 0 THEN 2 * n.n2 + (r.rnk - n.n2)
+             WHEN r.kg = 1 AND r.rnk < n.n1 THEN 2 * r.rnk + 1
+             ELSE 2 * n.n1 + (r.rnk - n.n1)
+           END AS BIGINT) AS id
+    FROM r, n
+"""
+
+
+@_register("q_interleaved_ids", _INTERLEAVE_SQL)
+def q_interleaved_ids(sf_dir: str):
+    """The reference's interleaved two-KG dense-id assignment
+    (read.py:64-96) end-to-end over two derived vocabularies (documents
+    split by doc_id parity), checked against a pure-SQL restatement."""
+    from ontoea_ray.state.ids import interleaved_ids, rank_by_frequency, token_frequencies
+
+    def side(parity: int):
+        ds = _read(sf_dir, "documents", ["doc_id", "text"])
+        filt = ds.map_batches(
+            lambda b, p=parity: b.filter(
+                pc.equal(pc.bit_wise_and(b["doc_id"].combine_chunks(), 1), p)
+            ),
+            batch_format="pyarrow",
+        )
+        ranked = rank_by_frequency(token_frequencies(filt), key="token")
+        return pa.Table.from_pylist(ranked.take_all()).sort_by("rank")
+
+    r1, r2 = side(0), side(1)
+    ids1, ids2 = interleaved_ids(r1, r2, key="token")
+    rows_kg = [0] * len(ids1) + [1] * len(ids2)
+    rows_tok = list(ids1.keys()) + list(ids2.keys())
+    rows_id = list(ids1.values()) + list(ids2.values())
+    return pa.table(
+        {
+            "kg": pa.array(rows_kg, pa.int64()),
+            "token": pa.array(rows_tok, pa.string()),
+            "id": pa.array(rows_id, pa.int64()),
+        }
+    )
+
+
+@_register(
     "q_semi_join",
     "SELECT o_orderkey FROM orders WHERE o_orderkey IN (SELECT DISTINCT l_orderkey FROM lineitem)",
 )

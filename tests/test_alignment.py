@@ -77,6 +77,41 @@ def test_topk_mean_exact():
     np.testing.assert_allclose(topk_mean_exact(m, 2), [4.0, 4.0])
 
 
+def test_reference_nearest_k_quirk():
+    """The reference's calculate_nearest_k partitions at kth=k+1 and takes
+    the first k slots — k arbitrary members of the top k+1.  Our replica
+    must stay within [mean incl. (k+1)-th, exact top-k mean]."""
+    from ontoea_ray.functions.similarity import nearest_k_mean
+
+    rng = np.random.default_rng(2)
+    m = rng.standard_normal((50, 40))
+    k = 5
+    got = nearest_k_mean(m, k)
+    exact = topk_mean_exact(m, k)
+    srt = -np.partition(-m, k, axis=1)
+    low = srt[:, : k + 1].mean(axis=1) - (srt[:, : k + 1].max(axis=1) - srt[:, : k + 1].min(axis=1)) / k
+    assert (got <= exact + 1e-12).all()
+    assert (got >= low - 1e-9).all()
+    # bit-identical to the reference's exact numpy expression
+    ref = np.mean((-np.partition(-m, k + 1, axis=1))[:, 0:k], axis=1)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_euclidean_manhattan_metrics():
+    """Alternative metrics match direct definitions (similarity.py:37-49)."""
+    from ontoea_ray.functions.similarity import sim_block
+
+    rng = np.random.default_rng(4)
+    a = rng.standard_normal((7, 5)).astype(np.float32)
+    b = rng.standard_normal((9, 5)).astype(np.float32)
+    eu = sim_block(a, b, metric="euclidean")
+    mh = sim_block(a, b, metric="manhattan")
+    for i in range(7):
+        for j in range(9):
+            assert eu[i, j] == pytest.approx(1 - np.linalg.norm(a[i] - b[j]), abs=1e-4)
+            assert mh[i, j] == pytest.approx(1 - np.abs(a[i] - b[j]).sum(), abs=1e-4)
+
+
 def test_gale_shapley_textbook():
     # classic 3x3 instance with known suitor-optimal matching
     suitors = {"a": ["x", "y", "z"], "b": ["y", "x", "z"], "c": ["x", "z", "y"]}
