@@ -547,6 +547,17 @@ def q_minhash_lsh(sf_dir: str):
     return lsh_candidate_pairs(ds, num_perm=64, bands=16)
 
 
+@_register("q_lsh_neardup")  # approximate recall — precision verified exactly
+def q_lsh_neardup(sf_dir: str):
+    """MinHash-LSH near-duplicates verified by exact shingle Jaccard
+    (precision 1.0 vs q_jaccard_pairs' predicate; recall per the banding
+    S-curve — hence rows-only for the driver, subset-tested in pytest)."""
+    from ontoea_ray.stages.dedup import lsh_near_duplicates
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return lsh_near_duplicates(ds, threshold=0.5)
+
+
 @_register("q_simhash")  # bit-level hash — no SQL oracle (rows-only check)
 def q_simhash(sf_dir: str):
     from ontoea_ray.stages.dedup import simhash64

@@ -1,0 +1,59 @@
+"""Dedup-family semantics: exact dedup, LSH precision/recall vs exact
+Jaccard, SimHash Hamming behavior."""
+
+import numpy as np
+import pytest
+import ray.data
+
+from ontoea_ray.stages.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_near_duplicates,
+    simhash64,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    """Synthetic docs with exact dups, near dups and unrelated content."""
+    rng = np.random.default_rng(3)
+    vocab = [f"word{i}" for i in range(300)]
+    docs = []
+    base = " ".join(rng.choice(vocab, size=60))
+    docs.append({"doc_id": 0, "text": base})
+    docs.append({"doc_id": 1, "text": base})                       # exact dup
+    toks = base.split(" ")
+    toks[5] = "changed"
+    docs.append({"doc_id": 2, "text": " ".join(toks)})             # near dup
+    for i in range(3, 40):
+        docs.append({"doc_id": i, "text": " ".join(rng.choice(vocab, size=60))})
+    return docs
+
+
+def test_exact_dedup_min_id(corpus):
+    ds = ray.data.from_items(corpus)
+    out = sorted(r["doc_id"] for r in exact_dedup(ds).take_all())
+    assert 0 in out and 1 not in out        # dup collapses to min id
+    assert len(out) == len(corpus) - 1
+
+
+def test_lsh_precision_and_high_sim_recall(corpus):
+    ds = ray.data.from_items(corpus)
+    exact = {(r["id_a"], r["id_b"]) for r in jaccard_pairs(ds, threshold=0.8).take_all()}
+    lsh = {(r["id_a"], r["id_b"]) for r in lsh_near_duplicates(ds, threshold=0.8).take_all()}
+    # precision 1.0: every verified LSH pair satisfies the exact predicate
+    assert lsh <= exact
+    # the exact-dup pair (jaccard 1.0) is guaranteed to collide in every band
+    assert (0, 1) in lsh
+    # near-dup (1 token changed in 60 -> very high shingle jaccard)
+    assert (0, 2) in exact
+    assert (0, 2) in lsh  # j ~ 0.9 -> miss probability ~(1-.9^4)^16 ~ 3e-8
+
+
+def test_simhash_hamming_tracks_similarity(corpus):
+    ds = ray.data.from_items(corpus)
+    sh = {r["doc_id"]: r["simhash"] for r in simhash64(ds).take_all()}
+    assert sh[0] == sh[1]                   # identical docs, identical hash
+    ham_near = bin(sh[0] ^ sh[2]).count("1")
+    ham_far = bin(sh[0] ^ sh[10]).count("1")
+    assert ham_near < ham_far               # near dup closer in Hamming space
