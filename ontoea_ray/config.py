@@ -118,8 +118,6 @@ def _simhash_factory(cfg: PipelineConfig, **kw) -> StageFn:
 
 @register_stage("langid")
 def _langid_factory(cfg: PipelineConfig) -> StageFn:
-    import pyarrow as pa
-
     from ontoea_ray.functions.text import predict_lang
 
     def fn(ds):

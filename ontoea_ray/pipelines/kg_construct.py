@@ -34,7 +34,7 @@ from ontoea_ray.stages.canonicalize import (
     make_canonicalizer,
 )
 from ontoea_ray.stages.extract import extract_text_stage
-from ontoea_ray.stages.scan_link import ScanAndLink, scan_and_link_stage
+from ontoea_ray.stages.scan_link import scan_and_link_stage
 from ontoea_ray.state.linker import LinkerState, build_linker_state, stable_hash64
 from ontoea_ray.state.ontology import THING, Ontology, build_ccm
 

@@ -17,7 +17,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 import ray.data
-from ray.data.aggregate import Count, Max, Min, Sum
+from ray.data.aggregate import Count, Sum
 
 from ontoea_ray.functions.shuffle import compact
 
@@ -265,8 +265,6 @@ def q_edge_counts(sf_dir: str):
         return pa.Table.from_pandas(g, preserve_index=False)
 
     # distinct per (subj,pred,obj) requires a full dedup before counting:
-    from ontoea_ray.stages.canonicalize import SEP
-
     def key_partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas().drop_duplicates()
         return pa.Table.from_pandas(df, preserve_index=False)

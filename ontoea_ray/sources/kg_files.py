@@ -25,7 +25,6 @@ from __future__ import annotations
 import json
 import os
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data

@@ -146,8 +146,6 @@ def lsh_bucketed_topk(
         )
 
     parts = pa.Table.from_pylist(embeddings.map_batches(partial, batch_format="pyarrow").take_all())
-    import pandas as pd
-
     df = parts.to_pandas()
     if df.empty:
         return pa.table({"query_id": pa.array([], pa.int64()), id_col: pa.array([], pa.int64()),

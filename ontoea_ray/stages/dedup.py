@@ -190,7 +190,7 @@ def lsh_candidate_pairs(
 
     buckets = docs.map_batches(explode_bands, batch_format="pyarrow")
 
-    from ontoea_ray.functions.shuffle import compact, with_partition_key
+    from ontoea_ray.functions.shuffle import compact, with_partition_key  # noqa: F401
 
     # Co-locate buckets via an explicit pkey = hash(band_key) % width column
     # and group by THAT: map_groups then runs once per partition (width
