@@ -241,9 +241,13 @@ def fixture_pages_dataset(pages: list[dict]):
     return ray.data.from_arrow(tbl)
 
 
-def fixture_linker_state(kg: FixtureKG, *, type_weight: float = 0.2, seed: int = 42):
+def fixture_linker_state(
+    kg: FixtureKG, *, type_weight: float = 0.2, seed: int = 42, ent_vectors: dict | None = None
+):
     """Linker state for fixture pages: surfaces are entity local names; KG1
-    entities are the candidate space; classes/CCM from the fixture ontology."""
+    entities are the candidate space; classes/CCM from the fixture ontology.
+    ``ent_vectors`` (uri -> trained embedding) switches the scorer from hash
+    embeddings to the trained OntoEA space."""
     from ontoea_ray.state.linker import build_linker_state
     from ontoea_ray.state.ontology import build_ccm
 
@@ -260,4 +264,5 @@ def fixture_linker_state(kg: FixtureKG, *, type_weight: float = 0.2, seed: int =
         root_class=class_ids[THING],
         type_weight=type_weight,
         seed=seed,
+        ent_vectors=ent_vectors,
     )

@@ -70,28 +70,56 @@ def build_linker_state(
     type_weight: float = 0.2,
     dim: int = 32,
     seed: int = 42,
+    ent_vectors: dict[str, np.ndarray] | None = None,
+    surf_vectors: dict[str, np.ndarray] | None = None,
 ) -> LinkerState:
     """Assemble the dense state from dict-shaped inputs.
 
     Candidate lists are sorted (deterministic tie-breaks); the context-free
-    similarity is cosine between the surface hash-embedding and an entity
-    embedding defined as the normalized mean of its surfaces' embeddings —
-    so a surface scores highest against entities it actually names.
+    similarity is cosine between the surface embedding and the entity
+    embedding.  By default both come from deterministic hash embeddings
+    (entity = normalized mean of its surfaces' vectors, so a surface scores
+    highest against entities it actually names); pass ``ent_vectors`` /
+    ``surf_vectors`` (uri/surface -> vector) to use TRAINED OntoEA
+    embeddings instead — the S4 OntoScorer configuration (SURVEY §7.0).
     """
     surfaces = sorted(surface_to_cands)
     ent_uris = sorted({u for cands in surface_to_cands.values() for u in cands})
     uri_idx = {u: i for i, u in enumerate(ent_uris)}
 
-    surf_vecs = np.stack([hash_embed("surf:" + s, dim, seed) for s in surfaces]) if surfaces else np.zeros((0, dim), np.float32)
-    ent_acc = np.zeros((len(ent_uris), dim), np.float32)
-    ent_n = np.zeros(len(ent_uris), np.int64)
-    for si, s in enumerate(surfaces):
-        for u in surface_to_cands[s]:
-            ent_acc[uri_idx[u]] += surf_vecs[si]
-            ent_n[uri_idx[u]] += 1
-    ent_vecs = ent_acc / np.maximum(ent_n, 1)[:, None]
-    norms = np.linalg.norm(ent_vecs, axis=1, keepdims=True)
-    ent_vecs = (ent_vecs / np.maximum(norms, 1e-12)).astype(np.float32)
+    if ent_vectors is not None:
+        dim = len(next(iter(ent_vectors.values())))
+
+    def _norm(v):
+        n = float(np.linalg.norm(v))
+        return (v / (n if n > 0 else 1.0)).astype(np.float32)
+
+    if surf_vectors is not None:
+        surf_vecs = np.stack([_norm(np.asarray(surf_vectors[s])) for s in surfaces])
+    elif ent_vectors is not None:
+        # surface vector = normalized mean of its candidates' trained
+        # embeddings (the mention prior used at scoring time)
+        surf_vecs = np.stack(
+            [
+                _norm(np.mean([np.asarray(ent_vectors[u]) for u in surface_to_cands[s]], axis=0))
+                for s in surfaces
+            ]
+        ) if surfaces else np.zeros((0, dim), np.float32)
+    else:
+        surf_vecs = np.stack([hash_embed("surf:" + s, dim, seed) for s in surfaces]) if surfaces else np.zeros((0, dim), np.float32)
+
+    if ent_vectors is not None:
+        ent_vecs = np.stack([_norm(np.asarray(ent_vectors[u])) for u in ent_uris])
+    else:
+        ent_acc = np.zeros((len(ent_uris), dim), np.float32)
+        ent_n = np.zeros(len(ent_uris), np.int64)
+        for si, s in enumerate(surfaces):
+            for u in surface_to_cands[s]:
+                ent_acc[uri_idx[u]] += surf_vecs[si]
+                ent_n[uri_idx[u]] += 1
+        ent_vecs = ent_acc / np.maximum(ent_n, 1)[:, None]
+        norms = np.linalg.norm(ent_vecs, axis=1, keepdims=True)
+        ent_vecs = (ent_vecs / np.maximum(norms, 1e-12)).astype(np.float32)
 
     max_c = max((len(c) for c in surface_to_cands.values()), default=1)
     S = len(surfaces)
