@@ -118,20 +118,21 @@ def _norm_backward(u: np.ndarray, n: np.ndarray, g_u: np.ndarray) -> np.ndarray:
 
 class _Adagrad:
     def __init__(self, shape, lr):
-        self.lr = lr
-        self.acc = np.zeros(shape, np.float64)
+        self.lr = np.float32(lr)
+        self.acc = np.zeros(shape, np.float32)
 
     def update_rows(self, param, rows, grads):
         """Sparse row update with duplicate-row accumulation."""
         uniq, inv = np.unique(rows, return_inverse=True)
-        g = np.zeros((len(uniq), param.shape[1]), np.float64)
-        np.add.at(g, inv, grads)
+        g = np.zeros((len(uniq), param.shape[1]), np.float32)
+        np.add.at(g, inv, grads.astype(np.float32, copy=False))
         self.acc[uniq] += g * g
         param[uniq] -= self.lr * g / (np.sqrt(self.acc[uniq]) + 1e-8)
 
     def update_dense(self, param, grad):
+        grad = grad.astype(np.float32, copy=False)
         self.acc += grad * grad
-        param -= self.lr * grad / (np.sqrt(self.acc) + 1e-8)
+        param -= self.lr * grad / (np.sqrt(self.acc) + np.float32(1e-8))
 
 
 def _tanh_norm_forward(e: np.ndarray, W: np.ndarray, b: np.ndarray):
@@ -165,13 +166,13 @@ class OntoEATrainer:
         self.rng = rng
 
         def unit_init(n, dim):
-            m = rng.standard_normal((n, dim))
+            m = rng.standard_normal((n, dim)).astype(np.float32)
             return _norm_rows(m)[0]
 
         def orth_init(din, dout):
             m = rng.standard_normal((max(din, dout), max(din, dout)))
             q, _ = np.linalg.qr(m)
-            return q[:din, :dout].copy()
+            return q[:din, :dout].astype(np.float32).copy()
 
         self.ent = unit_init(data.num_entities, c.dim)
         self.rel = unit_init(max(data.num_relations, 1), c.dim)
@@ -179,9 +180,9 @@ class OntoEATrainer:
         self.onto_rel = unit_init(max(data.num_onto_relations, 1), c.onto_dim)
         self.M = orth_init(c.dim, c.dim)
         self.cv_W = orth_init(c.dim, c.onto_dim)
-        self.cv_b = np.zeros(c.onto_dim)
+        self.cv_b = np.zeros(c.onto_dim, np.float32)
         self.hier_W = orth_init(c.onto_dim, c.onto_dim)
-        self.hier_b = np.zeros(c.onto_dim)
+        self.hier_b = np.zeros(c.onto_dim, np.float32)
 
         self.opt_ent = _Adagrad(self.ent.shape, c.learning_rate)
         self.opt_rel = _Adagrad(self.rel.shape, c.learning_rate)
@@ -194,7 +195,10 @@ class OntoEATrainer:
         self.opt_hier_W = _Adagrad(self.hier_W.shape, c.learning_rate)
         self.opt_hier_b = _Adagrad(self.hier_b.shape, c.learning_rate)
 
-        self._true_triples = {(int(h), int(r), int(t)) for h, r, t in data.rel_triples}
+        # encoded triple keys, sorted — rejection checks are vectorized
+        # searchsorted lookups instead of Python set membership
+        self._enc_base = (data.num_relations + 1, data.num_entities + 1)
+        self._true_keys = np.sort(self._encode_triples(data.rel_triples))
         self._neighbors: dict | None = None   # truncated hard-negative pools
         if c.onto_neg_sampling == "prob_based":
             # softmax over (1 - CCM) rows: incompatible classes are likelier
@@ -206,6 +210,16 @@ class OntoEATrainer:
         self._class_pool: dict[int, np.ndarray] = {}
         for cl in np.unique(data.ent_class):
             self._class_pool[int(cl)] = np.nonzero(data.ent_class == cl)[0]
+
+    def _encode_triples(self, t: np.ndarray) -> np.ndarray:
+        r_base, e_base = self._enc_base
+        return (t[:, 0].astype(np.int64) * r_base + t[:, 1]) * e_base + t[:, 2]
+
+    def _is_true(self, t: np.ndarray) -> np.ndarray:
+        keys = self._encode_triples(t)
+        idx = np.searchsorted(self._true_keys, keys)
+        idx = np.minimum(idx, len(self._true_keys) - 1)
+        return self._true_keys[idx] == keys
 
     # ---- negative sampling (reference batch.py:103-265 semantics) --------
 
@@ -236,10 +250,7 @@ class OntoEATrainer:
         out[~corrupt_head, 2] = draw(rep[~corrupt_head, 2])
         cand = None
         for _ in range(10):
-            bad = np.fromiter(
-                ((int(h), int(r), int(t)) in self._true_triples for h, r, t in out),
-                np.bool_, n,
-            )
+            bad = self._is_true(out)
             if not bad.any():
                 break
             redo = np.nonzero(bad)[0]
@@ -254,15 +265,21 @@ class OntoEATrainer:
         """Alignment negatives: corrupt one side with an entity from the
         SAME class pool (uniform fallback when the pool is trivial)."""
         out = pos.copy()
-        side = self.rng.random(len(pos)) < 0.5
-        for i in range(len(pos)):
-            col = 0 if side[i] else 1
-            e = int(pos[i, col])
-            pool = self._class_pool.get(int(self.d.ent_class[e]), None)
-            if pool is None or len(pool) < 2 or self.cfg.alignment_neg_sampling != "type_based":
-                out[i, col] = int(self.rng.integers(0, self.d.num_entities))
-            else:
-                out[i, col] = int(pool[self.rng.integers(0, len(pool))])
+        n = len(pos)
+        side = self.rng.random(n) < 0.5
+        cols = np.where(side, 0, 1)
+        ents = pos[np.arange(n), cols]
+        picks = self.rng.integers(0, self.d.num_entities, n)
+        if self.cfg.alignment_neg_sampling == "type_based":
+            classes = self.d.ent_class[ents]
+            # vectorized per-class pool draw: group rows by class once
+            for cl in np.unique(classes):
+                pool = self._class_pool.get(int(cl))
+                if pool is None or len(pool) < 2:
+                    continue
+                rows = np.nonzero(classes == cl)[0]
+                picks[rows] = pool[self.rng.integers(0, len(pool), len(rows))]
+        out[np.arange(n), cols] = picks
         return out
 
     # ---- loss steps ------------------------------------------------------
@@ -383,7 +400,7 @@ class OntoEATrainer:
         pos_on = pos_score > c.pos_margin
         neg_on = neg_score < c.neg_margin
         loss = max(pos_score - c.pos_margin, 0.0) + c.neg_margin_balance * max(c.neg_margin - neg_score, 0.0)
-        ortho = self.M @ self.M.T - np.eye(c.dim)
+        ortho = self.M @ self.M.T - np.eye(c.dim, dtype=np.float32)
         loss += float((ortho * ortho).sum())
 
         g_map = -2 * (u2 - mapped) * pos_on
