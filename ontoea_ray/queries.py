@@ -282,6 +282,77 @@ def q_edge_counts(sf_dir: str):
 
 
 @_register(
+    "q_region_revenue",
+    """
+    SELECT r.r_name,
+           SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+           COUNT(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def q_region_revenue(sf_dir: str):
+    """Three-way broadcast join chain (customer -> nation -> region are all
+    small sides, composed into ONE driver-built lookup shipped once) +
+    partial aggregation."""
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"])
+    reg = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    n2r = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_regionkey"].to_pylist()))
+    r2name = dict(zip(reg["r_regionkey"].to_pylist(), reg["r_name"].to_pylist()))
+    cust_region = {
+        ck: r2name[n2r[nk]]
+        for ck, nk in zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist())
+    }
+    ref = ray.put(cust_region)
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        df = batch.to_pandas()
+        df["r_name"] = df["o_custkey"].map(m)
+        df["revenue_cents"] = np.round(df["o_totalprice"] * 100).astype(np.int64)
+        g = df.groupby("r_name", sort=False).agg(
+            revenue_cents=("revenue_cents", "sum"), n_orders=("r_name", "size")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        compact(orders.map_batches(partial, batch_format="pyarrow"))
+        .groupby("r_name")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"), Sum("n_orders", alias_name="n_orders"))
+    )
+
+
+@_register(
+    "q_distinct_counts",
+    """
+    SELECT COUNT(DISTINCT p_brand) AS n_brands,
+           COUNT(DISTINCT p_type) AS n_types,
+           COUNT(DISTINCT p_size) AS n_sizes
+    FROM part
+    """,
+)
+def q_distinct_counts(sf_dir: str):
+    """Distinct-count aggregate via per-batch unique partials + final merge
+    (the vocab/KG-stats pattern: ds.unique at scale)."""
+    ds = _read(sf_dir, "part", ["p_brand", "p_type", "p_size"])
+    n_brands = len(ds.unique("p_brand"))
+    n_types = len(ds.unique("p_type"))
+    n_sizes = len(ds.unique("p_size"))
+    return pa.table(
+        {
+            "n_brands": pa.array([n_brands], pa.int64()),
+            "n_types": pa.array([n_types], pa.int64()),
+            "n_sizes": pa.array([n_sizes], pa.int64()),
+        }
+    )
+
+
+@_register(
     "q_group_topk",
     """
     SELECT l_orderkey, l_partkey, CAST(rnk AS BIGINT) AS rnk FROM (
