@@ -23,6 +23,8 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_QUERIES = [
     "q_pricing_summary",
     "q_top_customers",
+    "q_region_revenue",
+    "q_group_topk",
     "q_events_hourly",
     "q_sessionize",
     "q_term_freq",
