@@ -135,6 +135,7 @@ def write_edge_table(
     out_dir: str,
     *,
     num_buckets: int = 16,
+    lineage: dict | None = None,
 ) -> dict:
     """Resumable partitioned sink: hash-bucketed Parquet directories plus a
     manifest with per-partition lineage + row-count metrics (north_rule).
@@ -180,7 +181,20 @@ def write_edge_table(
         if os.path.isdir(pdir):
             n = sum(pq.read_metadata(os.path.join(pdir, f)).num_rows for f in os.listdir(pdir) if f.endswith(".parquet"))
             parts[str(p)] = {"rows": n, "complete": True, "resumed": str(p) in done}
-    manifest = {"partitions": parts, "num_buckets": num_buckets}
+    import time as _time
+
+    from ontoea_ray import __version__
+
+    manifest = {
+        "partitions": parts,
+        "num_buckets": num_buckets,
+        "lineage": {
+            "engine": f"ontoea_ray {__version__}",
+            "written_at": _time.strftime("%Y-%m-%dT%H:%M:%SZ", _time.gmtime()),
+            "total_rows": sum(v["rows"] for v in parts.values()),
+            **(lineage or {}),
+        },
+    }
     with open(manifest_path, "w") as f:
         json.dump(manifest, f, indent=1)
     return manifest
