@@ -47,8 +47,8 @@ def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
     "q_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
            COUNT(*) AS n
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
@@ -85,7 +85,7 @@ def q_pricing_summary(sf_dir: str):
     "q_top_customers",
     """
     SELECT c.c_custkey, c.c_name,
-           SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS total_cents
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_custkey, c.c_name
     ORDER BY total_cents DESC, c_custkey ASC
@@ -133,7 +133,7 @@ def q_top_customers(sf_dir: str):
     SELECT event_type,
            CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
            COUNT(*) AS n,
-           SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS sum_value_milli
+           CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_milli
     FROM events
     GROUP BY event_type, hour_epoch
     """,
@@ -285,7 +285,7 @@ def q_edge_counts(sf_dir: str):
     "q_region_revenue",
     """
     SELECT r.r_name,
-           SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
            COUNT(*) AS n_orders
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey

@@ -47,7 +47,13 @@ def test_query_matches_oracle(name, con):
     assert len(got) == len(exp), (len(got), len(exp))
     for col in got.columns:
         a, b = got[col], exp[col]
-        if a.dtype.kind in "fc" or b.dtype.kind in "fc":
+        # The driver hashes VALUES as typed arrays, so a dtype-kind mismatch
+        # (e.g. DuckDB HUGEINT -> float64 vs engine int64) is a failure even
+        # when the numbers are equal.  Compare kinds first, then values.
+        assert a.dtype.kind == b.dtype.kind, (
+            f"column {col} dtype kind differs: engine={a.dtype} oracle={b.dtype}"
+        )
+        if a.dtype.kind in "fc":
             pd.testing.assert_series_equal(
                 a.astype(float), b.astype(float), check_names=False, rtol=0, atol=1e-9
             )
