@@ -33,9 +33,18 @@ def shuffle_width(lo: int = 2, hi: int = 64) -> int:
     return max(lo, min(cpus // 2, hi))
 
 
+def _strip_schema_metadata(batch):
+    # Parquet files written by pandas carry a b'pandas' dict in the schema;
+    # Ray's block-schema dedup can't hash it and warns on every wide op.
+    # Zero-copy schema swap.
+    return batch.replace_schema_metadata(None)
+
+
 def compact(ds: ray.data.Dataset, width: int | None = None) -> ray.data.Dataset:
     """Coalesce blocks ahead of a wide op (groupby/sort/aggregate)."""
-    return ds.repartition(width or shuffle_width())
+    return ds.map_batches(_strip_schema_metadata, batch_format="pyarrow").repartition(
+        width or shuffle_width()
+    )
 
 
 def with_partition_key(
@@ -60,6 +69,7 @@ def with_partition_key(
         for k in keys:
             vals = batch[k].to_pandas().to_numpy()
             acc = acc * np.uint64(1099511628211) ^ pd.util.hash_array(vals).astype(np.uint64)
+        batch = batch.replace_schema_metadata(None)
         return batch.append_column(col, pa.array((acc % np.uint64(w)).astype(np.int64), pa.int64()))
 
     return ds.map_batches(add, batch_format="pyarrow")

@@ -16,6 +16,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
+
+from ontoea_ray.functions.tables import from_pandas as _from_pandas_clean
 import ray.data
 from ray.data.aggregate import Count, Sum
 
@@ -68,7 +70,7 @@ def q_pricing_summary(sf_dir: str):
             .agg(sum_qty=("sum_qty", "sum"), sum_price_cents=("sum_price_cents", "sum"), n=("l_quantity", "size"))
             .reset_index()
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _from_pandas_clean(g)
 
     return (
         compact(ds.map_batches(partial, batch_format="pyarrow"))
@@ -104,7 +106,7 @@ def q_top_customers(sf_dir: str):
         df = batch.to_pandas()
         df["total_cents"] = np.round(df["o_totalprice"] * 100).astype(np.int64)
         g = df.groupby("o_custkey", sort=False)["total_cents"].sum().reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _from_pandas_clean(g)
 
     agg = (
         compact(orders.map_batches(partial, batch_format="pyarrow"))
@@ -157,7 +159,7 @@ def q_events_hourly(sf_dir: str):
         g = df.groupby(["event_type", "hour_epoch"], sort=False).agg(
             n=("v", "size"), sum_value_milli=("v", "sum")
         ).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _from_pandas_clean(g)
 
     return (
         compact(ds.map_batches(partial, batch_format="pyarrow"))
@@ -262,12 +264,12 @@ def q_edge_counts(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas().drop_duplicates()
         g = df.groupby("pred", sort=False).size().reset_index(name="n_edges")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _from_pandas_clean(g)
 
     # distinct per (subj,pred,obj) requires a full dedup before counting:
     def key_partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas().drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return _from_pandas_clean(df)
 
     distinct = (
         compact(edges.map_batches(key_partial, batch_format="pyarrow"))
@@ -318,7 +320,7 @@ def q_region_revenue(sf_dir: str):
         g = df.groupby("r_name", sort=False).agg(
             revenue_cents=("revenue_cents", "sum"), n_orders=("r_name", "size")
         ).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _from_pandas_clean(g)
 
     return (
         compact(orders.map_batches(partial, batch_format="pyarrow"))

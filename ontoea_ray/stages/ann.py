@@ -14,6 +14,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import ray
+
+from ontoea_ray.functions.tables import from_pandas as _from_pandas_clean
 import ray.data
 
 
@@ -80,7 +82,7 @@ def brute_force_topk(
     df = df.sort_values(["query_id", "cos", id_col], ascending=[True, False, True], kind="mergesort")
     df = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
     df["rnk"] = df.groupby("query_id").cumcount() + 1
-    return pa.Table.from_pandas(df[["query_id", id_col, "rnk", "cos"]], preserve_index=False)
+    return _from_pandas_clean(df[["query_id", id_col, "rnk", "cos"]])
 
 
 def hyperplane_signatures(vectors: np.ndarray, planes: np.ndarray) -> np.ndarray:
@@ -153,4 +155,4 @@ def lsh_bucketed_topk(
     df = df.sort_values(["query_id", "cos", id_col], ascending=[True, False, True], kind="mergesort")
     df = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
     df["rnk"] = df.groupby("query_id").cumcount() + 1
-    return pa.Table.from_pandas(df[["query_id", id_col, "rnk", "cos"]], preserve_index=False)
+    return _from_pandas_clean(df[["query_id", id_col, "rnk", "cos"]])

@@ -27,6 +27,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
+
+from ontoea_ray.functions.tables import from_pandas as _from_pandas_clean
 import ray.data
 from ray.data.aggregate import Min, Sum
 
@@ -59,7 +61,7 @@ def _partial_uri_counts(batch: pa.Table, weight_col: str | None = None) -> pa.Ta
     key = cluster_key(uris)
     df = pd.DataFrame({"ckey": key.to_pandas(), "uri": uris.to_pandas(), "n": weights})
     part = df.groupby(["ckey", "uri"], sort=False)["n"].sum().reset_index()
-    return pa.Table.from_pandas(part, preserve_index=False)
+    return _from_pandas_clean(part)
 
 
 def _merge_canonical_partition(df: pd.DataFrame) -> pd.DataFrame:
@@ -94,7 +96,7 @@ def build_canonical_map(
         if df.empty:
             return pa.table({"uri": pa.array([], pa.string()), "canonical": pa.array([], pa.string()),
                              "cluster_size": pa.array([], pa.int64())})
-        return pa.Table.from_pandas(_merge_canonical_partition(df), preserve_index=False)
+        return _from_pandas_clean(_merge_canonical_partition(df))
     from ontoea_ray.functions.shuffle import with_partition_key
 
     parted = with_partition_key(partials, ["ckey"])
@@ -179,7 +181,7 @@ def _merge_dedup_partials(batch: pa.Table) -> pa.Table:
         subj=("subj", "first"), pred=("pred", "first"), obj=("obj", "first"),
         url=("url", "min"), n_mentions=("n_mentions", "sum"),
     ).reset_index()
-    return pa.Table.from_pandas(part, preserve_index=False)
+    return _from_pandas_clean(part)
 
 
 def dedup_merge(partials: ray.data.Dataset) -> ray.data.Dataset:

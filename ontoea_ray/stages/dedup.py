@@ -27,6 +27,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
+from ontoea_ray.functions.tables import from_pandas as _from_pandas_clean
+
 _MERSENNE = (1 << 61) - 1
 
 
@@ -58,21 +60,34 @@ def _shingle_hashes(text_col, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
     sh_counts = np.maximum(counts - (n - 1), 1)
     out_offsets = np.concatenate([[0], np.cumsum(sh_counts)])
     flat_sh = np.zeros(int(out_offsets[-1]), np.uint64)
-    # vectorized rolling combine: h[i] ^ rot(h[i+1]) ^ rot2(h[i+2]) ...
     P = np.uint64(0x9E3779B97F4A7C15)
-    for r in range(len(counts)):  # per-row slices, numpy ops inside
-        s, e = offsets[r], offsets[r + 1]
-        h = flat[s:e]
-        if len(h) >= n:
-            acc = h[: len(h) - n + 1].copy()
-            for j in range(1, n):
-                acc = acc * P + h[j : len(h) - n + 1 + j]
-            flat_sh[out_offsets[r] : out_offsets[r + 1]] = acc
-        else:
-            acc = np.uint64(1469598103934665603)
-            for v in h:
-                acc = acc * P + v
-            flat_sh[out_offsets[r]] = acc
+    nf = len(flat)
+    # Rolling combine over shifted views of the FLAT token-hash array (the
+    # shingle_strings pattern) — no per-row Python loop.  A window starting
+    # at flat index i is a valid shingle iff positions i..i+n-1 fall in the
+    # same row.
+    row_id = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    if nf >= n:
+        acc = flat[: nf - n + 1].copy()
+        for j in range(1, n):
+            acc = acc * P + flat[j : nf - n + 1 + j]
+        valid = row_id[: nf - n + 1] == row_id[n - 1 :]
+    else:
+        acc = np.zeros(0, np.uint64)
+        valid = np.zeros(0, bool)
+    # Short rows (< n tokens) contribute ONE whole-row fold; at most n-1
+    # vectorized passes over the short-row subset.
+    short = counts < n
+    short_acc = np.full(len(counts), np.uint64(1469598103934665603))
+    for k in range(n - 1):
+        has_k = short & (counts > k)
+        if not has_k.any():
+            break
+        short_acc[has_k] = short_acc[has_k] * P + flat[offsets[:-1][has_k] + k]
+    sh_row = np.repeat(np.arange(len(counts), dtype=np.int64), sh_counts)
+    long_slot = counts[sh_row] >= n
+    flat_sh[long_slot] = acc[valid]
+    flat_sh[~long_slot] = short_acc[short]
     return flat_sh, out_offsets
 
 
@@ -115,31 +130,52 @@ def minhash_signatures(docs: ray.data.Dataset, **kw) -> ray.data.Dataset:
 
 
 def _pairs_from_bucket_block(
-    id_col: str, max_group: int, keys: tuple[str, ...] = ("band", "band_key"), distinct: bool = True
+    id_col: str,
+    max_group: int | None,
+    keys: tuple[str, ...] = ("band", "band_key"),
+    distinct: bool = True,
+    size_col: str | None = None,
 ):
     """Blockwise candidate-pair emitter for hash-partitioned bucket rows.
 
     ``distinct=False`` keeps one pair row PER shared bucket (the Jaccard
     intersection-count path); True dedups within the block (LSH candidates).
+    ``max_group=None`` disables the hot-bucket cap (exact-verify path).
+    ``size_col`` carries a per-doc size column through to the pairs as
+    (sz_a, sz_b) so downstream Jaccard needs no driver-side size lookup.
     """
+    extra = ("sz_a", "sz_b") if size_col else ()
 
     def emit(df: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64), "id_b": pd.Series([], dtype=np.int64)})
+        empty = pd.DataFrame(
+            {c: pd.Series([], dtype=np.int64) for c in ("id_a", "id_b", *extra)}
+        )
         if df.empty:
             return empty
         sizes = df.groupby(list(keys), sort=False)[id_col].transform("size")
-        df = df[(sizes >= 2) & (sizes <= max_group)]
-        out_a, out_b = [], []
+        keep = sizes >= 2
+        if max_group is not None:
+            keep &= sizes <= max_group
+        df = df[keep]
+        out_a, out_b, out_sa, out_sb = [], [], [], []
         for _, g in df.groupby(list(keys), sort=False):
-            ids = np.sort(g[id_col].to_numpy())
+            ids = g[id_col].to_numpy()
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
             ii, jj = np.triu_indices(len(ids), k=1)
             out_a.append(ids[ii])
             out_b.append(ids[jj])
+            if size_col:
+                sz = g[size_col].to_numpy()[order]
+                out_sa.append(sz[ii])
+                out_sb.append(sz[jj])
         if not out_a:
             return empty
-        out = pd.DataFrame(
-            {"id_a": np.concatenate(out_a).astype(np.int64), "id_b": np.concatenate(out_b).astype(np.int64)}
-        )
+        cols = {"id_a": np.concatenate(out_a).astype(np.int64), "id_b": np.concatenate(out_b).astype(np.int64)}
+        if size_col:
+            cols["sz_a"] = np.concatenate(out_sa).astype(np.int64)
+            cols["sz_b"] = np.concatenate(out_sb).astype(np.int64)
+        out = pd.DataFrame(cols)
         return out.drop_duplicates() if distinct else out
 
     return emit
@@ -203,7 +239,7 @@ def lsh_candidate_pairs(
 
     def partial_distinct(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas().drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return _from_pandas_clean(df)
 
     pairs = pairs.map_batches(partial_distinct, batch_format="pyarrow")
     from ray.data.aggregate import Count
@@ -228,57 +264,75 @@ def lsh_near_duplicates(
     pairs all satisfy jaccard >= threshold (precision 1.0); recall follows
     the banding S-curve (1-(1-t^r)^b; near 1.0 for t >= ~0.9 at 16x4).
 
-    The verify step gathers the shingle sets of candidate-involved docs via
-    a broadcast id-set filter (candidate pairs are few); at extreme scale
-    the same verify runs as a hash-join of candidates against signatures.
+    Fully distributed verify: the corpus is semi-joined (streaming id-set
+    filter; the id array is assembled inside a Ray task and lives in the
+    object store, never on the driver) down to candidate-involved docs,
+    exact Jaccard runs over those via the shingle-co-occurrence machinery
+    (sizes carried with the pairs — no driver state), and the result is
+    intersected with the candidate set by a partition-key co-located
+    group join.  No ``take_all`` on candidate pairs anywhere.
     """
+    import ray as _ray
+
     pairs = lsh_candidate_pairs(
         docs, num_perm=num_perm, bands=bands, shingle_n=shingle_n, seed=seed,
         id_col=id_col, text_col=text_col, max_group=max_group,
     ).materialize()
-    import ray as _ray
-
-    cand_rows = pairs.take_all()
-    if not cand_rows:
+    if pairs.count() == 0:
         return pairs
-    involved = sorted({r["id_a"] for r in cand_rows} | {r["id_b"] for r in cand_rows})
-    inv_ref = _ray.put(pa.array(involved, pa.int64()))
+
+    @_ray.remote
+    def _involved_ids(*tbls: pa.Table) -> pa.Array:
+        import pyarrow.compute as pc
+
+        t = pa.concat_tables(list(tbls))
+        both = pa.chunked_array(t["id_a"].chunks + t["id_b"].chunks)
+        uniq = pc.unique(both)
+        return uniq.combine_chunks() if isinstance(uniq, pa.ChunkedArray) else uniq
+
+    inv_ref = _involved_ids.remote(*pairs.to_arrow_refs())
 
     def keep_involved(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         return batch.filter(pc.is_in(batch[id_col].combine_chunks(), value_set=_ray.get(inv_ref)))
 
-    def shingle_sets(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch[id_col].to_pylist(), np.int64)
-        df = shingle_strings(batch[text_col], ids, shingle_n)
-        g = df.groupby("id")["shingle"].agg(set)
-        return pa.table(
-            {
-                id_col: pa.array(g.index.to_numpy(np.int64), pa.int64()),
-                "shingles": pa.array([sorted(s) for s in g.values], pa.list_(pa.string())),
-            }
-        )
+    involved_docs = docs.map_batches(keep_involved, batch_format="pyarrow")
+    # Exact verify: no hot-bucket cap (precision must be exact); the input
+    # here is already candidate-involved docs, so group sizes are bounded
+    # by the candidate structure, not corpus-wide hub shingles.
+    exact = _exact_jaccard_core(
+        involved_docs, threshold=threshold, shingle_n=shingle_n,
+        id_col=id_col, text_col=text_col, max_group=None,
+    )
+    return _pair_semijoin(exact, pairs)
 
-    rows = (
-        docs.map_batches(keep_involved, batch_format="pyarrow")
-        .map_batches(shingle_sets, batch_format="pyarrow")
-        .take_all()
+
+def _pair_semijoin(left: ray.data.Dataset, right: ray.data.Dataset) -> ray.data.Dataset:
+    """Rows of ``left`` whose (id_a, id_b) also appear in ``right`` — a
+    distributed semi-join via partition-key co-location (both sides are
+    pair-sized tables; the corpus is never shuffled)."""
+    from ontoea_ray.functions.shuffle import with_partition_key
+
+    def tag(src: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            batch = batch.select(["id_a", "id_b"])
+            return batch.append_column("_src", pa.array(np.full(len(batch), src, np.int8)))
+
+        return fn
+
+    both = left.map_batches(tag(0), batch_format="pyarrow").union(
+        right.map_batches(tag(1), batch_format="pyarrow")
     )
-    sets = {r[id_col]: set(r["shingles"]) for r in rows}
-    verified = [
-        (r["id_a"], r["id_b"])
-        for r in cand_rows
-        if len(sets[r["id_a"]] & sets[r["id_b"]]) / max(len(sets[r["id_a"]] | sets[r["id_b"]]), 1) >= threshold
-    ]
-    return ray.data.from_arrow(
-        pa.table(
-            {
-                "id_a": pa.array([a for a, _ in verified], pa.int64()),
-                "id_b": pa.array([b for _, b in verified], pa.int64()),
-            }
-        )
-    )
+
+    def keep_in_both(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64), "id_b": pd.Series([], dtype=np.int64)})
+        ok = df.groupby(["id_a", "id_b"], sort=False)["_src"].transform("nunique") == 2
+        return df.loc[ok & (df["_src"] == 0), ["id_a", "id_b"]]
+
+    parted = with_partition_key(both, ["id_a", "id_b"])
+    return parted.groupby("pkey").map_groups(keep_in_both, batch_format="pandas")
 
 
 def exact_dedup(docs: ray.data.Dataset, *, key_col: str = "text", id_col: str = "doc_id") -> ray.data.Dataset:
@@ -287,7 +341,7 @@ def exact_dedup(docs: ray.data.Dataset, *, key_col: str = "text", id_col: str = 
     def partial(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame({key_col: batch[key_col].to_pandas(), id_col: batch[id_col].to_pandas()})
         part = df.groupby(key_col, sort=False)[id_col].min().reset_index()
-        return pa.Table.from_pandas(part, preserve_index=False)
+        return _from_pandas_clean(part)
 
     from ray.data.aggregate import Min
 
@@ -373,56 +427,68 @@ def jaccard_pairs(
     DuckDB oracle; MinHash-LSH is the approximate scale path whose candidate
     set this operator verifies.
     """
+    return _exact_jaccard_core(
+        docs, threshold=threshold, shingle_n=shingle_n,
+        id_col=id_col, text_col=text_col, max_group=max_group,
+    )
+
+
+def _exact_jaccard_core(
+    docs: ray.data.Dataset,
+    *,
+    threshold: float,
+    shingle_n: int,
+    id_col: str,
+    text_col: str,
+    max_group: int | None,
+) -> ray.data.Dataset:
+    """Distributed exact-Jaccard machinery shared by :func:`jaccard_pairs`
+    and the LSH verify step.  Per-doc set sizes are computed during the
+    shingle explode (each doc's text is one row, so its full distinct set
+    is in-batch) and carried WITH the pairs as (sz_a, sz_b) — no driver-side
+    size dict, no second pass over the corpus."""
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch[id_col].to_pylist(), np.int64)
         df = shingle_strings(batch[text_col], ids, shingle_n)
+        df["sz"] = df.groupby("id", sort=False)["shingle"].transform("size").astype(np.int64)
         df = df.rename(columns={"id": id_col, "shingle": "token"})
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return _from_pandas_clean(df)
 
     tok_rows = docs.map_batches(explode, batch_format="pyarrow")
 
-    # |doc| sizes (small table -> driver dict broadcast)
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Sum
 
-    from ontoea_ray.functions.shuffle import compact, shuffle_width
-
-    tok_rows = tok_rows.materialize()  # reused by the sizes pass + pair pass
-    sizes_tbl = compact(tok_rows).groupby(id_col).aggregate(Count(alias_name="sz"))
-    sizes = {r[id_col]: r["sz"] for r in sizes_tbl.take_all()}
-    import ray as _ray
-
-    sizes_ref = _ray.put(sizes)
-
-    from ontoea_ray.functions.shuffle import with_partition_key
+    from ontoea_ray.functions.shuffle import compact, with_partition_key
 
     parted = with_partition_key(tok_rows, ["token"])
     pair_rows = parted.groupby("pkey").map_groups(
-        _pairs_from_bucket_block(id_col, max_group, keys=("token",), distinct=False),
+        _pairs_from_bucket_block(id_col, max_group, keys=("token",), distinct=False, size_col="sz"),
         batch_format="pandas",
     )
 
     def partial_counts(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        part = df.groupby(["id_a", "id_b"], sort=False).size().reset_index(name="inter")
-        return pa.Table.from_pandas(part, preserve_index=False)
-
-    from ray.data.aggregate import Sum
+        part = (
+            df.groupby(["id_a", "id_b", "sz_a", "sz_b"], sort=False)
+            .size()
+            .reset_index(name="inter")
+        )
+        return _from_pandas_clean(part)
 
     inter = (
         compact(pair_rows.map_batches(partial_counts, batch_format="pyarrow"))
-        .groupby(["id_a", "id_b"])
+        .groupby(["id_a", "id_b", "sz_a", "sz_b"])
         .aggregate(Sum("inter", alias_name="inter"))
     )
 
     def finalize(batch: pa.Table) -> pa.Table:
-        sz = _ray.get(sizes_ref)
         df = batch.to_pandas()
-        na = df["id_a"].map(sz).to_numpy(np.float64)
-        nb = df["id_b"].map(sz).to_numpy(np.float64)
+        na = df["sz_a"].to_numpy(np.float64)
+        nb = df["sz_b"].to_numpy(np.float64)
         it = df["inter"].to_numpy(np.float64)
         jac = it / (na + nb - it)
         keep = jac >= threshold
-        return pa.Table.from_pandas(df.loc[keep, ["id_a", "id_b"]], preserve_index=False)
+        return _from_pandas_clean(df.loc[keep, ["id_a", "id_b"]])
 
     return inter.map_batches(finalize, batch_format="pyarrow")

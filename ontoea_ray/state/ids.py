@@ -23,6 +23,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
+
+from ontoea_ray.functions.tables import from_pandas as _from_pandas_clean
 import ray.data
 
 
@@ -98,7 +100,7 @@ def top_k_by_frequency(freq: ray.data.Dataset, k: int, key: str = "uri") -> list
     def part(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame({key: batch[key].to_pandas(), "freq": batch["freq"].to_pandas()})
         df = df.sort_values(["freq", key], ascending=False, kind="mergesort").head(k)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return _from_pandas_clean(df)
 
     rows = freq.map_batches(part, batch_format="pyarrow").take_all()
     rows.sort(key=lambda r: (r["freq"], r[key]), reverse=True)

@@ -50,6 +50,35 @@ def test_lsh_precision_and_high_sim_recall(corpus):
     assert (0, 2) in lsh  # j ~ 0.9 -> miss probability ~(1-.9^4)^16 ~ 3e-8
 
 
+def test_lsh_verify_is_distributed(corpus, monkeypatch):
+    """The near-dup verify must never collect candidate pairs to the driver:
+    build the verified-pairs plan on a replicated input with Dataset.take_all
+    forbidden, then execute and check the replicated structure survives."""
+    shifted = [{"doc_id": d["doc_id"] + 1000, "text": d["text"]} for d in corpus]
+    ds = ray.data.from_items(corpus + shifted)
+
+    calls = []
+    orig = ray.data.Dataset.take_all
+
+    def guarded(self, *a, **kw):
+        calls.append(self)
+        raise AssertionError("take_all called inside lsh_near_duplicates")
+
+    monkeypatch.setattr(ray.data.Dataset, "take_all", guarded)
+    try:
+        out_ds = lsh_near_duplicates(ds, threshold=0.8)
+    finally:
+        monkeypatch.setattr(ray.data.Dataset, "take_all", orig)
+    assert not calls
+    lsh = {(r["id_a"], r["id_b"]) for r in out_ds.take_all()}
+    # each replica carries its own exact-dup and near-dup pair
+    for base in (0, 1000):
+        assert (base, base + 1) in lsh
+        assert (base, base + 2) in lsh
+    # cross-replica exact dups too (same text, different id range)
+    assert (0, 1000) in lsh
+
+
 def test_simhash_hamming_tracks_similarity(corpus):
     ds = ray.data.from_items(corpus)
     sh = {r["doc_id"]: r["simhash"] for r in simhash64(ds).take_all()}
