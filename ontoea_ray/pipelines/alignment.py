@@ -110,9 +110,7 @@ class _EvalBlock:
         rows, s = _block_scores(batch, st)
         order = np.argsort(-s, axis=1)
         gold = rows  # test row i's gold counterpart is right row i (aligned inputs)
-        rank_index = np.empty(len(rows), np.int64)
-        for i in range(len(rows)):
-            rank_index[i] = int(np.nonzero(order[i] == gold[i])[0][0])
+        rank_index = (order == gold[:, None]).argmax(axis=1).astype(np.int64)
         out = {
             "row": pa.array(rows, pa.int64()),
             "rank_index": pa.array(rank_index, pa.int64()),

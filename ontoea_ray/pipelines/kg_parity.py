@@ -51,9 +51,13 @@ def load_train_data(
     rel_ids = {**rel_ids1, **rel_ids2}
 
     def encode_rel(ds) -> np.ndarray:
-        rows = ds.take_all()
+        # vectorized broadcast-dict encode (state/ids.encode_triples); the
+        # collected result is the id-encoded triple matrix the trainer needs
+        from ontoea_ray.state.ids import encode_triples
+
+        rows = encode_triples(ds, ent_ids, rel_ids).take_all()
         return np.array(
-            [[ent_ids[r["subj"]], rel_ids[r["pred"]], ent_ids[r["obj"]]] for r in rows], np.int64
+            [[r["subj_id"], r["pred_id"], r["obj_id"]] for r in rows], np.int64
         ).reshape(-1, 3)
 
     rel_triples = np.concatenate([encode_rel(rel1_ds), encode_rel(rel2_ds)])
