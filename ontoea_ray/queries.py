@@ -739,8 +739,61 @@ def q_ann_lsh(sf_dir: str):
 # oracle-comparison tests)
 # ---------------------------------------------------------------------------
 
-@_register("q_kg_construct")
+_FLAGSHIP_SQL = r"""
+WITH pages AS (
+  SELECT 'https://' || source || '.example.org/doc/' || CAST(doc_id AS VARCHAR) AS url, text
+  FROM documents
+),
+tok AS (
+  SELECT url, unnest(t) AS tok, unnest(range(1, len(t) + 1)) AS i
+  FROM (SELECT url, str_split(text, ' ') AS t FROM pages)
+),
+freq AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+params AS (
+  SELECT LEAST(48, GREATEST(1, (2 * COUNT(*)) // 3)) AS n_ent,
+         LEAST(12, COUNT(*) - LEAST(48, GREATEST(1, (2 * COUNT(*)) // 3))) AS n_pred
+  FROM freq
+),
+ranked AS (SELECT tok, ROW_NUMBER() OVER (ORDER BY c DESC, tok DESC) AS rnk FROM freq),
+ents AS (SELECT tok FROM ranked, params WHERE rnk <= n_ent),
+preds AS (SELECT tok FROM ranked, params WHERE rnk > n_ent AND rnk <= n_ent + n_pred),
+matches AS (
+  SELECT a.url, a.tok AS s_surf, b.tok AS p_tok, c.tok AS o_surf
+  FROM tok a
+  JOIN tok b ON b.url = a.url AND b.i = a.i + 1
+  JOIN tok c ON c.url = a.url AND c.i = a.i + 2
+  WHERE a.tok IN (SELECT tok FROM ents)
+    AND b.tok IN (SELECT tok FROM preds)
+    AND c.tok IN (SELECT tok FROM ents)
+),
+uricnt AS (
+  SELECT lower(regexp_extract(u, '([^/]*)$', 1)) AS ckey, 'kg://ent/' || u AS uri, COUNT(*) AS n
+  FROM (SELECT s_surf AS u FROM matches UNION ALL SELECT o_surf FROM matches)
+  GROUP BY 1, 2
+),
+canon AS (
+  SELECT ckey, uri AS canonical
+  FROM (SELECT ckey, uri, ROW_NUMBER() OVER (PARTITION BY ckey ORDER BY n DESC, uri ASC) AS rn FROM uricnt)
+  WHERE rn = 1
+),
+subbed AS (
+  SELECT cs.canonical AS subj, m.p_tok AS pred, co.canonical AS obj, m.url
+  FROM matches m
+  JOIN canon cs ON cs.ckey = lower(regexp_extract('kg://ent/' || m.s_surf, '([^/]*)$', 1))
+  JOIN canon co ON co.ckey = lower(regexp_extract('kg://ent/' || m.o_surf, '([^/]*)$', 1))
+)
+SELECT subj, pred, obj, MIN(url) AS first_url, COUNT(*) AS n_mentions
+FROM subbed GROUP BY subj, pred, obj
+"""
+
+
+@_register("q_kg_construct", _FLAGSHIP_SQL)
 def q_kg_construct(sf_dir: str):
+    """End-to-end flagship WITH a full DuckDB oracle: the corpus-derived
+    gazetteer maps every surface to exactly one candidate, so mention scan +
+    linking + canonicalization + dedup are all relationally expressible —
+    the SQL reproduces the pipeline bit-exactly (verified at sf0.001 and
+    sf0.01: every row, url and mention count identical)."""
     from ontoea_ray.pipelines.kg_construct import kg_construct_pipeline
 
     return kg_construct_pipeline(sf_dir)
