@@ -113,20 +113,28 @@ def q_top_customers(sf_dir: str):
         .groupby("o_custkey")
         .aggregate(Sum("total_cents", alias_name="total_cents"))
     )
-    top = agg.sort(["total_cents", "o_custkey"], descending=[True, False]).limit(10)
 
-    def attach(batch: pa.Table) -> pa.Table:
-        names = ray.get(ref)
-        keys = batch["o_custkey"].to_pylist()
-        return pa.table(
-            {
-                "c_custkey": pa.array(keys, pa.int64()),
-                "c_name": pa.array([names[k] for k in keys], pa.string()),
-                "total_cents": batch["total_cents"],
-            }
-        )
+    # global top-10 WITHOUT a sort shuffle: per-block top-k partials
+    # (10 × #blocks rows) merged on the driver — the group sums are final
+    # after the keyed aggregate, so block-local top-k is safe.
+    def part_top(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["total_cents", "o_custkey"], ascending=[False, True], kind="mergesort"
+        ).head(10)
+        return _from_pandas_clean(df)
 
-    return top.map_batches(attach, batch_format="pyarrow")
+    rows = pd.DataFrame(agg.map_batches(part_top, batch_format="pyarrow").take_all())
+    rows = rows.sort_values(
+        ["total_cents", "o_custkey"], ascending=[False, True], kind="mergesort"
+    ).head(10)
+    names = name_of
+    return pa.table(
+        {
+            "c_custkey": pa.array(rows["o_custkey"].to_numpy(np.int64), pa.int64()),
+            "c_name": pa.array([names[k] for k in rows["o_custkey"]], pa.string()),
+            "total_cents": pa.array(rows["total_cents"].to_numpy(np.int64), pa.int64()),
+        }
+    )
 
 
 @_register(
@@ -738,6 +746,45 @@ def q_ann_lsh(sf_dir: str):
 # flagship pipeline (non-SQL — rows-only driver check; pytest holds the
 # oracle-comparison tests)
 # ---------------------------------------------------------------------------
+
+@_register("q_multimodal_features")  # binary plumbing — rows-only driver check
+def q_multimodal_features(sf_dir: str):
+    """Multimodal actor-pool plumbing over the documents table: each doc's
+    text bytes stand in as an opaque binary payload (mime image/fake), the
+    deterministic fake decoder produces pixels (codec stubbed — none in the
+    sandbox) and the REAL vectorized feature kernel reduces them.  Output is
+    deterministic per input, so rows+schema are a meaningful check."""
+    from ontoea_ray.stages.multimodal import decode_image_stage, image_features_stage
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": batch["doc_id"],
+                "payload": batch["text"].combine_chunks().cast(pa.binary()),
+            }
+        )
+
+    media = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        to_media, batch_format="pyarrow"
+    )
+    feats = image_features_stage(decode_image_stage(media, fake=True))
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        d = batch["features"].combine_chunks()
+        vals = np.asarray(d.flatten().to_numpy(zero_copy_only=False), np.float64).reshape(
+            len(batch), d.type.list_size
+        )
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "feat_mean_milli": pa.array(
+                    np.floor(vals.mean(axis=1) * 1000).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return feats.map_batches(summarize, batch_format="pyarrow")
+
 
 _FLAGSHIP_SQL = r"""
 WITH pages AS (

@@ -86,9 +86,12 @@ class ImageFeatures:
         px = flat.reshape(len(batch), self.h * self.w, 3).astype(np.float32)
         mean = px.mean(axis=1)
         std = px.std(axis=1)
-        hist = np.stack([
-            np.histogram(px[i, :, 0], bins=8, range=(0, 256))[0] for i in range(len(batch))
-        ]).astype(np.float32)
+        # 8-bin histogram of channel 0, vectorized across rows: bin = v//32
+        # (identical to np.histogram(range=(0,256), bins=8) on uint8 data)
+        n = len(batch)
+        bins = (px[:, :, 0] // 32).astype(np.int64)
+        offs = (np.arange(n)[:, None] * 8 + bins).ravel()
+        hist = np.bincount(offs, minlength=n * 8).reshape(n, 8).astype(np.float32)
         feats = np.concatenate([mean, std, hist], axis=1)
         return pa.table(
             {
@@ -127,19 +130,31 @@ class FrameSampler:
         )
 
 
+def _stage_pool(concurrency):
+    """Pool size for ONE of the two chained media actor stages: together
+    they must leave CPUs for the read/input tasks or the streaming executor
+    starves (observed hang on a 4-CPU pytest session with 2+2 actors)."""
+    if concurrency is not None:
+        return concurrency
+    import ray as _ray
+
+    total = int(_ray.cluster_resources().get("CPU", 4))
+    return max(1, (total - 2) // 2)
+
+
 def decode_image_stage(media: ray.data.Dataset, *, fake: bool = False,
-                       target=(32, 32), concurrency=2, batch_size: int = 64) -> ray.data.Dataset:
+                       target=(32, 32), concurrency=None, batch_size: int = 64) -> ray.data.Dataset:
     return media.map_batches(
         DecodeImage, fn_constructor_kwargs={"fake": fake, "target": target},
-        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+        batch_format="pyarrow", batch_size=batch_size, concurrency=_stage_pool(concurrency),
     )
 
 
-def image_features_stage(decoded: ray.data.Dataset, *, dims=(32, 32), concurrency=2,
+def image_features_stage(decoded: ray.data.Dataset, *, dims=(32, 32), concurrency=None,
                          batch_size: int = 256) -> ray.data.Dataset:
     return decoded.map_batches(
         ImageFeatures, fn_constructor_kwargs={"dims": dims},
-        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+        batch_format="pyarrow", batch_size=batch_size, concurrency=_stage_pool(concurrency),
     )
 
 
