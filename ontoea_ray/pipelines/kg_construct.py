@@ -109,27 +109,42 @@ def construct_kg(
     *,
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 8192,
+    checkpoint_dir: str | None = None,
 ) -> ray.data.Dataset:
     """pages -> deduplicated canonical triple Dataset
-    (subj, pred, obj, first_url, n_mentions)."""
-    state_ref = ray.put(linker_state)
-    texts = extract_text_stage(pages)
-    # The dedup combiner runs INSIDE the scan actors (combine_dedup=True):
-    # the corpus is read and scanned exactly once, raw triples never enter
-    # the object store, and everything materialized/consumed below is
-    # combiner-sized.  The block-level _merge_dedup_partials pass then
-    # shrinks the per-batch partials to per-block partials.  At 100TB the
-    # materialize is the checkpoint/resume point (equivalently: a write to
-    # partitioned Parquet).
-    raw = scan_and_link_stage(
-        texts, state_ref, concurrency=concurrency, batch_size=batch_size, combine_dedup=True
-    )
+    (subj, pred, obj, first_url, n_mentions).
+
+    ``checkpoint_dir`` persists the scan-stage combiner output (distinct
+    triples per block — combiner-sized, NOT corpus-sized) as Parquet with a
+    completion marker: a restarted run whose checkpoint is complete skips
+    the corpus scan entirely and resumes at canonicalization/merge.  This
+    is the mid-pipeline complement to write_edge_table's per-partition
+    sink manifest."""
     from ontoea_ray.functions.shuffle import sized_width
     from ontoea_ray.stages.canonicalize import _merge_dedup_partials
 
-    partials = raw.map_batches(
-        _merge_dedup_partials, batch_format="pyarrow", batch_size=None
-    ).materialize()
+    marker = os.path.join(checkpoint_dir, "_SCAN_COMPLETE") if checkpoint_dir else None
+    if marker and os.path.exists(marker):
+        partials = ray.data.read_parquet(checkpoint_dir).materialize()
+    else:
+        state_ref = ray.put(linker_state)
+        texts = extract_text_stage(pages)
+        # The dedup combiner runs INSIDE the scan actors (combine_dedup=True):
+        # the corpus is read and scanned exactly once, raw triples never
+        # enter the object store, and everything materialized/consumed below
+        # is combiner-sized.  The block-level _merge_dedup_partials pass then
+        # shrinks the per-batch partials to per-block partials.
+        raw = scan_and_link_stage(
+            texts, state_ref, concurrency=concurrency, batch_size=batch_size, combine_dedup=True
+        )
+        partials = raw.map_batches(
+            _merge_dedup_partials, batch_format="pyarrow", batch_size=None
+        ).materialize()
+        if checkpoint_dir:
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            partials.write_parquet(checkpoint_dir)
+            with open(marker, "w") as f:
+                f.write("complete\n")
     # The three passes below (canonical-map counts, canonical substitution,
     # keyed merge) each pay per-block task overhead; compact the (tiny)
     # combiner output to a data-proportional block count first so the tail

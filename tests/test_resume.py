@@ -57,3 +57,31 @@ def test_resume_skips_completed_partitions(sf_dir, tmp_path):
     first_run_files = sorted(os.listdir(os.path.join(full, "part=0")))
     resumed_files = sorted(os.listdir(os.path.join(partial, "part=0")))
     assert resumed_files == first_run_files
+
+
+def test_scan_checkpoint_resumes_without_rescan(sf_dir, tmp_path, monkeypatch):
+    """Mid-pipeline checkpoint: with a complete scan checkpoint on disk, a
+    restarted construct_kg never touches the corpus scan — proven by making
+    the scan stage raise on the second run."""
+    from ontoea_ray.pipelines.kg_construct import bootstrap_linker_cached, construct_kg
+    from ontoea_ray.sources.pages import pages_from_documents
+    from ontoea_ray.stages.scan_link import ScanAndLink
+
+    state = bootstrap_linker_cached(sf_dir)
+    ckpt = str(tmp_path / "scan_ckpt")
+
+    def run():
+        return construct_kg(
+            pages_from_documents(sf_dir), state,
+            concurrency=2, batch_size=256, checkpoint_dir=ckpt,
+        )
+
+    first = {(r["subj"], r["pred"], r["obj"], r["n_mentions"]) for r in run().take_all()}
+    assert os.path.exists(os.path.join(ckpt, "_SCAN_COMPLETE"))
+
+    def boom(self, batch):
+        raise AssertionError("scan ran despite complete checkpoint")
+
+    monkeypatch.setattr(ScanAndLink, "__call__", boom)
+    second = {(r["subj"], r["pred"], r["obj"], r["n_mentions"]) for r in run().take_all()}
+    assert second == first
