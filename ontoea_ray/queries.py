@@ -219,6 +219,156 @@ def q_sessionize(sf_dir: str):
     return compact(ds).groupby("user_id").map_groups(sessions, batch_format="pandas")
 
 
+@_register(
+    "q_asof_join",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id, user_id, ts, CAST(FLOOR(value * 1000) AS BIGINT) AS v
+               FROM events WHERE event_type = 'click')
+    SELECT p.event_id AS event_id, p.user_id AS user_id,
+           CAST(epoch_us(p.ts) AS BIGINT) AS ts_epoch_us,
+           c.event_id AS click_event_id,
+           CAST(epoch_us(c.ts) AS BIGINT) AS click_ts_epoch_us,
+           c.v AS click_value_milli
+    FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q_asof_join(sf_dir: str):
+    """Backward as-of join (each purchase ↔ the user's latest click at or
+    before it) — the custom temporal operator (`stages/temporal.asof_join`):
+    one keyed exchange, vectorized merge_asof per partition."""
+    from ontoea_ray.stages.temporal import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+    purchases = ev.filter(expr="event_type == 'purchase'")
+    clicks = ev.filter(expr="event_type == 'click'")
+
+    def milli(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["event_id", "user_id", "ts", "value"]].copy()
+        df["click_value_milli"] = np.floor(df.pop("value") * 1000).astype(np.int64)
+        return df.rename(columns={"event_id": "click_event_id"})
+
+    joined = asof_join(
+        purchases,
+        clicks.map_batches(milli, batch_format="pandas"),
+        key="user_id",
+        on="ts",
+        left_cols=["event_id"],
+        right_cols=["click_event_id", "click_value_milli"],
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype(np.int64),
+                "user_id": df["user_id"].astype(np.int64),
+            }
+        )
+        out["ts_epoch_us"] = df["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        out["click_event_id"] = df["click_event_id"].astype(np.int64)
+        out["click_ts_epoch_us"] = df["ts_r"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        out["click_value_milli"] = df["click_value_milli"].astype(np.int64)
+        return out
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+@_register(
+    "q_range_join",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts, CAST(FLOOR(value * 1000) AS BIGINT) AS v
+               FROM events WHERE event_type = 'click')
+    SELECT p.event_id AS event_id, p.user_id AS user_id,
+           CAST(epoch_us(p.ts) AS BIGINT) AS ts_epoch_us,
+           COUNT(c.v) AS n_clicks,
+           CAST(COALESCE(SUM(c.v), 0) AS BIGINT) AS click_value_milli
+    FROM p LEFT JOIN c
+      ON c.user_id = p.user_id AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+    GROUP BY p.event_id, p.user_id, p.ts
+    """,
+)
+def q_range_join(sf_dir: str):
+    """Range-join aggregate (clicks per user in the hour before each
+    purchase) via `stages/temporal.range_join_agg` — a difference of two
+    as-of lookups into running totals, no left×right row explosion."""
+    from ontoea_ray.stages.temporal import range_join_agg
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+    purchases = ev.filter(expr="event_type == 'purchase'")
+
+    def milli(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["user_id", "ts", "value"]].copy()
+        df["v"] = np.floor(df.pop("value") * 1000).astype(np.int64)
+        return df
+
+    clicks = ev.filter(expr="event_type == 'click'").map_batches(milli, batch_format="pandas")
+    agg = range_join_agg(
+        purchases,
+        clicks,
+        key="user_id",
+        on="ts",
+        left_cols=["event_id"],
+        val="v",
+        lo_offset=pd.Timedelta(hours=-1),
+        hi_offset=pd.Timedelta(0),
+        count_as="n_clicks",
+        sum_as="click_value_milli",
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["event_id", "user_id", "n_clicks", "click_value_milli"]].astype(np.int64)
+        out["ts_epoch_us"] = df["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        return out[["event_id", "user_id", "ts_epoch_us", "n_clicks", "click_value_milli"]]
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+@_register(
+    "q_window_sliding",
+    """
+    WITH e AS (SELECT event_id, event_type, ts,
+                      CAST(FLOOR(value * 1000) AS BIGINT) AS v
+               FROM events)
+    SELECT event_id, event_type,
+           CAST(epoch_us(ts) AS BIGINT) AS ts_epoch_us,
+           COUNT(*) OVER w AS w_n,
+           CAST(SUM(v) OVER w AS BIGINT) AS w_sum
+    FROM e
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts
+                 RANGE BETWEEN INTERVAL 3 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_sliding(sf_dir: str):
+    """Per-type 3-hour sliding sum over every event via
+    `stages/temporal.sliding_window_sum` — time-bucket partitioning with a
+    window-length halo, the scale shape for low-cardinality window keys."""
+    from ontoea_ray.stages.temporal import sliding_window_sum
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "ts", "value"])
+
+    def milli(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["event_id", "event_type", "ts", "value"]].copy()
+        df["v"] = np.floor(df.pop("value") * 1000).astype(np.int64)
+        return df
+
+    win = sliding_window_sum(
+        ev.map_batches(milli, batch_format="pandas"),
+        part="event_type",
+        on="ts",
+        val="v",
+        window=pd.Timedelta(hours=3),
+        keep_cols=["event_id"],
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["event_id", "event_type", "w_n", "w_sum"]].copy()
+        out["ts_epoch_us"] = df["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        return out[["event_id", "event_type", "ts_epoch_us", "w_n", "w_sum"]]
+
+    return win.map_batches(finish, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # KG-flavored relational: edge table from the star schema
 # ---------------------------------------------------------------------------
