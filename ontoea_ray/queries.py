@@ -892,6 +892,32 @@ def q_ann_lsh(sf_dir: str):
     return out.select(["vec_id", "rnk"])
 
 
+@_register("q_ann_ivf")  # approximate — verified in pytest against brute force
+def q_ann_ivf(sf_dir: str):
+    """IVF-indexed ANN: spherical-k-means coarse quantizer (bounded-sample
+    training), table written partitioned by nearest-centroid list (once per
+    sf_dir, cached under /tmp), queries read only their nprobe lists."""
+    import hashlib
+    import os
+
+    from ontoea_ray.stages.ann import build_ivf_index, ivf_index_topk
+
+    src = f"{sf_dir}/embeddings.parquet"
+    tag = hashlib.blake2b(
+        f"ivf:{os.path.abspath(src)}:{os.path.getmtime(src)}".encode(), digest_size=8
+    ).hexdigest()
+    index_dir = f"/tmp/ontoea_ann_index/{tag}"
+    if not os.path.exists(os.path.join(index_dir, "_meta.json")):
+        build_ivf_index(
+            _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+            index_dir, n_centroids=16, seed=7,
+        )
+    tbl = pq.read_table(src, columns=["vec_id", "embedding"])
+    q = np.asarray(tbl.filter(pc.equal(tbl["vec_id"], 0))["embedding"].to_pylist()[0], np.float64)
+    out = ivf_index_topk(index_dir, q[None, :], k=10, nprobe=4)
+    return out.select(["vec_id", "rnk"])
+
+
 # ---------------------------------------------------------------------------
 # flagship pipeline (non-SQL — rows-only driver check; pytest holds the
 # oracle-comparison tests)

@@ -12,6 +12,13 @@
 - :func:`lsh_bucketed_topk` — index-free variant (single-shot queries where
   building an index would cost more than one full scan): same signature
   filter applied during a full streaming pass.
+- :func:`build_ivf_index` / :func:`ivf_index_topk` — the IVF (inverted-file)
+  scale path: a spherical k-means coarse quantizer trained on a BOUNDED
+  sample (driver state is O(sample), not O(table)), one assignment pass
+  writes the table partitioned by nearest-centroid list, and queries read
+  only their ``nprobe`` closest lists.  Unlike hyperplane LSH the partition
+  count and balance are chosen (k-means adapts to the data distribution),
+  which is why IVF is the standard billion-scale layout.
 """
 
 from __future__ import annotations
@@ -392,5 +399,161 @@ def lsh_index_topk(
     out = _merge_topk(parts, k, id_col)
     if return_stats:
         stats["scanned_rows"] = n_scanned
+        return out, stats
+    return out
+
+
+def train_centroids(
+    embeddings: ray.data.Dataset,
+    *,
+    n_centroids: int = 64,
+    sample_size: int = 20_000,
+    iters: int = 12,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer on a bounded random sample.
+
+    The sample (≤ ``sample_size`` rows) is the ONLY driver-side state — at
+    100 TB the training cost is constant while the assignment pass below
+    stays fully streaming.  Vectors and centroids are L2-normalized, so
+    assignment-by-dot == assignment-by-cosine.  Deterministic per seed."""
+    n_total = embeddings.count()
+    frac = min(1.0, sample_size / max(1, n_total))
+    sample = embeddings.random_sample(frac, seed=seed) if frac < 1.0 else embeddings
+    tbl = pa.Table.from_pylist(sample.select_columns([vec_col]).take_all())
+    vecs = _batch_vectors(tbl, vec_col)
+    vn = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-30)
+    kc = min(n_centroids, len(vn))
+    rng = np.random.default_rng(seed)
+    cent = vn[rng.choice(len(vn), size=kc, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(vn @ cent.T, axis=1)
+        for c in range(kc):
+            m = assign == c
+            if m.any():
+                v = vn[m].sum(axis=0)
+                cent[c] = v / np.maximum(np.linalg.norm(v), 1e-30)
+            else:  # dead centroid: re-seed on the farthest point
+                far = np.argmin(np.max(vn @ cent.T, axis=1))
+                cent[c] = vn[far]
+    return cent
+
+
+def build_ivf_index(
+    embeddings: ray.data.Dataset,
+    index_dir: str,
+    *,
+    n_centroids: int = 64,
+    sample_size: int = 20_000,
+    iters: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """One-time pass: assign every row to its nearest centroid (broadcast
+    centroid matrix, one matmul per batch) and write Parquet partitioned by
+    ``list_id``.  Queries then read only their ``nprobe`` closest lists —
+    partition pruning at the READ, like :func:`build_lsh_index`, but with
+    data-adaptive balanced partitions."""
+    cent = train_centroids(
+        embeddings, n_centroids=n_centroids, sample_size=sample_size,
+        iters=iters, seed=seed, vec_col=vec_col,
+    )
+    cent_ref = ray.put(cent)
+
+    def add_list(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        v = _batch_vectors(batch, vec_col)
+        vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-30)
+        lists = np.argmax(vn @ c.T, axis=1).astype(np.int64)
+        batch = batch.replace_schema_metadata(None)
+        return batch.append_column("list_id", pa.array(lists, pa.int64()))
+
+    os.makedirs(index_dir, exist_ok=True)
+    embeddings.map_batches(add_list, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["list_id"]
+    )
+    np.save(os.path.join(index_dir, "_centroids.npy"), cent)
+    meta = {
+        "kind": "ivf", "n_centroids": int(cent.shape[0]), "dim": int(cent.shape[1]),
+        "seed": seed, "id_col": id_col, "vec_col": vec_col,
+    }
+    with open(os.path.join(index_dir, "_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def ivf_index_topk(
+    index_dir: str,
+    query_vectors: np.ndarray,
+    *,
+    k: int = 10,
+    nprobe: int = 4,
+    return_stats: bool = False,
+):
+    """Approximate cosine top-k against a :func:`build_ivf_index` directory:
+    for each query, only its ``nprobe`` closest centroid lists are read.
+    With ``return_stats=True`` also returns scanned/total row+list counts."""
+    with open(os.path.join(index_dir, "_meta.json")) as f:
+        meta = json.load(f)
+    cent = np.load(os.path.join(index_dir, "_centroids.npy"))
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    queries = np.atleast_2d(np.asarray(query_vectors, np.float64))
+    qn = queries / np.maximum(np.linalg.norm(queries, axis=1, keepdims=True), 1e-30)
+    npr = min(nprobe, cent.shape[0])
+    probe_lists = np.argpartition(-(qn @ cent.T), npr - 1, axis=1)[:, :npr]
+    wanted = sorted({int(x) for x in probe_lists.ravel()})
+    paths = [
+        os.path.join(index_dir, f"list_id={s}", f)
+        for s in wanted
+        if os.path.isdir(os.path.join(index_dir, f"list_id={s}"))
+        for f in os.listdir(os.path.join(index_dir, f"list_id={s}"))
+        if f.endswith(".parquet")
+    ]
+    total_lists = sum(1 for p in os.listdir(index_dir) if p.startswith("list_id="))
+    stats = {"scanned_lists": len(wanted), "total_lists": total_lists, "scanned_rows": 0}
+    empty = pa.table({"query_id": pa.array([], pa.int64()), id_col: pa.array([], pa.int64()),
+                      "rnk": pa.array([], pa.int64()), "cos": pa.array([], pa.float64())})
+    if not paths:
+        return (empty, stats) if return_stats else empty
+    scanned = ray.data.read_parquet(paths)
+    state = ray.put((queries, probe_lists))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qs, probes = ray.get(state)
+        ids = np.asarray(batch[id_col].to_pylist(), np.int64)
+        lists = np.asarray(batch["list_id"].to_pylist(), np.int64)
+        cos = _cosine(_batch_vectors(batch, vec_col), qs)  # [rows, q]
+        # a row only competes for queries that probe its list
+        out = []
+        for qi in range(qs.shape[0]):
+            qmask = np.isin(lists, probes[qi])
+            if not qmask.any():
+                continue
+            sub_ids, sub_cos = ids[qmask], cos[qmask, qi]
+            kk = min(k, len(sub_ids))
+            part = (
+                np.argpartition(-sub_cos, kk - 1)[:kk] if len(sub_ids) > kk else np.arange(len(sub_ids))
+            )
+            out.append(
+                pa.table(
+                    {
+                        "query_id": pa.array(np.full(len(part), qi, np.int64), pa.int64()),
+                        id_col: pa.array(sub_ids[part], pa.int64()),
+                        "cos": pa.array(sub_cos[part], pa.float64()),
+                    }
+                )
+            )
+        if not out:
+            return pa.table({"query_id": pa.array([], pa.int64()), id_col: pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        return pa.concat_tables(out)
+
+    if return_stats:
+        stats["scanned_rows"] = scanned.count()
+    parts = pa.Table.from_pylist(scanned.map_batches(partial, batch_format="pyarrow").take_all())
+    out = _merge_topk(parts, k, id_col)
+    if return_stats:
         return out, stats
     return out
