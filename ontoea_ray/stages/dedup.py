@@ -35,9 +35,12 @@ _MERSENNE = (1 << 61) - 1
 def _token_hashes(tokens: pa.Array) -> np.ndarray:
     """64-bit stable hashes for a flat token array (unique-dict trick: only
     unique tokens hit hashlib; the gather back is vectorized)."""
+    # md5's first 8 bytes (big-endian), NOT blake2b: DuckDB's md5() lets the
+    # driver oracle reproduce every downstream value bit-for-bit
+    # (CAST('0x' || substr(md5(t),1,16) AS UBIGINT)); equally stable/uniform.
     uniq = tokens.unique()
     table = {
-        t: int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+        t: int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
         for t in uniq.to_pylist()
     }
     import pyarrow.compute as pc

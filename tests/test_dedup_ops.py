@@ -95,9 +95,9 @@ def test_simhash_golden_values():
         }
     )
     assert simhash64_kernel(batch)["simhash"].to_pylist() == [
-        202806156967688757,
-        202806156967688757,
-        580965641499558408,
+        1140660199213328064,
+        1140660199213328064,
+        3021932957792431364,
     ]
 
 
