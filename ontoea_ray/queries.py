@@ -527,23 +527,34 @@ def q_distinct_counts(sf_dir: str):
 )
 def q_group_topk(sf_dir: str):
     """Per-group top-k (top-2 parts per order by price): hash-partitioned
-    blockwise processing via the pkey pattern — no per-group task."""
+    blockwise processing via the pkey pattern — no per-group task.
+
+    Combiner: each block first keeps only ITS top-2 rows per group (a
+    correct superset of the global top-2), so the keyed exchange moves at
+    most 2×groups-per-block rows instead of every row — at 100 TB this
+    prunes the shuffle by the per-group fan-in factor."""
     from ontoea_ray.functions.shuffle import with_partition_key
 
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_extendedprice", "l_linenumber"])
 
-    def topk_block(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["cents"] = np.round(df["l_extendedprice"] * 100).astype(np.int64)
+    def _rank(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(
             ["l_orderkey", "cents", "l_partkey", "l_linenumber"],
             ascending=[True, False, True, True], kind="mergesort",
         )
         df["rnk"] = df.groupby("l_orderkey", sort=False).cumcount() + 1
-        out = df[df["rnk"] <= 2]
-        return out[["l_orderkey", "l_partkey", "rnk"]]
+        return df[df["rnk"] <= 2]
 
-    parted = with_partition_key(ds, ["l_orderkey"])
+    def prune_block(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["cents"] = np.round(df["l_extendedprice"] * 100).astype(np.int64)
+        return _rank(df)[["l_orderkey", "l_partkey", "l_linenumber", "cents"]]
+
+    def topk_block(df: pd.DataFrame) -> pd.DataFrame:
+        return _rank(df)[["l_orderkey", "l_partkey", "rnk"]]
+
+    pruned = ds.map_batches(prune_block, batch_format="pandas")
+    parted = with_partition_key(pruned, ["l_orderkey"])
     return parted.groupby("pkey").map_groups(topk_block, batch_format="pandas")
 
 
@@ -833,8 +844,34 @@ def q_embed_neardup(sf_dir: str):
     return cosine_neardup_pairs(ds, threshold=0.35)
 
 
-@_register("q_simhash")  # bit-level hash — no SQL oracle (rows-only check)
+@_register(
+    "q_simhash",
+    # full bit-level oracle: the engine's token hash is md5[:8] (big-endian)
+    # precisely so DuckDB can recompute every SimHash value exactly
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents
+    ),
+    h AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(token), 1, 16)) AS UBIGINT) AS hv
+      FROM tok
+    ),
+    b AS (
+      SELECT doc_id, i.bit AS bit,
+             SUM(CASE WHEN (hv >> i.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h, (SELECT unnest(range(63)) AS bit) i
+      GROUP BY doc_id, i.bit
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN (1::UBIGINT << bit) ELSE 0 END) AS BIGINT)
+             AS simhash
+    FROM b GROUP BY doc_id
+    """,
+)
 def q_simhash(sf_dir: str):
+    """64-bit SimHash per document (majority vote over unigram md5 token
+    hashes; bit 63 masked off so the value fits int64 — the oracle therefore
+    only votes bits 0..62)."""
     from ontoea_ray.stages.dedup import simhash64
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
