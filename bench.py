@@ -33,6 +33,9 @@ BENCH_QUERIES = [
     "q_simhash",
     "q_ann_topk",
     "q_langid",
+    "q_asof_join",
+    "q_range_join",
+    "q_window_sliding",
 ]
 
 

@@ -95,3 +95,35 @@ def pages_from_documents(sf_dir: str, *, replicate: int = 1) -> ray.data.Dataset
 
 def read_pages(paths, columns: list[str] | None = None) -> ray.data.Dataset:
     return ray.data.read_parquet(paths, columns=columns)
+
+
+def read_pages_jsonl(paths) -> ray.data.Dataset:
+    """Pages from JSONL shards — the common crawl-dump interchange format
+    (one JSON object per line: url, warc_ts as ISO-8601 string, text, lang,
+    optional html as a UTF-8 string).
+
+    Normalizes into the canonical pages schema: ``warc_ts`` parsed to
+    timestamp[us], ``html`` re-encoded to binary (rebuilt deterministically
+    from ``text`` when the shard omits it).  ``read_json`` streams per-file
+    blocks, so sharded JSONL parallelizes like parquet (just without column
+    pruning — convert long-lived corpora to parquet)."""
+    ds = ray.data.read_json(paths)
+
+    def norm(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch["warc_ts"].combine_chunks(), pa.timestamp("us"))
+        text = batch["text"].combine_chunks()
+        if "html" in batch.column_names:
+            html = pc.cast(batch["html"].combine_chunks(), pa.binary())
+        else:
+            html = wrap_html(text)
+        return pa.table(
+            {
+                "url": batch["url"].combine_chunks(),
+                "warc_ts": ts,
+                "html": html,
+                "text": text,
+                "lang": batch["lang"].combine_chunks(),
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow")

@@ -212,3 +212,37 @@ def test_manifest_lineage(sf_dir, tmp_path):
     assert m["lineage"]["source"] == sf_dir
     assert m["lineage"]["total_rows"] > 0
     assert m["lineage"]["engine"].startswith("ontoea_ray")
+
+
+def test_jsonl_pages_roundtrip(sf_dir, tmp_path):
+    """Sharded JSONL pages read back identical to the parquet-derived pages
+    table (ISO timestamps parsed, html rebuilt from text when omitted)."""
+    import json
+
+    from ontoea_ray.sources.pages import pages_from_documents, read_pages_jsonl
+
+    want = sorted(pages_from_documents(sf_dir).take_all(), key=lambda r: r["url"])
+    # write 3 JSONL shards WITHOUT html (the shard-omits-html path)
+    shards = [[] for _ in range(3)]
+    for i, r in enumerate(want):
+        shards[i % 3].append(
+            {
+                "url": r["url"],
+                "warc_ts": r["warc_ts"].isoformat(),
+                "text": r["text"],
+                "lang": r["lang"],
+            }
+        )
+    paths = []
+    for i, rows in enumerate(shards):
+        p = tmp_path / f"pages-{i}.jsonl"
+        p.write_text("\n".join(json.dumps(x) for x in rows) + "\n")
+        paths.append(str(p))
+    got = sorted(read_pages_jsonl(paths).take_all(), key=lambda r: r["url"])
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g["url"] == w["url"]
+        assert g["warc_ts"] == w["warc_ts"]
+        assert g["text"] == w["text"]
+        assert g["lang"] == w["lang"]
+        assert bytes(g["html"]) == bytes(w["html"])
