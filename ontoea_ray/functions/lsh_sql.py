@@ -1,0 +1,239 @@
+"""DuckDB SQL generators that reproduce the MinHash-LSH chain bit-for-bit.
+
+The engine's dedup chain (`ontoea_ray.stages.dedup`) was deliberately built
+on oracle-reproducible primitives: token hashes are md5[:8] big-endian,
+shingle hashes are a wrap-mod-2^64 multiply-accumulate with public
+constants, MinHash perms are ``(a*h + b) mod 2^64 mod (2^61-1)`` with
+params from a seeded generator, and band keys are an FNV-1a fold.  Every
+step is integer arithmetic DuckDB can replay exactly:
+
+- 64-bit wrapping multiply by the golden-ratio constant P (> 2^63) is
+  decomposed into hi/lo 32-bit halves so intermediates fit HUGEINT
+  (products stay < 2^97 < 2^127).
+- multiplies by perm params (< 2^61) and the FNV prime (< 2^41) fit
+  HUGEINT directly (< 2^125).
+- 64-bit XOR is done on 32-bit halves with BIGINT ``xor()``.
+
+The generated SQL is the driver-side oracle for ``q_minhash_lsh`` and
+``q_lsh_neardup`` — turning the "approximate" LSH family into exact,
+value-hash-checked queries (the approximation is relative to true Jaccard,
+not nondeterminism).
+"""
+
+from __future__ import annotations
+
+TWO64 = 1 << 64
+TWO32 = 1 << 32
+MASK63 = (1 << 63) - 1
+P_GOLDEN = 0x9E3779B97F4A7C15  # shingle-hash combine (stages/dedup._shingle_hashes)
+FNV_OFFSET = 1469598103934665603
+FNV_PRIME = 0x100000001B3
+MERSENNE = (1 << 61) - 1
+
+
+def _h(tok_expr: str) -> str:
+    """md5[:8] big-endian token hash as HUGEINT (matches dedup._token_hashes)."""
+    return f"CAST(CAST(('0x' || substr(md5({tok_expr}), 1, 16)) AS UBIGINT) AS HUGEINT)"
+
+
+def _mulmod_p(x: str) -> str:
+    """(x * P_GOLDEN) mod 2^64 via hi/lo split (P > 2^63 would overflow HUGEINT)."""
+    return (
+        f"((((({x}) // {TWO32}) * {P_GOLDEN} % {TWO32}) * {TWO32}"
+        f" + (({x}) % {TWO32}) * {P_GOLDEN}) % {TWO64})"
+    )
+
+
+def _addmod(x: str, y: str) -> str:
+    return f"((({x}) + ({y})) % {TWO64})"
+
+
+def _xor64(a: str, b: str) -> str:
+    """64-bit XOR on HUGEINT operands via BIGINT xor over 32-bit halves."""
+    return (
+        f"(CAST(xor(CAST(({a}) // {TWO32} AS BIGINT), CAST(({b}) // {TWO32} AS BIGINT)) AS HUGEINT) * {TWO32}"
+        f" + CAST(xor(CAST(({a}) % {TWO32} AS BIGINT), CAST(({b}) % {TWO32} AS BIGINT)) AS HUGEINT))"
+    )
+
+
+def _shingle_hash_exprs(n: int) -> tuple[str, dict[int, str]]:
+    """(full-window expr over t[i..i+n-1], {short_len: expr}) — mirrors
+    dedup._shingle_hashes: full windows fold h0 then acc*P+h_j; short rows
+    fold from FNV_OFFSET over all tokens."""
+    acc = _h("t[i]")
+    for j in range(1, n):
+        acc = _addmod(_mulmod_p(acc), _h(f"t[i+{j}]"))
+    shorts: dict[int, str] = {}
+    for ln in range(0, n):
+        s = str(FNV_OFFSET)
+        for k in range(ln):
+            s = _addmod(_mulmod_p(s), _h(f"t[{k + 1}]"))
+        shorts[ln] = s
+    return acc, shorts
+
+
+def _perm_values_sql(num_perm: int, seed: int) -> str:
+    from ontoea_ray.stages.dedup import _perm_params
+
+    a, b = _perm_params(num_perm, seed)
+    rows = ", ".join(f"({p}, {int(a[p])}, {int(b[p])})" for p in range(num_perm))
+    return f"(VALUES {rows}) perms(p, a, b)"
+
+
+def _doc_shingles_cte(shingle_n: int, source: str = "documents") -> str:
+    """CTEs tok -> shl: per-doc HUGEINT shingle-hash list (multiset, like
+    the engine — minima are unaffected by duplicates)."""
+    full, shorts = _shingle_hash_exprs(shingle_n)
+    short_cases = " ".join(
+        f"WHEN len(t) = {ln} THEN [{expr}]" for ln, expr in sorted(shorts.items()) if ln > 0
+    )
+    return f"""
+  tok AS (SELECT doc_id, str_split(text, ' ') AS t FROM {source}),
+  shl AS (
+    SELECT doc_id,
+      CASE WHEN len(t) >= {shingle_n}
+           THEN [{full} FOR i IN range(1, len(t) - {shingle_n - 2})]
+           {short_cases}
+           ELSE [CAST({FNV_OFFSET} AS HUGEINT)] END AS sh
+    FROM tok)
+"""
+
+
+def _band_chain_ctes(bands: int, r: int) -> str:
+    """CTEs c0..c{r}: FNV-1a fold acc = (acc XOR sig_j) * FNV_PRIME mod 2^64
+    over each band's r signature slots, staged so the acc expression stays
+    one column reference (no exponential text blowup)."""
+    parts = [
+        f"  c0 AS (SELECT doc_id, b.band AS band, sigs,"
+        f" CAST({FNV_OFFSET} AS HUGEINT) AS acc"
+        f" FROM docsigs, (SELECT unnest(range({bands})) AS band) b)"
+    ]
+    for j in range(r):
+        x = _xor64("acc", f"sigs[band * {r} + {j + 1}]")
+        parts.append(
+            f"  c{j + 1} AS (SELECT doc_id, band, sigs,"
+            f" (({x}) * {FNV_PRIME}) % {TWO64} AS acc FROM c{j})"
+        )
+    return ",\n".join(parts)
+
+
+def minhash_lsh_candidates_sql(
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+    max_group: int = 200,
+    source: str = "documents",
+) -> str:
+    """Exact oracle for ``stages.dedup.lsh_candidate_pairs``: distinct
+    (id_a, id_b), id_a < id_b, sharing >= 1 LSH band bucket, hot buckets
+    (> max_group members) dropped."""
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    return f"""
+WITH
+{_doc_shingles_cte(shingle_n, source)},
+  mins AS (
+    SELECT s.doc_id, perms.p AS p,
+           MIN(((perms.a * s.h + perms.b) % {TWO64}) % {MERSENNE}) AS sig
+    FROM (SELECT doc_id, unnest(sh) AS h FROM shl) s, {_perm_values_sql(num_perm, seed)}
+    GROUP BY s.doc_id, perms.p),
+  docsigs AS (SELECT doc_id, list(sig ORDER BY p) AS sigs FROM mins GROUP BY doc_id),
+{_band_chain_ctes(bands, r)},
+  buck AS (SELECT doc_id, band, acc % {MASK63 + 1} AS band_key FROM c{r}),
+  ok AS (SELECT band, band_key FROM buck
+         GROUP BY band, band_key HAVING COUNT(*) BETWEEN 2 AND {max_group})
+SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b
+FROM buck a
+JOIN buck b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+JOIN ok ON ok.band = a.band AND ok.band_key = a.band_key
+"""
+
+
+def lsh_neardup_sql(
+    *,
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+    max_group: int = 200,
+    source: str = "documents",
+) -> str:
+    """Exact oracle for ``stages.dedup.lsh_near_duplicates``: LSH candidate
+    pairs intersected with exact distinct-string-shingle Jaccard >= t (the
+    verify step uses string shingles; candidates use hashed shingles)."""
+    cand = minhash_lsh_candidates_sql(
+        num_perm=num_perm, bands=bands, shingle_n=shingle_n, seed=seed,
+        max_group=max_group, source=source,
+    )
+    return f"""
+WITH cand AS ({cand}),
+  jtok AS (SELECT doc_id, str_split(text, ' ') AS t FROM {source}),
+  jsh AS (SELECT DISTINCT doc_id,
+          unnest(CASE WHEN len(t) >= {shingle_n}
+                 THEN [array_to_string(t[i:i+{shingle_n - 1}], ' ')
+                       FOR i IN range(1, len(t) - {shingle_n - 2})]
+                 ELSE [array_to_string(t, ' ')] END) AS s
+          FROM jtok),
+  sizes AS (SELECT doc_id, COUNT(*) AS sz FROM jsh GROUP BY doc_id),
+  inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS c
+            FROM cand c
+            JOIN jsh a ON a.doc_id = c.id_a
+            JOIN jsh b ON b.doc_id = c.id_b AND a.s = b.s
+            GROUP BY c.id_a, c.id_b)
+SELECT id_a, id_b
+FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
+           JOIN sizes sb ON inter.id_b = sb.doc_id
+WHERE c * 1.0 / (sa.sz + sb.sz - c) >= {threshold}
+"""
+
+
+def ann_lsh_topk_sql(
+    *,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    hamming_radius: int = 1,
+    query_vec_id: int = 0,
+    source: str = "embeddings",
+) -> str:
+    """Oracle for ``stages.ann.lsh_index_topk`` (as driven by q_ann_lsh):
+    hyperplane bucket per row (sign bits of raw-vector dot products against
+    the seeded plane matrix, inlined below), candidate rows within
+    ``hamming_radius`` of the query row's bucket, exact cosine top-k over
+    the candidates with (cos DESC, vec_id ASC) tie-break.
+
+    Float caveat: signs and ranks rely on DuckDB's float64 dot product
+    agreeing with numpy's — summation order may differ in the last ulp,
+    which can only matter for |dot| ~ 1e-13 or exact cosine ties (absent in
+    the synthetic tables; validated empirically at every sf)."""
+    import numpy as np
+
+    planes = np.random.default_rng(seed).standard_normal((n_planes, dim))
+    rows = ", ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in planes[i])}])"
+        for i in range(n_planes)
+    )
+    return f"""
+WITH planes(i, w) AS (VALUES {rows}),
+  sigs AS (
+    SELECT e.vec_id,
+           CAST(SUM(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), planes.w) > 0
+                         THEN (1 << planes.i) ELSE 0 END) AS BIGINT) AS bucket
+    FROM {source} e, planes GROUP BY e.vec_id),
+  qsig AS (SELECT bucket AS qb FROM sigs WHERE vec_id = {query_vec_id}),
+  cand AS (SELECT s.vec_id FROM sigs s, qsig
+           WHERE bit_count(xor(s.bucket, qsig.qb)) <= {hamming_radius})
+SELECT vec_id, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT e.vec_id,
+         ROW_NUMBER() OVER (
+           ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                    (SELECT CAST(embedding AS DOUBLE[]) FROM {source}
+                     WHERE vec_id = {query_vec_id})) DESC,
+                    e.vec_id ASC) AS rnk
+  FROM {source} e JOIN cand ON cand.vec_id = e.vec_id
+) WHERE rnk <= {k}
+"""

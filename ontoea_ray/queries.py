@@ -803,19 +803,26 @@ def q_jaccard_pairs(sf_dir: str):
     return jaccard_pairs(ds, threshold=0.5, shingle_n=3)
 
 
-@_register("q_minhash_lsh")  # approximate — verified in pytest against exact
+from ontoea_ray.functions.lsh_sql import lsh_neardup_sql, minhash_lsh_candidates_sql
+
+
+@_register("q_minhash_lsh", minhash_lsh_candidates_sql(num_perm=64, bands=16))
 def q_minhash_lsh(sf_dir: str):
+    """MinHash-LSH candidate pairs with a FULL value oracle: the whole
+    chain (md5[:8] token hashes -> wrap-mod-2^64 shingle fold -> seeded
+    (a*h+b) mod M perms -> FNV band keys -> capped buckets) is replayed
+    bit-for-bit in DuckDB by `functions.lsh_sql` (constants inlined)."""
     from ontoea_ray.stages.dedup import lsh_candidate_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return lsh_candidate_pairs(ds, num_perm=64, bands=16)
 
 
-@_register("q_lsh_neardup")  # approximate recall — precision verified exactly
+@_register("q_lsh_neardup", lsh_neardup_sql(threshold=0.5))
 def q_lsh_neardup(sf_dir: str):
-    """MinHash-LSH near-duplicates verified by exact shingle Jaccard
-    (precision 1.0 vs q_jaccard_pairs' predicate; recall per the banding
-    S-curve — hence rows-only for the driver, subset-tested in pytest)."""
+    """MinHash-LSH near-duplicates verified by exact shingle Jaccard.
+    Full value oracle: LSH candidate SQL (see q_minhash_lsh) intersected
+    with the distinct-string-shingle Jaccard >= 0.5 predicate."""
     from ontoea_ray.stages.dedup import lsh_near_duplicates
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -906,11 +913,20 @@ def q_ann_topk(sf_dir: str):
     return out.select(["vec_id", "rnk"])
 
 
-@_register("q_ann_lsh")  # approximate — verified in pytest against brute force
+from ontoea_ray.functions.lsh_sql import ann_lsh_topk_sql
+
+
+@_register("q_ann_lsh", ann_lsh_topk_sql(k=10, n_planes=8, dim=64, hamming_radius=1))
 def q_ann_lsh(sf_dir: str):
     """Index-backed ANN: builds (once per sf_dir, cached under /tmp) the
     bucket-partitioned LSH index, then answers from the index reading only
-    the Hamming-adjacent bucket partitions."""
+    the Hamming-adjacent bucket partitions.
+
+    Full value oracle: the seeded hyperplane matrix is inlined into the SQL
+    (`functions.lsh_sql.ann_lsh_topk_sql`) — DuckDB recomputes bucket sign
+    bits, Hamming-radius candidate pruning and the cosine top-k ranking.
+    Approximation is vs brute force (recall pinned in pytest), not
+    nondeterminism."""
     import hashlib
     import os
 
