@@ -36,12 +36,16 @@ def _h(tok_expr: str) -> str:
     return f"CAST(CAST(('0x' || substr(md5({tok_expr}), 1, 16)) AS UBIGINT) AS HUGEINT)"
 
 
-def _mulmod_p(x: str) -> str:
-    """(x * P_GOLDEN) mod 2^64 via hi/lo split (P > 2^63 would overflow HUGEINT)."""
+def _mulmod(x: str, c: int) -> str:
+    """(x * c) mod 2^64 via hi/lo split (c > 2^63 would overflow HUGEINT)."""
     return (
-        f"((((({x}) // {TWO32}) * {P_GOLDEN} % {TWO32}) * {TWO32}"
-        f" + (({x}) % {TWO32}) * {P_GOLDEN}) % {TWO64})"
+        f"((((({x}) // {TWO32}) * {c} % {TWO32}) * {TWO32}"
+        f" + (({x}) % {TWO32}) * {c}) % {TWO64})"
     )
+
+
+def _mulmod_p(x: str) -> str:
+    return _mulmod(x, P_GOLDEN)
 
 
 def _addmod(x: str, y: str) -> str:
@@ -236,4 +240,22 @@ SELECT vec_id, CAST(rnk AS BIGINT) AS rnk FROM (
                     e.vec_id ASC) AS rnk
   FROM {source} e JOIN cand ON cand.vec_id = e.vec_id
 ) WHERE rnk <= {k}
+"""
+
+
+def splitmix64_ctes(source: str, key_expr: str) -> str:
+    """CTE chain sm0..sm3 computing splitmix64(key_expr) over ``source``;
+    the final CTE ``sm3`` carries every source column plus ``_h`` (the
+    64-bit hash as HUGEINT).  Mirrors ``stages.sampling.splitmix64``."""
+    from ontoea_ray.stages.sampling import (
+        SPLITMIX_GAMMA,
+        SPLITMIX_M1,
+        SPLITMIX_M2,
+    )
+
+    return f"""
+  sm0 AS (SELECT *, ((CAST({key_expr} AS HUGEINT) + {SPLITMIX_GAMMA}) % {TWO64}) AS _z0 FROM {source}),
+  sm1 AS (SELECT *, {_mulmod(_xor64("_z0", f"(_z0 // {1 << 30})"), SPLITMIX_M1)} AS _z1 FROM sm0),
+  sm2 AS (SELECT *, {_mulmod(_xor64("_z1", f"(_z1 // {1 << 27})"), SPLITMIX_M2)} AS _z2 FROM sm1),
+  sm3 AS (SELECT *, {_xor64("_z2", f"(_z2 // {1 << 31})")} AS _h FROM sm2)
 """

@@ -829,6 +829,69 @@ def q_lsh_neardup(sf_dir: str):
     return lsh_near_duplicates(ds, threshold=0.5)
 
 
+from ontoea_ray.functions.lsh_sql import splitmix64_ctes
+
+
+@_register(
+    "q_sample_hash",
+    f"""
+    WITH {splitmix64_ctes("documents", "doc_id")}
+    SELECT doc_id FROM sm3 WHERE _h % 100 < 10
+    """,
+)
+def q_sample_hash(sf_dir: str):
+    """Deterministic 10% sample by splitmix64(doc_id) — reproducible,
+    resumable, join-stable (unlike random_sample); exact SQL oracle via
+    `functions.lsh_sql.splitmix64_ctes`."""
+    from ontoea_ray.stages.sampling import hash_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    return hash_sample(ds, key_col="doc_id", rate_pct=10)
+
+
+@_register(
+    "q_hash_split",
+    f"""
+    WITH {splitmix64_ctes("documents", "doc_id")}
+    SELECT doc_id,
+           CASE WHEN _h % 100 < 80 THEN 'train'
+                WHEN _h % 100 < 90 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM sm3
+    """,
+)
+def q_hash_split(sf_dir: str):
+    """Deterministic 80/10/10 train/valid/test labels by hash range — no
+    shuffle, no coordination, per-row reproducible."""
+    from ontoea_ray.stages.sampling import hash_split
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    return hash_split(ds, key_col="doc_id")
+
+
+@_register(
+    "q_pack_sequences",
+    """
+    SELECT doc_id,
+           CAST(COALESCE(SUM(len(str_split(text, ' ')))
+                  OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                // 4096 AS BIGINT) AS pack_id
+    FROM documents
+    """,
+)
+def q_pack_sequences(sf_dir: str):
+    """Fixed token-budget sequence packing (pack_id = exclusive prefix
+    token count // 4096 in doc_id order) via the distributed prefix-sum in
+    `stages.sampling.pack_sequences` — the corpus is touched twice,
+    aggregated nowhere."""
+    from ontoea_ray.stages.sampling import pack_sequences
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = pack_sequences(ds, key_col="doc_id", budget=4096)
+    return out.select_columns(["doc_id", "pack_id"])
+
+
 @_register(
     "q_embed_neardup",
     """

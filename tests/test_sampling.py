@@ -1,0 +1,64 @@
+"""Sampling / splitting / packing semantics (the oracle gate in
+test_queries_oracle covers value parity; these pin the invariants)."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ontoea_ray.stages.sampling import (
+    hash_sample,
+    hash_split,
+    pack_sequences,
+    splitmix64,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs():
+    return ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+
+
+def test_splitmix64_reference_vector():
+    # splitmix64(0..2) with the canonical gamma/mixer constants
+    out = splitmix64(np.arange(3, dtype=np.uint64))
+    ref = []
+    for x in range(3):
+        z = (x + 0x9E3779B97F4A7C15) % (1 << 64)
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) % (1 << 64)
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) % (1 << 64)
+        ref.append(z ^ (z >> 31))
+    assert out.tolist() == ref
+
+
+def test_hash_sample_deterministic_and_join_stable():
+    a = sorted(r["doc_id"] for r in hash_sample(_docs(), key_col="doc_id", rate_pct=10).take_all())
+    b = sorted(r["doc_id"] for r in hash_sample(_docs(), key_col="doc_id", rate_pct=10).take_all())
+    assert a == b and len(a) > 0
+    # rate_pct=20 is a superset of rate_pct=10 (hash ranges nest)
+    c = set(r["doc_id"] for r in hash_sample(_docs(), key_col="doc_id", rate_pct=20).take_all())
+    assert set(a) <= c
+
+
+def test_hash_split_partitions_everything():
+    rows = hash_split(_docs(), key_col="doc_id").take_all()
+    n = _docs().count()
+    assert len(rows) == n
+    from collections import Counter
+
+    counts = Counter(r["split"] for r in rows)
+    assert set(counts) <= {"train", "valid", "test"}
+    assert counts["train"] > counts["valid"] and counts["train"] > counts["test"]
+
+
+def test_pack_sequences_budget_invariants():
+    budget = 512
+    out = pack_sequences(_docs(), key_col="doc_id", budget=budget).take_all()
+    rows = sorted(out, key=lambda r: r["doc_id"])
+    toks = [len(r["text"].split(" ")) for r in rows]
+    # replay the exclusive-prefix rule serially
+    excl = np.concatenate([[0], np.cumsum(toks)[:-1]])
+    assert [r["pack_id"] for r in rows] == (excl // budget).tolist()
+    # pack ids start at 0 and are non-decreasing in key order
+    ids = [r["pack_id"] for r in rows]
+    assert ids[0] == 0 and all(b >= a for a, b in zip(ids, ids[1:]))
