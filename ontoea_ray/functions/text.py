@@ -144,6 +144,34 @@ def quality_stats(text: pa.Array) -> dict[str, pa.Array]:
     }
 
 
+def repetition_stats(text: pa.Array, *, shingle_n: int = 3) -> dict[str, pa.Array]:
+    """Duplicate-n-gram repetition signal (a Gopher/RefinedWeb-style quality
+    rule): per row, total word-n-gram shingles, distinct shingles, and the
+    duplicated fraction in integer milli-units (exact-oracle friendly:
+    ``(total - distinct) * 1000 // total``).
+
+    Rows shorter than ``shingle_n`` tokens count as one whole-text shingle
+    (total = 1, distinct = 1, dup = 0), mirroring
+    ``stages.dedup.shingle_strings``."""
+    from ontoea_ray.stages.dedup import shingle_strings
+
+    text = _as_array(text)
+    n = len(text)
+    counts = pc.list_value_length(tokenize(text)).to_numpy(zero_copy_only=False)
+    total = np.maximum(counts.astype(np.int64) - (shingle_n - 1), 1)
+    sh = shingle_strings(text, np.arange(n, dtype=np.int64), shingle_n)
+    distinct = np.ones(n, np.int64)
+    if len(sh):
+        grp = sh.groupby("id", sort=False).size()
+        distinct[grp.index.to_numpy(np.int64)] = grp.to_numpy(np.int64)
+    dup_milli = (total - distinct) * 1000 // total
+    return {
+        "n_shingles": pa.array(total, pa.int64()),
+        "n_distinct_shingles": pa.array(distinct, pa.int64()),
+        "dup_ngram_milli": pa.array(dup_milli, pa.int64()),
+    }
+
+
 def fingerprint_md5(text: pa.Array) -> pa.Array:
     """Document fingerprint: md5 hex of the lowercased text.
 

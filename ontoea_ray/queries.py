@@ -690,6 +690,88 @@ def q_doc_stats(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+_REP_SQL = """
+    WITH toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+           unnest(CASE WHEN len(t) >= 3
+                  THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
+                  ELSE [array_to_string(t, ' ')] END) AS s
+           FROM toks),
+    d AS (SELECT doc_id, COUNT(*) AS nd FROM sh GROUP BY doc_id),
+    t AS (SELECT doc_id, greatest(len(t) - 2, 1) AS nt FROM toks)
+    SELECT t.doc_id,
+           CAST(t.nt AS BIGINT) AS n_shingles,
+           CAST(d.nd AS BIGINT) AS n_distinct_shingles,
+           CAST((t.nt - d.nd) * 1000 // t.nt AS BIGINT) AS dup_ngram_milli
+    FROM t JOIN d ON t.doc_id = d.doc_id
+"""
+
+
+@_register("q_repetition", _REP_SQL)
+def q_repetition(sf_dir: str):
+    """Duplicate-3-gram repetition signal per document (Gopher-style
+    quality rule), integer milli-units for an exact oracle."""
+    from ontoea_ray.functions.text import repetition_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        r = repetition_stats(b["text"].combine_chunks())
+        return pa.table({"doc_id": b["doc_id"], **r})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+@_register(
+    "q_quality_filter",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             CAST(len(str_split(text, ' ')) AS BIGINT) AS nt,
+             CAST(length(text) AS BIGINT) AS nc,
+             CAST(len(list_filter(str_split(text, ' '),
+                  t -> t IN ('the','a','of','and','to','in','is','on'))) AS BIGINT) AS ns
+      FROM documents)
+    SELECT doc_id,
+           CAST(nt >= 30 AND nt <= 100000 AS BIGINT) AS ok_len,
+           CAST((nc - greatest(nt - 1, 0)) >= 3 * nt
+                AND (nc - greatest(nt - 1, 0)) <= 10 * nt AS BIGINT) AS ok_wordlen,
+           CAST(ns * 50 >= nt AS BIGINT) AS ok_stopwords,
+           CAST(nt >= 30 AND nt <= 100000
+                AND (nc - greatest(nt - 1, 0)) >= 3 * nt
+                AND (nc - greatest(nt - 1, 0)) <= 10 * nt
+                AND ns * 50 >= nt AS BIGINT) AS keep
+    FROM s
+    """,
+)
+def q_quality_filter(sf_dir: str):
+    """Composite rule-based quality filter (RefinedWeb/Gopher-style): token
+    count bounds, mean-word-length bounds (integer cross-multiplied — no
+    float compare), stopword presence >= 2%.  Emits per-rule flags + keep."""
+    from ontoea_ray.functions.text import quality_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        q = quality_stats(b["text"].combine_chunks())
+        nt = q["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nc = q["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ns = q["n_stopwords"].to_numpy(zero_copy_only=False).astype(np.int64)
+        letters = nc - np.maximum(nt - 1, 0)
+        ok_len = (nt >= 30) & (nt <= 100000)
+        ok_wordlen = (letters >= 3 * nt) & (letters <= 10 * nt)
+        ok_stop = ns * 50 >= nt
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "ok_len": pa.array(ok_len.astype(np.int64), pa.int64()),
+            "ok_wordlen": pa.array(ok_wordlen.astype(np.int64), pa.int64()),
+            "ok_stopwords": pa.array(ok_stop.astype(np.int64), pa.int64()),
+            "keep": pa.array((ok_len & ok_wordlen & ok_stop).astype(np.int64), pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 @_register(
     "q_fingerprint",
     "SELECT doc_id, md5(lower(text)) AS fp FROM documents",
