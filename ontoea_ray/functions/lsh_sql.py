@@ -259,3 +259,76 @@ def splitmix64_ctes(source: str, key_expr: str) -> str:
   sm2 AS (SELECT *, {_mulmod(_xor64("_z1", f"(_z1 // {1 << 27})"), SPLITMIX_M2)} AS _z2 FROM sm1),
   sm3 AS (SELECT *, {_xor64("_z2", f"(_z2 // {1 << 31})")} AS _h FROM sm2)
 """
+
+
+# ---------------------------------------------------------------------------
+# sketch oracles (stages/sketch.py): Count-Min registers / top-k, HLL
+# ---------------------------------------------------------------------------
+
+def _cmin_common(depth: int, width: int, seed: int, source: str, text_col: str) -> str:
+    from ontoea_ray.stages.dedup import _perm_params
+
+    a, b = _perm_params(depth, seed)
+    perm_rows = ", ".join(f"({r}, {int(a[r])}, {int(b[r])})" for r in range(depth))
+    return f"""
+  tok AS (SELECT unnest(str_split({text_col}, ' ')) AS token FROM {source}),
+  tc AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+  th AS (SELECT token, c, {_h("token")} AS hv FROM tc),
+  perms(r, a, b) AS (VALUES {perm_rows}),
+  regs AS (
+    SELECT perms.r AS r,
+           CAST(((perms.a * th.hv + perms.b) % {TWO64}) % {width} AS BIGINT) AS bucket,
+           CAST(SUM(th.c) AS BIGINT) AS cnt
+    FROM th, perms GROUP BY 1, 2)
+"""
+
+
+def count_min_registers_sql(
+    *, depth: int = 4, width: int = 1024, seed: int = 7,
+    source: str = "documents", text_col: str = "text",
+) -> str:
+    """Exact oracle for ``stages.sketch.count_min_sketch``: the merged
+    (r, bucket, cnt) register table over whitespace-token counts."""
+    return f"WITH {_cmin_common(depth, width, seed, source, text_col)}\nSELECT r, bucket, cnt FROM regs"
+
+
+def count_min_topk_sql(
+    *, k: int = 20, depth: int = 4, width: int = 1024, seed: int = 7,
+    source: str = "documents", text_col: str = "text",
+) -> str:
+    """Exact oracle for ``stages.sketch.count_min_topk``: per distinct
+    token, est = MIN over rows of its register; top-k by (est DESC, token
+    ASC)."""
+    return f"""
+WITH {_cmin_common(depth, width, seed, source, text_col)},
+  est AS (
+    SELECT th.token, MIN(regs.cnt) AS est
+    FROM th, perms, regs
+    WHERE regs.r = perms.r
+      AND regs.bucket = CAST(((perms.a * th.hv + perms.b) % {TWO64}) % {width} AS BIGINT)
+    GROUP BY th.token)
+SELECT token, CAST(est AS BIGINT) AS est
+FROM est ORDER BY est DESC, token ASC LIMIT {k}
+"""
+
+
+def hll_registers_sql(
+    *, p: int = 10, source: str = "documents", text_col: str = "text",
+) -> str:
+    """Exact oracle for ``stages.sketch.hyperloglog_registers`` (token
+    mode): bucket = top p bits of the md5[:8] hash, rho = leading-zero rank
+    of the low 64-p bits via length(bin(..)) — integer-exact (the low bits
+    fit BIGINT for p >= 2, so no float log2)."""
+    nbits = 64 - p
+    return f"""
+WITH tok AS (SELECT DISTINCT unnest(str_split({text_col}, ' ')) AS token FROM {source}),
+  h AS (SELECT DISTINCT {_h("token")} AS hv FROM tok),
+  parts AS (
+    SELECT CAST(hv // {1 << nbits} AS BIGINT) AS bucket,
+           CAST(hv % {1 << nbits} AS BIGINT) AS rest
+    FROM h)
+SELECT bucket,
+       CAST(MAX(CASE WHEN rest = 0 THEN {nbits + 1}
+                     ELSE {nbits} - length(bin(rest)) + 1 END) AS BIGINT) AS rho
+FROM parts GROUP BY bucket
+"""

@@ -911,7 +911,36 @@ def q_lsh_neardup(sf_dir: str):
     return lsh_near_duplicates(ds, threshold=0.5)
 
 
-from ontoea_ray.functions.lsh_sql import splitmix64_ctes
+from ontoea_ray.functions.lsh_sql import (
+    count_min_topk_sql,
+    hll_registers_sql,
+    splitmix64_ctes,
+)
+
+
+@_register("q_cmin_topk", count_min_topk_sql(k=20, depth=4, width=1024, seed=7))
+def q_cmin_topk(sf_dir: str):
+    """Count-Min heavy hitters: per-block partial sketches merge through a
+    constant-size (depth x width) shuffle; top-20 tokens by sketch
+    estimate.  Registers AND estimates are replayed exactly in DuckDB
+    (md5 token hashes + seeded perm rows inlined)."""
+    from ontoea_ray.stages.sketch import count_min_topk
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return count_min_topk(ds, k=20, depth=4, width=1024, seed=7)
+
+
+@_register("q_hll_registers", hll_registers_sql(p=10))
+def q_hll_registers(sf_dir: str):
+    """HyperLogLog register table over the distinct whitespace tokens of
+    the corpus: bucket = top-10 hash bits, rho = leading-zero rank of the
+    rest.  Registers are integers -> exact oracle; the float cardinality
+    estimate is derived from them (`stages.sketch.hll_estimate`,
+    accuracy pinned in pytest)."""
+    from ontoea_ray.stages.sketch import hyperloglog_registers
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return hyperloglog_registers(ds, col="text", p=10, tokens=True)
 
 
 @_register(

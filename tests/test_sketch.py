@@ -1,0 +1,72 @@
+"""Count-Min / HLL sketch semantics (SQL value parity is covered by the
+oracle gate in test_queries_oracle)."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ontoea_ray.stages.sketch import (
+    count_min_sketch,
+    count_min_topk,
+    hll_estimate,
+    hyperloglog_registers,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs():
+    return ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+
+
+def _exact_counts():
+    import collections
+
+    c = collections.Counter()
+    for r in _docs().take_all():
+        c.update(r["text"].split(" "))
+    return c
+
+
+def test_count_min_never_underestimates():
+    exact = _exact_counts()
+    top = count_min_topk(_docs(), k=50).to_pandas()
+    est = dict(zip(top["token"], top["est"]))
+    for tok, e in est.items():
+        assert e >= exact[tok], (tok, e, exact[tok])
+
+
+def test_count_min_finds_true_heavy_hitter():
+    exact = _exact_counts()
+    true_top = max(exact, key=lambda t: (exact[t], t))
+    top = count_min_topk(_docs(), k=5).to_pandas()
+    assert true_top in set(top["token"])
+
+
+def test_count_min_register_table_is_bounded():
+    regs = count_min_sketch(_docs(), depth=4, width=1024).take_all()
+    assert len(regs) <= 4 * 1024
+    assert all(0 <= r["bucket"] < 1024 and 0 <= r["r"] < 4 for r in regs)
+
+
+def test_hll_estimate_accuracy_and_determinism():
+    regs1 = pa.Table.from_pylist(
+        hyperloglog_registers(_docs(), col="text", p=10, tokens=True).take_all()
+    )
+    regs2 = pa.Table.from_pylist(
+        hyperloglog_registers(_docs(), col="text", p=10, tokens=True).take_all()
+    )
+    df1 = regs1.to_pandas().sort_values("bucket").reset_index(drop=True)
+    df2 = regs2.to_pandas().sort_values("bucket").reset_index(drop=True)
+    assert df1.equals(df2)
+    exact = len(_exact_counts())
+    est = hll_estimate(regs1, p=10)
+    assert abs(est - exact) / exact < 0.15  # p=10 -> ~3.2% typical, generous bound
+
+
+def test_hll_doc_ids_cardinality():
+    # distinct over a non-token column (doc_id as string)
+    regs = hyperloglog_registers(_docs(), col="doc_id", p=10)
+    est = hll_estimate(pa.Table.from_pylist(regs.take_all()), p=10)
+    exact = _docs().count()
+    assert abs(est - exact) / exact < 0.15
