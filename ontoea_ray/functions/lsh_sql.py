@@ -332,3 +332,42 @@ SELECT bucket,
                      ELSE {nbits} - length(bin(rest)) + 1 END) AS BIGINT) AS rho
 FROM parts GROUP BY bucket
 """
+
+
+def bloom_semi_join_sql(
+    *,
+    probe_sql: str,
+    probe_key: str,
+    build_sql: str,
+    build_key: str,
+    out_cols: str,
+    m_bits: int = 1 << 16,
+    n_hashes: int = 4,
+    seed: int = 11,
+) -> str:
+    """Exact oracle for ``stages.bloom.bloom_semi_join``: rebuild the bit
+    set (distinct ((a_i*h+b_i) mod 2^64) mod m over build keys, md5[:8]
+    hashes, perms inlined) and keep probe rows whose n_hashes positions are
+    all set — false positives replay identically."""
+    from ontoea_ray.stages.dedup import _perm_params
+
+    a, b = _perm_params(n_hashes, seed)
+    perm_rows = ", ".join(f"({i}, {int(a[i])}, {int(b[i])})" for i in range(n_hashes))
+    pos = f"CAST(((perms.a * hv + perms.b) % {TWO64}) % {m_bits} AS BIGINT)"
+    # positions are materialized as plain columns BEFORE the join so DuckDB
+    # hash-joins on them (an expression key over HUGEINT arithmetic falls
+    # back to a nested loop — minutes at 15k probe rows)
+    return f"""
+WITH perms(i, a, b) AS (VALUES {perm_rows}),
+  bk AS (SELECT DISTINCT {_h(f"CAST({build_key} AS VARCHAR)")} AS hv FROM ({build_sql})),
+  setbits AS (SELECT DISTINCT {pos} AS pos FROM bk, perms),
+  pk AS (SELECT DISTINCT {probe_key} AS k FROM ({probe_sql})),
+  pkh AS (SELECT k, {_h("CAST(k AS VARCHAR)")} AS hv FROM pk),
+  pkpos AS (SELECT k, perms.i AS i, {pos} AS pos FROM pkh, perms),
+  hits AS (
+    SELECT pkpos.k
+    FROM pkpos JOIN setbits ON pkpos.pos = setbits.pos
+    GROUP BY pkpos.k
+    HAVING COUNT(DISTINCT pkpos.i) = {n_hashes})
+SELECT {out_cols} FROM ({probe_sql}) p WHERE p.{probe_key} IN (SELECT k FROM hits)
+"""

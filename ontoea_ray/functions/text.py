@@ -172,6 +172,24 @@ def repetition_stats(text: pa.Array, *, shingle_n: int = 3) -> dict[str, pa.Arra
     }
 
 
+def postings(text: pa.Array, doc_ids: np.ndarray) -> pa.Table:
+    """Inverted-index postings explode: (token, doc_id, pos) rows, pos =
+    0-based token position within the document.  Fully vectorized (offsets
+    arithmetic, no row loop); the downstream index writer hash-partitions
+    by token so a term lookup reads one partition."""
+    toks = tokenize(_as_array(text))
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    counts = np.diff(offsets)
+    flat = toks.flatten()
+    ids = np.repeat(np.asarray(doc_ids, np.int64), counts)
+    pos = np.arange(len(flat), dtype=np.int64) - np.repeat(offsets[:-1], counts)
+    return pa.table({
+        "token": flat,
+        "doc_id": pa.array(ids, pa.int64()),
+        "pos": pa.array(pos, pa.int64()),
+    })
+
+
 def fingerprint_md5(text: pa.Array) -> pa.Array:
     """Document fingerprint: md5 hex of the lowercased text.
 

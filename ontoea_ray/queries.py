@@ -918,6 +918,59 @@ from ontoea_ray.functions.lsh_sql import (
 )
 
 
+from ontoea_ray.functions.lsh_sql import bloom_semi_join_sql
+
+
+@_register(
+    "q_bloom_semi_join",
+    bloom_semi_join_sql(
+        probe_sql="SELECT o_orderkey, o_custkey FROM orders",
+        probe_key="o_custkey",
+        build_sql="SELECT c_custkey FROM customer WHERE c_acctbal > 5000",
+        build_key="c_custkey",
+        out_cols="p.o_orderkey, p.o_custkey",
+    ),
+)
+def q_bloom_semi_join(sf_dir: str):
+    """Bloom-filter semi-join (large x large, shuffle-free): orders whose
+    custkey MAY be a high-balance customer.  The m-bit filter is built in
+    one streaming pass, broadcast once, and the probe side filters
+    streaming.  Superset semantics (false positives only) — and because
+    the oracle rebuilds the same bit set, even the FPs value-hash match."""
+    from ontoea_ray.stages.bloom import bloom_semi_join
+
+    probe = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    build = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]).map_batches(
+        lambda b: b.filter(pc.greater(b["c_acctbal"], 5000)).select(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+    return bloom_semi_join(probe, build, probe_key="o_custkey", build_key="c_custkey")
+
+
+@_register(
+    "q_inverted_postings",
+    """
+    SELECT doc_id, unnest(t) AS token,
+           CAST(unnest(range(1, len(t) + 1)) - 1 AS BIGINT) AS pos
+    FROM (SELECT doc_id, str_split(text, ' ') AS t FROM documents)
+    """,
+)
+def q_inverted_postings(sf_dir: str):
+    """Inverted-index postings (token, doc_id, pos) — the explode an index
+    writer hash-partitions by token; vectorized offsets arithmetic."""
+    from ontoea_ray.functions.text import postings
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        return postings(
+            b["text"].combine_chunks(),
+            np.asarray(b["doc_id"].to_numpy(zero_copy_only=False), np.int64),
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 @_register("q_cmin_topk", count_min_topk_sql(k=20, depth=4, width=1024, seed=7))
 def q_cmin_topk(sf_dir: str):
     """Count-Min heavy hitters: per-block partial sketches merge through a
