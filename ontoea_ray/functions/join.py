@@ -1,0 +1,91 @@
+"""General distributed hash join.
+
+Ray Data 2.49 ships a native ``Dataset.join`` backed by a fleet of
+aggregator actors; on small sessions (tests, laptops) that fleet competes
+with the read stage for CPUs, and its partition count must be chosen up
+front.  This portable implementation reuses the repo's one-exchange
+pattern instead: tag each side, schema-align the payload columns, union,
+hash-co-locate on the join key (`with_partition_key`), and run one
+vectorized ``pandas.merge`` per partition.  Exactly one all-to-all
+exchange, partition count = `shuffle_width()` (∝ cluster CPUs), no
+standing actors.
+
+Use the native API when a standing aggregator pool is acceptable; use
+this when you want the join to behave like every other wide op in the
+engine (streaming tasks, width ∝ CPUs, deterministic small-session
+behavior).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ontoea_ray.functions.shuffle import with_partition_key
+from ontoea_ray.functions.tables import from_pandas as _from_pandas_clean
+
+
+def hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    on: list[str],
+    right_on: list[str] | None = None,
+    how: str = "inner",
+    rsuffix: str = "_r",
+    width: int | None = None,
+) -> ray.data.Dataset:
+    """Distributed hash join (inner / left) on equality keys.
+
+    Right-side key columns are renamed to the left's; payload columns that
+    collide get ``rsuffix``.  Left-join non-matches carry typed nulls."""
+    assert how in ("inner", "left")
+    right_on = right_on or on
+    assert len(on) == len(right_on)
+    ren = dict(zip(right_on, on))
+
+    lsch, rsch = left.schema(), right.schema()
+    lpay = [n for n in lsch.names if n not in on]
+    rpay_src = [n for n in rsch.names if n not in right_on]
+    rpay = [(n, n + rsuffix if n in lpay or n in on else n) for n in rpay_src]
+    out_r_names = [dst for _, dst in rpay]
+    rtypes = {dst: rsch.types[rsch.names.index(src)] for src, dst in rpay}
+    ltypes = {n: lsch.types[lsch.names.index(n)] for n in lpay}
+    keytypes = {k: lsch.types[lsch.names.index(k)] for k in on}
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            cols: dict = {}
+            for k in on:
+                src = k if side == 0 else right_on[on.index(k)]
+                cols[k] = batch[src].combine_chunks().cast(keytypes[k])
+            cols["_side"] = pa.array(np.full(len(batch), side, np.int8), pa.int8())
+            for n in lpay:
+                cols[n] = batch[n].combine_chunks() if side == 0 else pa.nulls(len(batch), ltypes[n])
+            for src, dst in rpay:
+                cols[dst] = batch[src].combine_chunks() if side == 1 else pa.nulls(len(batch), rtypes[dst])
+            return pa.table(cols)
+
+        return fn
+
+    both = left.map_batches(tag(0), batch_format="pyarrow").union(
+        right.map_batches(tag(1), batch_format="pyarrow")
+    )
+    parted = with_partition_key(both, on, width=width)
+    out_cols = on + lpay + out_r_names
+    out_types = {**keytypes, **ltypes, **rtypes}
+
+    def join_part(df: pd.DataFrame) -> pa.Table:
+        l = df[df["_side"] == 0][on + lpay]
+        r = df[df["_side"] == 1][on + out_r_names]
+        out = l.merge(r, on=on, how=how, sort=False)
+        # pandas lifts int columns with typed nulls to float64; cast back to
+        # the declared Arrow types (from_pandas=True maps NaN -> null for
+        # left-join non-matches)
+        return pa.table({
+            c: pa.array(out[c], type=out_types[c], from_pandas=True) for c in out_cols
+        })
+
+    return parted.groupby("pkey").map_groups(join_part, batch_format="pandas")

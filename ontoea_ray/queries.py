@@ -918,6 +918,33 @@ from ontoea_ray.functions.lsh_sql import (
 )
 
 
+@_register(
+    "q_hash_join",
+    """
+    SELECT o.o_orderkey, o.o_custkey, CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+           CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS acctbal_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_hash_join(sf_dir: str):
+    """General distributed hash join (functions/join.py): tagged union +
+    one keyed exchange + per-partition vectorized pandas merge — the
+    engine's portable alternative to Ray's aggregator-actor join."""
+    from ontoea_ray.functions.join import hash_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"]).map_batches(
+        lambda b: pa.table({
+            "c_custkey": b["c_custkey"],
+            "c_nationkey": pc.cast(b["c_nationkey"], pa.int64()),
+            "acctbal_cents": pc.cast(pc.round(pc.multiply(b["c_acctbal"], 100)), pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    out = hash_join(orders, cust, on=["o_custkey"], right_on=["c_custkey"], how="inner")
+    return out.select_columns(["o_orderkey", "o_custkey", "c_nationkey", "acctbal_cents"])
+
+
 from ontoea_ray.functions.lsh_sql import bloom_semi_join_sql
 
 

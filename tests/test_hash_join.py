@@ -1,0 +1,38 @@
+"""hash_join semantics (inner parity vs DuckDB is covered by the oracle
+gate; these pin left-join nulls, suffixing, and multi-key joins)."""
+
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ontoea_ray.functions.join import hash_join
+
+
+def _df(res) -> pd.DataFrame:
+    return pa.Table.from_pylist(res.take_all()).to_pandas()
+
+
+def test_left_join_carries_nulls():
+    l = ray.data.from_items([{"k": 1, "v": 10}, {"k": 2, "v": 20}, {"k": 3, "v": 30}])
+    r = ray.data.from_items([{"k": 1, "w": 100}, {"k": 3, "w": 300}])
+    out = _df(hash_join(l, r, on=["k"], how="left")).sort_values("k").reset_index(drop=True)
+    assert out["k"].tolist() == [1, 2, 3]
+    assert out["v"].tolist() == [10, 20, 30]
+    assert out["w"][0] == 100 and pd.isna(out["w"][1]) and out["w"][2] == 300
+
+
+def test_inner_join_drops_non_matches_and_suffixes_collisions():
+    l = ray.data.from_items([{"k": 1, "v": 10}, {"k": 2, "v": 20}])
+    r = ray.data.from_items([{"kk": 2, "v": 99}, {"kk": 5, "v": 7}])
+    out = _df(hash_join(l, r, on=["k"], right_on=["kk"], how="inner"))
+    assert out.to_dict("records") == [{"k": 2, "v": 20, "v_r": 99}]
+
+
+def test_multi_key_join_and_duplicate_matches():
+    l = ray.data.from_items([{"a": 1, "b": "x", "v": 1}, {"a": 1, "b": "y", "v": 2}])
+    r = ray.data.from_items(
+        [{"a": 1, "b": "x", "w": 10}, {"a": 1, "b": "x", "w": 11}, {"a": 1, "b": "z", "w": 12}]
+    )
+    out = _df(hash_join(l, r, on=["a", "b"], how="inner")).sort_values("w").reset_index(drop=True)
+    assert len(out) == 2  # one left row x two right matches
+    assert out["w"].tolist() == [10, 11] and out["v"].tolist() == [1, 1]
