@@ -38,7 +38,14 @@ def _register(name: str, sql: str | None = None):
 
 
 def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    # pass a metadata-free schema so blocks carry no writer (pandas) dict
+    # metadata — wide ops downstream would otherwise log schema-dedup
+    # warnings per task and re-unify schemas per block
+    path = f"{sf_dir}/{table}.parquet"
+    schema = pq.read_schema(path).remove_metadata()
+    if columns:
+        schema = pa.schema([schema.field(c) for c in columns])
+    return ray.data.read_parquet(path, columns=columns, schema=schema)
 
 
 # ---------------------------------------------------------------------------
