@@ -36,6 +36,11 @@ BENCH_QUERIES = [
     "q_asof_join",
     "q_range_join",
     "q_window_sliding",
+    "q_hash_join",
+    "q_bloom_semi_join",
+    "q_cmin_topk",
+    "q_pack_sequences",
+    "q_quality_filter",
 ]
 
 
