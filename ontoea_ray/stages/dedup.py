@@ -359,13 +359,36 @@ def simhash64_kernel(batch: pa.Table, *, id_col="doc_id", text_col="text") -> pa
     Module-level so tests can pin golden values without a Dataset."""
     from ontoea_ray.functions.text import tokenize
 
+    import pyarrow.compute as pc
+
     toks = tokenize(batch[text_col].combine_chunks())
     offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    flat = _token_hashes(toks.flatten())
-    bits = ((flat[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
-    contrib = 2 * bits - 1
-    csum = np.concatenate([np.zeros((1, 64), np.int64), np.cumsum(contrib, axis=0)])
-    per_row = csum[offs[1:]] - csum[offs[:-1]]
+    flat_toks = toks.flatten()
+    counts = np.diff(offs)
+    n_rows = len(counts)
+    uniq = flat_toks.unique()
+    n_uniq = len(uniq)
+    if n_uniq * max(n_rows, 1) <= (1 << 26):
+        # small-vocab fast path: per-row unique-token occurrence matrix @
+        # unique bit matrix (BLAS) instead of materializing a |tokens|x64
+        # bit matrix (the latter moves ~GBs for long corpora)
+        h_uniq = _token_hashes(uniq)
+        bits_uniq = (
+            (h_uniq[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+        ).astype(np.float64)
+        idx = pc.index_in(flat_toks, value_set=uniq).to_numpy(zero_copy_only=False).astype(np.int64)
+        row_id = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
+        occ = np.bincount(row_id * n_uniq + idx, minlength=n_rows * n_uniq).reshape(
+            n_rows, n_uniq
+        ).astype(np.float64)
+        ones = np.rint(occ @ bits_uniq).astype(np.int64)  # per-row count of 1-bits
+        per_row = 2 * ones - counts[:, None]
+    else:
+        flat = _token_hashes(flat_toks)
+        bits = ((flat[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+        contrib = 2 * bits - 1
+        csum = np.concatenate([np.zeros((1, 64), np.int64), np.cumsum(contrib, axis=0)])
+        per_row = csum[offs[1:]] - csum[offs[:-1]]
     sh = (per_row > 0).astype(np.uint64) @ (np.uint64(1) << np.arange(64, dtype=np.uint64))
     return pa.table(
         {
