@@ -1020,6 +1020,24 @@ def q_inverted_postings(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def _corpus_prep_sql():
+    from ontoea_ray.pipelines.corpus_prep import corpus_prep_sql
+
+    return corpus_prep_sql(budget=4096, neardup_threshold=0.5)
+
+
+@_register("q_corpus_prep", _corpus_prep_sql())
+def q_corpus_prep(sf_dir: str):
+    """End-to-end LLM corpus prep: quality filter -> exact dedup ->
+    MinHash-LSH near-dup removal -> token-budget packing, composed as one
+    streaming graph with a single CHAINED DuckDB oracle (including the LSH
+    SQL replay) — the whole pipeline is value-hash-checked."""
+    from ontoea_ray.pipelines.corpus_prep import corpus_prep
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return corpus_prep(ds, budget=4096, neardup_threshold=0.5)
+
+
 @_register("q_cmin_topk", count_min_topk_sql(k=20, depth=4, width=1024, seed=7))
 def q_cmin_topk(sf_dir: str):
     """Count-Min heavy hitters: per-block partial sketches merge through a
