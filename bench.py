@@ -55,6 +55,20 @@ def _consume(res) -> int:
     return len(res)
 
 
+def dram_microbench() -> float:
+    """Single-proc numpy streaming kernel (seconds) — measures the HOST's
+    current speed so bench numbers carry their environment quality: this
+    sandbox's host slows up to ~5x under external contention (BASELINE.md
+    caveat).  Recorded reference on a quiet box: ~0.14 s."""
+    import numpy as np
+
+    x = np.arange(2_000_000, dtype=np.uint64)
+    t0 = time.time()
+    for _ in range(20):
+        x = x * np.uint64(0x9E3779B97F4A7C15) + np.uint64(1)
+    return round(time.time() - t0, 3)
+
+
 def run_bench() -> dict:
     import ray
 
@@ -129,6 +143,7 @@ def run_bench() -> dict:
         "pages_per_sec": round(n_pages / flagship_sec, 1),
         "triples_per_sec": round(n_triples / flagship_sec, 1),
         "scan_sec": scan_sec,
+        "dram_microbench_1p_sec": dram_microbench(),
     }
     ray.shutdown()
     return result
@@ -201,6 +216,7 @@ def run_scaling() -> dict:
             "note": "8->32 is capped ~0.5-0.6 by single-box DRAM bandwidth saturation (see BASELINE.md); a 4N-node cluster scales bandwidth with nodes",
         },
         "sf": SF_DIR,
+        "dram_microbench_1p_sec": dram_microbench(),
     }
 
 
