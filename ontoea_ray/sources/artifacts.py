@@ -64,6 +64,77 @@ def save_trainer_artifacts(trainer, out_dir: str, *, id_dicts: dict | None = Non
             pq.write_table(tbl, os.path.join(out_dir, f"{name}_ids.parquet"))
 
 
+def save_onto_check_mat(path: str, onto_mat: np.ndarray, onto2id_dict: dict) -> None:
+    """Persist the class-coherence matrix with its class-name -> id mapping —
+    the reference's ``onto_check_mat.h5`` artifact (check.py:56-…, keys
+    ``onto_mat`` / ``onto_name`` / ``onto_id``).  Written through h5py when
+    the library is importable, else an ``.npz`` with the identical keys (the
+    sandbox ships no HDF5; the loader accepts both)."""
+    names = np.array(list(onto2id_dict.keys()))
+    ids = np.array(list(onto2id_dict.values()), np.int64)
+    try:
+        import h5py  # noqa: F401
+
+        with h5py.File(path, "w") as f:
+            f.create_dataset("onto_mat", data=onto_mat)
+            f.create_dataset("onto_name", data=[n.encode("utf-8") for n in names])
+            f.create_dataset("onto_id", data=ids)
+    except ImportError:
+        np.savez(path if path.endswith(".npz") else path + ".npz",
+                 onto_mat=onto_mat, onto_name=names, onto_id=ids)
+
+
+def load_onto_check_mat(path: str) -> dict:
+    """Inverse of :func:`save_onto_check_mat` -> ``{'onto_mat',
+    'onto2id_dict'}`` (reference read.py:455-470; h5 when h5py exists, npz
+    fallback with the same keys)."""
+    if os.path.exists(path) and not path.endswith(".npz"):
+        try:
+            import h5py
+
+            with h5py.File(path, "r") as f:
+                onto_mat = f["onto_mat"][:]
+                names = [n.decode("utf-8") for n in f["onto_name"][()]]
+                ids = f["onto_id"][()]
+            return {"onto_mat": onto_mat, "onto2id_dict": dict(zip(names, ids))}
+        except ImportError:
+            pass
+    npz_path = path if path.endswith(".npz") else path + ".npz"
+    m = np.load(npz_path, allow_pickle=False)
+    names = [str(n) for n in m["onto_name"]]
+    return {"onto_mat": m["onto_mat"], "onto2id_dict": dict(zip(names, m["onto_id"]))}
+
+
+def radio_2file(radio: float, folder: str) -> str:
+    """Seed-ratio run subdirectory: ``folder/0_3/`` for radio=0.3 — the
+    reference's layout (read.py:328-333: ``str(radio)`` with ``.`` -> ``_``,
+    created if missing, trailing separator included)."""
+    path = os.path.join(folder, str(radio).replace(".", "_"))
+    os.makedirs(path, exist_ok=True)
+    return path + os.sep
+
+
+def generate_out_folder(
+    out_folder: str,
+    training_data_path: str,
+    div_path: str,
+    method_name: str,
+    *,
+    timestamp: str | None = None,
+) -> str:
+    """Timestamped results directory
+    ``out_folder/method/dataset/div<YYYYmmddHHMMSS>/`` (util.py:32-38; the
+    dataset component is the last element of the training-data path).
+    ``timestamp`` can be pinned for reproducible tests/resume."""
+    import time as _time
+
+    dataset = training_data_path.strip("/").split("/")[-1]
+    stamp = timestamp if timestamp is not None else _time.strftime("%Y%m%d%H%M%S")
+    folder = os.path.join(out_folder, method_name, dataset, f"{div_path}{stamp}") + os.sep
+    os.makedirs(folder, exist_ok=True)
+    return folder
+
+
 def save_alignment_results(out_dir: str, pairs: list[tuple], name: str = "alignment_results_12") -> None:
     os.makedirs(out_dir, exist_ok=True)
     tbl = pa.table(

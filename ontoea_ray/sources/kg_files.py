@@ -187,6 +187,62 @@ def load_class_path(path: str) -> dict:
         return json.load(f)
 
 
+def read_ent_ills(path: str) -> tuple[list[str], list[str]]:
+    """Aligned-entity ILL file -> (source list, target list): the reference's
+    paired-list shape (read.py:261-270; whitespace split, strict 2 fields,
+    both lists kept in file order)."""
+    s_list: list[str] = []
+    t_list: list[str] = []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            s, t = line.strip().split()
+            s_list.append(s)
+            t_list.append(t)
+    return s_list, t_list
+
+
+def load_type_relation(dataset_division: str, *, bracket: bool = True) -> dict:
+    """``{'subclassof': child->parent, 'disjointwith': a->b}`` read from the
+    division's ``onto_subClassOf_triples`` / ``onto_disjointWith_triples``
+    (check.py:25-53; both files are required)."""
+    sub_path = os.path.join(dataset_division, "onto_subClassOf_triples")
+    dis_path = os.path.join(dataset_division, "onto_disjointWith_triples")
+    for p in (sub_path, dis_path):
+        if not os.path.isfile(p):
+            raise FileNotFoundError(p)
+    return {
+        "subclassof": read_onto_functional(sub_path, bracket=bracket),
+        "disjointwith": read_onto_functional(dis_path, bracket=bracket),
+    }
+
+
+_UNIFY_SUFFIX = {0: "_unify_align_types", 1: "_types", 2: "_align_types"}
+
+
+def load_datasets_info(folder: str, lang: str, unify: int = 0) -> dict:
+    """Composed dataset-info loader (inference.py:69-96): entity ILLs +
+    per-language cv links (file suffix selected by ``unify`` exactly as the
+    reference switches) + per-language triple adjacency dicts + the ontology
+    dicts, returned under the reference's keys.  Driver-side by design:
+    every piece is broadcast-sized (the big triple sets flow through the
+    Dataset readers instead)."""
+    lang1, lang2 = lang.split("_")
+    base = os.path.join(folder, lang)
+    suffix = _UNIFY_SUFFIX[unify]
+    lang1_triples = read_relation_triples(os.path.join(base, lang1 + "_popular_rel_triples"), sep="\t")
+    lang2_triples = read_relation_triples(os.path.join(base, lang2 + "_popular_rel_triples"), sep="\t")
+    from ontoea_ray.state.inference import build_adjacency
+
+    return {
+        "ent_ills": read_ent_ills(os.path.join(base, "ent_ILLs")),
+        "lang1_cv_link": load_crossview_link(os.path.join(base, lang1 + suffix)),
+        "lang2_cv_link": load_crossview_link(os.path.join(base, lang2 + suffix)),
+        "lang1_kg": build_adjacency(lang1_triples),
+        "lang2_kg": build_adjacency(lang2_triples),
+        "onto_dict": load_type_relation(folder),
+    }
+
+
 ALTER_LABEL_PREDICATES = (
     "http://www.wikidata.org/entity/P1476",
     "http://www.wikidata.org/entity/P373",
