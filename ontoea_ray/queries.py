@@ -1357,6 +1357,79 @@ FROM subbed GROUP BY subj, pred, obj
 """
 
 
+@_register(
+    "q_pii_scrub",
+    r"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(
+             text || ' mail user' || doc_id || '@ex-mail.example.com ip 10.'
+                  || (doc_id % 256) || '.0.' || (doc_id % 100)
+                  || ' tel +1-555-' || (doc_id % 10000) || '-99',
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\+\d[\d-]{7,}\d', '<PHONE>', 'g') AS scrubbed
+    FROM documents
+    """,
+)
+def q_pii_scrub(sf_dir: str):
+    """PII redaction (emails / IPv4 / phone -> typed tags) — the standard
+    pre-training privacy scrub, as a pure map stage.  The synthetic corpus
+    carries no PII, so the query plants deterministic doc_id-derived PII in
+    every row first; the oracle replays the same plant + the same RE2
+    replacement chain, checking the scrubber's substitutions value-exactly."""
+    from ontoea_ray.functions.text import pii_scrub
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_pandas()
+        aug = pa.array(
+            b["text"].to_pandas()
+            + " mail user" + did.astype(str) + "@ex-mail.example.com ip 10."
+            + (did % 256).astype(str) + ".0." + (did % 100).astype(str)
+            + " tel +1-555-" + (did % 10000).astype(str) + "-99"
+        )
+        return pa.table({"doc_id": b["doc_id"], "scrubbed": pii_scrub(aug)})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+@_register(
+    "q_domain_cap",
+    """
+    SELECT doc_id, source, rnk FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rnk
+      FROM documents
+    ) WHERE rnk <= 10
+    """,
+)
+def q_domain_cap(sf_dir: str):
+    """Per-domain document cap (keep the 10 lowest-doc_id docs per source) —
+    the CommonCrawl-style anti-domination sampler.
+
+    Combiner-first per-key top-k, same shape as q_group_topk: each block
+    keeps only ITS 10 best rows per source before the keyed exchange, so
+    the shuffle moves at most 10 x sources-per-block rows — a domain with a
+    billion documents ships 10 rows per upstream block, never the domain."""
+    from ontoea_ray.functions.shuffle import with_partition_key
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def _rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["source", "doc_id"], kind="mergesort")
+        df["rnk"] = (df.groupby("source", sort=False).cumcount() + 1).astype(np.int64)
+        return df[df["rnk"] <= 10]
+
+    pruned = ds.map_batches(
+        lambda df: _rank(df)[["doc_id", "source"]], batch_format="pandas"
+    )
+    parted = with_partition_key(pruned, ["source"])
+    return parted.groupby("pkey").map_groups(
+        lambda df: _rank(df)[["doc_id", "source", "rnk"]], batch_format="pandas"
+    )
+
+
 @_register("q_kg_construct", _FLAGSHIP_SQL)
 def q_kg_construct(sf_dir: str):
     """End-to-end flagship WITH a full DuckDB oracle: the corpus-derived
