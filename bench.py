@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "q_quality_filter",
     "q_pii_scrub",
     "q_domain_cap",
+    "q_bigram_freq",
+    "q_tfidf",
 ]
 
 

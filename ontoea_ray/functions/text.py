@@ -190,6 +190,49 @@ def postings(text: pa.Array, doc_ids: np.ndarray) -> pa.Table:
     })
 
 
+def bigram_counts(text: pa.Array) -> pa.Table:
+    """Per-batch partial bigram counts -> (bigram, freq).
+
+    Adjacent pairs via shifted slices of the flattened token array; document
+    boundaries are masked with the list offsets (position i pairs with i+1
+    only when i+1 is not the start of the next document).  No row loop."""
+    toks = tokenize(text)
+    flat = toks.flatten().to_pandas()
+    if len(flat) < 2:
+        return pa.table({"bigram": pa.array([], pa.string()), "freq": pa.array([], pa.int64())})
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    start = np.zeros(len(flat) + 1, np.bool_)
+    start[offsets] = True
+    valid = ~start[1 : len(flat)]  # pair (i, i+1) stays inside one document
+    pairs = (flat.iloc[:-1].reset_index(drop=True) + " " + flat.iloc[1:].reset_index(drop=True))[valid]
+    vc = pairs.value_counts()
+    return pa.table(
+        {"bigram": pa.array(vc.index, pa.string()), "freq": pa.array(vc.to_numpy(), pa.int64())}
+    )
+
+
+def doc_term_frequencies(text: pa.Array, doc_ids: np.ndarray) -> pa.Table:
+    """Per-(doc, token) term counts -> (doc_id, token, tf).
+
+    Exact without any shuffle: a document is one input row, so its counts
+    are complete inside the batch (explode tokens with the list offsets,
+    one grouped value_count)."""
+    import pandas as pd
+
+    toks = tokenize(text)
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat_docs = np.repeat(doc_ids, np.diff(offsets))
+    df = pd.DataFrame({"doc_id": flat_docs, "token": toks.flatten().to_pandas()})
+    g = df.groupby(["doc_id", "token"], sort=False).size().reset_index(name="tf")
+    return pa.table(
+        {
+            "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+            "token": pa.array(g["token"], pa.string()),
+            "tf": pa.array(g["tf"].to_numpy().astype(np.int64), pa.int64()),
+        }
+    )
+
+
 # PII patterns shared with the DuckDB oracle (RE2 and Python `re` agree on
 # these constructs: \d, \b, bounded repetition).  Replacement ORDER is part
 # of the contract — emails first (they contain dots that would otherwise be

@@ -1430,6 +1430,112 @@ def q_domain_cap(sf_dir: str):
     )
 
 
+@_register(
+    "q_bigram_freq",
+    """
+    SELECT bigram, freq,
+           CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, bigram DESC) - 1 AS BIGINT) AS rank
+    FROM (
+      SELECT bigram, COUNT(*) AS freq FROM (
+        SELECT t[unnest(range(1, len(t)))] || ' ' || t[unnest(range(2, len(t) + 1))] AS bigram
+        FROM (SELECT str_split(text, ' ') AS t FROM documents)
+      ) GROUP BY bigram
+    )
+    """,
+)
+def q_bigram_freq(sf_dir: str):
+    """Corpus bigram frequencies + global rank — the n-gram LM count table.
+
+    Adjacent-token pairs are built with pure offset arithmetic on the
+    tokenized ListArray (a shifted-slice zip, no row loop; document
+    boundaries masked via the offsets), counted per block, then one
+    combiner-sized keyed aggregate + the same distributed rank as
+    q_term_freq."""
+    from ontoea_ray.functions.text import bigram_counts
+    from ontoea_ray.state.ids import rank_by_frequency
+
+    ds = _read(sf_dir, "documents", ["text"])
+    partial = ds.map_batches(
+        lambda b: bigram_counts(b["text"].combine_chunks()), batch_format="pyarrow"
+    )
+    freq = partial.groupby("bigram").sum("freq").map_batches(
+        lambda b: pa.table({"bigram": b["bigram"], "freq": b["sum(freq)"]}),
+        batch_format="pyarrow",
+    )
+    return rank_by_frequency(freq, key="bigram")
+
+
+@_register(
+    "q_tfidf",
+    """
+    WITH tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents)
+      GROUP BY doc_id, token
+    ),
+    df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT tf.doc_id, tf.token, tf.tf, df.df,
+           tf.tf * ((n.n * 1000000) // df.df) AS score
+    FROM tf JOIN df USING (token), n
+    """,
+)
+def q_tfidf(sf_dir: str):
+    """Integer-quantized TF-IDF: per-(doc, token) term frequency joined with
+    document frequency; idf is the exact rational ``(N * 1e6) // df`` so the
+    score is integer-deterministic (no libm ln to diverge between engines).
+
+    Scale shape: tf needs NO shuffle (each document is one row, so the
+    per-doc counts are block-local); df is a combiner-first keyed aggregate
+    (per-block partial doc-counts, then one small groupby); N is a scalar
+    count; the tf-df join is the engine's one-exchange distributed hash
+    join on the token key — big x big, never broadcast."""
+    from ontoea_ray.functions.join import hash_join
+    from ontoea_ray.functions.text import doc_term_frequencies
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()
+
+    tf = ds.map_batches(
+        lambda b: doc_term_frequencies(
+            b["text"].combine_chunks(),
+            np.asarray(b["doc_id"].to_numpy(zero_copy_only=False), np.int64),
+        ),
+        batch_format="pyarrow",
+    )
+
+    # combiner: per-block partial document-counts per token (each (doc,
+    # token) appears once in tf, so counting rows counts documents)
+    df_partial = tf.map_batches(
+        lambda b: pa.table(
+            {"token": b["token"], "df_part": pa.array(np.ones(b.num_rows, np.int64), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    df = df_partial.groupby("token").sum("df_part").map_batches(
+        lambda b: pa.table({"token": b["token"], "df": b["sum(df_part)"]}),
+        batch_format="pyarrow",
+    )
+
+    joined = hash_join(tf, df, on=["token"])
+
+    def score(b: pa.Table) -> pa.Table:
+        tf_v = b["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df_v = b["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = tf_v * ((np.int64(n_docs) * np.int64(1_000_000)) // df_v)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "token": b["token"],
+                "tf": b["tf"],
+                "df": b["df"],
+                "score": pa.array(s, pa.int64()),
+            }
+        )
+
+    return joined.map_batches(score, batch_format="pyarrow")
+
+
 @_register("q_kg_construct", _FLAGSHIP_SQL)
 def q_kg_construct(sf_dir: str):
     """End-to-end flagship WITH a full DuckDB oracle: the corpus-derived
