@@ -38,3 +38,41 @@ def test_quality_stats():
     assert q["n_tokens"].to_pylist() == [3]
     assert q["n_stopwords"].to_pylist() == [1]
     assert abs(q["stopword_ratio"][0].as_py() - 1 / 3) < 1e-12
+
+
+def test_bigram_counts_respects_doc_boundaries():
+    # "a b" x2 inside docs; the cross-boundary pair ("b", "a") must NOT count
+    arr = pa.array(["a b", "a b c", "x"])
+    t = T.bigram_counts(arr)
+    got = dict(zip(t["bigram"].to_pylist(), t["freq"].to_pylist()))
+    assert got == {"a b": 2, "b c": 1}
+    # single-token batch -> empty, typed
+    empty = T.bigram_counts(pa.array(["solo"]))
+    assert empty.num_rows == 0 and empty.schema.field("freq").type == pa.int64()
+
+
+def test_doc_term_frequencies_block_local():
+    import numpy as np
+
+    arr = pa.array(["a a b", "b"])
+    t = T.doc_term_frequencies(arr, np.array([7, 9], np.int64))
+    rows = {(r["doc_id"], r["token"]): r["tf"] for r in t.to_pylist()}
+    assert rows == {(7, "a"): 2, (7, "b"): 1, (9, "b"): 1}
+
+
+def test_pii_scrub_rules_and_order():
+    arr = pa.array(
+        [
+            "write bob.smith+x@sub.example.co.uk now",
+            "host 192.168.0.1 and 10.0.0.255 up",
+            "call +1-555-0100-99 today",
+            "none here",
+        ]
+    )
+    out = T.pii_scrub(arr).to_pylist()
+    assert out == [
+        "write <EMAIL> now",
+        "host <IP> and <IP> up",
+        "call <PHONE> today",
+        "none here",
+    ]
