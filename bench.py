@@ -153,6 +153,30 @@ def run_bench() -> dict:
     return result
 
 
+def _agg_worker(_i: int) -> float:
+    return dram_microbench()
+
+
+def dram_microbench_agg(nproc: int = 16) -> dict:
+    """Aggregate-bandwidth probe: the same streaming kernel in ``nproc``
+    concurrent processes.  ``slowdown`` = slowest-worker time / single-proc
+    time; on a quiet box with private bandwidth it stays near 1.0, under
+    neighbor contention (or past this VM's saturation point) it climbs to
+    3-5x.  Recorded next to every scaling measurement so each run carries
+    evidence of how much parallel headroom the host actually had."""
+    import multiprocessing as mp
+
+    one = dram_microbench()
+    with mp.get_context("spawn").Pool(nproc) as pool:
+        times = pool.map(_agg_worker, range(nproc))
+    return {
+        "nproc": nproc,
+        "single_sec": one,
+        "agg_max_sec": max(times),
+        "slowdown": round(max(times) / one, 2) if one else None,
+    }
+
+
 def run_scaling() -> dict:
     """Same flagship job, same (work-amplified) input, fresh processes at
     two parallelism levels — the in-sandbox evidence for the N-vs-4N
@@ -221,6 +245,7 @@ def run_scaling() -> dict:
         },
         "sf": SF_DIR,
         "dram_microbench_1p_sec": dram_microbench(),
+        "dram_microbench_agg": dram_microbench_agg(16),
     }
 
 
