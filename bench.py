@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "q_domain_cap",
     "q_bigram_freq",
     "q_tfidf",
+    "q_quantiles",
 ]
 
 

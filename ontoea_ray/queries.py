@@ -1536,6 +1536,41 @@ def q_tfidf(sf_dir: str):
     return joined.map_batches(score, batch_format="pyarrow")
 
 
+@_register(
+    "q_quantiles",
+    """
+    WITH c AS (SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem),
+    o AS (SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) - 1 AS idx FROM c),
+    n AS (SELECT COUNT(*) AS cnt FROM c)
+    SELECT q, cents FROM (
+      SELECT 'p25' AS q, CAST(FLOOR(0.25 * (cnt - 1)) AS BIGINT) AS tgt FROM n
+      UNION ALL SELECT 'p50', CAST(FLOOR(0.50 * (cnt - 1)) AS BIGINT) FROM n
+      UNION ALL SELECT 'p75', CAST(FLOOR(0.75 * (cnt - 1)) AS BIGINT) FROM n
+      UNION ALL SELECT 'p90', CAST(FLOOR(0.90 * (cnt - 1)) AS BIGINT) FROM n
+      UNION ALL SELECT 'p99', CAST(FLOOR(0.99 * (cnt - 1)) AS BIGINT) FROM n
+    ) t JOIN o ON o.idx = t.tgt
+    ORDER BY q
+    """,
+)
+def q_quantiles(sf_dir: str):
+    """Exact distributed quantiles of the price column (integer cents):
+    one global sort, then per-block metadata locates each target position
+    and only those k blocks are fetched — the driver holds k rows, never
+    the table (stages/quantiles.py)."""
+    from ontoea_ray.stages.quantiles import exact_quantiles
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    cents = ds.map_batches(
+        lambda b: pa.table(
+            {"cents": pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100)), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    return exact_quantiles(
+        cents, "cents", {"p25": 0.25, "p50": 0.50, "p75": 0.75, "p90": 0.90, "p99": 0.99}
+    )
+
+
 @_register("q_kg_construct", _FLAGSHIP_SQL)
 def q_kg_construct(sf_dir: str):
     """End-to-end flagship WITH a full DuckDB oracle: the corpus-derived

@@ -70,3 +70,22 @@ def test_hll_doc_ids_cardinality():
     est = hll_estimate(pa.Table.from_pylist(regs.take_all()), p=10)
     exact = _docs().count()
     assert abs(est - exact) / exact < 0.15
+
+
+def test_exact_quantiles_positions_and_ties(ray_session):
+    import numpy as np
+    import ray.data
+
+    from ontoea_ray.stages.quantiles import exact_quantiles
+
+    rng = np.random.default_rng(7)
+    vals = np.concatenate([rng.integers(0, 50, 997), np.full(200, 25)])  # heavy ties
+    ds = ray.data.from_items([{"v": int(v)} for v in vals]).repartition(13)
+    probs = {"p10": 0.1, "p50": 0.5, "p99": 0.99, "min": 0.0, "max": 1.0}
+    t = exact_quantiles(ds, "v", probs)
+    got = dict(zip(t["q"].to_pylist(), t["v"].to_pylist()))
+    s = np.sort(vals)
+    n = len(s)
+    for label, p in probs.items():
+        assert got[label] == s[int(np.floor(p * (n - 1)))], label
+    assert t.schema.field("v").type == __import__("pyarrow").int64()
