@@ -907,6 +907,41 @@ def q_jaccard_pairs(sf_dir: str):
     return jaccard_pairs(ds, threshold=0.5, shingle_n=3)
 
 
+_DUP_CLUSTER_SQL = f"""
+    WITH RECURSIVE pairs AS ({_SHINGLE_SQL}),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, label) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.b, r.label FROM edges e JOIN reach r ON r.node = e.a
+    )
+    SELECT node AS doc_id, MIN(label) AS component FROM reach GROUP BY node
+"""
+
+
+@_register("q_dup_clusters", _DUP_CLUSTER_SQL)
+def q_dup_clusters(sf_dir: str):
+    """Near-duplicate CLUSTERS: exact-Jaccard pairs (q_jaccard_pairs) closed
+    into connected components (component = min doc_id reachable) — the step
+    that turns pairwise dedup output into keep-one groups.  Distributed
+    min-label propagation (stages/graph.py: per round one hash join + one
+    keyed min, O(1)-state convergence test); the oracle closes the same
+    pair SQL with a recursive CTE (safe here: duplicate clusters are tiny,
+    so the closure's accumulated state is bounded)."""
+    from ontoea_ray.stages.dedup import jaccard_pairs
+    from ontoea_ray.stages.graph import connected_components
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = jaccard_pairs(ds, threshold=0.5, shingle_n=3)
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    return cc.map_batches(
+        lambda b: pa.table({"doc_id": b["node"], "component": b["component"]}),
+        batch_format="pyarrow",
+    )
+
+
 from ontoea_ray.functions.lsh_sql import lsh_neardup_sql, minhash_lsh_candidates_sql
 
 
