@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "q_bigram_freq",
     "q_tfidf",
     "q_quantiles",
+    "q_dup_clusters",
 ]
 
 
