@@ -27,6 +27,31 @@ from ontoea_ray.functions.shuffle import with_partition_key
 from ontoea_ray.functions.tables import from_pandas as _from_pandas_clean
 
 
+class _NormSchema:
+    def __init__(self, names, types):
+        self.names, self.types = names, types
+
+
+def _arrow_schema(ds: ray.data.Dataset) -> _NormSchema:
+    """Dataset schema with every type normalized to a pyarrow DataType.
+
+    Datasets whose blocks are pandas (e.g. a map_groups(pandas) tail)
+    report a PandasBlockSchema: numpy dtypes, and the builtin ``object``
+    class for string columns.  Map those to Arrow types so the join's
+    cast targets are always DataTypes (object -> string: the engine's
+    pandas-block string columns are always str)."""
+    sch = ds.schema()
+    types = []
+    for t in sch.types:
+        if isinstance(t, pa.DataType):
+            types.append(t)
+        elif t is object or t is str:
+            types.append(pa.string())
+        else:
+            types.append(pa.from_numpy_dtype(np.dtype(t)))
+    return _NormSchema(list(sch.names), types)
+
+
 def hash_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
@@ -46,7 +71,7 @@ def hash_join(
     assert len(on) == len(right_on)
     ren = dict(zip(right_on, on))
 
-    lsch, rsch = left.schema(), right.schema()
+    lsch, rsch = _arrow_schema(left), _arrow_schema(right)
     lpay = [n for n in lsch.names if n not in on]
     rpay_src = [n for n in rsch.names if n not in right_on]
     rpay = [(n, n + rsuffix if n in lpay or n in on else n) for n in rpay_src]

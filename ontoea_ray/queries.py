@@ -1649,3 +1649,60 @@ def q_ontoea_align(sf_dir: str):
             "mrr": pa.array([t["mrr"]], pa.float64()),
         }
     )
+
+
+_ENTITY_MERGE_SQL = f"""
+    WITH kg AS ({_FLAGSHIP_SQL}),
+    ents AS (SELECT DISTINCT uri FROM (SELECT subj AS uri FROM kg UNION SELECT obj FROM kg)),
+    grp AS (SELECT uri, substr(lower(regexp_extract(uri, '([^/]*)$', 1)), 1, 1) AS g FROM ents),
+    rep AS (SELECT uri, MIN(uri) OVER (PARTITION BY g) AS rep FROM grp)
+    SELECT r1.rep AS subj, kg.pred, r2.rep AS obj,
+           CAST(SUM(kg.n_mentions) AS BIGINT) AS n_mentions,
+           MIN(kg.first_url) AS first_url
+    FROM kg JOIN rep r1 ON r1.uri = kg.subj JOIN rep r2 ON r2.uri = kg.obj
+    GROUP BY 1, 2, 3
+"""
+
+
+@_register("q_entity_merge", _ENTITY_MERGE_SQL)
+def q_entity_merge(sf_dir: str):
+    """Transitive same-as entity merge on the flagship KG: same-as pairs
+    are derived deterministically (entities whose canonical key shares a
+    1-char prefix, chained CONSECUTIVELY in sorted order — worst-case
+    diameter, so the closure genuinely exercises connected-components
+    propagation), closed with stages/graph.connected_components, and every
+    edge is rewritten to component representatives and re-aggregated.  The
+    oracle replays the flagship SQL and closes the same prefix groups with
+    a window MIN (the chain spans the whole group, so component == group
+    min)."""
+    from ontoea_ray.functions.shuffle import compact
+    from ontoea_ray.pipelines.kg_construct import kg_construct_pipeline
+    from ontoea_ray.stages.canonicalize import cluster_key
+    from ontoea_ray.stages.graph import merge_entities
+    from ray.data.aggregate import Min
+
+    kg = kg_construct_pipeline(sf_dir).materialize()
+
+    def ent_part(b: pa.Table) -> pa.Table:
+        uris = pa.chunked_array(
+            [b["subj"].combine_chunks(), b["obj"].combine_chunks()]
+        ).combine_chunks()
+        uniq = pc.unique(uris)
+        return pa.table(
+            {"uri": uniq, "g": pc.utf8_slice_codeunits(cluster_key(uniq), 0, 1)}
+        )
+
+    ents = (
+        compact(kg.map_batches(ent_part, batch_format="pyarrow"))
+        .groupby("uri")
+        .aggregate(Min("g", alias_name="g"))  # g is a function of uri; Min = distinct
+    )
+
+    def chain(df: pd.DataFrame) -> pa.Table:
+        u = sorted(df["uri"])
+        return pa.table(
+            {"a": pa.array(u[:-1], pa.string()), "b": pa.array(u[1:], pa.string())}
+        )
+
+    sameas = ents.groupby("g").map_groups(chain, batch_format="pandas")
+    return merge_entities(kg, sameas, src="a", dst="b")

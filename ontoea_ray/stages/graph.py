@@ -146,3 +146,94 @@ def connected_components(
         lambda b: pa.table({"node": b["node"], "component": b["label"]}),
         batch_format="pyarrow",
     )
+
+
+def merge_entities(
+    triples: ray.data.Dataset,
+    sameas: ray.data.Dataset,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    entity_cols: tuple[str, ...] = ("subj", "obj"),
+    group_cols: tuple[str, ...] = ("subj", "pred", "obj"),
+    sum_cols: tuple[str, ...] = ("n_mentions",),
+    min_cols: tuple[str, ...] = ("first_url",),
+) -> ray.data.Dataset:
+    """Transitive same-as entity merge over a KG edge table.
+
+    The KG-construct step after canonicalization: pairwise same-as
+    evidence (string URI pairs) is closed into equivalence classes with
+    :func:`connected_components`, every entity column is rewritten to its
+    class representative (the LEXICOGRAPHICALLY SMALLEST URI — a
+    deterministic choice any node can compute locally), and the edge table
+    is re-aggregated so merged duplicates collapse into one edge with
+    summed evidence.  Reference analog: the canonicalizer's
+    cluster-key merge (stages/canonicalize.py) handles trivially-equal
+    surfaces; this stage handles arbitrary, transitive same-as graphs.
+
+    Scale shape: the same-as vocabulary (distinct entity URIs under merge)
+    is dictionary-encoded to dense ordered int ids (sort + metadata
+    zip_with_index — rank order == lexicographic order, so CC's min-id
+    component representative IS the min URI); everything else is the
+    engine's standard one-exchange joins.  No driver-side state.
+    """
+    from ray.data.aggregate import Count, Min, Sum
+
+    from ontoea_ray.state.ids import zip_with_index
+
+    # 1. ordered vocabulary of nodes under merge: (uri, nid), nid = lex rank
+    def _both(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "uri": pa.chunked_array(
+                    [b[src].combine_chunks().cast(pa.string()),
+                     b[dst].combine_chunks().cast(pa.string())]
+                ).combine_chunks()
+            }
+        )
+
+    vocab = zip_with_index(
+        compact(sameas.map_batches(_both, batch_format="pyarrow"))
+        .groupby("uri")
+        .aggregate(Count(alias_name="_c"))
+        .map_batches(lambda b: pa.table({"uri": b["uri"]}), batch_format="pyarrow")
+        .sort("uri"),
+        "nid",
+    ).materialize()
+    width = sized_width(vocab.size_bytes())
+
+    aggs = [Sum(c, alias_name=c) for c in sum_cols] + [Min(c, alias_name=c) for c in min_cols]
+    if vocab.count() == 0:  # no same-as evidence: identity merge
+        return compact(triples).groupby(list(group_cols)).aggregate(*aggs)
+
+    # 2. encode string pairs -> int edges
+    enc_a = hash_join(sameas, vocab, on=[src], right_on=["uri"], width=width).map_batches(
+        lambda b: pa.table({"id_a": b["nid"], dst: b[dst]}), batch_format="pyarrow"
+    )
+    int_edges = hash_join(enc_a, vocab, on=[dst], right_on=["uri"], width=width).map_batches(
+        lambda b: pa.table({"id_a": b["id_a"], "id_b": b["nid"]}), batch_format="pyarrow"
+    )
+
+    # 3. components, 4. decode (node uri, representative uri)
+    cc = connected_components(int_edges, src="id_a", dst="id_b")
+    dec = hash_join(cc, vocab, on=["node"], right_on=["nid"], width=width).map_batches(
+        lambda b: pa.table({"uri": b["uri"], "component": b["component"]}),
+        batch_format="pyarrow",
+    )
+    rep_map = hash_join(dec, vocab, on=["component"], right_on=["nid"], width=width).map_batches(
+        lambda b: pa.table({"uri": b["uri"], "rep": b["uri_r"]}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    # 5. rewrite entity columns (left join: unmerged entities keep their uri)
+    out = triples
+    for col in entity_cols:
+        out = hash_join(out, rep_map, on=[col], right_on=["uri"], how="left").map_batches(
+            lambda b, c=col: b.set_column(
+                b.schema.get_field_index(c), c, pc.coalesce(b["rep"], b[c])
+            ).drop_columns(["rep"]),
+            batch_format="pyarrow",
+        )
+
+    # 6. re-aggregate merged edges
+    return compact(out).groupby(list(group_cols)).aggregate(*aggs)

@@ -37,6 +37,60 @@ def test_cc_long_chain_converges(ray_session):
     assert len(got) == 31
 
 
+def test_merge_entities_transitive(ray_session):
+    from ontoea_ray.stages.graph import merge_entities
+
+    triples = ray.data.from_arrow(
+        pa.table(
+            {
+                "subj": pa.array(["e:a", "e:b", "e:c", "e:d"], pa.string()),
+                "pred": pa.array(["p", "p", "p", "q"], pa.string()),
+                "obj": pa.array(["e:x", "e:x", "e:x", "e:a"], pa.string()),
+                "first_url": pa.array(["u3", "u1", "u2", "u9"], pa.string()),
+                "n_mentions": pa.array([1, 2, 4, 8], pa.int64()),
+            }
+        )
+    )
+    # transitive: a=b, b=c  ->  {a,b,c} merge to "e:a"; d and x untouched
+    sameas = ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array(["e:a", "e:b"], pa.string()),
+                "b": pa.array(["e:b", "e:c"], pa.string()),
+            }
+        )
+    )
+    rows = merge_entities(triples, sameas, src="a", dst="b").take_all()
+    got = {(r["subj"], r["pred"], r["obj"]): (r["n_mentions"], r["first_url"]) for r in rows}
+    assert got == {
+        ("e:a", "p", "e:x"): (7, "u1"),  # a+b+c collapsed, evidence summed, min url
+        ("e:d", "q", "e:a"): (8, "u9"),  # obj rewritten too? e:a is already the rep
+    }
+
+
+def test_merge_entities_empty_sameas_is_identity(ray_session):
+    from ontoea_ray.stages.graph import merge_entities
+
+    triples = ray.data.from_arrow(
+        pa.table(
+            {
+                "subj": pa.array(["e:a", "e:a"], pa.string()),
+                "pred": pa.array(["p", "p"], pa.string()),
+                "obj": pa.array(["e:x", "e:x"], pa.string()),
+                "first_url": pa.array(["u2", "u1"], pa.string()),
+                "n_mentions": pa.array([1, 2], pa.int64()),
+            }
+        )
+    )
+    sameas = ray.data.from_arrow(
+        pa.table({"a": pa.array([], pa.string()), "b": pa.array([], pa.string())})
+    )
+    rows = merge_entities(triples, sameas, src="a", dst="b").take_all()
+    assert rows == [
+        {"subj": "e:a", "pred": "p", "obj": "e:x", "n_mentions": 3, "first_url": "u1"}
+    ]
+
+
 def test_cc_partitioned_input(ray_session):
     edges = [(i, i + 1) for i in range(0, 40, 2)]  # 20 disjoint pairs
     ds = ray.data.from_arrow(
