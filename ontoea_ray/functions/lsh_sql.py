@@ -371,3 +371,22 @@ WITH perms(i, a, b) AS (VALUES {perm_rows}),
     HAVING COUNT(DISTINCT pkpos.i) = {n_hashes})
 SELECT {out_cols} FROM ({probe_sql}) p WHERE p.{probe_key} IN (SELECT k FROM hits)
 """
+
+
+def decontaminate_overlap_sql(
+    *, shingle_n: int = 3, bench_mod: int = 97, source: str = "documents"
+) -> str:
+    """Exact oracle for ``stages.decontaminate.contamination_overlap``:
+    benchmark = docs with ``doc_id % bench_mod == 0``; per corpus doc, the
+    count of DISTINCT shingle hashes shared with the benchmark's distinct
+    shingle-hash set (same md5[:8] + wrap-mod-2^64 rolling fold as the
+    engine, via :func:`_doc_shingles_cte`)."""
+    return f"""
+WITH {_doc_shingles_cte(shingle_n, source)},
+  ex AS (SELECT doc_id, unnest(sh) AS h FROM shl),
+  bench AS (SELECT DISTINCT h FROM ex WHERE doc_id % {bench_mod} = 0),
+  corp AS (SELECT DISTINCT doc_id, h FROM ex WHERE doc_id % {bench_mod} <> 0)
+SELECT c.doc_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+FROM corp c JOIN bench b USING (h)
+GROUP BY 1
+"""

@@ -1706,3 +1706,31 @@ def q_entity_merge(sf_dir: str):
 
     sameas = ents.groupby("g").map_groups(chain, batch_format="pandas")
     return merge_entities(kg, sameas, src="a", dst="b")
+
+
+from ontoea_ray.functions.lsh_sql import decontaminate_overlap_sql
+
+
+@_register("q_decontaminate", decontaminate_overlap_sql(shingle_n=3, bench_mod=97))
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination overlap: docs with doc_id % 97 == 0 form
+    the held-out benchmark; every other doc sharing >= 1 word-3-gram with it
+    is flagged with its DISTINCT-overlap count.  Shuffle-free corpus pass:
+    the benchmark's distinct shingle-hash set is broadcast (`ray.put`) and
+    each actor tests membership with a vectorized `searchsorted` — the
+    GPT-3/Gopher-style n-gram decontamination shape at 100 TB.  The oracle
+    replays the identical hash chain in DuckDB
+    (`functions.lsh_sql.decontaminate_overlap_sql`)."""
+    from ontoea_ray.stages.decontaminate import (
+        benchmark_ngram_hashes,
+        contamination_overlap,
+    )
+
+    def _mod_is(b: pa.Table, rem_eq: bool) -> pa.Table:
+        mod = np.asarray(b["doc_id"].combine_chunks(), np.int64) % 97
+        return b.filter(pa.array((mod == 0) == rem_eq))
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    bench = docs.map_batches(lambda b: _mod_is(b, True), batch_format="pyarrow")
+    corpus = docs.map_batches(lambda b: _mod_is(b, False), batch_format="pyarrow")
+    return contamination_overlap(corpus, benchmark_ngram_hashes(bench))
