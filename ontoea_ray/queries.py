@@ -1734,3 +1734,43 @@ def q_decontaminate(sf_dir: str):
     bench = docs.map_batches(lambda b: _mod_is(b, True), batch_format="pyarrow")
     corpus = docs.map_batches(lambda b: _mod_is(b, False), batch_format="pyarrow")
     return contamination_overlap(corpus, benchmark_ngram_hashes(bench))
+
+
+def _pagerank_sql(iters: int = 5, scale: int = 10**9, damping_pct: int = 85) -> str:
+    """Unrolled integer power iteration replaying stages/graph.pagerank
+    exactly (floor divisions, dropped dangling/rounding mass)."""
+    base = (100 - damping_pct) * scale // 100
+    ctes = [
+        f"kg AS ({_FLAGSHIP_SQL})",
+        "e AS (SELECT subj AS s, obj AS d FROM kg)",
+        "nodes AS (SELECT DISTINCT n FROM (SELECT s AS n FROM e UNION SELECT d FROM e))",
+        "deg AS (SELECT s, COUNT(*) AS dg FROM e GROUP BY s)",
+        f"m0 AS (SELECT n, CAST({scale} AS HUGEINT) AS m FROM nodes)",
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"r{i + 1} AS (SELECT e.d AS n, SUM(m{i}.m // deg.dg) AS recv"
+            f" FROM e JOIN m{i} ON m{i}.n = e.s JOIN deg ON deg.s = e.s GROUP BY 1)"
+        )
+        ctes.append(
+            f"m{i + 1} AS (SELECT nodes.n, {base} + ({damping_pct} * COALESCE(r{i + 1}.recv, 0)) // 100 AS m"
+            f" FROM nodes LEFT JOIN r{i + 1} ON r{i + 1}.n = nodes.n)"
+        )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT n AS node, CAST(m AS BIGINT) AS rank_units FROM m{iters}
+"""
+
+
+@_register("q_pagerank", _pagerank_sql())
+def q_pagerank(sf_dir: str):
+    """Integer PageRank over the flagship KG edge table — hub-entity
+    scoring (the entities that would need salting in the canonicalization
+    shuffle).  Bit-deterministic by construction (integer mass units), so
+    the oracle unrolls the identical power iteration in SQL."""
+    from ontoea_ray.pipelines.kg_construct import kg_construct_pipeline
+    from ontoea_ray.stages.graph import pagerank
+
+    kg = kg_construct_pipeline(sf_dir)
+    return pagerank(kg, iters=5)

@@ -237,3 +237,116 @@ def merge_entities(
 
     # 6. re-aggregate merged edges
     return compact(out).groupby(list(group_cols)).aggregate(*aggs)
+
+
+def pagerank(
+    edges: ray.data.Dataset,
+    *,
+    src: str = "subj",
+    dst: str = "obj",
+    iters: int = 5,
+    scale: int = 10**9,
+    damping_pct: int = 85,
+) -> ray.data.Dataset:
+    """Integer-arithmetic PageRank over an edge table — hub scoring for the
+    KG (which entities dominate the canonicalization shuffle; the salting
+    targets).
+
+    Deliberately INTEGER power iteration so the result is bit-deterministic
+    under ANY execution order (int addition is associative/commutative —
+    float partial sums are not) and hence exactly DuckDB-replayable:
+
+    - every node starts with ``scale`` rank units;
+    - each iteration a node with out-degree g sends ``floor(m / g)`` units
+      along EVERY out-edge (per-edge flooring, replayed identically in
+      SQL; the flooring remainder and dangling-node mass are dropped — a
+      documented, deterministic leak rather than a redistribution shuffle);
+    - new mass = ``(100-damping_pct)*scale//100 + damping_pct*recv//100``.
+
+    Per iteration: two one-exchange hash joins (mass x degree, edges x
+    per-node quotient) + one keyed sum + one left join back onto the node
+    vocabulary — all O(|edges|+|nodes|) movement, no driver state.  Mass is
+    materialized per round so lineage stays O(1) deep.  Returns
+    ``(node:string, rank_units:int64)``.
+    """
+    import numpy as np
+    from ray.data.aggregate import Count, Sum
+
+    def _proj(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "s": b[src].combine_chunks().cast(pa.string()),
+                "d": b[dst].combine_chunks().cast(pa.string()),
+            }
+        )
+
+    e = compact(edges.map_batches(_proj, batch_format="pyarrow")).materialize()
+    width = sized_width(e.size_bytes())
+
+    def _nodes_part(b: pa.Table) -> pa.Table:
+        u = pc.unique(
+            pa.chunked_array([b["s"].combine_chunks(), b["d"].combine_chunks()])
+        )
+        return pa.table({"node": u})
+
+    nodes = (
+        e.map_batches(_nodes_part, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Count(alias_name="_c"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["node"],
+                    "m": pa.array(np.full(len(b), scale, np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    deg = e.groupby("s").aggregate(Count(alias_name="deg")).materialize()
+
+    base = (100 - damping_pct) * scale // 100
+    mass = nodes  # (node, m)
+    for _ in range(iters):
+        quot = hash_join(deg, mass, on=["s"], right_on=["node"], width=width).map_batches(
+            lambda b: pa.table(
+                {
+                    "s": b["s"],
+                    "q": pa.array(
+                        np.asarray(b["m"].combine_chunks(), np.int64)
+                        // np.asarray(b["deg"].combine_chunks(), np.int64)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        sent = hash_join(e, quot, on=["s"], width=width).map_batches(
+            lambda b: pa.table({"d": b["d"], "q": b["q"]}), batch_format="pyarrow"
+        )
+        recv = compact(sent).groupby("d").aggregate(Sum("q", alias_name="recv"))
+        mass = (
+            hash_join(nodes, recv, on=["node"], right_on=["d"], how="left", width=width)
+            .map_batches(
+                lambda b: pa.table(
+                    {
+                        "node": b["node"],
+                        "m": pa.array(
+                            base
+                            + damping_pct
+                            * np.asarray(
+                                pc.coalesce(b["recv"], pa.scalar(0, pa.int64())),
+                                np.int64,
+                            )
+                            // 100
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+    return mass.map_batches(
+        lambda b: pa.table({"node": b["node"], "rank_units": b["m"]}),
+        batch_format="pyarrow",
+    )

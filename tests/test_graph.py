@@ -105,3 +105,40 @@ def test_cc_partitioned_input(ray_session):
     got = {r["node"]: r["component"] for r in rows}
     for a, b in edges:
         assert got[a] == got[b] == a
+
+
+def test_pagerank_hand_oracle(ray_session):
+    from ontoea_ray.stages.graph import pagerank
+
+    # a -> b, a -> c, b -> c; c dangling (its mass is dropped, documented)
+    edges = ray.data.from_arrow(
+        pa.table({"subj": ["a", "a", "b"], "obj": ["b", "c", "c"]})
+    )
+    S = 10**9
+    got = {r["node"]: r["rank_units"] for r in pagerank(edges, iters=2).take_all()}
+
+    def step(m):
+        qa, qb = m["a"] // 2, m["b"] // 1
+        recv = {"a": 0, "b": qa, "c": qa + qb}
+        base = 15 * S // 100
+        return {n: base + 85 * recv[n] // 100 for n in m}
+
+    m = {"a": S, "b": S, "c": S}
+    m = step(step(m))
+    assert got == m
+
+
+def test_pagerank_deterministic_across_partitionings(ray_session):
+    from ontoea_ray.stages.graph import pagerank
+
+    tbl = pa.table(
+        {
+            "subj": [f"n{i}" for i in range(50)],
+            "obj": [f"n{(i * 7 + 3) % 50}" for i in range(50)],
+        }
+    )
+    one = {r["node"]: r["rank_units"]
+           for r in pagerank(ray.data.from_arrow(tbl), iters=4).take_all()}
+    many = {r["node"]: r["rank_units"]
+            for r in pagerank(ray.data.from_arrow(tbl).repartition(13), iters=4).take_all()}
+    assert one == many
