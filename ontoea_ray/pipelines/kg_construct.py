@@ -274,3 +274,32 @@ def kg_construct_pipeline(sf_dir: str, *, replicate: int = 1, **kwargs) -> ray.d
     pages = pages_from_documents(sf_dir, replicate=replicate)
     state = bootstrap_linker_cached(sf_dir)
     return construct_kg(pages, state, **kwargs)
+
+
+def kg_upsert(
+    base: ray.data.Dataset,
+    delta: ray.data.Dataset,
+    *,
+    group_cols: tuple[str, ...] = ("subj", "pred", "obj"),
+    sum_cols: tuple[str, ...] = ("n_mentions",),
+    min_cols: tuple[str, ...] = ("first_url",),
+) -> ray.data.Dataset:
+    """Incremental KG update: merge a new crawl increment's edge table into
+    an existing one.
+
+    Because every edge attribute is an associative/commutative aggregate
+    (evidence counts SUM, provenance url MIN), merging increment edge
+    tables is exact — a resumed or incremental ingest equals re-running the
+    merge over the union (pytest pins associativity+commutativity;
+    q_kg_upsert value-checks against the SQL replay).  One keyed exchange
+    over the combined (already combiner-sized) edge tables; no driver
+    state.
+    """
+    from ray.data.aggregate import Min, Sum
+
+    from ontoea_ray.functions.shuffle import compact
+
+    aggs = [Sum(c, alias_name=c) for c in sum_cols] + [
+        Min(c, alias_name=c) for c in min_cols
+    ]
+    return compact(base.union(delta)).groupby(list(group_cols)).aggregate(*aggs)

@@ -1774,3 +1774,28 @@ def q_pagerank(sf_dir: str):
 
     kg = kg_construct_pipeline(sf_dir)
     return pagerank(kg, iters=5)
+
+
+_KG_UPSERT_SQL = f"""
+    WITH kg AS ({_FLAGSHIP_SQL}),
+    delta AS (SELECT * FROM kg WHERE pred = 'batch'),
+    uni AS (SELECT * FROM kg UNION ALL SELECT * FROM delta)
+    SELECT subj, pred, obj,
+           CAST(SUM(n_mentions) AS BIGINT) AS n_mentions,
+           MIN(first_url) AS first_url
+    FROM uni GROUP BY 1, 2, 3
+"""
+
+
+@_register("q_kg_upsert", _KG_UPSERT_SQL)
+def q_kg_upsert(sf_dir: str):
+    """Incremental edge-table upsert: merge a deterministic delta (the
+    'batch'-predicate slice, standing in for a new crawl increment) into
+    the flagship KG — evidence counts add, provenance urls min-merge."""
+    from ontoea_ray.pipelines.kg_construct import kg_construct_pipeline, kg_upsert
+
+    kg = kg_construct_pipeline(sf_dir).materialize()
+    delta = kg.map_batches(
+        lambda b: b.filter(pc.equal(b["pred"], "batch")), batch_format="pyarrow"
+    )
+    return kg_upsert(kg, delta)

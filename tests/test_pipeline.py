@@ -84,3 +84,40 @@ def test_scan_link_oracle_small(sf_dir):
                 expected.append((cand1[toks[i]], toks[i + 1], cand1[toks[i + 2]], r["url"]))
     got_keys = list(zip(got["subj"].to_pylist(), got["pred"].to_pylist(), got["obj"].to_pylist(), got["url"].to_pylist()))
     assert got_keys == expected
+
+
+def test_kg_upsert_associative_commutative(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from ontoea_ray.pipelines.kg_construct import kg_upsert
+
+    def edges(rows):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "subj": pa.array([r[0] for r in rows], pa.string()),
+                    "pred": pa.array([r[1] for r in rows], pa.string()),
+                    "obj": pa.array([r[2] for r in rows], pa.string()),
+                    "first_url": pa.array([r[3] for r in rows], pa.string()),
+                    "n_mentions": pa.array([r[4] for r in rows], pa.int64()),
+                }
+            )
+        )
+
+    a = edges([("s", "p", "o", "u5", 1), ("s2", "p", "o", "u1", 2)])
+    b = edges([("s", "p", "o", "u3", 4)])
+    c = edges([("s", "p", "o", "u9", 8), ("s3", "q", "o", "u2", 1)])
+
+    def canon(ds):
+        return sorted(
+            (tuple(sorted(r.items())) for r in ds.take_all()),
+        )
+
+    left = canon(kg_upsert(kg_upsert(a, b), c))
+    right = canon(kg_upsert(a, kg_upsert(b, c)))
+    flipped = canon(kg_upsert(c, kg_upsert(b, a)))
+    assert left == right == flipped
+    merged = {r["subj"]: (r["n_mentions"], r["first_url"])
+              for r in kg_upsert(kg_upsert(a, b), c).take_all()}
+    assert merged["s"] == (13, "u3")
