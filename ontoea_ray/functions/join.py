@@ -62,11 +62,14 @@ def hash_join(
     rsuffix: str = "_r",
     width: int | None = None,
 ) -> ray.data.Dataset:
-    """Distributed hash join (inner / left) on equality keys.
+    """Distributed hash join (inner / left / right / outer) on equality keys.
 
     Right-side key columns are renamed to the left's; payload columns that
-    collide get ``rsuffix``.  Left-join non-matches carry typed nulls."""
-    assert how in ("inner", "left")
+    collide get ``rsuffix``.  Outer-join non-matches carry typed nulls.
+    All variants are the same one-exchange plan (tag side, co-partition by
+    key hash, per-partition vectorized merge) — the ``how`` only changes
+    the per-partition merge mode."""
+    assert how in ("inner", "left", "right", "outer")
     right_on = right_on or on
     assert len(on) == len(right_on)
     ren = dict(zip(right_on, on))

@@ -1799,3 +1799,51 @@ def q_kg_upsert(sf_dir: str):
         lambda b: b.filter(pc.equal(b["pred"], "batch")), batch_format="pyarrow"
     )
     return kg_upsert(kg, delta)
+
+
+_OUTER_JOIN_SQL = """
+    WITH c AS (SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust
+               FROM customer WHERE c_nationkey % 2 = 0 GROUP BY 1),
+    s AS (SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp
+          FROM supplier WHERE s_nationkey % 3 = 0 GROUP BY 1)
+    SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+           CAST(COALESCE(c.n_cust, -1) AS BIGINT) AS n_cust,
+           CAST(COALESCE(s.n_supp, -1) AS BIGINT) AS n_supp
+    FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+"""
+
+
+@_register("q_outer_join", _OUTER_JOIN_SQL)
+def q_outer_join(sf_dir: str):
+    """Full-outer distributed hash join: per-nation customer counts (even
+    nations) vs supplier counts (nations % 3 == 0) — each side has rows the
+    other lacks, so both null-fill paths are value-checked (-1 sentinel
+    keeps the hash dtype-stable)."""
+    from ontoea_ray.functions.join import hash_join
+
+    def counts(table: str, keycol: str, mod: int, alias: str):
+        ds = _read(sf_dir, table, [keycol])
+
+        def flt(b: pa.Table) -> pa.Table:
+            k = np.asarray(b[keycol].combine_chunks(), np.int64)
+            return pa.table({"nationkey": pa.array(k[k % mod == 0])})
+
+        return (
+            ds.map_batches(flt, batch_format="pyarrow")
+            .groupby("nationkey")
+            .aggregate(Count(alias_name=alias))
+        )
+
+    c = counts("customer", "c_nationkey", 2, "n_cust")
+    s = counts("supplier", "s_nationkey", 3, "n_supp")
+    joined = hash_join(c, s, on=["nationkey"], how="outer")
+    return joined.map_batches(
+        lambda b: pa.table(
+            {
+                "nationkey": b["nationkey"],
+                "n_cust": pc.coalesce(b["n_cust"], pa.scalar(-1, pa.int64())),
+                "n_supp": pc.coalesce(b["n_supp"], pa.scalar(-1, pa.int64())),
+            }
+        ),
+        batch_format="pyarrow",
+    )

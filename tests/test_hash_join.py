@@ -36,3 +36,26 @@ def test_multi_key_join_and_duplicate_matches():
     out = _df(hash_join(l, r, on=["a", "b"], how="inner")).sort_values("w").reset_index(drop=True)
     assert len(out) == 2  # one left row x two right matches
     assert out["w"].tolist() == [10, 11] and out["v"].tolist() == [1, 1]
+
+
+def test_right_and_outer_join_match_pandas(ray_session):
+    import pandas as pd
+
+    lt = pa.table({"k": [1, 2, 3, 3], "lv": ["a", "b", "c", "d"]})
+    rt = pa.table({"k": [2, 3, 5], "rv": [20, 30, 50]})
+    ld, rd = ray.data.from_arrow(lt), ray.data.from_arrow(rt)
+    for how in ("right", "outer"):
+        got = (
+            pd.DataFrame(hash_join(ld, rd, on=["k"], how=how).take_all())
+            .sort_values(["k", "lv"], na_position="last")
+            .reset_index(drop=True)
+        )
+        exp = (
+            lt.to_pandas()
+            .merge(rt.to_pandas(), on="k", how=how)
+            .sort_values(["k", "lv"], na_position="last")
+            .reset_index(drop=True)
+        )
+        assert got["k"].tolist() == exp["k"].tolist(), how
+        assert got["lv"].fillna("-").tolist() == exp["lv"].fillna("-").tolist(), how
+        assert got["rv"].fillna(-1).astype(int).tolist() == exp["rv"].fillna(-1).astype(int).tolist(), how
