@@ -92,3 +92,67 @@ def with_partition_key(
         return batch.append_column(col, pa.array((acc % np.uint64(w)).astype(np.int64), pa.int64()))
 
     return ds.map_batches(add, batch_format="pyarrow")
+
+
+def salted_aggregate(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    *,
+    sums: list[str] = (),
+    mins: list[str] = (),
+    maxs: list[str] = (),
+    count_alias: str | None = None,
+    salt: int = 16,
+    width: int | None = None,
+):
+    """Two-stage aggregate with explicit hot-key salting (north_rule's hub
+    guard, as a reusable operator).
+
+    Stage 1 groups by ``keys + _salt`` (``_salt`` = block-local row index
+    mod ``salt`` — deterministic per batch, uniform by construction), so a
+    key holding half the corpus lands in ``salt`` different partitions of
+    the first exchange instead of one; stage 2 re-aggregates the partials
+    (count -> sum of counts) on the true keys, over a table at most
+    ``salt × |distinct keys|`` rows.  Every supported aggregate
+    (sum/min/max/count) is associative, so the result is bit-equal to the
+    unsalted groupby (pytest pins it; q_salted_agg value-checks vs plain
+    SQL GROUP BY).
+
+    Note the engine's usual answer to skew is a per-batch combiner fused
+    into the scan (canonicalize.py) — strictly stronger than salting; this
+    operator covers the cases where a combiner can't run (pre-aggregated
+    inputs arriving already keyed, e.g. upserts of per-increment partials
+    with a hub entity)."""
+    import numpy as np
+    import pyarrow as pa
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    sums, mins, maxs = list(sums), list(mins), list(maxs)
+
+    def add_salt(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_salt", pa.array(np.arange(len(b), dtype=np.int64) % salt)
+        )
+
+    s1_aggs = (
+        [Sum(c, alias_name=c) for c in sums]
+        + [Min(c, alias_name=c) for c in mins]
+        + [Max(c, alias_name=c) for c in maxs]
+        + ([Count(alias_name=count_alias)] if count_alias else [])
+    )
+    partial = (
+        compact(ds.map_batches(add_salt, batch_format="pyarrow"), width=width)
+        .groupby(keys + ["_salt"])
+        .aggregate(*s1_aggs)
+    )
+    s2_aggs = (
+        [Sum(c, alias_name=c) for c in sums]
+        + [Min(c, alias_name=c) for c in mins]
+        + [Max(c, alias_name=c) for c in maxs]
+        + ([Sum(count_alias, alias_name=count_alias)] if count_alias else [])
+    )
+    return (
+        partial.drop_columns(["_salt"])
+        .groupby(keys)
+        .aggregate(*s2_aggs)
+    )

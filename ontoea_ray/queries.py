@@ -1847,3 +1847,70 @@ def q_outer_join(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
+
+
+_SALTED_AGG_SQL = """
+    SELECT event_type,
+           CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_milli,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1
+"""
+
+
+@_register("q_salted_agg", _SALTED_AGG_SQL)
+def q_salted_agg(sf_dir: str):
+    """Hot-key-salted two-stage aggregate (functions/shuffle.salted_aggregate):
+    event_type is low-cardinality/skewed, the worst groupby shape — stage 1
+    spreads each key over 16 salt partitions, stage 2 merges partials.
+    Result is bit-equal to the plain GROUP BY (associative aggregates), so
+    the oracle is the unsalted SQL."""
+    from ontoea_ray.functions.shuffle import salted_aggregate
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = np.asarray(b["value"].combine_chunks(), np.float64)
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "sum_value_milli": pa.array(np.floor(v * 1000).astype(np.int64)),
+            }
+        )
+
+    return salted_aggregate(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        ["event_type"],
+        sums=["sum_value_milli"],
+        count_alias="n",
+    )
+
+
+_RUNNING_TOTAL_SQL = """
+    SELECT event_id,
+           CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_milli
+    FROM events
+"""
+
+
+@_register("q_running_total", _RUNNING_TOTAL_SQL)
+def q_running_total(sf_dir: str):
+    """Per-key ordered cumulative sum (running account balance shape):
+    user-co-located map_groups, in-group vectorized sort + cumsum — the
+    ordered-window-per-key primitive behind sessionization/packing, exposed
+    directly.  Groups are per-user event streams (bounded); the exchange is
+    one user-keyed shuffle."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def running(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        v = np.floor(df["value"].to_numpy(np.float64) * 1000).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": pa.array(df["event_id"].to_numpy(np.int64)),
+                "running_milli": pa.array(np.cumsum(v)),
+            }
+        )
+
+    return compact(ev).groupby("user_id").map_groups(running, batch_format="pandas")

@@ -59,3 +59,34 @@ def test_right_and_outer_join_match_pandas(ray_session):
         assert got["k"].tolist() == exp["k"].tolist(), how
         assert got["lv"].fillna("-").tolist() == exp["lv"].fillna("-").tolist(), how
         assert got["rv"].fillna(-1).astype(int).tolist() == exp["rv"].fillna(-1).astype(int).tolist(), how
+
+
+def test_salted_aggregate_equals_plain_groupby(ray_session):
+    import numpy as np
+    from ray.data.aggregate import Count, Min, Sum
+
+    from ontoea_ray.functions.shuffle import salted_aggregate
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    keys = np.where(rng.random(n) < 0.9, "hot", rng.choice(["a", "b", "c"], n))
+    tbl = pa.table(
+        {
+            "k": pa.array(keys.tolist(), pa.string()),
+            "v": pa.array(rng.integers(0, 100, n), pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(8)
+    got = {
+        r["k"]: (r["v"], r["n"])
+        for r in salted_aggregate(
+            ds, ["k"], sums=["v"], count_alias="n", salt=16
+        ).take_all()
+    }
+    plain = {
+        r["k"]: (r["v"], r["n"])
+        for r in ds.groupby("k")
+        .aggregate(Sum("v", alias_name="v"), Count(alias_name="n"))
+        .take_all()
+    }
+    assert got == plain
