@@ -303,3 +303,47 @@ def kg_upsert(
         Min(c, alias_name=c) for c in min_cols
     ]
     return compact(base.union(delta)).groupby(list(group_cols)).aggregate(*aggs)
+
+
+def kg_diff(
+    old: ray.data.Dataset,
+    new: ray.data.Dataset,
+    *,
+    group_cols: tuple[str, ...] = ("subj", "pred", "obj"),
+    cmp_col: str = "n_mentions",
+) -> ray.data.Dataset:
+    """Edge-table diff between two KG snapshots: rows ``added`` (new only),
+    ``removed`` (old only) or ``changed`` (present in both with different
+    ``cmp_col``); unchanged edges are dropped.  The audit/monitoring
+    complement of :func:`kg_upsert` — one full-outer hash join on the edge
+    key, everything else per-batch vectorized.  Null evidence counts are
+    surfaced as -1 so the output stays a stable int64 schema."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ontoea_ray.functions.join import hash_join
+
+    keep = list(group_cols) + [cmp_col]
+    o = old.select_columns(keep)
+    n = new.select_columns(keep)
+    j = hash_join(o, n, on=list(group_cols), how="outer")
+    new_col = cmp_col + "_r"
+
+    def classify(b: pa.Table) -> pa.Table:
+        ov = np.asarray(
+            pc.coalesce(b[cmp_col], pa.scalar(-1, pa.int64())), np.int64
+        )
+        nv = np.asarray(
+            pc.coalesce(b[new_col], pa.scalar(-1, pa.int64())), np.int64
+        )
+        status = np.where(
+            ov < 0, "added", np.where(nv < 0, "removed", np.where(ov != nv, "changed", "same"))
+        )
+        mask = status != "same"
+        out = {c: b[c].combine_chunks().filter(pa.array(mask)) for c in group_cols}
+        out["status"] = pa.array(status[mask], pa.string())
+        out["old_mentions"] = pa.array(ov[mask])
+        out["new_mentions"] = pa.array(nv[mask])
+        return pa.table(out)
+
+    return j.map_batches(classify, batch_format="pyarrow")

@@ -1914,3 +1914,146 @@ def q_running_total(sf_dir: str):
         )
 
     return compact(ev).groupby("user_id").map_groups(running, batch_format="pandas")
+
+
+_GROUP_QUANTILES_SQL = """
+    SELECT lang,
+           CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50_chars,
+           CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY 1
+"""
+
+
+@_register("q_group_quantiles", _GROUP_QUANTILES_SQL)
+def q_group_quantiles(sf_dir: str):
+    """Exact per-group quantiles (median / p90 document length per lang):
+    key-co-located map_groups, in-group sort + discrete-quantile index
+    (ceil(q*n)-1 — DuckDB's quantile_disc convention).  Complements the
+    GLOBAL exact quantiles (stages/quantiles.py, sort + positional block
+    fetch): per-group distributions fit their group, so the group-local
+    kernel is the right scale shape."""
+    docs = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def grp(df: pd.DataFrame) -> pa.Table:
+        v = np.sort(df["n_chars"].to_numpy(np.int64))
+        n = len(v)
+        idx = lambda q: v[max(0, int(np.ceil(q * n)) - 1)]
+        return pa.table(
+            {
+                "lang": pa.array([df["lang"].iloc[0]], pa.string()),
+                "p50_chars": pa.array([idx(0.5)], pa.int64()),
+                "p90_chars": pa.array([idx(0.9)], pa.int64()),
+                "n_docs": pa.array([n], pa.int64()),
+            }
+        )
+
+    return compact(docs).groupby("lang").map_groups(grp, batch_format="pandas")
+
+
+_STRAT_RATES = {"en": 40, "de": 80, "fr": 65}
+
+_STRAT_CASE = " ".join(f"WHEN '{g}' THEN {p}" for g, p in _STRAT_RATES.items())
+
+_STRAT_SAMPLE_SQL = f"""
+    WITH {splitmix64_ctes("documents", "doc_id")}
+    SELECT doc_id, lang FROM sm3
+    WHERE _h % 100 < CASE lang {_STRAT_CASE} ELSE 15 END
+"""
+
+
+@_register("q_stratified_sample", _STRAT_SAMPLE_SQL)
+def q_stratified_sample(sf_dir: str):
+    """Per-language stratified sampling (training-mix rebalancing):
+    deterministic splitmix64 keep-predicate with a per-group threshold from
+    a broadcast rate map — shuffle-free, join-stable; the oracle replays
+    the hash chain with a CASE over the same rates."""
+    from ontoea_ray.stages.sampling import stratified_hash_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return stratified_hash_sample(
+        ds, key_col="doc_id", group_col="lang", rates_pct=_STRAT_RATES, default_pct=15
+    )
+
+
+_KG_DIFF_SQL = f"""
+    WITH kg AS ({_FLAGSHIP_SQL}),
+    old AS (SELECT subj, pred, obj, n_mentions FROM kg WHERE pred <> 'spark'),
+    new AS (SELECT subj, pred, obj,
+                   n_mentions + CASE WHEN pred = 'group' THEN 1 ELSE 0 END AS n_mentions
+            FROM kg WHERE pred <> 'window'),
+    j AS (SELECT COALESCE(old.subj, new.subj) AS subj,
+                 COALESCE(old.pred, new.pred) AS pred,
+                 COALESCE(old.obj, new.obj) AS obj,
+                 COALESCE(old.n_mentions, -1) AS old_mentions,
+                 COALESCE(new.n_mentions, -1) AS new_mentions
+          FROM old FULL OUTER JOIN new
+          ON old.subj = new.subj AND old.pred = new.pred AND old.obj = new.obj)
+    SELECT subj, pred, obj,
+           CASE WHEN old_mentions < 0 THEN 'added'
+                WHEN new_mentions < 0 THEN 'removed'
+                ELSE 'changed' END AS status,
+           CAST(old_mentions AS BIGINT) AS old_mentions,
+           CAST(new_mentions AS BIGINT) AS new_mentions
+    FROM j WHERE old_mentions <> new_mentions
+"""
+
+
+@_register("q_kg_diff", _KG_DIFF_SQL)
+def q_kg_diff(sf_dir: str):
+    """KG snapshot diff (added / removed / changed edges between two crawl
+    increments) — full-outer hash join on the edge key; the old/new
+    snapshots are deterministic slices of the flagship KG so every status
+    path is exercised and value-checked."""
+    from ontoea_ray.pipelines.kg_construct import kg_construct_pipeline, kg_diff
+
+    kg = kg_construct_pipeline(sf_dir).materialize()
+    old = kg.map_batches(
+        lambda b: b.filter(pc.not_equal(b["pred"], "spark")), batch_format="pyarrow"
+    )
+
+    def bump(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.not_equal(b["pred"], "window"))
+        inc = pc.add(
+            b["n_mentions"],
+            pc.cast(pc.equal(b["pred"], "group"), pa.int64()),
+        )
+        return b.set_column(b.schema.get_field_index("n_mentions"), "n_mentions", inc)
+
+    new = kg.map_batches(bump, batch_format="pyarrow")
+    return kg_diff(old, new)
+
+
+_DEGREE_HIST_SQL = f"""
+    WITH kg AS ({_FLAGSHIP_SQL}),
+    deg AS (SELECT subj, COUNT(*) AS dg FROM kg GROUP BY 1)
+    SELECT CAST(LENGTH(bin(dg)) - 1 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MAX(dg) AS BIGINT) AS max_degree
+    FROM deg GROUP BY 1
+"""
+
+
+@_register("q_degree_hist", _DEGREE_HIST_SQL)
+def q_degree_hist(sf_dir: str):
+    """Out-degree log2-bucket histogram of the KG — the skew diagnostic
+    that sizes hub salting (how heavy is the tail before the
+    canonicalization shuffle).  Per-subject count, then a bucket fold
+    (floor(log2 dg) via the float exponent — exact for counts < 2^53,
+    replayed in SQL as LENGTH(bin(dg))-1)."""
+    from ontoea_ray.pipelines.kg_construct import kg_construct_pipeline
+    from ray.data.aggregate import Max
+
+    kg = kg_construct_pipeline(sf_dir)
+    deg = compact(kg).groupby("subj").aggregate(Count(alias_name="dg"))
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        dg = np.asarray(b["dg"].combine_chunks(), np.int64)
+        bucket = (np.frexp(dg.astype(np.float64))[1] - 1).astype(np.int64)
+        return pa.table({"bucket": pa.array(bucket), "dg": pa.array(dg)})
+
+    return (
+        deg.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Count(alias_name="n_nodes"), Max("dg", alias_name="max_degree"))
+    )

@@ -154,3 +154,36 @@ def pack_sequences(
         return batch.append_column("pack_id", pa.array(excl // budget, pa.int64()))
 
     return ordered.map_batches(label, batch_format="pyarrow", batch_size=None)
+
+
+def stratified_hash_sample(
+    ds: ray.data.Dataset,
+    *,
+    key_col: str,
+    group_col: str,
+    rates_pct: dict[str, int],
+    default_pct: int = 0,
+    denom: int = 100,
+) -> ray.data.Dataset:
+    """Per-group deterministic sampling (language/domain rebalancing: the
+    standard training-mix step — downsample the dominant group, keep the
+    rare ones).  Same splitmix64 keep-predicate as :func:`hash_sample` but
+    the threshold is looked up per row from the broadcast ``rates_pct``
+    map — shuffle-free, join-stable, replayable in SQL with a CASE over
+    the same hash chain."""
+    groups = list(rates_pct)
+    lookup = pa.array(groups, pa.string())
+    rate_arr = np.array([rates_pct[g] for g in groups] + [default_pct], np.uint64)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keys = np.asarray(batch[key_col].to_numpy(zero_copy_only=False), np.int64)
+        h = splitmix64(keys.view(np.uint64)) % np.uint64(denom)
+        idx = pc.index_in(batch[group_col].combine_chunks(), value_set=lookup)
+        idx = idx.to_numpy(zero_copy_only=False)
+        idx = np.where(np.isnan(idx.astype(np.float64)), len(groups), idx).astype(np.int64) \
+            if idx.dtype.kind == "f" else np.where(idx < 0, len(groups), idx).astype(np.int64)
+        return batch.filter(pa.array(h < rate_arr[idx]))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
