@@ -156,3 +156,51 @@ def salted_aggregate(
         .groupby(keys)
         .aggregate(*s2_aggs)
     )
+
+
+def argmax_by(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    order_cols: list[str],
+    *,
+    width: int | None = None,
+):
+    """Latest/greatest record per key: the full row whose ``order_cols``
+    tuple is maximal within each key (the crawl-dedup primitive — newest
+    snapshot per url; latest event per user).
+
+    Combiner-first: each batch keeps only its per-key argmax rows (a
+    vectorized lexsort + boundary take, no Python rows), so the single
+    keyed exchange moves at most ``#blocks x |keys-in-block|`` rows; the
+    per-key groups after the shuffle are combiner-sized.  Ties broken by
+    the full ``order_cols`` tuple — make it unique (e.g. append an id) for
+    a deterministic result."""
+    import numpy as np
+    import pyarrow as pa
+
+    def partial(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return b
+        cols = [
+            np.asarray(b[c].to_numpy(zero_copy_only=False)) for c in key_cols + order_cols
+        ]
+        # lexsort: last key is primary -> sort by (keys..., order...) with
+        # order DESCENDING last so the FIRST row of each key run is the max
+        order = np.lexsort(tuple(reversed(cols)))
+        keys_sorted = [np.asarray(b[c].to_numpy(zero_copy_only=False))[order] for c in key_cols]
+        is_last = np.ones(len(b), bool)
+        same = np.ones(len(b) - 1, bool)
+        for k in keys_sorted:
+            same &= k[1:] == k[:-1]
+        is_last[:-1] = ~same  # last row of each key run = per-key max
+        return b.take(pa.array(order[is_last]))
+
+    part = compact(ds.map_batches(partial, batch_format="pyarrow"), width=width)
+
+    def merge(df):
+        df = df.sort_values(order_cols, kind="mergesort")
+        return pa.Table.from_pandas(df.tail(1), preserve_index=False).replace_schema_metadata(None)
+
+    return part.groupby(key_cols if len(key_cols) > 1 else key_cols[0]).map_groups(
+        merge, batch_format="pandas"
+    )

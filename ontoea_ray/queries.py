@@ -2057,3 +2057,64 @@ def q_degree_hist(sf_dir: str):
         .groupby("bucket")
         .aggregate(Count(alias_name="n_nodes"), Max("dg", alias_name="max_degree"))
     )
+
+
+_LATEST_EVENT_SQL = """
+    SELECT event_id, user_id, event_type
+    FROM (SELECT event_id, user_id, event_type,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+"""
+
+
+@_register("q_latest_event", _LATEST_EVENT_SQL)
+def q_latest_event(sf_dir: str):
+    """Latest record per key (functions/shuffle.argmax_by): newest event
+    per user, ties broken by event_id — the crawl-dedup primitive (newest
+    snapshot per url) on the events table.  Combiner-first: per-batch
+    argmax partials, one keyed exchange."""
+    from ontoea_ray.functions.shuffle import argmax_by
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    latest = argmax_by(ev, ["user_id"], ["ts", "event_id"])
+    return latest.map_batches(
+        lambda b: b.select(["event_id", "user_id", "event_type"]),
+        batch_format="pyarrow",
+    )
+
+
+_KMEANS_ASSIGN_SQL = """
+    WITH q AS (SELECT vec_id,
+                      [CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+                       FOR i IN range(1, 65)] AS qv
+               FROM embeddings),
+    cents AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < 4),
+    scores AS (SELECT q.vec_id, cents.cid,
+                      CAST(list_sum([q.qv[i] * cents.cv[i] FOR i IN range(1, 65)]) AS BIGINT) AS score
+               FROM q CROSS JOIN cents),
+    best AS (SELECT vec_id, cid, score,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cid ASC) AS rn
+             FROM scores)
+    SELECT vec_id, CAST(cid AS BIGINT) AS centroid, score FROM best WHERE rn = 1
+"""
+
+
+@_register("q_kmeans_assign", _KMEANS_ASSIGN_SQL)
+def q_kmeans_assign(sf_dir: str):
+    """Broadcast-centroid assignment (the k-means E-step / small-side
+    similarity join) in integer arithmetic: centroids = the first 4
+    embeddings, both sides quantized to milli-units, int64 dot products —
+    bit-deterministic, so DuckDB replays every score exactly."""
+    from ontoea_ray.stages.ann import centroid_assign
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cent_rows = sorted(
+        emb.map_batches(
+            lambda b: b.filter(pc.less(b["vec_id"], 4)), batch_format="pyarrow"
+        ).take_all(),
+        key=lambda r: r["vec_id"],
+    )
+    cents = np.array([r["embedding"] for r in cent_rows], np.float64)
+    return centroid_assign(emb, cents)

@@ -557,3 +557,48 @@ def ivf_index_topk(
     if return_stats:
         return out, stats
     return out
+
+
+def centroid_assign(
+    embeddings: ray.data.Dataset,
+    centroids: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = 1000,
+) -> ray.data.Dataset:
+    """Assign every vector to its max-inner-product centroid — the k-means
+    assignment step / broadcast similarity join, in INTEGER arithmetic so
+    the scores are bit-deterministic and SQL-replayable (both sides
+    quantized ``floor(float64(x) * quant)``; int64 dot products are
+    order-independent, float dots are not).
+
+    ``centroids``: (K, d) float array, broadcast once (K is small by
+    definition); ties go to the lowest centroid id.  One shuffle-free
+    corpus pass, int matmul per batch."""
+    cq = np.floor(centroids.astype(np.float64) * quant).astype(np.int64)
+    cref = ray.put(cq)
+
+    class Assign:
+        def __init__(self):
+            self.c = ray.get(cref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vecs = batch[vec_col].combine_chunks()
+            flat = np.asarray(vecs.values, np.float32).astype(np.float64)
+            mat = np.floor(flat.reshape(len(batch), -1) * quant).astype(np.int64)
+            scores = mat @ self.c.T  # (n, K) int64
+            best = np.argmax(scores, axis=1)  # first max = lowest cid
+            return pa.table(
+                {
+                    id_col: batch[id_col],
+                    "centroid": pa.array(best.astype(np.int64)),
+                    "score": pa.array(scores[np.arange(len(batch)), best]),
+                }
+            )
+
+    from ontoea_ray.stages.scan_link import default_pool_size
+
+    return embeddings.select_columns([id_col, vec_col]).map_batches(
+        Assign, batch_format="pyarrow", concurrency=default_pool_size(None)
+    )
