@@ -47,6 +47,14 @@ BENCH_QUERIES = [
     "q_tfidf",
     "q_quantiles",
     "q_dup_clusters",
+    "q_decontaminate",
+    "q_salted_agg",
+    "q_running_total",
+    "q_group_quantiles",
+    "q_stratified_sample",
+    "q_latest_event",
+    "q_kmeans_assign",
+    "q_outer_join",
 ]
 
 
