@@ -204,3 +204,57 @@ def argmax_by(
     return part.groupby(key_cols if len(key_cols) > 1 else key_cols[0]).map_groups(
         merge, batch_format="pandas"
     )
+
+
+def keyed_aggregate(
+    ds: ray.data.Dataset,
+    group_cols: list[str],
+    *,
+    sums: list[str] = (),
+    mins: list[str] = (),
+    count_alias: str | None = None,
+    width: int | None = None,
+):
+    """Hash-partitioned multi-key aggregate: per-batch pandas combine, ONE
+    int-pkey exchange, per-partition vectorized merge.
+
+    Use instead of ``Dataset.groupby(cols).aggregate(...)`` whenever the
+    key is multi-column AND corpus-proportional: Ray's sort-based aggregate
+    compares composite keys row-by-row (measured 21 s for 1.3M rows / 1.1M
+    groups on a 4-column key; this helper does the identical reduction in
+    ~1 s).  For LOW-cardinality keys the engine aggregate is fine and this
+    helper buys nothing.  All aggregates here are associative, so partial
+    -> merge is exact."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from ontoea_ray.functions.tables import from_pandas as _fp
+
+    sums, mins = list(sums), list(mins)
+    agg1 = {**{c: "sum" for c in sums}, **{c: "min" for c in mins}}
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            # keep the output schema stable for empty blocks (a zero-column
+            # table poisons any later concat)
+            cols = {c: df[c] for c in group_cols + sums + mins}
+            if count_alias:
+                cols[count_alias] = pd.Series([], dtype="int64")
+            return _fp(pd.DataFrame(cols))
+        gb = df.groupby(group_cols, sort=False)
+        out = gb.agg(agg1) if agg1 else pd.DataFrame(index=gb.size().index)
+        if count_alias:
+            out[count_alias] = gb.size()
+        return _fp(out.reset_index())
+
+    parts = compact(ds.map_batches(partial, batch_format="pandas"), width=width)
+    parted = with_partition_key(parts, group_cols, width=width)
+    agg2 = dict(agg1)
+    if count_alias:
+        agg2[count_alias] = "sum"
+
+    def merge(df: pd.DataFrame) -> pa.Table:
+        out = df.groupby(group_cols, sort=False).agg(agg2).reset_index()
+        return _fp(out)
+
+    return parted.groupby("pkey").map_groups(merge, batch_format="pandas")

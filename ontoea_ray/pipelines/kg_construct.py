@@ -295,14 +295,11 @@ def kg_upsert(
     over the combined (already combiner-sized) edge tables; no driver
     state.
     """
-    from ray.data.aggregate import Min, Sum
+    from ontoea_ray.functions.shuffle import keyed_aggregate
 
-    from ontoea_ray.functions.shuffle import compact
-
-    aggs = [Sum(c, alias_name=c) for c in sum_cols] + [
-        Min(c, alias_name=c) for c in min_cols
-    ]
-    return compact(base.union(delta)).groupby(list(group_cols)).aggregate(*aggs)
+    return keyed_aggregate(
+        base.union(delta), list(group_cols), sums=list(sum_cols), mins=list(min_cols)
+    )
 
 
 def kg_diff(

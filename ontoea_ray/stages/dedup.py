@@ -269,9 +269,9 @@ def lsh_candidate_pairs(
         return _from_pandas_clean(df)
 
     pairs = pairs.map_batches(partial_distinct, batch_format="pyarrow")
-    from ray.data.aggregate import Count
+    from ontoea_ray.functions.shuffle import keyed_aggregate
 
-    distinct = compact(pairs).groupby(["id_a", "id_b"]).aggregate(Count(alias_name="_c"))
+    distinct = keyed_aggregate(pairs, ["id_a", "id_b"], count_alias="_c")
     return distinct.drop_columns(["_c"])
 
 
@@ -312,7 +312,9 @@ def lsh_near_duplicates(
     def _involved_ids(*tbls: pa.Table) -> pa.Array:
         import pyarrow.compute as pc
 
-        t = pa.concat_tables(list(tbls))
+        # groupby(pkey).map_groups emits a zero-column block for an empty
+        # partition; skip those before concat (schema mismatch otherwise)
+        t = pa.concat_tables([x for x in tbls if x.num_columns > 0])
         both = pa.chunked_array(t["id_a"].chunks + t["id_b"].chunks)
         uniq = pc.unique(both)
         return uniq.combine_chunks() if isinstance(uniq, pa.ChunkedArray) else uniq

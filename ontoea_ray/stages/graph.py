@@ -177,8 +177,9 @@ def merge_entities(
     component representative IS the min URI); everything else is the
     engine's standard one-exchange joins.  No driver-side state.
     """
-    from ray.data.aggregate import Count, Min, Sum
+    from ray.data.aggregate import Count
 
+    from ontoea_ray.functions.shuffle import keyed_aggregate
     from ontoea_ray.state.ids import zip_with_index
 
     # 1. ordered vocabulary of nodes under merge: (uri, nid), nid = lex rank
@@ -202,9 +203,15 @@ def merge_entities(
     ).materialize()
     width = sized_width(vocab.size_bytes())
 
-    aggs = [Sum(c, alias_name=c) for c in sum_cols] + [Min(c, alias_name=c) for c in min_cols]
+    # multi-key corpus-proportional reduction: pkey-partitioned merge, not
+    # the engine sort aggregate (see functions/shuffle.keyed_aggregate)
+    def _reagg(ds):
+        return keyed_aggregate(
+            ds, list(group_cols), sums=list(sum_cols), mins=list(min_cols)
+        )
+
     if vocab.count() == 0:  # no same-as evidence: identity merge
-        return compact(triples).groupby(list(group_cols)).aggregate(*aggs)
+        return _reagg(triples)
 
     # 2. encode string pairs -> int edges
     enc_a = hash_join(sameas, vocab, on=[src], right_on=["uri"], width=width).map_batches(
@@ -236,7 +243,7 @@ def merge_entities(
         )
 
     # 6. re-aggregate merged edges
-    return compact(out).groupby(list(group_cols)).aggregate(*aggs)
+    return _reagg(out)
 
 
 def pagerank(
