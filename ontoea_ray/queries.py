@@ -2118,3 +2118,80 @@ def q_kmeans_assign(sf_dir: str):
     )
     cents = np.array([r["embedding"] for r in cent_rows], np.float64)
     return centroid_assign(emb, cents)
+
+
+from ontoea_ray.functions.url import normalize_url_ctes, normalize_urls
+
+_MESSY_URL_SQL_EXPR = (
+    "'HTTPS://WWW.' || upper(source) || '.Example.ORG'"
+    " || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END"
+    " || '/Doc/' || CAST(doc_id // 10 AS VARCHAR)"
+    " || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END"
+    " || CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&ref=' || CAST(doc_id % 5 AS VARCHAR)"
+    "         WHEN doc_id % 4 = 1 THEN '?ref=' || CAST(doc_id % 5 AS VARCHAR) || '&utm_campaign=x'"
+    "         ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END"
+)
+
+_URL_DEDUP_SQL = f"""
+    WITH messy AS (SELECT doc_id, {_MESSY_URL_SQL_EXPR} AS url FROM documents),
+    {normalize_url_ctes("messy")}
+    SELECT canon_url,
+           CAST(COUNT(*) AS BIGINT) AS n_variants,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM u6 GROUP BY 1
+"""
+
+
+def _url_query_part(d: np.ndarray) -> pd.Series:
+    ref = pd.Series((d % 5).astype(str))
+    q = pd.Series(np.full(len(d), "", object))
+    m0, m1 = d % 4 == 0, d % 4 == 1
+    q[m0] = "?utm_source=feed&ref=" + ref[m0]
+    q[m1] = "?ref=" + ref[m1] + "&utm_campaign=x"
+    return q
+
+
+@_register("q_url_dedup", _URL_DEDUP_SQL)
+def q_url_dedup(sf_dir: str):
+    """Canonical-URL dedup: messy crawl URLs (deterministically derived —
+    mixed case, default ports, utm params, fragments, trailing slashes) are
+    normalized with functions/url.normalize_urls (RE2 steps DuckDB replays
+    verbatim) and reduced to one representative per canonical url."""
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def messy(b: pa.Table) -> pa.Table:
+        d = np.asarray(b["doc_id"].combine_chunks(), np.int64)
+        src = b["source"].combine_chunks()
+        s = pd.Series(src.to_pandas().to_numpy())
+        parts = (
+            "HTTPS://WWW." + s.str.upper() + ".Example.ORG"
+            + pd.Series(np.where(d % 3 == 0, ":443", ""))
+            + "/Doc/" + pd.Series((d // 10).astype(str))
+            + pd.Series(np.where(d % 2 == 0, "/", ""))
+            + _url_query_part(d)
+            + pd.Series(np.where(d % 7 == 0, "#frag", ""))
+        )
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "canon_url": normalize_urls(pa.array(parts.tolist(), pa.string())),
+            }
+        )
+
+    canon = docs.map_batches(messy, batch_format="pyarrow")
+    agg = keyed_aggregate(
+        canon, ["canon_url"], mins=["doc_id"], count_alias="n_variants"
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "canon_url": b["canon_url"],
+                "n_variants": b["n_variants"],
+                "min_doc_id": b["doc_id"],
+            }
+        ),
+        batch_format="pyarrow",
+    )

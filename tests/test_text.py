@@ -76,3 +76,21 @@ def test_pii_scrub_rules_and_order():
         "call <PHONE> today",
         "none here",
     ]
+
+
+def test_normalize_urls_spec():
+    import pyarrow as pa
+
+    from ontoea_ray.functions.url import normalize_urls
+
+    cases = {
+        "HTTP://Example.COM:80/A/B/": "http://example.com/A/B",
+        "https://a.com/?utm_source=x&ref=1": "https://a.com/?ref=1",
+        "https://a.com/?ref=1&utm_campaign=y#frag": "https://a.com/?ref=1",
+        "https://a.com:443": "https://a.com",
+        "https://a.com/Path?utm_a=1": "https://a.com/Path",
+        "ftp://HOST/file": "ftp://host/file",
+        "https://a.com:8443/x": "https://a.com:8443/x",  # non-default port kept
+    }
+    got = normalize_urls(pa.array(list(cases), pa.string())).to_pylist()
+    assert got == list(cases.values())
