@@ -2195,3 +2195,114 @@ def q_url_dedup(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
+
+
+_EVENT_BIGRAMS_SQL = """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM events)
+    SELECT event_type AS a, nxt AS b, CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE nxt IS NOT NULL
+    GROUP BY 1, 2
+"""
+
+
+@_register("q_event_bigrams", _EVENT_BIGRAMS_SQL)
+def q_event_bigrams(sf_dir: str):
+    """Sequential-pattern counts (clickstream path mining): consecutive
+    event-type pairs per user ordered by time.  User-co-located map_groups,
+    in-group vectorized sort + shift; bigram counts pre-reduced per
+    partition before one small keyed merge."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def bigrams(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        et = df["event_type"].to_numpy()
+        uid = df["user_id"].to_numpy()
+        same = uid[1:] == uid[:-1]
+        part = (
+            pd.DataFrame({"a": et[:-1][same], "b": et[1:][same]})
+            .groupby(["a", "b"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return _from_pandas_clean(part)
+
+    from ontoea_ray.functions.shuffle import keyed_aggregate, with_partition_key
+
+    parted = with_partition_key(compact(ev), ["user_id"])
+    per_part = parted.groupby("pkey").map_groups(bigrams, batch_format="pandas")
+    return keyed_aggregate(per_part, ["a", "b"], sums=["n"]).map_batches(
+        lambda b: pa.table({"a": b["a"], "b": b["b"], "n": b["n"]}),
+        batch_format="pyarrow",
+    )
+
+
+_PRED_COOC_SQL = f"""
+    WITH kg AS ({_FLAGSHIP_SQL}),
+    sp AS (SELECT DISTINCT subj, pred FROM kg)
+    SELECT a.pred AS pred_a, b.pred AS pred_b, CAST(COUNT(*) AS BIGINT) AS n_subjects
+    FROM sp a JOIN sp b ON a.subj = b.subj AND a.pred < b.pred
+    GROUP BY 1, 2
+"""
+
+
+@_register("q_pred_cooc", _PRED_COOC_SQL)
+def q_pred_cooc(sf_dir: str):
+    """Predicate co-occurrence (schema discovery: which predicate pairs
+    share subjects — the association signal behind ontology-property
+    grouping).  Distinct (subj, pred) explode, subject-co-located pair
+    emission (the vectorized segment-pairs kernel from dedup), one keyed
+    merge.  Predicates are dictionary-encoded to ints for the pair kernel
+    and decoded after."""
+    from ontoea_ray.functions.shuffle import keyed_aggregate, with_partition_key
+    from ontoea_ray.pipelines.kg_construct import kg_construct_pipeline
+    from ontoea_ray.stages.dedup import _pairs_from_bucket_block
+
+    kg = kg_construct_pipeline(sf_dir)
+    sp = keyed_aggregate(
+        kg.map_batches(
+            lambda b: pa.table({"subj": b["subj"], "pred": b["pred"]}),
+            batch_format="pyarrow",
+        ),
+        ["subj", "pred"],
+        count_alias="_c",
+    ).drop_columns(["_c"])
+
+    # encode pred -> int id so the pair kernel stays numeric; vocabulary is
+    # tiny (predicate inventory), broadcast via sorted factorize per batch
+    preds = sorted(
+        r["pred"]
+        for r in keyed_aggregate(
+            sp.map_batches(lambda b: pa.table({"pred": b["pred"]}), batch_format="pyarrow"),
+            ["pred"],
+            count_alias="_c",
+        ).take_all()
+    )
+    lookup = pa.array(preds, pa.string())
+
+    def encode(b: pa.Table) -> pa.Table:
+        idx = pc.index_in(b["pred"].combine_chunks(), value_set=lookup)
+        return pa.table({"subj": b["subj"], "pid": idx.cast(pa.int64())})
+
+    enc = sp.map_batches(encode, batch_format="pyarrow")
+    parted = with_partition_key(enc, ["subj"])
+    pair_rows = parted.groupby("pkey").map_groups(
+        _pairs_from_bucket_block("pid", None, keys=("subj",), distinct=False),
+        batch_format="pandas",
+    )
+    counts = keyed_aggregate(pair_rows, ["id_a", "id_b"], count_alias="n_subjects")
+
+    def decode(b: pa.Table) -> pa.Table:
+        a = np.asarray(b["id_a"].combine_chunks(), np.int64)
+        bb = np.asarray(b["id_b"].combine_chunks(), np.int64)
+        return pa.table(
+            {
+                "pred_a": lookup.take(pa.array(a)),
+                "pred_b": lookup.take(pa.array(bb)),
+                "n_subjects": b["n_subjects"],
+            }
+        )
+
+    return counts.map_batches(decode, batch_format="pyarrow")
