@@ -2306,3 +2306,91 @@ def q_pred_cooc(sf_dir: str):
         )
 
     return counts.map_batches(decode, batch_format="pyarrow")
+
+
+_RANK_SCORE_SQL = """
+    WITH vocab AS (
+      SELECT token,
+             ROW_NUMBER() OVER (ORDER BY freq DESC, token DESC) - 1 AS rank
+      FROM (SELECT token, COUNT(*) AS freq
+            FROM (SELECT unnest(str_split(text, ' ')) AS token FROM documents)
+            GROUP BY token)),
+    ex AS (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents),
+    j AS (SELECT doc_id, v.rank AS rank FROM ex JOIN vocab v USING (token))
+    SELECT doc_id,
+           CAST(SUM(rank) AS BIGINT) AS sum_rank,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST((1000 * SUM(rank)) // COUNT(*) AS BIGINT) AS mean_rank_milli
+    FROM j GROUP BY 1
+"""
+
+
+@_register("q_rank_score", _RANK_SCORE_SQL)
+def q_rank_score(sf_dir: str):
+    """Rank-based LM quality proxy: each token scored by its global
+    frequency rank (common token = low rank), per-doc mean in integer
+    milli-units — an order-independent, exactly-replayable stand-in for
+    unigram-LM perplexity scoring.  The corpus rank table is the engine's
+    distributed sort_elements order (q_term_freq), broadcast once; the
+    corpus pass is shuffle-free index_in + take."""
+    from ontoea_ray.state.ids import rank_by_frequency, token_frequencies
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    ranks = rank_by_frequency(token_frequencies(docs), key="token").take_all()
+    lookup = pa.array([r["token"] for r in ranks], pa.string())
+    rank_arr = np.array([r["rank"] for r in ranks], np.int64)
+    lk_ref = ray.put((lookup, rank_arr))
+
+    class Score:
+        def __init__(self):
+            self.lookup, self.ranks = ray.get(lk_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            from ontoea_ray.functions.text import tokenize
+
+            toks = tokenize(b["text"])
+            offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            idx = pc.index_in(toks.flatten(), value_set=self.lookup)
+            r = self.ranks[np.asarray(idx.cast(pa.int64()), np.int64)]
+            csum = np.concatenate([[0], np.cumsum(r)])
+            sums = csum[offs[1:]] - csum[offs[:-1]]
+            n = np.diff(offs)
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "sum_rank": pa.array(sums.astype(np.int64)),
+                    "n_tokens": pa.array(n.astype(np.int64)),
+                    "mean_rank_milli": pa.array((1000 * sums) // n),
+                }
+            )
+
+    from ontoea_ray.stages.scan_link import default_pool_size
+
+    return docs.map_batches(
+        Score, batch_format="pyarrow", concurrency=default_pool_size(None)
+    )
+
+
+_CHUNK_W, _CHUNK_S = 64, 48
+
+_CHUNK_WINDOWS_SQL = f"""
+    WITH tok AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+    st AS (SELECT doc_id, t, unnest(range(0, len(t), {_CHUNK_S})) AS s FROM tok)
+    SELECT doc_id,
+           CAST(s // {_CHUNK_S} AS BIGINT) AS chunk_id,
+           CAST(least(s + {_CHUNK_W}, len(t)) - s AS BIGINT) AS n_tokens,
+           array_to_string(t[s + 1 : least(s + {_CHUNK_W}, len(t))], ' ') AS chunk
+    FROM st
+"""
+
+
+@_register("q_chunk_windows", _CHUNK_WINDOWS_SQL)
+def q_chunk_windows(sf_dir: str):
+    """Overlapping token-window chunking (context-window prep): 64-token
+    windows every 48 tokens; vectorized explode (stages/sampling.
+    chunk_token_windows), chunk text value-checked against DuckDB list
+    slices."""
+    from ontoea_ray.stages.sampling import chunk_token_windows
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return chunk_token_windows(docs, window=_CHUNK_W, stride=_CHUNK_S)

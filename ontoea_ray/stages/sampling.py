@@ -187,3 +187,60 @@ def stratified_hash_sample(
         return batch.filter(pa.array(h < rate_arr[idx]))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def chunk_token_windows(
+    docs: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 64,
+    stride: int = 48,
+) -> ray.data.Dataset:
+    """Overlapping token-window chunking — the context-window prep step
+    (split long documents into model-sized windows with ``window - stride``
+    tokens of overlap).  A flat_map-shaped explode, fully vectorized: chunk
+    boundaries by repeat/cumsum index arithmetic over the tokenized batch,
+    chunk text rebuilt zero-copy with a ``take`` + ``binary_join`` over the
+    flat token values — no per-chunk Python.  Shuffle-free single pass.
+
+    Every doc yields ``ceil(n_tokens / stride)`` chunks (min 1); the last
+    chunks may be shorter than ``window``.  Exactly replayable in SQL via
+    1-based inclusive list slices (see queries.q_chunk_windows)."""
+    import pyarrow.compute as pc
+
+    from ontoea_ray.functions.text import tokenize
+
+    assert stride >= 1 and window >= stride
+
+    def explode(b: pa.Table) -> pa.Table:
+        toks = tokenize(b[text_col])
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = toks.flatten()
+        n = np.diff(offs)
+        n_chunks = (n + stride - 1) // stride
+        total_chunks = int(n_chunks.sum())
+        row_of_chunk = np.repeat(np.arange(len(n), dtype=np.int64), n_chunks)
+        chunk_starts_cum = np.concatenate([[0], np.cumsum(n_chunks)])
+        local = np.arange(total_chunks) - chunk_starts_cum[row_of_chunk]
+        tok_start = offs[:-1][row_of_chunk] + local * stride
+        tok_end = np.minimum(tok_start + window, offs[1:][row_of_chunk])
+        lens = tok_end - tok_start
+        total_toks = int(lens.sum())
+        run_cum = np.concatenate([[0], np.cumsum(lens)])
+        idxs = np.repeat(tok_start, lens) + (np.arange(total_toks) - np.repeat(run_cum[:-1], lens))
+        values = flat.take(pa.array(idxs))
+        chunks_list = pa.ListArray.from_arrays(pa.array(run_cum, pa.int32()), values)
+        chunk_text = pc.binary_join(chunks_list, " ")
+        return pa.table(
+            {
+                id_col: b[id_col].combine_chunks().take(pa.array(row_of_chunk)),
+                "chunk_id": pa.array(local),
+                "n_tokens": pa.array(lens),
+                "chunk": chunk_text,
+            }
+        )
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pyarrow"
+    )

@@ -62,3 +62,29 @@ def test_pack_sequences_budget_invariants():
     # pack ids start at 0 and are non-decreasing in key order
     ids = [r["pack_id"] for r in rows]
     assert ids[0] == 0 and all(b >= a for a, b in zip(ids, ids[1:]))
+
+
+def test_chunk_token_windows_overlap(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from ontoea_ray.stages.sampling import chunk_token_windows
+
+    text = " ".join(f"t{i}" for i in range(10))
+    docs = ray.data.from_arrow(
+        pa.table({"doc_id": [1, 2], "text": [text, "solo"]})
+    )
+    rows = sorted(
+        chunk_token_windows(docs, window=4, stride=3).take_all(),
+        key=lambda r: (r["doc_id"], r["chunk_id"]),
+    )
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_id"], r["n_tokens"], r["chunk"]))
+    assert by_doc[1] == [
+        (0, 4, "t0 t1 t2 t3"),
+        (1, 4, "t3 t4 t5 t6"),
+        (2, 4, "t6 t7 t8 t9"),
+        (3, 1, "t9"),
+    ]
+    assert by_doc[2] == [(0, 1, "solo")]
