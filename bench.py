@@ -55,6 +55,11 @@ BENCH_QUERIES = [
     "q_latest_event",
     "q_kmeans_assign",
     "q_outer_join",
+    "q_det_shuffle",
+    "q_ntile",
+    "q_dup_spans",
+    "q_triangles",
+    "q_two_hop",
 ]
 
 

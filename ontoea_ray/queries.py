@@ -2394,3 +2394,308 @@ def q_chunk_windows(sf_dir: str):
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     return chunk_token_windows(docs, window=_CHUNK_W, stride=_CHUNK_S)
+
+
+# ---------------------------------------------------------------------------
+# global order statistics: deterministic shuffle, NTILE bucketing
+# ---------------------------------------------------------------------------
+
+from ontoea_ray.functions.lsh_sql import splitmix64_ctes as _sm_ctes
+
+_DET_SHUFFLE_SQL = f"""
+    WITH {_sm_ctes("documents", "doc_id")}
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY _h, doc_id) - 1 AS BIGINT) AS pos
+    FROM sm3
+"""
+
+
+@_register("q_det_shuffle", _DET_SHUFFLE_SQL)
+def q_det_shuffle(sf_dir: str):
+    """Deterministic global corpus shuffle with exact position: rank rows
+    by splitmix64(doc_id) (uniform, reproducible, resumable — rerunning
+    yields the same training order, unlike random_shuffle).  ONE all-to-all
+    (the range-partitioned sort); global positions from block-metadata
+    offsets appended worker-side (stages/quantiles.with_global_rank) — the
+    driver holds one int per block."""
+    from ontoea_ray.stages.quantiles import with_global_rank
+    from ontoea_ray.stages.sampling import splitmix64
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        d = np.asarray(b["doc_id"].combine_chunks(), np.int64)
+        return pa.table(
+            {"doc_id": b["doc_id"], "_h": pa.array(splitmix64(d.view(np.uint64)))}
+        )
+
+    ranked = with_global_rank(
+        docs.map_batches(add_hash, batch_format="pyarrow"),
+        ["_h", "doc_id"],
+        rank_col="pos",
+    )
+    return ranked.map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"], "pos": b["pos"]}),
+        batch_format="pyarrow",
+    )
+
+
+_NTILE_K = 8
+
+_NTILE_SQL = f"""
+    SELECT doc_id,
+           CAST(NTILE({_NTILE_K}) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS bucket
+    FROM documents
+"""
+
+
+@_register("q_ntile", _NTILE_SQL)
+def q_ntile(sf_dir: str):
+    """Exact global quantile bucketing (quality-score NTILE: route docs to
+    curriculum tiers by corpus-wide rank, not per-block approximation).
+    Global rank via sort + block-metadata offsets, then the 1-based NTILE
+    assignment (first n%k buckets take one extra row) computed vectorized
+    from (rank, n) — bit-equal to SQL NTILE with a unique tiebreaker."""
+    from ontoea_ray.stages.quantiles import with_global_rank
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    ranked = with_global_rank(docs, ["n_chars", "doc_id"], rank_col="_rank")
+    n = ranked.count()
+    q, r = divmod(n, _NTILE_K)
+
+    def bucket(b: pa.Table) -> pa.Table:
+        i = np.asarray(b["_rank"].combine_chunks(), np.int64)
+        cut = r * (q + 1)
+        big = i // (q + 1)
+        small = r + (i - cut) // max(q, 1)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "bucket": pa.array(np.where(i < cut, big, small) + 1),
+            }
+        )
+
+    return ranked.map_batches(bucket, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# duplicated-span quality signal (MassiveText/RefinedWeb-style dup fraction)
+# ---------------------------------------------------------------------------
+
+_DUP_N = 4
+
+_DUP_SPANS_SQL = f"""
+    WITH tok AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(t[i : i + {_DUP_N - 1}], ' ') AS shingle
+           FROM tok, LATERAL (SELECT unnest(range(1, greatest(len(t) - {_DUP_N - 2}, 2))) AS i) r),
+    cnt AS (SELECT shingle, COUNT(*) AS nd FROM sh GROUP BY 1)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           CAST(1000 * SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) // COUNT(*) AS BIGINT)
+             AS dup_frac_milli
+    FROM sh JOIN cnt USING (shingle)
+    GROUP BY 1
+"""
+
+
+@_register("q_dup_spans", _DUP_SPANS_SQL)
+def q_dup_spans(sf_dir: str):
+    """Per-doc duplicated-span fraction: how many of a doc's distinct
+    4-token shingles occur in more than one document (the
+    MassiveText duplicate-fraction quality signal).  Vectorized shingle
+    explode (dedup.shingle_strings), corpus shingle counts via the keyed
+    combiner aggregate, then a distributed hash-join back — the duplicated
+    shingle table is corpus-proportional, so it is JOINED, never
+    broadcast."""
+    from ontoea_ray.functions.join import hash_join
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+    from ontoea_ray.stages.dedup import shingle_strings
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def sh_batch(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"].combine_chunks(), np.int64)
+        df = shingle_strings(b["text"], ids, _DUP_N)
+        return _from_pandas_clean(df.rename(columns={"id": "doc_id"}))
+
+    sh = docs.map_batches(sh_batch, batch_format="pyarrow")
+    cnt = keyed_aggregate(sh, ["shingle"], count_alias="nd")
+    joined = hash_join(sh, cnt, on=["shingle"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        df["n_dup"] = (df["nd"] >= 2).astype(np.int64)
+        g = (
+            df.groupby("doc_id", sort=False)
+            .agg(n_shingles=("nd", "size"), n_dup=("n_dup", "sum"))
+            .reset_index()
+        )
+        return _from_pandas_clean(g)
+
+    per_doc = keyed_aggregate(
+        joined.map_batches(partial, batch_format="pandas"),
+        ["doc_id"],
+        sums=["n_shingles", "n_dup"],
+    )
+    return per_doc.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_shingles": b["n_shingles"],
+                "n_dup": b["n_dup"],
+                "dup_frac_milli": pc.divide(
+                    pc.multiply(pa.scalar(1000, pa.int64()), b["n_dup"].combine_chunks()),
+                    b["n_shingles"].combine_chunks(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph analytics on co-occurrence / KG edge tables
+# ---------------------------------------------------------------------------
+
+_COPURCHASE_E_CTE = """
+    lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+          FROM lp a JOIN lp b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+"""
+
+_TRIANGLES_SQL = f"""
+    WITH {_COPURCHASE_E_CTE}
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+
+def _copurchase_edges(sf_dir: str) -> ray.data.Dataset:
+    """Distinct co-purchase edges (a < b part pairs sharing an order):
+    order-co-located vectorized pair emission, then one keyed distinct."""
+    from ontoea_ray.functions.shuffle import keyed_aggregate, with_partition_key
+    from ontoea_ray.stages.dedup import _pairs_from_bucket_block
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    lp = keyed_aggregate(li, ["l_orderkey", "l_partkey"], count_alias="_c").drop_columns(
+        ["_c"]
+    )
+    parted = with_partition_key(lp, ["l_orderkey"])
+    pair_rows = parted.groupby("pkey").map_groups(
+        _pairs_from_bucket_block("l_partkey", None, keys=("l_orderkey",), distinct=True),
+        batch_format="pandas",
+    )
+    return keyed_aggregate(pair_rows, ["id_a", "id_b"], count_alias="_c").drop_columns(
+        ["_c"]
+    )
+
+
+@_register("q_triangles", _TRIANGLES_SQL)
+def q_triangles(sf_dir: str):
+    """Triangle counting on the co-purchase graph: per-node wedge emission
+    over the (a < b)-oriented edge list (the orientation bounds out-degree
+    like the classic degree-ordering trick), then ONE distributed hash-join
+    of wedges against the edge set — the standard node-iterator algorithm
+    with every stage a keyed exchange, no driver state."""
+    from ontoea_ray.functions.join import hash_join
+    from ontoea_ray.functions.shuffle import with_partition_key
+    from ontoea_ray.stages.dedup import _pairs_from_bucket_block
+
+    edges = _copurchase_edges(sf_dir)
+    ep = with_partition_key(edges, ["id_a"])
+    wedges = ep.groupby("pkey").map_groups(
+        _pairs_from_bucket_block("id_b", None, keys=("id_a",), distinct=False),
+        batch_format="pandas",
+    )
+    closed = hash_join(
+        wedges,
+        edges.map_batches(
+            lambda b: b.append_column("_hit", pa.array(np.ones(len(b), np.int8))),
+            batch_format="pyarrow",
+        ),
+        on=["id_a", "id_b"],
+    )
+    n = closed.count()
+    return pa.table({"n_triangles": pa.array([n], pa.int64())})
+
+
+_TWO_HOP_SQL = f"""
+    WITH {_COPURCHASE_E_CTE}
+    SELECT e1.a AS node, CAST(COUNT(DISTINCT e2.b) AS BIGINT) AS n_two_hop
+    FROM e e1 JOIN e e2 ON e1.b = e2.a
+    GROUP BY 1
+"""
+
+
+@_register("q_two_hop", _TWO_HOP_SQL)
+def q_two_hop(sf_dir: str):
+    """2-hop neighborhood size per node over the oriented co-purchase
+    graph (feature propagation / graph-context prep): distributed hash
+    self-join on the mid node, distinct (node, 2-hop) via the keyed
+    combiner aggregate, then a per-node count — two keyed exchanges, both
+    width ∝ cluster CPUs."""
+    from ontoea_ray.functions.join import hash_join
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+
+    edges = _copurchase_edges(sf_dir)
+    left = edges.map_batches(
+        lambda b: pa.table({"node": b["id_a"], "mid": b["id_b"]}),
+        batch_format="pyarrow",
+    )
+    right = edges.map_batches(
+        lambda b: pa.table({"mid": b["id_a"], "nb": b["id_b"]}),
+        batch_format="pyarrow",
+    )
+    hops = hash_join(left, right, on=["mid"])
+    dist = keyed_aggregate(
+        hops.map_batches(
+            lambda b: pa.table({"node": b["node"], "nb": b["nb"]}),
+            batch_format="pyarrow",
+        ),
+        ["node", "nb"],
+        count_alias="_c",
+    ).drop_columns(["_c"])
+    return keyed_aggregate(dist, ["node"], count_alias="n_two_hop")
+
+
+_ADJACENCY_SQL = f"""
+    WITH kg AS ({{flagship}}),
+    e AS (SELECT DISTINCT subj, obj FROM kg)
+    SELECT subj, CAST(COUNT(*) AS BIGINT) AS degree,
+           string_agg(obj, '|' ORDER BY obj) AS neighbors
+    FROM e GROUP BY 1
+""".format(flagship=_FLAGSHIP_SQL)
+
+
+@_register("q_adjacency_list", _ADJACENCY_SQL)
+def q_adjacency_list(sf_dir: str):
+    """Sorted adjacency-list export of the flagship KG edge table (the
+    dense serialization GNN samplers and the reference's triples_dict
+    consume): distinct (subj, obj), subject-co-located map_groups, in-group
+    vectorized sort + join — parity with SQL string_agg(... ORDER BY)."""
+    from ontoea_ray.functions.shuffle import keyed_aggregate, with_partition_key
+    from ontoea_ray.pipelines.kg_construct import kg_construct_pipeline
+
+    kg = kg_construct_pipeline(sf_dir)
+    e = keyed_aggregate(
+        kg.map_batches(
+            lambda b: pa.table({"subj": b["subj"], "obj": b["obj"]}),
+            batch_format="pyarrow",
+        ),
+        ["subj", "obj"],
+        count_alias="_c",
+    ).drop_columns(["_c"])
+    parted = with_partition_key(e, ["subj"])
+
+    def adj(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["subj", "obj"], kind="mergesort")
+        g = (
+            df.groupby("subj", sort=False)["obj"]
+            .agg(degree="size", neighbors="|".join)
+            .reset_index()
+        )
+        g["degree"] = g["degree"].astype(np.int64)
+        return _from_pandas_clean(g[["subj", "degree", "neighbors"]])
+
+    return parted.groupby("pkey").map_groups(adj, batch_format="pandas")

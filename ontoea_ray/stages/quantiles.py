@@ -24,6 +24,45 @@ import ray
 import ray.data
 
 
+def with_global_rank(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    *,
+    rank_col: str = "rank",
+    descending: bool = False,
+) -> ray.data.Dataset:
+    """Exact 0-based global rank by ``keys`` appended as ``rank_col``.
+
+    Scale shape: ONE all-to-all (Ray Data's range-partitioned sort); global
+    offsets come from per-block row counts in BLOCK METADATA only, and each
+    block gets its rank column appended by a remote task on the worker that
+    holds it — no block ever reaches the driver (the driver holds one int
+    per block).  Ties across equal key tuples get an arbitrary order, so
+    pass a unique tiebreaker (an id) for a deterministic result — then the
+    rank replays SQL ``ROW_NUMBER() OVER (ORDER BY keys) - 1`` exactly.
+    This is the primitive behind deterministic global shuffles (rank by a
+    splitmix64 hash) and exact NTILE bucketing.
+    """
+    sorted_mat = ds.sort(keys, descending=descending).materialize()
+    refs: list = []
+    counts: list[int] = []
+    for bundle in sorted_mat.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            refs.append(ref)
+            counts.append(meta.num_rows)
+    offs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+
+    @ray.remote
+    def _append(block, off: int):
+        tbl = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+        return tbl.replace_schema_metadata(None).append_column(
+            rank_col, pa.array(np.arange(off, off + len(tbl), dtype=np.int64))
+        )
+
+    out = [_append.remote(r, int(o)) for r, o in zip(refs, offs[:-1])]
+    return ray.data.from_arrow_refs(out)
+
+
 def exact_quantiles(
     ds: ray.data.Dataset,
     col: str,

@@ -89,3 +89,27 @@ def test_exact_quantiles_positions_and_ties(ray_session):
     for label, p in probs.items():
         assert got[label] == s[int(np.floor(p * (n - 1)))], label
     assert t.schema.field("v").type == __import__("pyarrow").int64()
+
+
+def test_with_global_rank_exact_and_deterministic(ray_session):
+    import numpy as np
+    import ray.data
+
+    from ontoea_ray.stages.quantiles import with_global_rank
+
+    rng = np.random.default_rng(11)
+    ids = rng.permutation(1201)
+    keys = rng.integers(0, 40, 1201)  # heavy ties -> tiebreaker required
+    ds = ray.data.from_items(
+        [{"id": int(i), "k": int(k)} for i, k in zip(ids, keys)]
+    ).repartition(17)
+    out = with_global_rank(ds, ["k", "id"], rank_col="rank").to_pandas()
+    # rank must be a permutation of 0..n-1 and replay ROW_NUMBER()-1 exactly
+    assert sorted(out["rank"]) == list(range(1201))
+    order = np.lexsort((out["id"].to_numpy(), out["k"].to_numpy()))
+    assert (out["rank"].to_numpy()[order] == np.arange(1201)).all()
+    # deterministic across runs
+    out2 = with_global_rank(ds, ["k", "id"], rank_col="rank").to_pandas()
+    a = out.sort_values("id").reset_index(drop=True)
+    b = out2.sort_values("id").reset_index(drop=True)
+    assert a.equals(b)
