@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "q_dup_spans",
     "q_triangles",
     "q_two_hop",
+    "q_pivot",
+    "q_rollup",
 ]
 
 

@@ -2699,3 +2699,105 @@ def q_adjacency_list(sf_dir: str):
         return _from_pandas_clean(g[["subj", "degree", "neighbors"]])
 
     return parted.groupby("pkey").map_groups(adj, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# reshaping aggregates: pivot (long -> wide) and ROLLUP (multi-level)
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+_PIVOT_SQL = "SELECT user_id, " + ", ".join(
+    f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}"
+    for t in _EVENT_TYPES
+) + " FROM events GROUP BY 1"
+
+
+@_register("q_pivot", _PIVOT_SQL)
+def q_pivot(sf_dir: str):
+    """Pivot long event rows into one wide count row per user (the
+    feature-table reshape).  The category set is a fixed schema decision
+    (as in SQL), so each batch emits indicator columns vectorized and the
+    per-user merge is an ordinary associative sum — one keyed exchange
+    over combiner-sized partials."""
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    cols = [f"n_{t}" for t in _EVENT_TYPES]
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        out = pd.DataFrame({"user_id": df["user_id"]})
+        et = df["event_type"].to_numpy()
+        for t in _EVENT_TYPES:
+            out[f"n_{t}"] = (et == t).astype(np.int64)
+        return _from_pandas_clean(out.groupby("user_id", sort=False).sum().reset_index())
+
+    return keyed_aggregate(
+        ev.map_batches(partial, batch_format="pandas"), ["user_id"], sums=cols
+    )
+
+
+_ROLLUP_SQL = """
+    SELECT COALESCE(r.r_name, 'ALL') AS region,
+           COALESCE(n.n_name, 'ALL') AS nation,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+"""
+
+
+@_register("q_rollup", _ROLLUP_SQL)
+def q_rollup(sf_dir: str):
+    """Hierarchical ROLLUP aggregate (region -> nation -> grand total) in
+    one pass: the combiner reduces each batch to (region, nation) partials,
+    each partial row is exploded into its 3 rollup levels (leaf, region,
+    'ALL'), and one keyed merge sums them — rollup levels are derived from
+    partials, never from a second corpus scan."""
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey", "n_name"])
+    reg = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    r2name = dict(zip(reg["r_regionkey"].to_pylist(), reg["r_name"].to_pylist()))
+    n2rn = {
+        nk: (r2name[rk], nn)
+        for nk, rk, nn in zip(
+            nat["n_nationkey"].to_pylist(),
+            nat["n_regionkey"].to_pylist(),
+            nat["n_name"].to_pylist(),
+        )
+    }
+    cust_rn = {
+        ck: n2rn[nk]
+        for ck, nk in zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist())
+    }
+    ref = ray.put(cust_rn)
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        df = batch.to_pandas()
+        rn = df["o_custkey"].map(m)
+        df["region"] = rn.str[0]
+        df["nation"] = rn.str[1]
+        df["revenue_cents"] = np.round(df["o_totalprice"] * 100).astype(np.int64)
+        leaf = (
+            df.groupby(["region", "nation"], sort=False)
+            .agg(revenue_cents=("revenue_cents", "sum"), n_orders=("region", "size"))
+            .reset_index()
+        )
+        lvl_region = leaf.assign(nation="ALL")
+        lvl_all = leaf.assign(region="ALL", nation="ALL")
+        out = pd.concat([leaf, lvl_region, lvl_all], ignore_index=True)
+        out["n_orders"] = out["n_orders"].astype(np.int64)
+        return _from_pandas_clean(out)
+
+    return keyed_aggregate(
+        orders.map_batches(partial, batch_format="pyarrow"),
+        ["region", "nation"],
+        sums=["revenue_cents", "n_orders"],
+    )
