@@ -2571,24 +2571,35 @@ _TRIANGLES_SQL = f"""
 """
 
 
-def _copurchase_edges(sf_dir: str) -> ray.data.Dataset:
-    """Distinct co-purchase edges (a < b part pairs sharing an order):
-    order-co-located vectorized pair emission, then one keyed distinct."""
-    from ontoea_ray.functions.shuffle import keyed_aggregate, with_partition_key
+def _copurchase_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Order-co-located co-purchase pair emission (a < b part pairs sharing
+    an order), with the per-order distinct FUSED into the same partition
+    pass (all copies of an order share a pkey partition, so an in-partition
+    drop_duplicates is exact) — one keyed exchange instead of a distinct
+    aggregate followed by a second partition pass.  Pairs still carry
+    cross-order multiplicity; callers dedupe on (id_a, id_b)."""
+    from ontoea_ray.functions.shuffle import with_partition_key
     from ontoea_ray.stages.dedup import _pairs_from_bucket_block
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-    lp = keyed_aggregate(li, ["l_orderkey", "l_partkey"], count_alias="_c").drop_columns(
-        ["_c"]
+    parted = with_partition_key(li, ["l_orderkey"])
+    emit = _pairs_from_bucket_block(
+        "l_partkey", None, keys=("l_orderkey",), distinct=True
     )
-    parted = with_partition_key(lp, ["l_orderkey"])
-    pair_rows = parted.groupby("pkey").map_groups(
-        _pairs_from_bucket_block("l_partkey", None, keys=("l_orderkey",), distinct=True),
-        batch_format="pandas",
-    )
-    return keyed_aggregate(pair_rows, ["id_a", "id_b"], count_alias="_c").drop_columns(
-        ["_c"]
-    )
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return emit(df.drop_duplicates(["l_orderkey", "l_partkey"]))
+
+    return parted.groupby("pkey").map_groups(pairs, batch_format="pandas")
+
+
+def _copurchase_edges(sf_dir: str) -> ray.data.Dataset:
+    """Distinct co-purchase edges: pair emission + one keyed distinct."""
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+
+    return keyed_aggregate(
+        _copurchase_pairs(sf_dir), ["id_a", "id_b"], count_alias="_c"
+    ).drop_columns(["_c"])
 
 
 @_register("q_triangles", _TRIANGLES_SQL)
@@ -2596,24 +2607,45 @@ def q_triangles(sf_dir: str):
     """Triangle counting on the co-purchase graph: per-node wedge emission
     over the (a < b)-oriented edge list (the orientation bounds out-degree
     like the classic degree-ordering trick), then ONE distributed hash-join
-    of wedges against the edge set — the standard node-iterator algorithm
-    with every stage a keyed exchange, no driver state."""
+    of wedges against the edge set — the standard node-iterator algorithm.
+    THREE keyed exchanges total: the edge distinct is fused into the wedge
+    partition pass (both key on id_a, so one id_a-co-located map_groups
+    dedups AND emits wedges, tagged rows split after a single materialize)."""
     from ontoea_ray.functions.join import hash_join
     from ontoea_ray.functions.shuffle import with_partition_key
     from ontoea_ray.stages.dedup import _pairs_from_bucket_block
 
-    edges = _copurchase_edges(sf_dir)
-    ep = with_partition_key(edges, ["id_a"])
-    wedges = ep.groupby("pkey").map_groups(
-        _pairs_from_bucket_block("id_b", None, keys=("id_a",), distinct=False),
-        batch_format="pandas",
-    )
+    ep = with_partition_key(_copurchase_pairs(sf_dir), ["id_a"])
+    emit = _pairs_from_bucket_block("id_b", None, keys=("id_a",), distinct=False)
+
+    def dedup_and_wedges(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["id_a", "id_b"])  # all (id_a, *) rows co-located
+        w = emit(d)
+        return pd.concat(
+            [
+                pd.DataFrame(
+                    {
+                        "id_a": d["id_a"].to_numpy(np.int64),
+                        "id_b": d["id_b"].to_numpy(np.int64),
+                        "tag": np.zeros(len(d), np.int8),
+                    }
+                ),
+                w.assign(tag=np.int8(1)),
+            ],
+            ignore_index=True,
+        )
+
+    tagged = ep.groupby("pkey").map_groups(
+        dedup_and_wedges, batch_format="pandas"
+    ).materialize()
+    edges = tagged.filter(expr="tag == 0").drop_columns(["tag"])
+    wedges = tagged.filter(expr="tag == 1").drop_columns(["tag"])
     closed = hash_join(
-        wedges,
         edges.map_batches(
             lambda b: b.append_column("_hit", pa.array(np.ones(len(b), np.int8))),
             batch_format="pyarrow",
         ),
+        wedges,
         on=["id_a", "id_b"],
     )
     n = closed.count()
@@ -2638,7 +2670,9 @@ def q_two_hop(sf_dir: str):
     from ontoea_ray.functions.join import hash_join
     from ontoea_ray.functions.shuffle import keyed_aggregate
 
-    edges = _copurchase_edges(sf_dir)
+    # materialized once: both join sides branch from the same edge table,
+    # and without a checkpoint each branch would re-run the pair emission
+    edges = _copurchase_edges(sf_dir).materialize()
     left = edges.map_batches(
         lambda b: pa.table({"node": b["id_a"], "mid": b["id_b"]}),
         batch_format="pyarrow",
