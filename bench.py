@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "q_two_hop",
     "q_pivot",
     "q_rollup",
+    "q_embed_moments",
 ]
 
 

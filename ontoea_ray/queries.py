@@ -2835,3 +2835,53 @@ def q_rollup(sf_dir: str):
         ["region", "nation"],
         sums=["revenue_cents", "n_orders"],
     )
+
+
+# ---------------------------------------------------------------------------
+# distributed numeric reduction: per-dimension embedding moments
+# ---------------------------------------------------------------------------
+
+_EMBED_MOMENTS_SQL = """
+    WITH ex AS (
+      SELECT i, CAST(ROUND(embedding[i] * 1000) AS BIGINT) AS v
+      FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) r)
+    SELECT CAST(i - 1 AS BIGINT) AS dim,
+           CAST(SUM(v) AS BIGINT) AS sum_milli,
+           CAST(SUM(v * v) AS BIGINT) AS sumsq_milli,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM ex GROUP BY 1
+"""
+
+
+@_register("q_embed_moments", _EMBED_MOMENTS_SQL)
+def q_embed_moments(sf_dir: str):
+    """Per-dimension embedding mean/variance moments (feature-drift and
+    normalization stats): each block reduces its BxD matrix to ONE D-row
+    partial (sum, sum-of-squares, count over milli-quantized values — the
+    integer quantization keeps the partial->merge sums associative and
+    bit-replayable; int64 holds 1e12 rows of |v|<=2 at this scale), then a
+    D-row keyed merge.  Shuffle volume is D x #blocks rows regardless of
+    corpus size."""
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+
+    emb = _read(sf_dir, "embeddings", ["embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b["embedding"].combine_chunks()
+        mat = np.stack(col.to_numpy(zero_copy_only=False)).astype(np.float64)
+        q = np.round(mat * 1000).astype(np.int64)
+        d = q.shape[1]
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(d, dtype=np.int64)),
+                "sum_milli": pa.array(q.sum(axis=0)),
+                "sumsq_milli": pa.array((q * q).sum(axis=0)),
+                "n": pa.array(np.full(d, len(b), np.int64)),
+            }
+        )
+
+    return keyed_aggregate(
+        emb.map_batches(partial, batch_format="pyarrow"),
+        ["dim"],
+        sums=["sum_milli", "sumsq_milli", "n"],
+    )
