@@ -2602,53 +2602,61 @@ def _copurchase_edges(sf_dir: str) -> ray.data.Dataset:
     ).drop_columns(["_c"])
 
 
-@_register("q_triangles", _TRIANGLES_SQL)
-def q_triangles(sf_dir: str):
-    """Triangle counting on the co-purchase graph: per-node wedge emission
-    over the (a < b)-oriented edge list (the orientation bounds out-degree
-    like the classic degree-ordering trick), then ONE distributed hash-join
-    of wedges against the edge set — the standard node-iterator algorithm.
-    THREE keyed exchanges total: the edge distinct is fused into the wedge
-    partition pass (both key on id_a, so one id_a-co-located map_groups
-    dedups AND emits wedges, tagged rows split after a single materialize)."""
+# Above this many distinct edges the broadcast CSR (~24 B/edge per worker)
+# stops fitting comfortably in worker heaps; fall back to the exchange plan
+# (wedge emission -> hash-join against the edge set), which never holds the
+# graph in one place.  Env-tunable for bigger-RAM clusters.
+def _graph_broadcast_max_edges() -> int:
+    import os
+
+    return int(os.environ.get("ONTOEA_GRAPH_BROADCAST_MAX_EDGES", 50_000_000))
+
+
+def _triangles_exchange(edges: ray.data.Dataset) -> int:
+    """Fallback triangle plan for graphs too big to broadcast: wedge
+    emission from id_a-co-located groups, ONE distributed hash-join of
+    wedges against the edge set (the node-iterator join form)."""
     from ontoea_ray.functions.join import hash_join
     from ontoea_ray.functions.shuffle import with_partition_key
     from ontoea_ray.stages.dedup import _pairs_from_bucket_block
 
-    ep = with_partition_key(_copurchase_pairs(sf_dir), ["id_a"])
+    ep = with_partition_key(edges, ["id_a"])
     emit = _pairs_from_bucket_block("id_b", None, keys=("id_a",), distinct=False)
-
-    def dedup_and_wedges(df: pd.DataFrame) -> pd.DataFrame:
-        d = df.drop_duplicates(["id_a", "id_b"])  # all (id_a, *) rows co-located
-        w = emit(d)
-        return pd.concat(
-            [
-                pd.DataFrame(
-                    {
-                        "id_a": d["id_a"].to_numpy(np.int64),
-                        "id_b": d["id_b"].to_numpy(np.int64),
-                        "tag": np.zeros(len(d), np.int8),
-                    }
-                ),
-                w.assign(tag=np.int8(1)),
-            ],
-            ignore_index=True,
-        )
-
-    tagged = ep.groupby("pkey").map_groups(
-        dedup_and_wedges, batch_format="pandas"
-    ).materialize()
-    edges = tagged.filter(expr="tag == 0").drop_columns(["tag"])
-    wedges = tagged.filter(expr="tag == 1").drop_columns(["tag"])
+    wedges = ep.groupby("pkey").map_groups(
+        lambda df: emit(df), batch_format="pandas"
+    )
     closed = hash_join(
         edges.map_batches(
-            lambda b: b.append_column("_hit", pa.array(np.ones(len(b), np.int8))),
+            lambda b: pa.table({"id_a": b["id_a"], "id_b": b["id_b"]}),
             batch_format="pyarrow",
         ),
         wedges,
         on=["id_a", "id_b"],
     )
-    n = closed.count()
+    return closed.count()
+
+
+@_register("q_triangles", _TRIANGLES_SQL)
+def q_triangles(sf_dir: str):
+    """Triangle counting on the co-purchase graph.  The wedge expansion
+    (sum deg^2: 49M at sf0.1) dwarfs the edge set (1.2M), so the edge set is
+    the broadcast side: ship the oriented CSR once via ray.put and expand +
+    membership-test wedges worker-locally (stages/graph.triangle_count_
+    broadcast) — zero wedge bytes shuffled (measured 185 s -> 6 s at sf0.1
+    vs the wedge-join plan, which remains the documented fallback above
+    the broadcast edge budget)."""
+    from ontoea_ray.stages.graph import triangle_count_broadcast
+
+    pairs = _copurchase_pairs(sf_dir).materialize()
+    if pairs.count() <= _graph_broadcast_max_edges():
+        # CSR build dedups pair multiplicity on the driver — no distinct
+        # exchange needed on the broadcast path
+        n = triangle_count_broadcast(pairs)
+    else:
+        from ontoea_ray.functions.shuffle import keyed_aggregate
+
+        edges = keyed_aggregate(pairs, ["id_a", "id_b"], count_alias="_c").drop_columns(["_c"])
+        n = _triangles_exchange(edges.materialize())
     return pa.table({"n_triangles": pa.array([n], pa.int64())})
 
 
@@ -2660,19 +2668,12 @@ _TWO_HOP_SQL = f"""
 """
 
 
-@_register("q_two_hop", _TWO_HOP_SQL)
-def q_two_hop(sf_dir: str):
-    """2-hop neighborhood size per node over the oriented co-purchase
-    graph (feature propagation / graph-context prep): distributed hash
-    self-join on the mid node, distinct (node, 2-hop) via the keyed
-    combiner aggregate, then a per-node count — two keyed exchanges, both
-    width ∝ cluster CPUs."""
+def _two_hop_exchange(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Fallback 2-hop plan for graphs too big to broadcast: hash self-join
+    on the mid node, keyed distinct, per-node count — two exchanges."""
     from ontoea_ray.functions.join import hash_join
     from ontoea_ray.functions.shuffle import keyed_aggregate
 
-    # materialized once: both join sides branch from the same edge table,
-    # and without a checkpoint each branch would re-run the pair emission
-    edges = _copurchase_edges(sf_dir).materialize()
     left = edges.map_batches(
         lambda b: pa.table({"node": b["id_a"], "mid": b["id_b"]}),
         batch_format="pyarrow",
@@ -2691,6 +2692,26 @@ def q_two_hop(sf_dir: str):
         count_alias="_c",
     ).drop_columns(["_c"])
     return keyed_aggregate(dist, ["node"], count_alias="n_two_hop")
+
+
+@_register("q_two_hop", _TWO_HOP_SQL)
+def q_two_hop(sf_dir: str):
+    """2-hop neighborhood size per node over the oriented co-purchase
+    graph (feature propagation / graph-context prep).  The 2-hop expansion
+    is wedge-sized (49M at sf0.1) while the edge set is 1.2M rows, so
+    broadcast the CSR and do the two-level gather + per-segment distinct
+    worker-locally (stages/graph.two_hop_counts_broadcast) — zero expansion
+    bytes shuffled (74 s -> ~4 s at sf0.1); the self-join + keyed-distinct
+    plan remains the fallback above the broadcast edge budget."""
+    from ontoea_ray.stages.graph import two_hop_counts_broadcast
+
+    pairs = _copurchase_pairs(sf_dir).materialize()
+    if pairs.count() <= _graph_broadcast_max_edges():
+        return two_hop_counts_broadcast(pairs)
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+
+    edges = keyed_aggregate(pairs, ["id_a", "id_b"], count_alias="_c").drop_columns(["_c"])
+    return _two_hop_exchange(edges.materialize())
 
 
 _ADJACENCY_SQL = f"""

@@ -357,3 +357,221 @@ def pagerank(
         lambda b: pa.table({"node": b["node"], "rank_units": b["m"]}),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# broadcast-CSR neighborhood kernels (triangles, two-hop)
+# ---------------------------------------------------------------------------
+#
+# Regime: the ORIENTED (a < b) edge list fits in worker memory (|E| * 24 B —
+# 20M edges = 480 MB), while the wedge expansion (sum of deg^2, easily 50-100x
+# |E|) does NOT.  Shuffling wedges is therefore the wrong plan: put the CSR
+# arrays in the object store ONCE and iterate nodes with plain tasks — each
+# task's ray.get is a zero-copy mmap of the shared numpy arrays (no per-actor
+# copy, no pool warm-up), and wedges are expanded + tested worker-locally in
+# bounded chunks, so zero wedge bytes ever enter the object store.  Measured
+# at sf0.1 (1.2M edges, 49M wedges): exchange-based triangle join 185 s ->
+# CSR broadcast ~5 s on the same session.  Above the caller's broadcast edge
+# budget use the exchange plans instead — the crossover is worker RAM.
+
+def _csr_arrays(edges: ray.data.Dataset, src: str, dst: str):
+    """Materialize an oriented edge table into CSR + sorted encoded-pair
+    form, deduping on the driver (np.unique over the encoded pairs) so
+    callers can hand in raw pair emissions without a distinct exchange.
+
+    Driver holds one |E|-sized array transiently (the broadcast build);
+    callers gate on their broadcast edge budget first."""
+    import numpy as np
+
+    df = edges.select_columns([src, dst]).to_pandas()
+    a = df[src].to_numpy(np.int64)
+    b = df[dst].to_numpy(np.int64)
+    m = int(max(a.max(), b.max())) + 1 if len(a) else 1
+    if m >= np.iinfo(np.int64).max // m:
+        raise ValueError("node-id space too large for int64 pair encoding; remap ids first")
+    enc = np.unique(a * m + b)  # sorted distinct pairs, searchsorted-ready
+    a, b = enc // m, enc % m
+    indptr = np.zeros(m + 1, np.int64)
+    np.cumsum(np.bincount(a, minlength=m), out=indptr[1:])
+    # Packed bitset over the m*m oriented-pair space: one memory touch per
+    # membership probe instead of searchsorted's ~log|E| branchy touches
+    # (measured 16 s -> 5 s single-thread on the sf0.1 49M-wedge pass).
+    # Quadratic in the node-id space, so gated on a byte budget — beyond it
+    # probes fall back to searchsorted on `enc`.
+    bits = None
+    nbytes = (m * m + 7) // 8
+    if nbytes <= _BITSET_MAX_BYTES:
+        bits = np.zeros(nbytes, np.uint8)
+        np.bitwise_or.at(bits, enc >> 3, np.uint8(1) << (enc & 7).astype(np.uint8))
+    return indptr, b, enc, m, bits
+
+
+def _bitset_max_bytes() -> int:
+    import os
+
+    return int(os.environ.get("ONTOEA_GRAPH_BITSET_MAX_BYTES", 128 << 20))
+
+
+_BITSET_MAX_BYTES = _bitset_max_bytes()
+
+
+def _gather_segments(indptr, indices, keys):
+    """(seg, values, counts) of the concatenated adjacency lists of
+    ``keys`` — pure index arithmetic, no Python loop."""
+    import numpy as np
+
+    start, end = indptr[keys], indptr[keys + 1]
+    cnt = end - start
+    total = int(cnt.sum())
+    seg = np.repeat(np.arange(len(keys), dtype=np.int64), cnt)
+    offs = np.zeros(len(keys), np.int64)
+    np.cumsum(cnt[:-1], out=offs[1:])
+    pos = np.arange(total, dtype=np.int64) - offs[seg] + start[seg]
+    return seg, indices[pos], cnt
+
+
+def _triangle_chunk(indptr, indices, enc, m, bits, nodes) -> int:
+    """Triangles closed at ``nodes``: emit each node's in-adjacency wedge
+    pairs (repeat/cumsum arithmetic) and membership-test them with one
+    searchsorted against the sorted encoded edge array."""
+    import numpy as np
+
+    seg, nb, deg = _gather_segments(indptr, indices, nodes)
+    if not len(nb):
+        return 0
+    offs = np.zeros(len(nodes), np.int64)
+    np.cumsum(deg[:-1], out=offs[1:])
+    local_i = np.arange(len(nb), dtype=np.int64) - offs[seg]
+    rep = deg[seg] - 1 - local_i
+    total = int(rep.sum())
+    if total == 0:
+        return 0
+    row = np.repeat(np.arange(len(nb), dtype=np.int64), rep)
+    starts = np.zeros(len(nb), np.int64)
+    np.cumsum(rep[:-1], out=starts[1:])
+    k = np.arange(total, dtype=np.int64) - starts[row]
+    b1 = nb[row]
+    b2 = nb[row + 1 + k]  # same segment: rep never crosses the boundary
+    keys = b1 * m + b2
+    if bits is not None:
+        hit = bits[keys >> 3] & (np.uint8(1) << (keys & 7).astype(np.uint8))
+        return int(np.count_nonzero(hit))
+    pos = np.searchsorted(enc, keys)
+    ok = pos < len(enc)
+    return int(np.count_nonzero(enc[pos[ok]] == keys[ok]))
+
+
+def _two_hop_chunk(indptr, indices, nodes):
+    """(nodes_with_hits, distinct-2-hop counts): two-level adjacency
+    gather, per-segment distinct via ONE single-key sort (seg * m + c —
+    both factors < m, so the composite key is collision-free int64)."""
+    import numpy as np
+
+    seg1, b, _ = _gather_segments(indptr, indices, nodes)
+    if not len(b):
+        return None
+    seg2, c, _ = _gather_segments(indptr, indices, b)
+    if not len(c):
+        return None
+    seg_node = seg1[seg2]
+    m = len(indptr)  # > any c value
+    key = np.sort(seg_node * m + c)
+    first = np.ones(len(key), bool)
+    first[1:] = key[1:] != key[:-1]
+    cnt = np.bincount((key[first] // m), minlength=len(nodes))
+    keep = cnt > 0
+    return nodes[keep], cnt[keep]
+
+
+_CHUNK_PAIRS = 4_000_000  # per-task expansion cap (pairs / gathered elems)
+
+
+def _triangle_fn(ref):
+    def fn(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import ray as _ray
+
+        indptr, indices, enc, m, bits = _ray.get(ref)  # zero-copy plasma mmap
+        nodes = np.asarray(batch["id"].combine_chunks(), np.int64)
+        nodes = nodes[nodes < m]
+        deg = indptr[nodes + 1] - indptr[nodes]
+        nodes, deg = nodes[deg > 1], deg[deg > 1]
+        tri = 0
+        if len(nodes):
+            chunk = np.cumsum(deg * (deg - 1) // 2) // _CHUNK_PAIRS
+            for c in np.unique(chunk):
+                tri += _triangle_chunk(indptr, indices, enc, m, bits, nodes[chunk == c])
+        return pa.table({"n": pa.array([tri], pa.int64())})
+
+    return fn
+
+
+def _two_hop_fn(ref):
+    def fn(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import ray as _ray
+
+        indptr, indices, enc, m, _bits = _ray.get(ref)
+        nodes = np.asarray(batch["id"].combine_chunks(), np.int64)
+        nodes = nodes[nodes < m]
+        deg = indptr[nodes + 1] - indptr[nodes]
+        nodes = nodes[deg > 0]
+        empty = pa.table(
+            {"node": pa.array([], pa.int64()), "n_two_hop": pa.array([], pa.int64())}
+        )
+        if not len(nodes):
+            return empty
+        # exact expansion size per node = sum of its neighbors' degrees
+        seg1, b, _ = _gather_segments(indptr, indices, nodes)
+        degb = indptr[b + 1] - indptr[b]
+        w = np.bincount(seg1, weights=degb, minlength=len(nodes)).astype(np.int64)
+        chunk = np.cumsum(w) // _CHUNK_PAIRS
+        outs = []
+        for cid in np.unique(chunk):
+            r = _two_hop_chunk(indptr, indices, nodes[chunk == cid])
+            if r is not None:
+                outs.append(r)
+        if not outs:
+            return empty
+        n = np.concatenate([o[0] for o in outs])
+        k = np.concatenate([o[1] for o in outs])
+        return pa.table({"node": pa.array(n), "n_two_hop": pa.array(k.astype(np.int64))})
+
+    return fn
+
+
+def _broadcast_csr(edges: ray.data.Dataset, src: str, dst: str):
+    import ray as _ray
+
+    indptr, indices, enc, m, bits = _csr_arrays(edges, src, dst)
+    return _ray.put((indptr, indices, enc, m, bits)), m
+
+
+def _node_range(m: int) -> ray.data.Dataset:
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    return ray.data.range(m, override_num_blocks=max(4, cpus * 2))
+
+
+def triangle_count_broadcast(
+    edges: ray.data.Dataset, *, src: str = "id_a", dst: str = "id_b"
+) -> int:
+    """Total triangles of an oriented (src < dst) edge/pair table (pairs may
+    carry duplicates — the CSR build dedups) — broadcast-CSR node-iterator
+    over plain tasks (see module comment for the regime / fallback)."""
+    ref, m = _broadcast_csr(edges, src, dst)
+    parts = _node_range(m).map_batches(
+        _triangle_fn(ref), batch_format="pyarrow", batch_size=65536
+    )
+    return sum(r["n"] for r in parts.take_all())
+
+
+def two_hop_counts_broadcast(
+    edges: ray.data.Dataset, *, src: str = "id_a", dst: str = "id_b"
+) -> ray.data.Dataset:
+    """Per-node distinct 2-hop neighborhood sizes over an oriented edge/pair
+    table (duplicates allowed; deduped in the CSR build) — broadcast-CSR
+    two-level gather (regime: see module comment)."""
+    ref, m = _broadcast_csr(edges, src, dst)
+    return _node_range(m).map_batches(
+        _two_hop_fn(ref), batch_format="pyarrow", batch_size=65536
+    )

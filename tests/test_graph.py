@@ -142,3 +142,85 @@ def test_pagerank_deterministic_across_partitionings(ray_session):
     many = {r["node"]: r["rank_units"]
             for r in pagerank(ray.data.from_arrow(tbl).repartition(13), iters=4).take_all()}
     assert one == many
+
+
+def _random_oriented_edges(n_nodes=60, n_edges=300, seed=7):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    a = rng.randint(0, n_nodes, n_edges * 2)
+    b = rng.randint(0, n_nodes, n_edges * 2)
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    keep = lo < hi
+    pairs = sorted(set(zip(lo[keep].tolist(), hi[keep].tolist())))[:n_edges]
+    return pairs
+
+
+def _brute_triangles(pairs):
+    es = set(pairs)
+    return sum(
+        1
+        for (a, b) in pairs
+        for (b2, c) in pairs
+        if b2 == b and (a, c) in es
+    )
+
+
+def test_triangle_count_broadcast_vs_brute(ray_session):
+    from ontoea_ray.stages.graph import triangle_count_broadcast
+
+    pairs = _random_oriented_edges()
+    # duplicate some rows: the CSR build must dedup multiplicity
+    dup = pairs + pairs[: len(pairs) // 3]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array([p[0] for p in dup], pa.int64()),
+                "id_b": pa.array([p[1] for p in dup], pa.int64()),
+            }
+        )
+    )
+    assert triangle_count_broadcast(ds) == _brute_triangles(pairs)
+
+
+def test_triangle_searchsorted_fallback_matches_bitset(ray_session, monkeypatch):
+    import ontoea_ray.stages.graph as g
+
+    pairs = _random_oriented_edges(seed=11)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array([p[0] for p in pairs], pa.int64()),
+                "id_b": pa.array([p[1] for p in pairs], pa.int64()),
+            }
+        )
+    )
+    with_bits = g.triangle_count_broadcast(ds)
+    monkeypatch.setattr(g, "_BITSET_MAX_BYTES", 0)  # force the searchsorted path
+    assert g.triangle_count_broadcast(ds) == with_bits == _brute_triangles(pairs)
+
+
+def test_two_hop_broadcast_vs_brute(ray_session):
+    from ontoea_ray.stages.graph import two_hop_counts_broadcast
+
+    pairs = _random_oriented_edges(seed=3)
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+    expect = {}
+    for a, nbrs in adj.items():
+        two = set()
+        for b in nbrs:
+            two |= adj.get(b, set())
+        if two:
+            expect[a] = len(two)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array([p[0] for p in pairs], pa.int64()),
+                "id_b": pa.array([p[1] for p in pairs], pa.int64()),
+            }
+        )
+    )
+    got = {r["node"]: r["n_two_hop"] for r in two_hop_counts_broadcast(ds).take_all()}
+    assert got == expect
