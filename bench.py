@@ -63,6 +63,9 @@ BENCH_QUERIES = [
     "q_pivot",
     "q_rollup",
     "q_embed_moments",
+    "q_shipping_priority",
+    "q_hash_split",
+    "q_kmeans_update",
 ]
 
 
