@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     "q_shipping_priority",
     "q_hash_split",
     "q_kmeans_update",
+    "q_profile",
+    "q_outlier_filter",
 ]
 
 

@@ -212,6 +212,7 @@ def keyed_aggregate(
     *,
     sums: list[str] = (),
     mins: list[str] = (),
+    maxs: list[str] = (),
     count_alias: str | None = None,
     width: int | None = None,
 ):
@@ -230,14 +231,18 @@ def keyed_aggregate(
 
     from ontoea_ray.functions.tables import from_pandas as _fp
 
-    sums, mins = list(sums), list(mins)
-    agg1 = {**{c: "sum" for c in sums}, **{c: "min" for c in mins}}
+    sums, mins, maxs = list(sums), list(mins), list(maxs)
+    agg1 = {
+        **{c: "sum" for c in sums},
+        **{c: "min" for c in mins},
+        **{c: "max" for c in maxs},
+    }
 
     def partial(df: pd.DataFrame) -> pa.Table:
         if df.empty:
             # keep the output schema stable for empty blocks (a zero-column
             # table poisons any later concat)
-            cols = {c: df[c] for c in group_cols + sums + mins}
+            cols = {c: df[c] for c in group_cols + sums + mins + maxs}
             if count_alias:
                 cols[count_alias] = pd.Series([], dtype="int64")
             return _fp(pd.DataFrame(cols))

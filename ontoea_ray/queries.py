@@ -3125,3 +3125,142 @@ def q_kmeans_update(sf_dir: str):
     # empty clusters contribute zero partial rows in SQL's inner join; the
     # engine's zero-count rows must be dropped to match
     return out.filter(expr="n > 0")
+
+
+# ---------------------------------------------------------------------------
+# table profiling and global-threshold outlier filtering
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = [("doc_id", "int"), ("lang", "str"), ("source", "str"), ("n_chars", "int")]
+
+_PROFILE_SQL = "\n    UNION ALL\n".join(
+    f"""
+    SELECT '{c}' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+           CAST(MIN({c}) AS VARCHAR) AS min_v, CAST(MAX({c}) AS VARCHAR) AS max_v
+    FROM documents"""
+    for c, _ in _PROFILE_COLS
+)
+
+
+@_register("q_profile", _PROFILE_SQL)
+def q_profile(sf_dir: str):
+    """Table profiling (the data-quality audit run before any training-data
+    job): per-column row/null counts and typed min/max.  Each block reduces
+    to ONE row per column (O(1) partial state — no distinct sets, which at
+    10^12 rows would need their own shuffle), merged by a #cols-row keyed
+    aggregate; numeric min/max stay TYPED through the merge (a lexicographic
+    merge of stringified ints would rank '9' > '10') and stringify only at
+    the end."""
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+
+    cols = _PROFILE_COLS
+    docs = _read(sf_dir, "documents", [c for c, _ in cols])
+
+    def partial(b: pa.Table) -> pa.Table:
+        out = {"col": [], "n_rows": [], "n_null": [], "min_i": [], "max_i": [], "min_s": [], "max_s": []}
+        for c, kind in cols:
+            arr = b[c].combine_chunks()
+            mm = pc.min_max(arr)
+            out["col"].append(c)
+            out["n_rows"].append(len(b))
+            out["n_null"].append(arr.null_count)
+            if kind == "int":
+                out["min_i"].append(mm["min"].as_py())
+                out["max_i"].append(mm["max"].as_py())
+                out["min_s"].append(None)
+                out["max_s"].append(None)
+            else:
+                out["min_i"].append(None)
+                out["max_i"].append(None)
+                out["min_s"].append(mm["min"].as_py())
+                out["max_s"].append(mm["max"].as_py())
+        return pa.table(
+            {
+                "col": pa.array(out["col"], pa.string()),
+                "n_rows": pa.array(out["n_rows"], pa.int64()),
+                "n_null": pa.array(out["n_null"], pa.int64()),
+                "min_i": pa.array(out["min_i"], pa.int64()),
+                "max_i": pa.array(out["max_i"], pa.int64()),
+                "min_s": pa.array(out["min_s"], pa.string()),
+                "max_s": pa.array(out["max_s"], pa.string()),
+            }
+        )
+
+    merged = keyed_aggregate(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["col"],
+        sums=["n_rows", "n_null"],
+        mins=["min_i", "min_s"],
+        maxs=["max_i", "max_s"],
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        is_int = df["min_s"].isna()
+        mn = np.where(is_int, df["min_i"].map(lambda v: None if pd.isna(v) else str(int(v))), df["min_s"])
+        mx = np.where(is_int, df["max_i"].map(lambda v: None if pd.isna(v) else str(int(v))), df["max_s"])
+        return pa.table(
+            {
+                "col": pa.array(df["col"], pa.string()),
+                "n_rows": pa.array(df["n_rows"].to_numpy(np.int64)),
+                "n_null": pa.array(df["n_null"].to_numpy(np.int64)),
+                "min_v": pa.array(mn, pa.string()),
+                "max_v": pa.array(mx, pa.string()),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+_OUTLIER_FILTER_SQL = """
+    WITH o AS (SELECT n_chars, ROW_NUMBER() OVER (ORDER BY n_chars) - 1 AS idx
+               FROM documents),
+    n AS (SELECT COUNT(*) AS cnt FROM documents),
+    thr AS (SELECT
+      (SELECT n_chars FROM o, n WHERE idx = CAST(FLOOR(0.01 * (cnt - 1)) AS BIGINT)) AS lo,
+      (SELECT n_chars FROM o, n WHERE idx = CAST(FLOOR(0.99 * (cnt - 1)) AS BIGINT)) AS hi)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents, thr
+    WHERE n_chars >= lo AND n_chars <= hi
+    GROUP BY 1
+"""
+
+
+@_register("q_outlier_filter", _OUTLIER_FILTER_SQL)
+def q_outlier_filter(sf_dir: str):
+    """Global-percentile outlier filter (drop truncated fragments and
+    boilerplate mega-pages outside [p1, p99] length): pass 1 computes the
+    EXACT thresholds with the distributed sort + positional-block-fetch
+    quantiles (driver holds 2 scalars, never the column); pass 2 is an
+    embarrassingly parallel filter + per-lang combiner audit."""
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+    from ontoea_ray.stages.quantiles import exact_quantiles
+
+    docs = _read(sf_dir, "documents", ["lang", "n_chars"])
+    thr = exact_quantiles(docs, "n_chars", {"lo": 0.01, "hi": 0.99})
+    vals = dict(zip(thr["q"].to_pylist(), thr["n_chars"].to_pylist()))
+    lo, hi = int(vals["lo"]), int(vals["hi"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        n = b["n_chars"].combine_chunks()
+        sel = b.filter(pc.and_(pc.greater_equal(n, lo), pc.less_equal(n, hi)))
+        df = pd.DataFrame(
+            {
+                "lang": sel["lang"].to_pandas(),
+                "n_kept": np.ones(len(sel), np.int64),
+                "sum_chars": np.asarray(sel["n_chars"].combine_chunks(), np.int64),
+            }
+        )
+        return _from_pandas_clean(
+            df.groupby("lang", sort=False).agg(
+                n_kept=("n_kept", "sum"), sum_chars=("sum_chars", "sum")
+            ).reset_index()
+        )
+
+    return keyed_aggregate(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["lang"],
+        sums=["n_kept", "sum_chars"],
+    )
