@@ -173,6 +173,13 @@ def run_bench() -> dict:
         "dram_microbench_1p_sec": dram_microbench(),
     }
     ray.shutdown()
+    # parallel-headroom evidence for every per-round bench (quiet box:
+    # slowdown ~1.6 at 16 procs; contended: 3-6x — see BASELINE.md caveat);
+    # measured after ray.shutdown so the probe owns the cores.  Skipped in
+    # the --scaling subprocess runs (min-of-N repeats would pay it 6x; the
+    # scaling report records its own).
+    if not os.environ.get("BENCH_FLAGSHIP_ONLY"):
+        result["dram_microbench_agg"] = dram_microbench_agg()
     return result
 
 
