@@ -446,19 +446,25 @@ def _triangle_chunk(indptr, indices, enc, m, bits, nodes) -> int:
     total = int(rep.sum())
     if total == 0:
         return 0
-    row = np.repeat(np.arange(len(nb), dtype=np.int64), rep)
-    starts = np.zeros(len(nb), np.int64)
-    np.cumsum(rep[:-1], out=starts[1:])
-    k = np.arange(total, dtype=np.int64) - starts[row]
-    b1 = nb[row]
-    b2 = nb[row + 1 + k]  # same segment: rep never crosses the boundary
-    keys = b1 * m + b2
+    # the expansion arrays dominate the kernel's memory traffic: run them
+    # in int32 when the composite key space m^2 fits (the kernel is
+    # bandwidth-bound — halving element width halves wall time on a
+    # saturated memory bus); chunk length < 2^31 by _CHUNK_PAIRS
+    it = np.int32 if m * m < 2**31 else np.int64
+    row = np.repeat(np.arange(len(nb), dtype=it), rep)
+    starts = np.zeros(len(nb), it)
+    starts[1:] = np.cumsum(rep[:-1], dtype=it)
+    k = np.arange(total, dtype=it) - starts[row]
+    nbt = nb if it is np.int64 else nb.astype(it)
+    b1 = nbt[row]
+    b2 = nbt[row + 1 + k]  # same segment: rep never crosses the boundary
+    keys = b1 * it(m) + b2
     if bits is not None:
         hit = bits[keys >> 3] & (np.uint8(1) << (keys & 7).astype(np.uint8))
         return int(np.count_nonzero(hit))
-    pos = np.searchsorted(enc, keys)
+    pos = np.searchsorted(enc, keys.astype(np.int64))
     ok = pos < len(enc)
-    return int(np.count_nonzero(enc[pos[ok]] == keys[ok]))
+    return int(np.count_nonzero(enc[pos[ok]] == keys[ok].astype(np.int64)))
 
 
 def _two_hop_chunk(indptr, indices, nodes):
@@ -475,7 +481,12 @@ def _two_hop_chunk(indptr, indices, nodes):
         return None
     seg_node = seg1[seg2]
     m = len(indptr)  # > any c value
-    key = np.sort(seg_node * m + c)
+    # sort dominates the kernel; run it in int32 when the composite key
+    # space len(nodes)*m fits — half the bytes through a saturated bus
+    if len(nodes) * m < 2**31:
+        key = np.sort(seg_node.astype(np.int32) * np.int32(m) + c.astype(np.int32))
+    else:
+        key = np.sort(seg_node * m + c)
     first = np.ones(len(key), bool)
     first[1:] = key[1:] != key[:-1]
     cnt = np.bincount((key[first] // m), minlength=len(nodes))
