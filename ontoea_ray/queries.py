@@ -925,17 +925,20 @@ _DUP_CLUSTER_SQL = f"""
 def q_dup_clusters(sf_dir: str):
     """Near-duplicate CLUSTERS: exact-Jaccard pairs (q_jaccard_pairs) closed
     into connected components (component = min doc_id reachable) — the step
-    that turns pairwise dedup output into keep-one groups.  Distributed
-    min-label propagation (stages/graph.py: per round one hash join + one
-    keyed min, O(1)-state convergence test); the oracle closes the same
+    that turns pairwise dedup output into keep-one groups.  Size-adaptive
+    closure (stages/graph.connected_components_auto): dup-pair graphs are
+    usually tiny relative to the corpus, so below the broadcast budget a
+    driver union-find replaces ~8 keyed exchanges of pure latency
+    (measured 3.1 s for a 256-edge graph); the distributed min-label
+    propagation takes over past the budget.  The oracle closes the same
     pair SQL with a recursive CTE (safe here: duplicate clusters are tiny,
     so the closure's accumulated state is bounded)."""
     from ontoea_ray.stages.dedup import jaccard_pairs
-    from ontoea_ray.stages.graph import connected_components
+    from ontoea_ray.stages.graph import connected_components_auto
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     pairs = jaccard_pairs(ds, threshold=0.5, shingle_n=3)
-    cc = connected_components(pairs, src="id_a", dst="id_b")
+    cc = connected_components_auto(pairs, src="id_a", dst="id_b")
     return cc.map_batches(
         lambda b: pa.table({"doc_id": b["node"], "component": b["component"]}),
         batch_format="pyarrow",

@@ -224,3 +224,27 @@ def test_two_hop_broadcast_vs_brute(ray_session):
     )
     got = {r["node"]: r["n_two_hop"] for r in two_hop_counts_broadcast(ds).take_all()}
     assert got == expect
+
+
+def test_cc_auto_matches_distributed(ray_session, monkeypatch):
+    import ontoea_ray.stages.graph as g
+
+    pairs = _random_oriented_edges(n_nodes=40, n_edges=60, seed=5)
+    # add a long chain to exercise multi-round closure
+    pairs += [(100 + i, 101 + i) for i in range(20)]
+    tbl = pa.table(
+        {
+            "id_a": pa.array([p[0] for p in pairs], pa.int64()),
+            "id_b": pa.array([p[1] for p in pairs], pa.int64()),
+        }
+    )
+    auto = {r["node"]: r["component"]
+            for r in g.connected_components_auto(ray.data.from_arrow(tbl)).take_all()}
+    dist = {r["node"]: r["component"]
+            for r in g.connected_components(ray.data.from_arrow(tbl)).take_all()}
+    assert auto == dist
+    # force the distributed path through the auto gate too
+    monkeypatch.setenv("ONTOEA_CC_BROADCAST_MAX_EDGES", "1")
+    forced = {r["node"]: r["component"]
+              for r in g.connected_components_auto(ray.data.from_arrow(tbl)).take_all()}
+    assert forced == dist
