@@ -2507,12 +2507,13 @@ def q_dup_spans(sf_dir: str):
     """Per-doc duplicated-span fraction: how many of a doc's distinct
     4-token shingles occur in more than one document (the
     MassiveText duplicate-fraction quality signal).  Vectorized shingle
-    explode (dedup.shingle_strings), corpus shingle counts via the keyed
-    combiner aggregate, then a distributed hash-join back — the duplicated
-    shingle table is corpus-proportional, so it is JOINED, never
-    broadcast."""
-    from ontoea_ray.functions.join import hash_join
-    from ontoea_ray.functions.shuffle import keyed_aggregate
+    explode (dedup.shingle_strings), then ONE shingle-hash co-location:
+    with every copy of a shingle in the same partition, its global doc
+    count AND the per-doc dup partials come out of the same in-partition
+    pass — no shingle-count join (the earlier count -> full hash-join-back
+    plan moved the corpus-sized shingle table through TWO extra exchanges
+    and re-ran the explode once per consumer; 2 exchanges now vs 3)."""
+    from ontoea_ray.functions.shuffle import keyed_aggregate, with_partition_key
     from ontoea_ray.stages.dedup import shingle_strings
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -2523,20 +2524,20 @@ def q_dup_spans(sf_dir: str):
         return _from_pandas_clean(df.rename(columns={"id": "doc_id"}))
 
     sh = docs.map_batches(sh_batch, batch_format="pyarrow")
-    cnt = keyed_aggregate(sh, ["shingle"], count_alias="nd")
-    joined = hash_join(sh, cnt, on=["shingle"])
+    parted = with_partition_key(sh, ["shingle"])
 
-    def partial(df: pd.DataFrame) -> pa.Table:
-        df["n_dup"] = (df["nd"] >= 2).astype(np.int64)
+    def per_part(df: pd.DataFrame) -> pa.Table:
+        nd = df.groupby("shingle", sort=False)["doc_id"].transform("size")
+        df["n_dup"] = (nd >= 2).astype(np.int64)
         g = (
             df.groupby("doc_id", sort=False)
-            .agg(n_shingles=("nd", "size"), n_dup=("n_dup", "sum"))
+            .agg(n_shingles=("n_dup", "size"), n_dup=("n_dup", "sum"))
             .reset_index()
         )
         return _from_pandas_clean(g)
 
     per_doc = keyed_aggregate(
-        joined.map_batches(partial, batch_format="pandas"),
+        parted.groupby("pkey").map_groups(per_part, batch_format="pandas"),
         ["doc_id"],
         sums=["n_shingles", "n_dup"],
     )
