@@ -130,10 +130,14 @@ def q_top_customers(sf_dir: str):
         g = df.groupby("o_custkey", sort=False)["total_cents"].sum().reset_index()
         return _from_pandas_clean(g)
 
-    agg = (
-        compact(orders.map_batches(partial, batch_format="pyarrow"))
-        .groupby("o_custkey")
-        .aggregate(Sum("total_cents", alias_name="total_cents"))
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+
+    # custkey is corpus-proportional: hash-partitioned merge, not the
+    # engine's sort-based aggregate
+    agg = keyed_aggregate(
+        orders.map_batches(partial, batch_format="pyarrow"),
+        ["o_custkey"],
+        sums=["total_cents"],
     )
 
     # global top-10 WITHOUT a sort shuffle: per-block top-k partials
@@ -446,20 +450,19 @@ def q_edge_counts(sf_dir: str):
         g = df.groupby("pred", sort=False).size().reset_index(name="n_edges")
         return _from_pandas_clean(g)
 
-    # distinct per (subj,pred,obj) requires a full dedup before counting:
-    def key_partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas().drop_duplicates()
-        return _from_pandas_clean(df)
+    # distinct per (subj,pred,obj) requires a full dedup before counting —
+    # a 3-column corpus-proportional key, i.e. exactly the case the
+    # hash-partitioned keyed_aggregate exists for (the engine's sort-based
+    # composite aggregate compares such keys row-by-row)
+    from ontoea_ray.functions.shuffle import keyed_aggregate
 
-    distinct = (
-        compact(edges.map_batches(key_partial, batch_format="pyarrow"))
-        .groupby(["subj", "pred", "obj"])
-        .aggregate(Count(alias_name="c"))
-    )
-    return (
-        compact(distinct.map_batches(partial, batch_format="pyarrow"))
-        .groupby("pred")
-        .aggregate(Sum("n_edges", alias_name="n_edges"))
+    distinct = keyed_aggregate(
+        edges, ["subj", "pred", "obj"], count_alias="_c"
+    ).drop_columns(["_c"])
+    return keyed_aggregate(
+        distinct.map_batches(partial, batch_format="pyarrow"),
+        ["pred"],
+        sums=["n_edges"],
     )
 
 
