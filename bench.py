@@ -247,10 +247,14 @@ def run_scaling() -> dict:
                 best = r
         return best
 
-    lo4, hi16 = one(4), one(16)
+    lo4, hi16 = one(4, scan_stage=True), one(16, scan_stage=True)
     lo8, hi32 = one(8, scan_stage=True), one(32, scan_stage=True)
     eff_primary = (lo4["value"] / hi16["value"]) / 4
     eff_secondary = (lo8["value"] / hi32["value"]) / 4
+    scan_eff_primary = (
+        (lo4["scan_sec"] / hi16["scan_sec"]) / 4
+        if lo4.get("scan_sec") and hi16.get("scan_sec") else None
+    )
     scan_eff = (
         (lo8["scan_sec"] / hi32["scan_sec"]) / 4
         if lo8.get("scan_sec") and hi32.get("scan_sec") else None
@@ -264,6 +268,9 @@ def run_scaling() -> dict:
         "flagship_sec_16": hi16["value"],
         "pages_per_sec_4": lo4["pages_per_sec"],
         "pages_per_sec_16": hi16["pages_per_sec"],
+        "scan_sec_4": lo4.get("scan_sec"),
+        "scan_sec_16": hi16.get("scan_sec"),
+        "scan_stage_efficiency_4_to_16": round(scan_eff_primary, 3) if scan_eff_primary else None,
         "secondary_8_to_32": {
             "efficiency": round(eff_secondary, 3),
             "flagship_sec_8": lo8["value"],
