@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "q_kmeans_update",
     "q_profile",
     "q_outlier_filter",
+    "q_funnel",
 ]
 
 

@@ -3271,3 +3271,62 @@ def q_outlier_filter(sf_dir: str):
         ["lang"],
         sums=["n_kept", "sum_chars"],
     )
+
+
+# ---------------------------------------------------------------------------
+# clickstream funnel analysis
+# ---------------------------------------------------------------------------
+
+_FUNNEL_SQL = """
+    WITH a AS (SELECT user_id, MIN(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+    b AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN a USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > a.t1 GROUP BY 1),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN b USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > b.t2 GROUP BY 1)
+    SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n_view,
+           CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_view_click,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_view_click_purchase
+"""
+
+
+@_register("q_funnel", _FUNNEL_SQL)
+def q_funnel(sf_dir: str):
+    """3-step ordered funnel (view -> click -> purchase, strictly increasing
+    ts): ONE user-hash co-location, then the per-user step times come from
+    three masked groupby-min transforms (no per-user Python loop, no
+    self-joins — the SQL's three join+MIN rounds collapse into one pass
+    because every user's rows share a partition); per-partition counts
+    merge in a 1-row aggregate."""
+    from ontoea_ray.functions.shuffle import keyed_aggregate, with_partition_key
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    parted = with_partition_key(ev, ["user_id"])
+
+    def steps(df: pd.DataFrame) -> pa.Table:
+        t1 = (
+            df["ts"].where(df["event_type"].eq("view"))
+            .groupby(df["user_id"], sort=False).transform("min")
+        )
+        m2 = df["event_type"].eq("click") & (df["ts"] > t1)
+        t2 = df["ts"].where(m2).groupby(df["user_id"], sort=False).transform("min")
+        m3 = df["event_type"].eq("purchase") & (df["ts"] > t2)
+        t3 = df["ts"].where(m3).groupby(df["user_id"], sort=False).transform("min")
+        per_user = pd.DataFrame(
+            {"u": df["user_id"], "s1": t1.notna(), "s2": t2.notna(), "s3": t3.notna()}
+        ).groupby("u", sort=False).max()
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "n_view": pa.array([int(per_user["s1"].sum())], pa.int64()),
+                "n_view_click": pa.array([int(per_user["s2"].sum())], pa.int64()),
+                "n_view_click_purchase": pa.array([int(per_user["s3"].sum())], pa.int64()),
+            }
+        )
+
+    out = keyed_aggregate(
+        parted.groupby("pkey").map_groups(steps, batch_format="pandas"),
+        ["k"],
+        sums=["n_view", "n_view_click", "n_view_click_purchase"],
+    )
+    return out.drop_columns(["k"])
