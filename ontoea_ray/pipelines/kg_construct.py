@@ -185,8 +185,20 @@ def write_edge_table(
             batch["subj"].combine_chunks(), batch["pred"].combine_chunks(),
             batch["obj"].combine_chunks(), "\x1f",
         )
-        h = np.array([stable_hash64(k) % num_buckets for k in key.to_pylist()], np.int32)
-        return batch.append_column("part", pa.array(h, pa.int32()))
+        try:
+            # vectorized row hash (the edge table is corpus-scale; a
+            # per-row Python hash in the sink would be the pipeline's only
+            # row loop).  Bucket assignment is pinned to the engine
+            # install: resume only against manifests this install wrote.
+            import polars as pl
+
+            h = pl.DataFrame({"k": pl.from_arrow(key)}).hash_rows(seed=0).to_numpy()
+            part = (h % np.uint64(num_buckets)).astype(np.int32)
+        except ImportError:  # pragma: no cover - polars is in the base env
+            part = np.array(
+                [stable_hash64(k) % num_buckets for k in key.to_pylist()], np.int32
+            )
+        return batch.append_column("part", pa.array(part, pa.int32()))
 
     os.makedirs(out_dir, exist_ok=True)
     manifest_path = os.path.join(out_dir, "_manifest.json")
