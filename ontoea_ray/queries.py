@@ -1812,7 +1812,7 @@ _OUTER_JOIN_SQL = """
                FROM customer WHERE c_nationkey % 2 = 0 GROUP BY 1),
     s AS (SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp
           FROM supplier WHERE s_nationkey % 3 = 0 GROUP BY 1)
-    SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+    SELECT CAST(COALESCE(c.nationkey, s.nationkey) AS BIGINT) AS nationkey,
            CAST(COALESCE(c.n_cust, -1) AS BIGINT) AS n_cust,
            CAST(COALESCE(s.n_supp, -1) AS BIGINT) AS n_supp
     FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey

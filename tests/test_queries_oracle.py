@@ -47,12 +47,18 @@ def test_query_matches_oracle(name, con):
     assert len(got) == len(exp), (len(got), len(exp))
     for col in got.columns:
         a, b = got[col], exp[col]
-        # The driver hashes VALUES as typed arrays, so a dtype-kind mismatch
-        # (e.g. DuckDB HUGEINT -> float64 vs engine int64) is a failure even
-        # when the numbers are equal.  Compare kinds first, then values.
-        assert a.dtype.kind == b.dtype.kind, (
-            f"column {col} dtype kind differs: engine={a.dtype} oracle={b.dtype}"
-        )
+        # The driver hashes VALUES as typed arrays, so any dtype mismatch
+        # (e.g. DuckDB HUGEINT -> float64 vs engine int64, or int32 vs
+        # int64 width) is a failure even when the numbers are equal.
+        # Compare exact dtypes for numerics, kinds for object/str.
+        if a.dtype.kind in "iuf" or b.dtype.kind in "iuf":
+            assert a.dtype == b.dtype, (
+                f"column {col} dtype differs: engine={a.dtype} oracle={b.dtype}"
+            )
+        else:
+            assert a.dtype.kind == b.dtype.kind, (
+                f"column {col} dtype kind differs: engine={a.dtype} oracle={b.dtype}"
+            )
         if a.dtype.kind in "fc":
             pd.testing.assert_series_equal(
                 a.astype(float), b.astype(float), check_names=False, rtol=0, atol=1e-9
