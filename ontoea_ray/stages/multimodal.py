@@ -174,3 +174,89 @@ def synth_media_dataset(n: int = 64, seed: int = 42) -> ray.data.Dataset:
         }
     )
     return ray.data.from_arrow(tbl)
+
+
+class DecodeAudio:
+    """payload binary -> PCM fixed_size_list<int16>[n_samples].
+
+    Same contract as :class:`DecodeImage`: the codec body is honestly
+    stubbed (no audio libraries in this environment — construct with
+    ``fake=True`` for the deterministic test decoder), while the actor
+    signature, batch schema and pool sizing are the real plumbing a
+    libsndfile/ffmpeg-backed decoder would drop into."""
+
+    def __init__(self, *, n_samples: int = 2048, fake: bool = False):
+        self.n_samples = n_samples
+        self.fake = fake
+
+    def _decode_real(self, payload: bytes) -> np.ndarray:
+        raise NotImplementedError(
+            "audio codecs are not available in this environment; construct "
+            "DecodeAudio(fake=True) for the deterministic test decoder"
+        )
+
+    def _decode_fake(self, payload: bytes) -> np.ndarray:
+        return _payload_rng(payload).integers(
+            -(2**15), 2**15, self.n_samples, dtype=np.int16
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        decode = self._decode_fake if self.fake else self._decode_real
+        pcm = np.stack([decode(p) for p in batch["payload"].to_pylist()])
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "pcm": pa.FixedSizeListArray.from_arrays(
+                    pa.array(pcm.reshape(-1), pa.int16()), self.n_samples
+                ),
+                "sample_rate": pa.array(np.full(len(batch), 16000, np.int32)),
+            }
+        )
+
+
+class AudioFeatures:
+    """PCM -> per-window RMS energy + zero-crossing counts — a REAL
+    vectorized kernel over the decoded tensor (integer outputs so any
+    downstream check is bit-stable).  n_windows fixed windows per clip."""
+
+    def __init__(self, *, n_samples: int = 2048, n_windows: int = 8):
+        assert n_samples % n_windows == 0
+        self.n_samples = n_samples
+        self.n_windows = n_windows
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flat = batch["pcm"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        n = len(batch)
+        w = self.n_samples // self.n_windows
+        x = flat.reshape(n, self.n_windows, w).astype(np.int64)
+        rms = np.sqrt((x * x).mean(axis=2)).astype(np.int64)  # (n, n_windows)
+        sign = x >= 0
+        zc = (sign[:, :, 1:] != sign[:, :, :-1]).sum(axis=2).astype(np.int64)
+        feats = np.concatenate([rms, zc], axis=1)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "features": pa.FixedSizeListArray.from_arrays(
+                    pa.array(feats.reshape(-1), pa.int64()), feats.shape[1]
+                ),
+            }
+        )
+
+
+def decode_audio_stage(media: ray.data.Dataset, *, fake: bool = False,
+                       n_samples: int = 2048, concurrency=None,
+                       batch_size: int = 64) -> ray.data.Dataset:
+    return media.map_batches(
+        DecodeAudio, fn_constructor_kwargs={"fake": fake, "n_samples": n_samples},
+        batch_format="pyarrow", batch_size=batch_size, concurrency=_stage_pool(concurrency),
+    )
+
+
+def audio_features_stage(decoded: ray.data.Dataset, *, n_samples: int = 2048,
+                         n_windows: int = 8, concurrency=None,
+                         batch_size: int = 256) -> ray.data.Dataset:
+    return decoded.map_batches(
+        AudioFeatures,
+        fn_constructor_kwargs={"n_samples": n_samples, "n_windows": n_windows},
+        batch_format="pyarrow", batch_size=batch_size, concurrency=_stage_pool(concurrency),
+    )
