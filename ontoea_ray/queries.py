@@ -1350,6 +1350,43 @@ def q_multimodal_features(sf_dir: str):
     return feats.map_batches(summarize, batch_format="pyarrow")
 
 
+@_register("q_multimodal_audio")  # binary plumbing — rows-only driver check
+def q_multimodal_audio(sf_dir: str):
+    """Audio branch of the multimodal plumbing: doc bytes as an opaque
+    audio payload, deterministic fake PCM decode (codec stubbed), REAL
+    vectorized per-window RMS / zero-crossing feature kernel with integer
+    outputs — deterministic per input, so rows+schema are meaningful."""
+    from ontoea_ray.stages.multimodal import audio_features_stage, decode_audio_stage
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": batch["doc_id"],
+                "payload": batch["text"].combine_chunks().cast(pa.binary()),
+            }
+        )
+
+    media = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        to_media, batch_format="pyarrow"
+    )
+    feats = audio_features_stage(decode_audio_stage(media, fake=True))
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        d = batch["features"].combine_chunks()
+        vals = np.asarray(
+            d.flatten().to_numpy(zero_copy_only=False), np.int64
+        ).reshape(len(batch), d.type.list_size)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "rms_sum": pa.array(vals[:, :8].sum(axis=1), pa.int64()),
+                "zc_sum": pa.array(vals[:, 8:].sum(axis=1), pa.int64()),
+            }
+        )
+
+    return feats.map_batches(summarize, batch_format="pyarrow")
+
+
 _FLAGSHIP_SQL = r"""
 WITH pages AS (
   SELECT 'https://' || source || '.example.org/doc/' || CAST(doc_id AS VARCHAR) AS url, text
