@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "q_profile",
     "q_outlier_filter",
     "q_funnel",
+    "q_revenue_share",
 ]
 
 

@@ -227,8 +227,16 @@ def write_edge_table(
     for p in range(num_buckets):
         pdir = os.path.join(out_dir, f"part={p}")
         if os.path.isdir(pdir):
-            n = sum(pq.read_metadata(os.path.join(pdir, f)).num_rows for f in os.listdir(pdir) if f.endswith(".parquet"))
-            parts[str(p)] = {"rows": n, "complete": True, "resumed": str(p) in done}
+            files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+            n = sum(pq.read_metadata(os.path.join(pdir, f)).num_rows for f in files)
+            nbytes = sum(os.path.getsize(os.path.join(pdir, f)) for f in files)
+            parts[str(p)] = {
+                "rows": n,
+                "bytes": nbytes,
+                "files": len(files),
+                "complete": True,
+                "resumed": str(p) in done,
+            }
     import time as _time
 
     from ontoea_ray import __version__

@@ -3367,3 +3367,67 @@ def q_funnel(sf_dir: str):
         sums=["n_view", "n_view_click", "n_view_click_purchase"],
     )
     return out.drop_columns(["k"])
+
+
+_REVENUE_SHARE_SQL = """
+    WITH r AS (SELECT n.n_nationkey AS nk,
+                      SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS cents
+               FROM orders o
+               JOIN customer c ON o.o_custkey = c.c_custkey
+               JOIN nation n ON c.c_nationkey = n.n_nationkey
+               GROUP BY 1)
+    SELECT CAST(nk AS BIGINT) AS nationkey,
+           CAST(cents AS BIGINT) AS revenue_cents,
+           CAST(cents * 10000 // (SELECT SUM(cents) FROM r) AS BIGINT) AS share_bps
+    FROM r
+"""
+
+
+@_register("q_revenue_share", _REVENUE_SHARE_SQL)
+def q_revenue_share(sf_dir: str):
+    """Percent-of-total reshaping (per-nation revenue share in integer
+    basis points): the grand total is ONE scalar produced by the same
+    keyed aggregate that yields the groups — it is folded back as a
+    broadcast constant in a stateless second map, never a self-join.
+    Integer floor-division keeps the shares bit-replayable."""
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nat_of = dict(
+        zip(cust["c_custkey"].to_pylist(), pc.cast(cust["c_nationkey"], pa.int64()).to_pylist())
+    )
+    ref = ray.put(nat_of)
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        df = pd.DataFrame(
+            {
+                "nationkey": pd.Series(b["o_custkey"].to_pylist()).map(m).astype(np.int64),
+                "revenue_cents": np.round(
+                    b["o_totalprice"].combine_chunks().to_numpy() * 100
+                ).astype(np.int64),
+            }
+        )
+        return _from_pandas_clean(
+            df.groupby("nationkey", sort=False)["revenue_cents"].sum().reset_index()
+        )
+
+    per_nation = keyed_aggregate(
+        orders.map_batches(partial, batch_format="pyarrow"),
+        ["nationkey"],
+        sums=["revenue_cents"],
+    ).materialize()
+    total = per_nation.sum("revenue_cents")
+
+    def share(b: pa.Table) -> pa.Table:
+        cents = np.asarray(b["revenue_cents"].combine_chunks(), np.int64)
+        return pa.table(
+            {
+                "nationkey": b["nationkey"],
+                "revenue_cents": b["revenue_cents"],
+                "share_bps": pa.array(cents * 10000 // total, pa.int64()),
+            }
+        )
+
+    return per_nation.map_batches(share, batch_format="pyarrow")
