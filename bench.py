@@ -70,6 +70,8 @@ BENCH_QUERIES = [
     "q_outlier_filter",
     "q_funnel",
     "q_revenue_share",
+    "q_mad",
+    "q_event_gap_hist",
 ]
 
 

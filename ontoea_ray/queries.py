@@ -3431,3 +3431,87 @@ def q_revenue_share(sf_dir: str):
         )
 
     return per_nation.map_batches(share, batch_format="pyarrow")
+
+
+_MAD_SQL = """
+    WITH n AS (SELECT COUNT(*) AS cnt FROM documents),
+    o AS (SELECT n_chars, ROW_NUMBER() OVER (ORDER BY n_chars) - 1 AS idx FROM documents),
+    med AS (SELECT n_chars AS m FROM o, n WHERE idx = CAST(FLOOR(0.5 * (cnt - 1)) AS BIGINT)),
+    d AS (SELECT ABS(n_chars - (SELECT m FROM med)) AS dev FROM documents),
+    o2 AS (SELECT dev, ROW_NUMBER() OVER (ORDER BY dev) - 1 AS idx FROM d)
+    SELECT CAST((SELECT m FROM med) AS BIGINT) AS median_chars,
+           CAST((SELECT dev FROM o2, n WHERE idx = CAST(FLOOR(0.5 * (cnt - 1)) AS BIGINT)) AS BIGINT) AS mad_chars
+"""
+
+
+@_register("q_mad", _MAD_SQL)
+def q_mad(sf_dir: str):
+    """Median absolute deviation of document length — the robust spread
+    statistic outlier rules use when corpora are heavy-tailed.  Two chained
+    exact-quantile passes (each: distributed sort + positional block fetch,
+    driver holds one scalar); the deviation map between them is
+    embarrassingly parallel."""
+    from ontoea_ray.stages.quantiles import exact_quantiles
+
+    docs = _read(sf_dir, "documents", ["n_chars"])
+    med = int(exact_quantiles(docs, "n_chars", {"m": 0.5})["n_chars"][0].as_py())
+    dev = docs.map_batches(
+        lambda b: pa.table(
+            {"dev": pc.abs(pc.subtract(b["n_chars"].combine_chunks().cast(pa.int64()), med))}
+        ),
+        batch_format="pyarrow",
+    )
+    mad = int(exact_quantiles(dev, "dev", {"m": 0.5})["dev"][0].as_py())
+    return pa.table(
+        {"median_chars": pa.array([med], pa.int64()), "mad_chars": pa.array([mad], pa.int64())}
+    )
+
+
+_EVENT_GAP_SQL = """
+    WITH e AS (SELECT user_id, ts, event_id,
+                      CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s
+               FROM events),
+    g AS (SELECT user_id,
+                 ts_s - LAG(ts_s) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS gap_s
+          FROM e),
+    b AS (SELECT CASE WHEN gap_s <= 0 THEN -1
+                      ELSE CAST(FLOOR(LOG2(gap_s)) AS BIGINT) END AS bucket
+          FROM g WHERE gap_s IS NOT NULL)
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY 1
+"""
+
+
+@_register("q_event_gap_hist", _EVENT_GAP_SQL)
+def q_event_gap_hist(sf_dir: str):
+    """Inter-event gap histogram (log2-bucketed seconds between a user's
+    consecutive events — the inter-arrival profile sessionization windows
+    are tuned from): ONE user-hash co-location, in-partition (user, ts,
+    event_id) sort + vectorized diff, then a log2 bucket combiner count.
+    floor(log2(int)) is IEEE-exact at bucket boundaries (powers of two are
+    exact doubles), so DuckDB replays every bucket."""
+    from ontoea_ray.functions.shuffle import keyed_aggregate, with_partition_key
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    parted = with_partition_key(ev, ["user_id"])
+
+    def gaps(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ts_s = df["ts"].to_numpy().astype("datetime64[s]").astype(np.int64)
+        uid = df["user_id"].to_numpy(np.int64)
+        gap = np.diff(ts_s)
+        same = uid[1:] == uid[:-1]
+        gap = gap[same]
+        bucket = np.full(len(gap), -1, np.int64)
+        pos = gap > 0
+        bucket[pos] = np.floor(np.log2(gap[pos])).astype(np.int64)
+        out = pd.DataFrame({"bucket": bucket})
+        g = out.groupby("bucket", sort=False).size().reset_index(name="n")
+        g["n"] = g["n"].astype(np.int64)
+        return _from_pandas_clean(g)
+
+    return keyed_aggregate(
+        parted.groupby("pkey").map_groups(gaps, batch_format="pandas"),
+        ["bucket"],
+        sums=["n"],
+    )
