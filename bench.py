@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "q_revenue_share",
     "q_mad",
     "q_event_gap_hist",
+    "q_lang_centroid",
 ]
 
 

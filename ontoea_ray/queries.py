@@ -3515,3 +3515,62 @@ def q_event_gap_hist(sf_dir: str):
         ["bucket"],
         sums=["n"],
     )
+
+
+_LANG_CENTROID_SQL = """
+    WITH j AS (SELECT d.lang, e.embedding
+               FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+    ex AS (SELECT lang, i - 1 AS dim,
+                  CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS v
+           FROM j, LATERAL (SELECT unnest(range(1, 65)) AS i) r)
+    SELECT lang, CAST(dim AS BIGINT) AS dim, CAST(SUM(v) AS BIGINT) AS sum_milli,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM ex GROUP BY 1, 2
+"""
+
+
+@_register("q_lang_centroid", _LANG_CENTROID_SQL)
+def q_lang_centroid(sf_dir: str):
+    """Per-language embedding centroid sums (grouped-by-METADATA matrix
+    reduction — the domain/language drift monitor): one distributed hash
+    join ships each vector to its metadata row once, then every block
+    reduces its slab with one one-hot^T @ matrix multiply per local lang
+    set, so the final exchange is (#langs x D x #blocks) rows regardless
+    of corpus size.  Milli-quantized int64 sums keep it bit-replayable."""
+    from ontoea_ray.functions.join import hash_join
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"]).map_batches(
+        lambda b: pa.table({"vec_id": b["doc_id"], "lang": b["lang"]}),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(emb, docs, on=["vec_id"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        vecs = b["embedding"].combine_chunks()
+        flat = np.asarray(vecs.values, np.float32).astype(np.float64)
+        q = np.floor(flat.reshape(len(b), -1) * 1000).astype(np.int64)
+        d = q.shape[1]
+        langs, codes = np.unique(
+            np.asarray(b["lang"].combine_chunks().to_pandas()), return_inverse=True
+        )
+        k = len(langs)
+        onehot = np.zeros((len(b), k), np.int64)
+        onehot[np.arange(len(b)), codes] = 1
+        sums = onehot.T @ q  # (k, D)
+        cnt = np.bincount(codes, minlength=k).astype(np.int64)
+        return pa.table(
+            {
+                "lang": pa.array(np.repeat(langs, d), pa.string()),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), k)),
+                "sum_milli": pa.array(sums.reshape(-1)),
+                "n": pa.array(np.repeat(cnt, d)),
+            }
+        )
+
+    return keyed_aggregate(
+        joined.map_batches(partial, batch_format="pyarrow"),
+        ["lang", "dim"],
+        sums=["sum_milli", "n"],
+    )
