@@ -73,6 +73,14 @@ BENCH_QUERIES = [
     "q_mad",
     "q_event_gap_hist",
     "q_lang_centroid",
+    "q_cube",
+    "q_corr_stats",
+    "q_user_mode",
+    "q_skyline",
+    "q_json_extract",
+    "q_daily_active",
+    "q_retention",
+    "q_event_trigrams",
 ]
 
 

@@ -3574,3 +3574,508 @@ def q_lang_centroid(sf_dir: str):
         ["lang", "dim"],
         sums=["sum_milli", "n"],
     )
+
+
+# ---------------------------------------------------------------------------
+# round-2 batch 9: CUBE, sufficient-statistics, mode, bottom-k sample,
+# skyline, JSON extraction, daily-active / retention, trigrams, cluster rep
+# ---------------------------------------------------------------------------
+
+_CUBE_SQL = """
+    SELECT COALESCE(r.r_name, 'ALL') AS region,
+           COALESCE(o.o_orderpriority, 'ALL') AS priority,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY CUBE(r.r_name, o.o_orderpriority)
+"""
+
+
+@_register("q_cube", _CUBE_SQL)
+def q_cube(sf_dir: str):
+    """CUBE multi-dimensional aggregate (all 4 grouping sets of
+    region x priority) in ONE corpus pass: the combiner reduces each batch
+    to (region, priority) leaf partials, each partial row is exploded into
+    its 4 cube levels, and one keyed merge sums them — like q_rollup but
+    over the full lattice, so shuffle volume is 4 x leaf-partials rows."""
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"])
+    reg = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    r2name = dict(zip(reg["r_regionkey"].to_pylist(), reg["r_name"].to_pylist()))
+    n2r = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_regionkey"].to_pylist()))
+    c2region = {
+        ck: r2name[n2r[nk]]
+        for ck, nk in zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist())
+    }
+    ref = ray.put(c2region)
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        df = batch.to_pandas()
+        df["region"] = df["o_custkey"].map(m)
+        df["priority"] = df["o_orderpriority"]
+        df["revenue_cents"] = np.round(df["o_totalprice"] * 100).astype(np.int64)
+        leaf = (
+            df.groupby(["region", "priority"], sort=False)
+            .agg(revenue_cents=("revenue_cents", "sum"), n_orders=("region", "size"))
+            .reset_index()
+        )
+        out = pd.concat(
+            [
+                leaf,
+                leaf.assign(priority="ALL"),
+                leaf.assign(region="ALL"),
+                leaf.assign(region="ALL", priority="ALL"),
+            ],
+            ignore_index=True,
+        )
+        out["n_orders"] = out["n_orders"].astype(np.int64)
+        return _from_pandas_clean(out)
+
+    return keyed_aggregate(
+        orders.map_batches(partial, batch_format="pyarrow"),
+        ["region", "priority"],
+        sums=["revenue_cents", "n_orders"],
+    )
+
+
+_CORR_STATS_SQL = """
+    WITH s AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+                      CAST(ROUND(l_extendedprice) AS BIGINT) AS y
+               FROM lineitem)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sum_x,
+           CAST(SUM(y) AS BIGINT) AS sum_y,
+           CAST(SUM(x * x) AS BIGINT) AS sum_xx,
+           CAST(SUM(y * y) AS BIGINT) AS sum_yy,
+           CAST(SUM(x * y) AS BIGINT) AS sum_xy
+    FROM s
+"""
+
+
+@_register("q_corr_stats", _CORR_STATS_SQL)
+def q_corr_stats(sf_dir: str):
+    """Pearson-correlation sufficient statistics (n, Σx, Σy, Σx², Σy², Σxy)
+    over quantity vs price in ONE pass: every block reduces to a single
+    6-value row, the merge is a constant-size global sum — the pattern for
+    any moment/covariance statistic at 100 TB (the float correlation is a
+    driver-side O(1) epilogue, kept out of the oracle to stay integer-exact)."""
+    from ray.data.aggregate import Sum as RSum
+
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = np.asarray(batch["l_quantity"].to_numpy(zero_copy_only=False), np.int64)
+        # DuckDB ROUND is half-away-from-zero; np.round is half-even —
+        # prices are positive so floor(y + 0.5) replays the oracle exactly
+        yf = np.asarray(batch["l_extendedprice"].to_numpy(zero_copy_only=False))
+        y = np.floor(yf + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "n": pa.array([len(x)], pa.int64()),
+                "sum_x": pa.array([int(x.sum())], pa.int64()),
+                "sum_y": pa.array([int(y.sum())], pa.int64()),
+                "sum_xx": pa.array([int((x * x).sum())], pa.int64()),
+                "sum_yy": pa.array([int((y * y).sum())], pa.int64()),
+                "sum_xy": pa.array([int((x * y).sum())], pa.int64()),
+            }
+        )
+
+    cols = ["n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy"]
+    agg = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        *[RSum(c, alias_name=c) for c in cols]
+    )
+    return pa.table({c: pa.array([int(agg[c])], pa.int64()) for c in cols})
+
+
+_USER_MODE_SQL = """
+    WITH c AS (SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2),
+    r AS (SELECT user_id, event_type, n,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n DESC, event_type ASC) AS rn
+          FROM c)
+    SELECT user_id, event_type AS mode_type, CAST(n AS BIGINT) AS n FROM r WHERE rn = 1
+"""
+
+
+@_register("q_user_mode", _USER_MODE_SQL)
+def q_user_mode(sf_dir: str):
+    """Per-key modal value (most frequent event_type per user, ties to the
+    lexicographically smallest): per-batch (user, type) count partials,
+    ONE user-co-located exchange, in-partition vectorized count-merge +
+    argmax — mode never needs raw rows to shuffle, only count partials."""
+    from ontoea_ray.functions.shuffle import compact, with_partition_key
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["user_id", "event_type"], sort=False).size().reset_index(name="n")
+        return _from_pandas_clean(g)
+
+    def mode(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "event_type"], sort=False)["n"].sum().reset_index()
+        g = g.sort_values(
+            ["user_id", "n", "event_type"], ascending=[True, False, True], kind="mergesort"
+        )
+        out = g.groupby("user_id", sort=False).head(1).rename(columns={"event_type": "mode_type"})
+        out["n"] = out["n"].astype(np.int64)
+        return out[["user_id", "mode_type", "n"]]
+
+    parts = compact(ev.map_batches(partial, batch_format="pandas"))
+    parted = with_partition_key(parts, ["user_id"])
+    return parted.groupby("pkey").map_groups(mode, batch_format="pandas")
+
+
+def _bottomk_sql() -> str:
+    from ontoea_ray.functions.lsh_sql import splitmix64_ctes
+
+    return f"""
+    WITH {splitmix64_ctes("documents", "doc_id")}
+    SELECT doc_id FROM sm3 ORDER BY _h, doc_id LIMIT 100
+    """
+
+
+@_register("q_bottomk_sample", _bottomk_sql())
+def q_bottomk_sample(sf_dir: str):
+    """Deterministic fixed-SIZE sample (k=100) via bottom-k-by-hash — the
+    distributed, mergeable equivalent of reservoir sampling: each block
+    keeps its k smallest splitmix64(doc_id) rows (k x #blocks partial, the
+    only data that ever leaves a worker), the driver merges the bounded
+    partials.  Unlike rate-based hash_sample the output size is exact, and
+    unlike random_sample it is reproducible and join-stable."""
+    from ontoea_ray.stages.sampling import splitmix64
+
+    k = 100
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False), np.int64)
+        h = splitmix64(ids.view(np.uint64))
+        order = np.lexsort((ids, h))[:k]
+        # carry the hash as an order-preserving SIGNED value (uint64 - 2^63)
+        # so the partial survives row-dict materialization without overflow
+        h_signed = (h[order] ^ np.uint64(1 << 63)).view(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order], pa.int64()),
+                "_hs": pa.array(h_signed, pa.int64()),
+            }
+        )
+
+    parts = pa.Table.from_pylist(ds.map_batches(partial, batch_format="pyarrow").take_all())
+    ids = np.asarray(parts["doc_id"].to_pylist(), np.int64)
+    hs = np.asarray(parts["_hs"].to_pylist(), np.int64)
+    order = np.lexsort((ids, hs))[:k]
+    return pa.table({"doc_id": pa.array(ids[order], pa.int64())})
+
+
+_SKYLINE_SQL = """
+    WITH p AS (SELECT p_partkey,
+                      CAST(p_size AS BIGINT) AS psize,
+                      CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents
+               FROM part)
+    SELECT p_partkey, psize, price_cents
+    FROM p a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p b
+      WHERE b.psize >= a.psize AND b.price_cents >= a.price_cents
+        AND (b.psize > a.psize OR b.price_cents > a.price_cents))
+"""
+
+
+def _pareto_front(df: pd.DataFrame) -> pd.DataFrame:
+    """2-D maximal (Pareto) front of (psize, price_cents), vectorized:
+    sort size-desc, keep a size group's max-cents rows iff that max
+    strictly exceeds the running max over all larger sizes."""
+    df = df.sort_values(["psize", "price_cents"], ascending=False, kind="mergesort")
+    gmax = df.groupby("psize", sort=False)["price_cents"].max()
+    prev = gmax.cummax().shift(1, fill_value=np.iinfo(np.int64).min)
+    alive = gmax > prev
+    keep = df["psize"].map(alive) & (df["price_cents"] == df["psize"].map(gmax))
+    return df[keep.to_numpy(bool)]
+
+
+@_register("q_skyline", _SKYLINE_SQL)
+def q_skyline(sf_dir: str):
+    """Skyline / Pareto-front query (parts not dominated on
+    (size, price)): each block computes ITS local front — a superset of
+    the global front, typically O(log n) rows — and only fronts ever leave
+    the workers; the driver reduces the bounded union of fronts with the
+    same vectorized kernel.  The oracle is the quadratic NOT EXISTS
+    dominance SQL."""
+    ds = _read(sf_dir, "part", ["p_partkey", "p_size", "p_retailprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "p_partkey": np.asarray(batch["p_partkey"].to_numpy(zero_copy_only=False), np.int64),
+                "psize": np.asarray(batch["p_size"].to_numpy(zero_copy_only=False), np.int64),
+                "price_cents": np.round(
+                    np.asarray(batch["p_retailprice"].to_numpy(zero_copy_only=False)) * 100
+                ).astype(np.int64),
+            }
+        )
+        return _from_pandas_clean(_pareto_front(df))
+
+    fronts = pa.Table.from_pylist(ds.map_batches(partial, batch_format="pyarrow").take_all())
+    final = _pareto_front(fronts.to_pandas())
+    return pa.table(
+        {
+            "p_partkey": pa.array(final["p_partkey"].to_numpy(np.int64), pa.int64()),
+            "psize": pa.array(final["psize"].to_numpy(np.int64), pa.int64()),
+            "price_cents": pa.array(final["price_cents"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+_JSON_EXTRACT_SQL = """
+    SELECT event_type,
+           CAST(SUM(COALESCE(TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT), 0)) AS BIGINT) AS sum_k,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1
+"""
+
+
+@_register("q_json_extract", _JSON_EXTRACT_SQL)
+def q_json_extract(sf_dir: str):
+    """Semi-structured field extraction (JSON props column -> typed int)
+    aggregated per event type: the extraction is ONE vectorized RE2 kernel
+    per batch (pyarrow.compute.extract_regex — no Python-level JSON parse
+    per row), mirrored exactly by DuckDB's regexp_extract; non-matches
+    count 0.  The web-payload pattern: parse-at-read, aggregate partials."""
+    from ontoea_ray.functions.shuffle import compact
+    from ray.data.aggregate import Sum as RSum
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(batch["props"].combine_chunks(), r'"k": (?P<v>[0-9]+)')
+        v = pc.cast(pc.struct_field(ext, "v"), pa.int64())
+        v = pc.fill_null(v, 0)
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_pandas(),
+                "sum_k": v.to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("event_type", sort=False).agg(
+            sum_k=("sum_k", "sum"), n=("sum_k", "size")
+        ).reset_index()
+        return _from_pandas_clean(g)
+
+    return (
+        compact(ds.map_batches(partial, batch_format="pyarrow"))
+        .groupby("event_type")
+        .aggregate(RSum("sum_k", alias_name="sum_k"), RSum("n", alias_name="n"))
+    )
+
+
+_DAILY_ACTIVE_SQL = """
+    SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1
+"""
+
+
+@_register("q_daily_active", _DAILY_ACTIVE_SQL)
+def q_daily_active(sf_dir: str):
+    """Daily active users (exact COUNT DISTINCT per window): two-level
+    reduction — per-batch (day, user) partials collapse duplicates early,
+    one keyed exchange makes them globally distinct, a second tiny
+    aggregate counts per day.  The shuffle carries (day x active-user)
+    rows, never raw events."""
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch["ts"].combine_chunks(), unit="day")
+        day_epoch = pc.divide(day.cast(pa.int64()), 1_000_000)
+        df = pd.DataFrame(
+            {
+                "day_epoch": day_epoch.to_numpy(zero_copy_only=False),
+                "user_id": batch["user_id"].to_pandas(),
+            }
+        )
+        g = df.groupby(["day_epoch", "user_id"], sort=False).size().reset_index(name="n_events")
+        return _from_pandas_clean(g)
+
+    day_user = keyed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["day_epoch", "user_id"],
+        sums=["n_events"],
+    )
+    return keyed_aggregate(
+        day_user, ["day_epoch"], sums=["n_events"], count_alias="n_users"
+    ).map_batches(
+        lambda b: pa.table(
+            {"day_epoch": b["day_epoch"], "n_users": b["n_users"], "n_events": b["n_events"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+_RETENTION_SQL = """
+    WITH d AS (SELECT DISTINCT user_id,
+                      CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch
+               FROM events),
+    f AS (SELECT user_id, MIN(day_epoch) AS cohort FROM d GROUP BY 1)
+    SELECT f.cohort,
+           CAST((d.day_epoch - f.cohort) // 86400 AS BIGINT) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM d JOIN f ON d.user_id = f.user_id
+    GROUP BY 1, 2
+"""
+
+
+@_register("q_retention", _RETENTION_SQL)
+def q_retention(sf_dir: str):
+    """Cohort retention matrix (users active on day cohort+k, by first-seen
+    cohort): distinct (user, day) partials -> keyed distinct; per-user MIN
+    gives the cohort; a distributed hash join ships each user's cohort to
+    its activity rows; final (cohort, offset) count.  Every stage operates
+    on per-user-day rows, not raw events."""
+    from ontoea_ray.functions.join import hash_join
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch["ts"].combine_chunks(), unit="day")
+        day_epoch = pc.divide(day.cast(pa.int64()), 1_000_000)
+        df = pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_pandas(),
+                "day_epoch": day_epoch.to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates()
+        return _from_pandas_clean(df)
+
+    days = keyed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id", "day_epoch"],
+        count_alias="_c",
+    ).drop_columns(["_c"])
+    cohorts = keyed_aggregate(days, ["user_id"], mins=["day_epoch"]).map_batches(
+        lambda b: pa.table({"user_id": b["user_id"], "cohort": b["day_epoch"]}),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(days, cohorts, on=["user_id"])
+
+    def offsets(batch: pa.Table) -> pa.Table:
+        day = np.asarray(batch["day_epoch"].to_numpy(zero_copy_only=False), np.int64)
+        coh = np.asarray(batch["cohort"].to_numpy(zero_copy_only=False), np.int64)
+        return pa.table(
+            {
+                "cohort": pa.array(coh, pa.int64()),
+                "day_offset": pa.array((day - coh) // 86400, pa.int64()),
+            }
+        )
+
+    return keyed_aggregate(
+        joined.map_batches(offsets, batch_format="pyarrow"),
+        ["cohort", "day_offset"],
+        count_alias="n_users",
+    )
+
+
+_EVENT_TRIGRAMS_SQL = """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type, 1) OVER w AS n1,
+             LEAD(event_type, 2) OVER w AS n2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT event_type AS a, n1 AS b, n2 AS c, CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE n1 IS NOT NULL AND n2 IS NOT NULL
+    GROUP BY 1, 2, 3
+"""
+
+
+@_register("q_event_trigrams", _EVENT_TRIGRAMS_SQL)
+def q_event_trigrams(sf_dir: str):
+    """Length-3 sequential patterns per user (the n-gram LM over event
+    streams): user-co-located sort + double shift, counts pre-reduced per
+    partition before one small keyed merge — q_event_bigrams extended one
+    order, same single-exchange plan."""
+    from ontoea_ray.functions.shuffle import compact, keyed_aggregate, with_partition_key
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def trigrams(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        et = df["event_type"].to_numpy()
+        uid = df["user_id"].to_numpy()
+        same = uid[1:] == uid[:-1]
+        ok = same[:-1] & same[1:]
+        part = (
+            pd.DataFrame({"a": et[:-2][ok], "b": et[1:-1][ok], "c": et[2:][ok]})
+            .groupby(["a", "b", "c"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return _from_pandas_clean(part)
+
+    parted = with_partition_key(compact(ev), ["user_id"])
+    per_part = parted.groupby("pkey").map_groups(trigrams, batch_format="pandas")
+    return keyed_aggregate(per_part, ["a", "b", "c"], sums=["n"]).map_batches(
+        lambda b: pa.table({"a": b["a"], "b": b["b"], "c": b["c"], "n": b["n"]}),
+        batch_format="pyarrow",
+    )
+
+
+_CLUSTER_REP_SQL = f"""
+    WITH cc AS ({_DUP_CLUSTER_SQL}),
+    j AS (SELECT cc.component, cc.doc_id, d.n_chars
+          FROM cc JOIN documents d ON cc.doc_id = d.doc_id),
+    r AS (SELECT component, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY component
+                                    ORDER BY n_chars DESC, doc_id ASC) AS rn
+          FROM j)
+    SELECT component, doc_id AS rep_doc_id FROM r WHERE rn = 1
+"""
+
+
+@_register("q_cluster_rep", _CLUSTER_REP_SQL)
+def q_cluster_rep(sf_dir: str):
+    """Canonical-document selection from near-duplicate clusters (keep the
+    LONGEST member, ties to min doc_id — the keep-best flavor of dedup
+    rather than keep-first): exact-Jaccard pairs -> connected components ->
+    distributed hash join against the documents metadata -> per-component
+    argmax.  Each stage reuses the engine's primitives (jaccard_pairs, CC,
+    hash_join, argmax_by)."""
+    from ontoea_ray.functions.join import hash_join
+    from ontoea_ray.functions.shuffle import argmax_by
+    from ontoea_ray.stages.dedup import jaccard_pairs
+    from ontoea_ray.stages.graph import connected_components_auto
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = jaccard_pairs(ds, threshold=0.5, shingle_n=3)
+    cc = connected_components_auto(pairs, src="id_a", dst="id_b").map_batches(
+        lambda b: pa.table({"doc_id": b["node"], "component": b["component"]}),
+        batch_format="pyarrow",
+    )
+    meta = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    joined = hash_join(cc, meta, on=["doc_id"])
+
+    def order_cols(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_neg_id",
+            pc.negate(pc.cast(batch["doc_id"].combine_chunks(), pa.int64())),
+        )
+
+    best = argmax_by(
+        joined.map_batches(order_cols, batch_format="pyarrow"),
+        ["component"],
+        ["n_chars", "_neg_id"],
+    )
+    return best.map_batches(
+        lambda b: pa.table({"component": b["component"], "rep_doc_id": b["doc_id"]}),
+        batch_format="pyarrow",
+    )
