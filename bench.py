@@ -81,6 +81,8 @@ BENCH_QUERIES = [
     "q_daily_active",
     "q_retention",
     "q_event_trigrams",
+    "q_regex_tokens",
+    "q_daily_uniques_hll",
 ]
 
 

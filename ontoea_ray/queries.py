@@ -3937,12 +3937,13 @@ _RETENTION_SQL = """
 @_register("q_retention", _RETENTION_SQL)
 def q_retention(sf_dir: str):
     """Cohort retention matrix (users active on day cohort+k, by first-seen
-    cohort): distinct (user, day) partials -> keyed distinct; per-user MIN
-    gives the cohort; a distributed hash join ships each user's cohort to
-    its activity rows; final (cohort, offset) count.  Every stage operates
-    on per-user-day rows, not raw events."""
-    from ontoea_ray.functions.join import hash_join
-    from ontoea_ray.functions.shuffle import keyed_aggregate
+    cohort): per-batch distinct (user, day) partials, then ONE user-keyed
+    exchange — inside a user-co-located partition the cohort is just the
+    group MIN, so offsets and per-(cohort, offset) counts reduce in the
+    same pass; a final tiny merge sums the per-partition counts (distinct
+    users never span partitions, so counts add).  Two exchanges total,
+    both over per-user-day rows, never raw events."""
+    from ontoea_ray.functions.shuffle import compact, keyed_aggregate, with_partition_key
 
     ds = _read(sf_dir, "events", ["user_id", "ts"])
 
@@ -3957,32 +3958,21 @@ def q_retention(sf_dir: str):
         ).drop_duplicates()
         return _from_pandas_clean(df)
 
-    days = keyed_aggregate(
-        ds.map_batches(partial, batch_format="pyarrow"),
-        ["user_id", "day_epoch"],
-        count_alias="_c",
-    ).drop_columns(["_c"])
-    cohorts = keyed_aggregate(days, ["user_id"], mins=["day_epoch"]).map_batches(
-        lambda b: pa.table({"user_id": b["user_id"], "cohort": b["day_epoch"]}),
-        batch_format="pyarrow",
-    )
-    joined = hash_join(days, cohorts, on=["user_id"])
-
-    def offsets(batch: pa.Table) -> pa.Table:
-        day = np.asarray(batch["day_epoch"].to_numpy(zero_copy_only=False), np.int64)
-        coh = np.asarray(batch["cohort"].to_numpy(zero_copy_only=False), np.int64)
-        return pa.table(
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["user_id", "day_epoch"])
+        coh = df.groupby("user_id", sort=False)["day_epoch"].transform("min")
+        out = pd.DataFrame(
             {
-                "cohort": pa.array(coh, pa.int64()),
-                "day_offset": pa.array((day - coh) // 86400, pa.int64()),
+                "cohort": coh.to_numpy(np.int64),
+                "day_offset": (df["day_epoch"].to_numpy(np.int64) - coh.to_numpy(np.int64)) // 86400,
             }
         )
+        return out.groupby(["cohort", "day_offset"], sort=False).size().reset_index(name="n_users")
 
-    return keyed_aggregate(
-        joined.map_batches(offsets, batch_format="pyarrow"),
-        ["cohort", "day_offset"],
-        count_alias="n_users",
-    )
+    parts = compact(ds.map_batches(partial, batch_format="pyarrow"))
+    parted = with_partition_key(parts, ["user_id"])
+    per_part = parted.groupby("pkey").map_groups(per_user, batch_format="pandas")
+    return keyed_aggregate(per_part, ["cohort", "day_offset"], sums=["n_users"])
 
 
 _EVENT_TRIGRAMS_SQL = """
@@ -4078,4 +4068,89 @@ def q_cluster_rep(sf_dir: str):
     return best.map_batches(
         lambda b: pa.table({"component": b["component"], "rep_doc_id": b["doc_id"]}),
         batch_format="pyarrow",
+    )
+
+
+# BPE-ish regex pre-tokenization (GPT-2-style pattern minus the lookahead,
+# which RE2 — used by BOTH Arrow and DuckDB — rejects; public pattern from
+# Radford et al. 2019 / the open tiktoken/GPT-2 tokenizer family)
+_BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+_REGEX_TOKENS_SQL = f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_PATTERN.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens
+    FROM documents
+"""
+
+
+@_register("q_regex_tokens", _REGEX_TOKENS_SQL)
+def q_regex_tokens(sf_dir: str):
+    """BPE-ish token counting (the LM cost estimator that whitespace splits
+    undercount): ONE vectorized RE2 match-count kernel per batch
+    (pc.count_substring_regex) — Arrow and DuckDB share the RE2 engine, so
+    the oracle replays the same pattern with regexp_extract_all."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(b["text"].combine_chunks(), pattern=_BPE_PATTERN)
+        return pa.table({"doc_id": b["doc_id"], "n_bpe_tokens": pc.cast(n, pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _daily_uniques_sql(p: int = 8) -> str:
+    from ontoea_ray.functions.lsh_sql import splitmix64_ctes
+
+    nbits = 64 - p
+    return f"""
+    WITH base AS (SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch, user_id
+                  FROM events),
+    {splitmix64_ctes("base", "user_id")},
+    parts AS (SELECT day_epoch,
+                     CAST(_h // {1 << nbits} AS BIGINT) AS bucket,
+                     CAST(_h % {1 << nbits} AS BIGINT) AS rest
+              FROM sm3)
+    SELECT day_epoch, bucket,
+           CAST(MAX(CASE WHEN rest = 0 THEN {nbits + 1}
+                         ELSE {nbits} - length(bin(rest)) + 1 END) AS BIGINT) AS rho
+    FROM parts GROUP BY 1, 2
+    """
+
+
+@_register("q_daily_uniques_hll", _daily_uniques_sql(p=8))
+def q_daily_uniques_hll(sf_dir: str):
+    """Per-WINDOW approximate distinct counts (HLL registers per day — the
+    sketch shape of q_daily_active): every block reduces its rows to
+    (day, bucket) -> max-rho partials, so the exchange is <= days x 2^p
+    rows no matter how many raw events stream through; register tables
+    merge across days/runs by max.  Registers are integer-exact (oracle);
+    the float estimate comes from `stages.sketch.hll_estimate`."""
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+    from ontoea_ray.stages.sampling import splitmix64
+    from ontoea_ray.stages.sketch import hll_rho
+
+    p = 8
+    nbits = 64 - p
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch["ts"].combine_chunks(), unit="day")
+        day_epoch = pc.divide(day.cast(pa.int64()), 1_000_000).to_numpy(zero_copy_only=False)
+        uid = np.asarray(batch["user_id"].to_numpy(zero_copy_only=False), np.int64)
+        h = splitmix64(uid.view(np.uint64))
+        bucket = (h >> np.uint64(nbits)).astype(np.int64)
+        rest = h & np.uint64((1 << nbits) - 1)
+        rho = hll_rho(rest, nbits)
+        df = (
+            pd.DataFrame({"day_epoch": day_epoch, "bucket": bucket, "rho": rho})
+            .groupby(["day_epoch", "bucket"], sort=False)["rho"]
+            .max()
+            .reset_index()
+        )
+        return _from_pandas_clean(df)
+
+    return keyed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["day_epoch", "bucket"],
+        maxs=["rho"],
     )

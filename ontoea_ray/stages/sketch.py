@@ -39,6 +39,30 @@ def _row_buckets(h: np.ndarray, a: np.ndarray, b: np.ndarray, width: int) -> np.
     return ((a[:, None] * h[None, :] + b[:, None]) % np.uint64(width)).astype(np.int64)
 
 
+def bit_length64(x: np.ndarray) -> np.ndarray:
+    """Vectorized integer bit_length of a uint64 array (0 for x == 0):
+    float-free (np.log2 is unsafe past 2^53), via binary shift counting."""
+    x = x.copy()
+    bl = np.zeros(x.shape, np.int64)
+    nz = x > 0
+    for s in (32, 16, 8, 4, 2, 1):
+        big = x >= (np.uint64(1) << np.uint64(s))
+        bl[big] += s
+        x[big] >>= np.uint64(s)
+    bl[nz] += 1
+    return bl
+
+
+def hll_rho(rest: np.ndarray, nbits: int) -> np.ndarray:
+    """HLL rho (1-based leading-zero rank of an nbits-wide remainder;
+    nbits+1 for a zero remainder) — shared by the corpus-level register
+    table and the per-window variants."""
+    rho = np.full(rest.shape, nbits + 1, np.int64)
+    nz = rest > 0
+    rho[nz] = nbits - bit_length64(rest[nz]) + 1
+    return rho
+
+
 def count_min_sketch(
     docs: ray.data.Dataset,
     *,
@@ -161,19 +185,7 @@ def hyperloglog_registers(
         h = _token_hashes(arr.unique())
         bucket = (h >> np.uint64(64 - p)).astype(np.int64)
         rest = h & np.uint64((1 << (64 - p)) - 1)
-        nbits = 64 - p
-        # rho = nbits - floor(log2(rest)) for rest>0 (== leading zeros + 1)
-        rho = np.full(len(h), nbits + 1, np.int64)
-        nz = rest > 0
-        # bit_length via frexp-free integer method: np.log2 is unsafe >2^53,
-        # use the string-free trick: count shifts (vectorized bit smearing)
-        x = rest[nz].copy()
-        bl = np.zeros(x.shape, np.int64)
-        for s in (32, 16, 8, 4, 2, 1):
-            big = x >= (np.uint64(1) << np.uint64(s))
-            bl[big] += s
-            x[big] >>= np.uint64(s)
-        rho[nz] = nbits - bl  # bl = bit_length - 1
+        rho = hll_rho(rest, 64 - p)
         df = pd.DataFrame({"bucket": bucket, "rho": rho}).groupby("bucket", sort=False)["rho"].max().reset_index()
         return _from_pandas_clean(df)
 
