@@ -1,0 +1,118 @@
+"""Unit gates for the round-2 analytics kernels that the oracle gate
+exercises only end-to-end: Pareto-front edge cases, bottom-k-by-hash
+block-structure invariance, and the shared HLL rho kernel."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ontoea_ray.queries import _pareto_front
+from ontoea_ray.stages.sketch import bit_length64, hll_rho
+
+
+def _front_brute(df: pd.DataFrame) -> set:
+    rows = list(df.itertuples(index=False))
+    out = set()
+    for a in rows:
+        dominated = any(
+            b.psize >= a.psize
+            and b.price_cents >= a.price_cents
+            and (b.psize > a.psize or b.price_cents > a.price_cents)
+            for b in rows
+        )
+        if not dominated:
+            out.add((a.p_partkey, a.psize, a.price_cents))
+    return out
+
+
+def test_pareto_front_matches_brute_force_with_ties():
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "p_partkey": np.arange(200, dtype=np.int64),
+            "psize": rng.integers(0, 8, 200).astype(np.int64),
+            "price_cents": rng.integers(0, 10, 200).astype(np.int64),
+        }
+    )
+    got = {tuple(r) for r in _pareto_front(df)[["p_partkey", "psize", "price_cents"]].to_numpy()}
+    assert got == _front_brute(df)
+
+
+def test_pareto_front_keeps_all_exact_ties():
+    df = pd.DataFrame(
+        {
+            "p_partkey": np.array([1, 2, 3], np.int64),
+            "psize": np.array([5, 5, 4], np.int64),
+            "price_cents": np.array([9, 9, 10], np.int64),
+        }
+    )
+    got = set(_pareto_front(df)["p_partkey"])
+    # rows 1 and 2 tie on both axes (neither dominates); row 3 trades size
+    # for price — all three are maximal
+    assert got == {1, 2, 3}
+
+
+def test_pareto_front_is_block_decomposable():
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "p_partkey": np.arange(500, dtype=np.int64),
+            "psize": rng.integers(0, 50, 500).astype(np.int64),
+            "price_cents": rng.integers(0, 1000, 500).astype(np.int64),
+        }
+    )
+    whole = _pareto_front(df)[["p_partkey"]].sort_values("p_partkey").reset_index(drop=True)
+    parts = [df.iloc[i::3] for i in range(3)]
+    merged = _pareto_front(pd.concat([_pareto_front(p) for p in parts], ignore_index=True))
+    merged = merged[["p_partkey"]].sort_values("p_partkey").reset_index(drop=True)
+    pd.testing.assert_frame_equal(whole, merged)
+
+
+def test_bottomk_sample_invariant_to_block_structure(sf_dir):
+    from ontoea_ray.queries import QUERIES
+
+    base = QUERIES["q_bottomk_sample"](sf_dir)["doc_id"].to_pylist()
+    assert len(base) == 100 and len(set(base)) == 100
+
+    # replay the same reduction over a different block decomposition
+    import pyarrow.parquet as pq
+
+    from ontoea_ray.stages.sampling import splitmix64
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ids = np.asarray(tbl["doc_id"].to_pylist(), np.int64)
+    rng = np.random.default_rng(3)
+    perm = rng.permutation(len(ids))
+    h = splitmix64(ids[perm].view(np.uint64))
+    order = np.lexsort((ids[perm], h))[:100]
+    assert sorted(ids[perm][order].tolist()) == sorted(base)
+
+
+def test_bit_length64_and_hll_rho():
+    x = np.array([0, 1, 2, 3, 255, 256, 2**40, 2**63], np.uint64)
+    assert bit_length64(x).tolist() == [0, 1, 2, 2, 8, 9, 41, 64]
+    # rho over a 56-bit remainder: zero -> nbits+1; top-bit-set -> 1
+    rest = np.array([0, 1, 2**55], np.uint64)
+    assert hll_rho(rest, 56).tolist() == [57, 56, 1]
+
+
+def test_retention_counts_match_manual(sf_dir):
+    from ontoea_ray.queries import QUERIES
+
+    got = pa.Table.from_pylist(QUERIES["q_retention"](sf_dir).take_all()).to_pandas()
+    ev = pa.Table.from_pylist(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"]).take_all()
+    ).to_pandas()
+    ev["day"] = (ev["ts"].dt.floor("D") - pd.Timestamp(0)) // pd.Timedelta(seconds=1)
+    d = ev[["user_id", "day"]].drop_duplicates()
+    coh = d.groupby("user_id")["day"].transform("min")
+    man = (
+        pd.DataFrame({"cohort": coh, "day_offset": (d["day"] - coh) // 86400})
+        .groupby(["cohort", "day_offset"])
+        .size()
+        .reset_index(name="n_users")
+    )
+    got = got.sort_values(["cohort", "day_offset"]).reset_index(drop=True)
+    man = man.sort_values(["cohort", "day_offset"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype(np.int64), man.astype(np.int64))
