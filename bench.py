@@ -83,6 +83,8 @@ BENCH_QUERIES = [
     "q_event_trigrams",
     "q_regex_tokens",
     "q_daily_uniques_hll",
+    "q_fuzzy_pairs",
+    "q_weighted_sample",
 ]
 
 

@@ -4154,3 +4154,70 @@ def q_daily_uniques_hll(sf_dir: str):
         ["day_epoch", "bucket"],
         maxs=["rho"],
     )
+
+
+_FUZZY_PAIRS_SQL = """
+    WITH n AS (SELECT DISTINCT c_name FROM customer)
+    SELECT a.c_name AS name_a, b.c_name AS name_b
+    FROM n a JOIN n b ON a.c_name < b.c_name AND levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
+@_register("q_fuzzy_pairs", _FUZZY_PAIRS_SQL)
+def q_fuzzy_pairs(sf_dir: str):
+    """Edit-distance-1 surface-form pairs (stages/fuzzy.edit1_pairs): the
+    near-miss canonicalization primitive for short strings where shingle
+    Jaccard has no signal.  SymSpell deletion-neighborhood blocking makes
+    the engine linear in vocabulary x length while the oracle pays the
+    quadratic levenshtein self-join — same exact pair set (blocking is
+    lossless for distance <= 1; every candidate is verified)."""
+    from ontoea_ray.stages.fuzzy import edit1_pairs
+
+    ds = _read(sf_dir, "customer", ["c_name"])
+    return edit1_pairs(ds, "c_name")
+
+
+def _weighted_sample_sql(k: int = 100) -> str:
+    from ontoea_ray.functions.lsh_sql import splitmix64_ctes
+
+    return f"""
+    WITH {splitmix64_ctes("documents", "doc_id")}
+    SELECT doc_id FROM sm3
+    ORDER BY _h // greatest(n_chars, 1), _h, doc_id LIMIT {k}
+    """
+
+
+@_register("q_weighted_sample", _weighted_sample_sql(k=100))
+def q_weighted_sample(sf_dir: str):
+    """Deterministic WEIGHTED bottom-k sample (k=100, weight = n_chars):
+    integer priority splitmix64(id) // weight makes heavier rows
+    proportionally likelier to rank low — the data-mixing sampler
+    (upweight long documents) with the same mergeable bottom-k shape as
+    q_bottomk_sample: per-block partials, bounded driver merge, exact
+    integer SQL replay."""
+    from ontoea_ray.stages.sampling import splitmix64
+
+    k = 100
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False), np.int64)
+        w = np.maximum(np.asarray(batch["n_chars"].to_numpy(zero_copy_only=False), np.int64), 1)
+        h = splitmix64(ids.view(np.uint64))
+        prio = h // w.view(np.uint64)
+        order = np.lexsort((ids, h, prio))[:k]
+        sign = np.uint64(1 << 63)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order], pa.int64()),
+                "_ps": pa.array((prio[order] ^ sign).view(np.int64), pa.int64()),
+                "_hs": pa.array((h[order] ^ sign).view(np.int64), pa.int64()),
+            }
+        )
+
+    parts = pa.Table.from_pylist(ds.map_batches(partial, batch_format="pyarrow").take_all())
+    ids = np.asarray(parts["doc_id"].to_pylist(), np.int64)
+    ps = np.asarray(parts["_ps"].to_pylist(), np.int64)
+    hs = np.asarray(parts["_hs"].to_pylist(), np.int64)
+    order = np.lexsort((ids, hs, ps))[:k]
+    return pa.table({"doc_id": pa.array(ids[order], pa.int64())})

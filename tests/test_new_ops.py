@@ -116,3 +116,46 @@ def test_retention_counts_match_manual(sf_dir):
     got = got.sort_values(["cohort", "day_offset"]).reset_index(drop=True)
     man = man.sort_values(["cohort", "day_offset"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got.astype(np.int64), man.astype(np.int64))
+
+
+def test_edit1_pairs_synthetic_including_nonascii_and_lengths():
+    import itertools
+
+    import ray.data as rd
+
+    from ontoea_ray.stages.fuzzy import edit1_pairs
+
+    names = ["abc", "abd", "ab", "abcd", "xyz", "äbc", "äbd", "abc", "a", "b", ""]
+    ds = rd.from_items([{"c_name": n} for n in names])
+    got = set(
+        map(tuple, pa.Table.from_pylist(edit1_pairs(ds, "c_name").take_all()).to_pandas().values)
+    )
+
+    def lev(a, b):
+        m = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev = m[:]
+            m[0] = i
+            for j, cb in enumerate(b, 1):
+                m[j] = min(prev[j] + 1, m[j - 1] + 1, prev[j - 1] + (ca != cb))
+        return m[-1]
+
+    uniq = sorted(set(names))
+    expect = {(a, b) for a, b in itertools.combinations(uniq, 2) if lev(a, b) == 1}
+    assert got == expect
+
+
+def test_weighted_sample_prefers_heavy_rows(sf_dir):
+    """Weight = n_chars: the weighted sample's mean doc length must exceed
+    the unweighted bottom-k sample's (statistical sanity, deterministic
+    given the fixed hash)."""
+    import pyarrow.parquet as pq
+
+    from ontoea_ray.queries import QUERIES
+
+    w = QUERIES["q_weighted_sample"](sf_dir)["doc_id"].to_pylist()
+    u = QUERIES["q_bottomk_sample"](sf_dir)["doc_id"].to_pylist()
+    assert len(w) == 100 and len(set(w)) == 100
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]).to_pandas()
+    nm = dict(zip(tbl["doc_id"], tbl["n_chars"]))
+    assert np.mean([nm[i] for i in w]) > np.mean([nm[i] for i in u])
