@@ -85,6 +85,8 @@ BENCH_QUERIES = [
     "q_daily_uniques_hll",
     "q_fuzzy_pairs",
     "q_weighted_sample",
+    "q_zscore_outliers",
+    "q_rolling_uniques_hll",
 ]
 
 

@@ -4221,3 +4221,121 @@ def q_weighted_sample(sf_dir: str):
     hs = np.asarray(parts["_hs"].to_pylist(), np.int64)
     order = np.lexsort((ids, hs, ps))[:k]
     return pa.table({"doc_id": pa.array(ids[order], pa.int64())})
+
+
+_ZSCORE_SQL = """
+    WITH e AS (SELECT event_id, user_id,
+                      CAST(FLOOR(value * 1000) AS BIGINT) AS v
+               FROM events),
+    s AS (SELECT user_id, COUNT(*) AS n, SUM(v) AS sv, SUM(v * v) AS svv
+          FROM e GROUP BY 1)
+    SELECT e.event_id, e.user_id,
+           CAST((s.n * e.v - s.sv) * (s.n * e.v - s.sv)
+                > 9 * (s.n * s.svv - s.sv * s.sv) AS BIGINT) AS is_outlier
+    FROM e JOIN s ON e.user_id = s.user_id
+"""
+
+
+@_register("q_zscore_outliers", _ZSCORE_SQL)
+def q_zscore_outliers(sf_dir: str):
+    """Per-key z-score anomaly flags (|v - mean| > 3 sigma within each
+    user), INTEGER-exact: the float test is cross-multiplied to
+    (n*v - sum)^2 > 9*(n*sumsq - sum^2), so engine and oracle compare the
+    same integers and the driver hash is bit-stable.  One user-co-located
+    exchange; mean/var come from vectorized group transforms in the same
+    pass (no second scan, no join).  int64 bound: needs n * v^2 < 2^63 per
+    key — holds through v <= 1e6 milli-units and n <= 1e6 events/user;
+    beyond that the comparison needs the int128 the oracle already uses."""
+    from ontoea_ray.functions.shuffle import compact, with_partition_key
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def milli(batch: pa.Table) -> pa.Table:
+        v = pc.cast(pc.floor(pc.multiply(batch["value"].combine_chunks(), 1000.0)), pa.int64())
+        return pa.table({"event_id": batch["event_id"], "user_id": batch["user_id"], "v": v})
+
+    def flags(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["v"].to_numpy(np.int64)
+        g = df.groupby("user_id", sort=False)["v"]
+        n = g.transform("size").to_numpy(np.int64)
+        sv = g.transform("sum").to_numpy(np.int64)
+        svv = (
+            df.assign(vv=v * v).groupby("user_id", sort=False)["vv"].transform("sum").to_numpy(np.int64)
+        )
+        lhs = (n * v - sv) ** 2
+        rhs = 9 * (n * svv - sv * sv)
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(np.int64),
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "is_outlier": (lhs > rhs).astype(np.int64),
+            }
+        )
+
+    parted = with_partition_key(compact(ev.map_batches(milli, batch_format="pyarrow")), ["user_id"])
+    return parted.groupby("pkey").map_groups(flags, batch_format="pandas")
+
+
+def _rolling_uniques_sql(p: int = 8, window_days: int = 7) -> str:
+    from ontoea_ray.functions.lsh_sql import splitmix64_ctes
+
+    nbits = 64 - p
+    return f"""
+    WITH base AS (SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch, user_id
+                  FROM events),
+    {splitmix64_ctes("base", "user_id")},
+    parts AS (SELECT day_epoch,
+                     CAST(_h // {1 << nbits} AS BIGINT) AS bucket,
+                     CAST(_h % {1 << nbits} AS BIGINT) AS rest
+              FROM sm3),
+    win AS (SELECT day_epoch + 86400 * o AS window_end, bucket, rest
+            FROM parts, LATERAL (SELECT unnest(range(0, {window_days})) AS o) r)
+    SELECT window_end, bucket,
+           CAST(MAX(CASE WHEN rest = 0 THEN {nbits + 1}
+                         ELSE {nbits} - length(bin(rest)) + 1 END) AS BIGINT) AS rho
+    FROM win GROUP BY 1, 2
+    """
+
+
+@_register("q_rolling_uniques_hll", _rolling_uniques_sql(p=8, window_days=7))
+def q_rolling_uniques_hll(sf_dir: str):
+    """ROLLING 7-day distinct-user sketch: the per-day HLL register
+    partials of q_daily_uniques_hll are exploded to the 7 windows each day
+    contributes to and max-merged per (window_end, bucket) — overlapping
+    windows SHARE the day sketches instead of rescanning events 7x, the
+    mergeability win that makes sketches the right tool for sliding
+    distinct counts.  Exchange stays <= windows x 2^p rows."""
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+    from ontoea_ray.stages.sampling import splitmix64
+    from ontoea_ray.stages.sketch import hll_rho
+
+    p, window_days = 8, 7
+    nbits = 64 - p
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch["ts"].combine_chunks(), unit="day")
+        day_epoch = pc.divide(day.cast(pa.int64()), 1_000_000).to_numpy(zero_copy_only=False)
+        uid = np.asarray(batch["user_id"].to_numpy(zero_copy_only=False), np.int64)
+        h = splitmix64(uid.view(np.uint64))
+        bucket = (h >> np.uint64(nbits)).astype(np.int64)
+        rho = hll_rho(h & np.uint64((1 << nbits) - 1), nbits)
+        # reduce to per-day registers FIRST, then explode days -> windows
+        # (7x the register partial, never 7x the events)
+        df = (
+            pd.DataFrame({"day_epoch": day_epoch, "bucket": bucket, "rho": rho})
+            .groupby(["day_epoch", "bucket"], sort=False)["rho"]
+            .max()
+            .reset_index()
+        )
+        reps = pd.concat(
+            [df.assign(window_end=df["day_epoch"] + 86400 * o) for o in range(window_days)],
+            ignore_index=True,
+        )
+        return _from_pandas_clean(reps[["window_end", "bucket", "rho"]])
+
+    return keyed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["window_end", "bucket"],
+        maxs=["rho"],
+    )
