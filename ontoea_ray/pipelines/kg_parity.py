@@ -135,3 +135,34 @@ def run_parity(root: str, cfg: OntoEAConfig | None = None, *, as_actor: bool = T
         trainer = Actor.remote(data, cfg)
         return ray.get(trainer.run.remote(verbose=verbose))
     return OntoEATrainer(data, cfg).run(verbose=verbose)
+
+
+def eval_test_types(
+    root: str,
+    *,
+    supervise: bool = True,
+    miss_completion: bool = False,
+    ccm_version: int = 4,
+) -> np.ndarray:
+    """Reference parity for ``basic_model._eval_test_types``
+    (/root/reference/code/src/openea/models/basic_model.py:165-236): the
+    (|test1| x |test2|) TYPE MATRIX gathered from the class-coherence
+    matrix — type_matrix[i, j] = ccm[class(test1_i), class(test2_j)] after
+    class inference, optional complement/truncation, and the seed-link
+    supervision patch (disjoint-filtered) that load_train_data applies.
+
+    The reference fills the matrix with a tqdm double loop; here it is one
+    vectorized ``np.ix_`` gather over the broadcastable CCM — the actual
+    n1 x n2-scale gather during EVALUATION happens blockwise inside
+    `pipelines/alignment` (never materialized when n1 x n2 is large); this
+    named wrapper exists for the small-matrix parity surface the reference
+    exposes."""
+    data = load_train_data(
+        root,
+        supervise=supervise,
+        miss_completion=miss_completion,
+        ccm_version=ccm_version,
+    )
+    t1 = data.ent_class[data.test_pairs[:, 0]]
+    t2 = data.ent_class[data.test_pairs[:, 1]]
+    return data.ccm[np.ix_(t1, t2)]

@@ -82,3 +82,28 @@ def test_onto_check_mat_roundtrip(tmp_path):
     back = A.load_onto_check_mat(path)
     np.testing.assert_array_equal(back["onto_mat"], mat)
     assert {k: int(v) for k, v in back["onto2id_dict"].items()} == d
+
+
+def test_eval_test_types_matches_elementwise_gather(tmp_path, ray_session):
+    """Named _eval_test_types parity wrapper == the reference's double
+    loop over ccm[type1_id][type2_id] (basic_model.py:210-232)."""
+    import numpy as np
+
+    from ontoea_ray.pipelines.kg_parity import eval_test_types, load_train_data
+    from ontoea_ray.sources import fixtures as FX
+
+    kg = FX.generate_fixture_kg(n_entities=50, seed=5)
+    root = str(tmp_path / "kg")
+    FX.write_reference_layout(kg, root)
+    data = load_train_data(root)
+    tm = eval_test_types(root)
+    n1, n2 = len(data.test_pairs), len(data.test_pairs)
+    assert tm.shape == (n1, n2)
+    for i in range(min(n1, 8)):
+        for j in range(min(n2, 8)):
+            a = data.ent_class[data.test_pairs[i, 0]]
+            b = data.ent_class[data.test_pairs[j, 1]]
+            assert tm[i, j] == data.ccm[a, b]
+    # supervision ON patches seed-pair classes to 1 unless disjoint —
+    # matrix entries stay within the CCM's value set
+    assert set(np.unique(tm)).issubset(set(np.unique(data.ccm)))
