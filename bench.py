@@ -87,6 +87,9 @@ BENCH_QUERIES = [
     "q_weighted_sample",
     "q_zscore_outliers",
     "q_rolling_uniques_hll",
+    "q_lang_mismatch",
+    "q_percentile_rank",
+    "q_source_dup_rate",
 ]
 
 

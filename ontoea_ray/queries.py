@@ -4339,3 +4339,137 @@ def q_rolling_uniques_hll(sf_dir: str):
         ["window_end", "bucket"],
         maxs=["rho"],
     )
+
+
+_LANG_MISMATCH_SQL = """
+    WITH toks AS (
+      SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents
+    ), scores AS (
+      SELECT doc_id,
+        COUNT(*) FILTER (WHERE tok IN ('der','die','und','das','nicht','ist','ein')) AS s_de,
+        COUNT(*) FILTER (WHERE tok IN ('the','and','of','to','a','in','is')) AS s_en,
+        COUNT(*) FILTER (WHERE tok IN ('el','la','que','los','una','es','y')) AS s_es,
+        COUNT(*) FILTER (WHERE tok IN ('le','la','et','les','des','un','est')) AS s_fr
+      FROM toks GROUP BY doc_id
+    ), pred AS (
+      SELECT doc_id,
+        CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+             WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+             WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+             WHEN s_es >= s_fr THEN 'es'
+             ELSE 'fr' END AS pred_lang
+      FROM scores)
+    SELECT d.doc_id, d.lang, p.pred_lang,
+           CAST(d.lang <> p.pred_lang AS BIGINT) AS mismatch
+    FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+"""
+
+
+@_register("q_lang_mismatch", _LANG_MISMATCH_SQL)
+def q_lang_mismatch(sf_dir: str):
+    """Metadata-quality audit: the corpus's LABELED language vs the
+    content-predicted language (predict_lang), flagging disagreements —
+    the mislabeled-metadata detector every crawl pipeline runs before
+    per-language routing.  One pass: both columns live in the same batch,
+    so prediction and comparison fuse with zero joins."""
+    from ontoea_ray.functions.text import predict_lang
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        pred = predict_lang(b["text"])
+        mismatch = pc.cast(pc.invert(pc.equal(b["lang"].combine_chunks(), pred)), pa.int64())
+        return pa.table(
+            {"doc_id": b["doc_id"], "lang": b["lang"], "pred_lang": pred, "mismatch": mismatch}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+_PCTRANK_SQL = """
+    SELECT doc_id,
+           CAST((ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1) * 10000
+                // (COUNT(*) OVER () - 1) AS BIGINT) AS pct_rank_bps
+    FROM documents
+"""
+
+
+@_register("q_percentile_rank", _PCTRANK_SQL)
+def q_percentile_rank(sf_dir: str):
+    """Exact global percentile rank in integer basis points
+    (rank * 10000 // (n-1)) by document length — the corpus-wide quality
+    placement signal (curriculum ordering, filtering thresholds).  Uses
+    the sort + block-metadata-offset global rank (`stages/quantiles`):
+    one all-to-all, ranks appended worker-side, never on the driver."""
+    from ontoea_ray.stages.quantiles import with_global_rank
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    n = ds.count()
+    ranked = with_global_rank(ds, ["n_chars", "doc_id"], rank_col="_r")
+
+    def fin(b: pa.Table) -> pa.Table:
+        r = np.asarray(b["_r"].to_numpy(zero_copy_only=False), np.int64)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "pct_rank_bps": pa.array(r * 10000 // max(n - 1, 1), pa.int64()),
+            }
+        )
+
+    return ranked.map_batches(fin, batch_format="pyarrow")
+
+
+_SOURCE_DUP_SQL = f"""
+    WITH pairs AS ({_SHINGLE_SQL}),
+    lab AS (SELECT p.id_a, p.id_b, da.source AS src_a, db.source AS src_b
+            FROM pairs p
+            JOIN documents da ON p.id_a = da.doc_id
+            JOIN documents db ON p.id_b = db.doc_id),
+    counts AS (
+      SELECT least(src_a, src_b) AS source_a,
+             greatest(src_a, src_b) AS source_b,
+             COUNT(*) AS n_pairs
+      FROM lab GROUP BY 1, 2)
+    SELECT source_a, source_b, CAST(n_pairs AS BIGINT) AS n_pairs FROM counts
+"""
+
+
+@_register("q_source_dup_rate", _SOURCE_DUP_SQL)
+def q_source_dup_rate(sf_dir: str):
+    """Near-duplication structure ACROSS sources (which feeds copy which —
+    mirror detection, license laundering, scraper loops): exact-Jaccard
+    near-dup pairs joined to each side's source label via the distributed
+    hash join, reduced to an unordered source-pair count matrix."""
+    from ontoea_ray.functions.join import hash_join
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+    from ontoea_ray.stages.dedup import jaccard_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = jaccard_pairs(ds, threshold=0.5, shingle_n=3)
+    meta = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    a = hash_join(
+        pairs.map_batches(
+            lambda b: pa.table({"doc_id": b["id_a"], "id_b": b["id_b"]}), batch_format="pyarrow"
+        ),
+        meta,
+        on=["doc_id"],
+    ).map_batches(
+        lambda b: pa.table({"doc_id": b["id_b"], "src_a": b["source"]}), batch_format="pyarrow"
+    )
+    both = hash_join(a, meta, on=["doc_id"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        sa = b["src_a"].to_pandas()
+        sb = b["source"].to_pandas()
+        lo = np.minimum(sa, sb)
+        hi = np.maximum(sa, sb)
+        df = pd.DataFrame({"source_a": lo, "source_b": hi})
+        g = df.groupby(["source_a", "source_b"], sort=False).size().reset_index(name="n_pairs")
+        return _from_pandas_clean(g)
+
+    return keyed_aggregate(
+        both.map_batches(partial, batch_format="pyarrow"),
+        ["source_a", "source_b"],
+        sums=["n_pairs"],
+    )
