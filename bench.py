@@ -90,6 +90,8 @@ BENCH_QUERIES = [
     "q_lang_mismatch",
     "q_percentile_rank",
     "q_source_dup_rate",
+    "q_price_histogram",
+    "q_source_topn",
 ]
 
 

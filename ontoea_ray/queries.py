@@ -4473,3 +4473,78 @@ def q_source_dup_rate(sf_dir: str):
         ["source_a", "source_b"],
         sums=["n_pairs"],
     )
+
+
+_PRICE_HIST_SQL = """
+    SELECT CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) // 5000000 AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM orders GROUP BY 1
+"""
+
+
+@_register("q_price_histogram", _PRICE_HIST_SQL)
+def q_price_histogram(sf_dir: str):
+    """Equi-width integer histogram ($50k bins over order totals): the
+    profiling primitive for choosing filter thresholds / partition ranges.
+    Binning is pure arithmetic per batch, so the combiner reduces each
+    block to <= #bins rows and the exchange is bins x blocks no matter the
+    corpus size."""
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.round(
+            np.asarray(batch["o_totalprice"].to_numpy(zero_copy_only=False)) * 100
+        ).astype(np.int64)
+        df = pd.DataFrame({"bin": cents // 5_000_000, "sum_cents": cents})
+        g = df.groupby("bin", sort=False).agg(
+            n=("sum_cents", "size"), sum_cents=("sum_cents", "sum")
+        ).reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        return _from_pandas_clean(g[["bin", "n", "sum_cents"]])
+
+    return keyed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"), ["bin"], sums=["n", "sum_cents"]
+    )
+
+
+_SOURCE_TOPN_SQL = """
+    SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars, CAST(rn AS BIGINT) AS rn
+    FROM (SELECT source, doc_id, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY n_chars DESC, doc_id ASC) AS rn
+          FROM documents)
+    WHERE rn <= 3
+"""
+
+
+@_register("q_source_topn", _SOURCE_TOPN_SQL)
+def q_source_topn(sf_dir: str):
+    """Top-3 longest documents per source (per-group top-k on the corpus
+    metadata): block-local top-3 per source first (a correct superset), so
+    the keyed exchange moves <= 3 x sources-per-block rows — the
+    group_topk combiner pattern on the documents table."""
+    from ontoea_ray.functions.shuffle import compact, with_partition_key
+
+    ds = _read(sf_dir, "documents", ["source", "doc_id", "n_chars"])
+
+    def _top(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["source", "n_chars", "doc_id"], ascending=[True, False, True], kind="mergesort"
+        )
+        df["rn"] = df.groupby("source", sort=False).cumcount() + 1
+        return df[df["rn"] <= 3]
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        return _top(df)[["source", "doc_id", "n_chars"]]
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = _top(df)[["source", "doc_id", "n_chars", "rn"]].copy()
+        out["rn"] = out["rn"].astype(np.int64)
+        return out
+
+    pruned = ds.map_batches(prune, batch_format="pandas")
+    parted = with_partition_key(compact(pruned), ["source"])
+    return parted.groupby("pkey").map_groups(final, batch_format="pandas")

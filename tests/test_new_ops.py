@@ -159,3 +159,42 @@ def test_weighted_sample_prefers_heavy_rows(sf_dir):
     tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]).to_pandas()
     nm = dict(zip(tbl["doc_id"], tbl["n_chars"]))
     assert np.mean([nm[i] for i in w]) > np.mean([nm[i] for i in u])
+
+
+def test_csv_jsonl_round_trip_matches_parquet(sf_dir, tmp_path):
+    """documents (parquet) -> CSV and JSONL -> read back through the
+    tabular sources == the parquet read, column-pruned both ways."""
+    import pyarrow.parquet as pq
+
+    from ontoea_ray.sources.tabular import (
+        read_csv_table,
+        read_jsonl_table,
+        write_csv,
+        write_jsonl,
+    )
+
+    base = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    csv_dir, jsonl_dir = str(tmp_path / "csv"), str(tmp_path / "jsonl")
+    write_csv(base, csv_dir)
+    write_jsonl(base, jsonl_dir)
+
+    want = (
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for rd in (
+        read_csv_table(csv_dir, columns=["doc_id", "lang", "n_chars"]),
+        read_jsonl_table(jsonl_dir, columns=["doc_id", "lang", "n_chars"]),
+    ):
+        got = (
+            pa.Table.from_pylist(rd.take_all())
+            .to_pandas()[["doc_id", "lang", "n_chars"]]
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got.astype({"doc_id": np.int64, "n_chars": np.int64}),
+                                      want.astype({"doc_id": np.int64, "n_chars": np.int64}))
