@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "q_source_dup_rate",
     "q_price_histogram",
     "q_source_topn",
+    "q_simhash_pairs",
 ]
 
 

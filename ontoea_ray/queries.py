@@ -4548,3 +4548,26 @@ def q_source_topn(sf_dir: str):
     pruned = ds.map_batches(prune, batch_format="pandas")
     parted = with_partition_key(compact(pruned), ["source"])
     return parted.groupby("pkey").map_groups(final, batch_format="pandas")
+
+
+_SIMHASH_SIG_SQL = ORACLE_SQL["q_simhash"]
+
+_SIMHASH_PAIRS_SQL = f"""
+    WITH sh AS ({_SIMHASH_SIG_SQL})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+@_register("q_simhash_pairs", _SIMHASH_PAIRS_SQL)
+def q_simhash_pairs(sf_dir: str):
+    """SimHash near-duplicate pairs at Hamming <= 3 (Manku WWW'07 banding:
+    4 bands over the 63 stored bits, pigeonhole blocking, popcount
+    verification) — the oracle pays the quadratic bit_count self-join, the
+    engine one band-keyed exchange."""
+    from ontoea_ray.stages.dedup import simhash_neardup_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_neardup_pairs(ds, max_hamming=3)

@@ -108,3 +108,34 @@ def test_simhash_hamming_tracks_similarity(corpus):
     ham_near = bin(sh[0] ^ sh[2]).count("1")
     ham_far = bin(sh[0] ^ sh[10]).count("1")
     assert ham_near < ham_far               # near dup closer in Hamming space
+
+
+def test_simhash_banding_is_lossless_vs_brute_force(sf_dir):
+    """Pigeonhole blocking must find EVERY pair at Hamming <= 3 (and the
+    popcount verify must kill everything above): compare against the
+    all-pairs popcount over the engine's own signatures."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from ontoea_ray.stages.dedup import popcount64, simhash64, simhash_neardup_pairs
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    sig_tbl = pa.Table.from_pylist(simhash64(docs).take_all())
+    ids = np.asarray(sig_tbl["doc_id"].to_pylist(), np.int64)
+    sh = np.asarray(sig_tbl["simhash"].to_pylist(), np.int64)
+    order = np.argsort(ids)
+    ids, sh = ids[order], sh[order]
+    ii, jj = np.triu_indices(len(ids), k=1)
+    d = popcount64(np.bitwise_xor(sh[ii].view(np.uint64), sh[jj].view(np.uint64)))
+    ok = d <= 3
+    expect = {(int(a), int(b), int(h)) for a, b, h in zip(ids[ii][ok], ids[jj][ok], d[ok])}
+
+    got_tbl = pa.Table.from_pylist(simhash_neardup_pairs(docs, max_hamming=3).take_all())
+    got = {
+        (int(a), int(b), int(h))
+        for a, b, h in zip(
+            got_tbl["id_a"].to_pylist(), got_tbl["id_b"].to_pylist(), got_tbl["hamming"].to_pylist()
+        )
+    }
+    assert got == expect and len(got) > 0
