@@ -121,3 +121,50 @@ def test_kg_upsert_associative_commutative(ray_session):
     merged = {r["subj"]: (r["n_mentions"], r["first_url"])
               for r in kg_upsert(kg_upsert(a, b), c).take_all()}
     assert merged["s"] == (13, "u3")
+
+
+def test_triple_precision_recall_meets_north_rule(sf_dir):
+    """north_rule headline: emitted-triple precision/recall >= 0.95 against
+    an independently computed oracle over the FULL sf0.001 corpus.
+
+    Oracle = pure-Python pattern scan (surface, predicate, surface) over
+    the extracted texts, canonicalized through single-candidate surfaces
+    (the unambiguous subset — ambiguity resolution has its own gate in
+    test_linker_disambiguation); the engine's distinct (subj, pred, obj)
+    set restricted to that subset must match it at P and R >= 0.95 (it
+    measures exactly 1.0 today — the assert keeps the rule's bound)."""
+    from ontoea_ray.pipelines.kg_construct import bootstrap_linker_cached
+
+    state = bootstrap_linker_from_corpus(extract_text_stage(pages_from_documents(sf_dir)))
+    surf = set(state.surfaces.tolist())
+    preds = set(state.predicates.tolist())
+    cand1 = {
+        s: state.ent_uris[state.cand_ids[i, 0]]
+        for i, s in enumerate(state.surfaces.tolist())
+        if state.cand_counts[i] == 1
+    }
+    texts = pa.Table.from_pylist(
+        extract_text_stage(pages_from_documents(sf_dir)).take_all()
+    )
+    oracle = set()
+    for t in texts["text"].to_pylist():
+        toks = t.split(" ")
+        for i in range(len(toks) - 2):
+            a, p, b = toks[i], toks[i + 1], toks[i + 2]
+            if a in cand1 and p in preds and b in cand1:
+                oracle.add((cand1[a], p, cand1[b]))
+
+    got_tbl = pa.Table.from_pylist(kg_construct_pipeline(sf_dir).take_all())
+    unambiguous = set(cand1.values())
+    got = {
+        (s, p, o)
+        for s, p, o in zip(
+            got_tbl["subj"].to_pylist(), got_tbl["pred"].to_pylist(), got_tbl["obj"].to_pylist()
+        )
+        if s in unambiguous and o in unambiguous
+    }
+    tp = len(got & oracle)
+    precision = tp / max(len(got), 1)
+    recall = tp / max(len(oracle), 1)
+    assert len(oracle) > 100
+    assert precision >= 0.95 and recall >= 0.95, (precision, recall)
