@@ -93,6 +93,8 @@ BENCH_QUERIES = [
     "q_price_histogram",
     "q_source_topn",
     "q_simhash_pairs",
+    "q_vocab_coverage",
+    "q_pred_profile",
 ]
 
 

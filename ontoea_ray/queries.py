@@ -4571,3 +4571,119 @@ def q_simhash_pairs(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return simhash_neardup_pairs(ds, max_hamming=3)
+
+
+_VOCAB_COVERAGE_SQL = """
+    WITH freq AS (
+      SELECT token, COUNT(*) AS c
+      FROM (SELECT unnest(str_split(text, ' ')) AS token FROM documents)
+      GROUP BY token),
+    vocab AS (
+      SELECT token FROM (
+        SELECT token, ROW_NUMBER() OVER (ORDER BY c DESC, token DESC) AS rnk FROM freq)
+      WHERE rnk <= 1000),
+    per_doc AS (
+      SELECT doc_id, tok IN (SELECT token FROM vocab) AS hit
+      FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents))
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_in_vocab,
+           CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS coverage_bps
+    FROM per_doc GROUP BY doc_id
+"""
+
+
+@_register("q_vocab_coverage", _VOCAB_COVERAGE_SQL)
+def q_vocab_coverage(sf_dir: str):
+    """Per-document vocabulary coverage against the corpus top-1000
+    frequency vocabulary (the tokenizer-prep OOV-rate signal): pass 1
+    builds the ranked vocab (combiner-reduced freq + global rank), which
+    broadcasts as ONE small set; pass 2 scores every document vectorized
+    (pc.is_in) — no join, no re-shuffle of the corpus."""
+    from ontoea_ray.state.ids import rank_by_frequency, token_frequencies
+    from ontoea_ray.functions.text import tokenize
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ranked = rank_by_frequency(token_frequencies(_read(sf_dir, "documents", ["text"])), key="token")
+    vocab = pa.array(
+        [r["token"] for r in ranked.take_all() if r["rank"] < 1000], pa.string()
+    )
+    ref = ray.put(vocab)
+
+    def score(b: pa.Table) -> pa.Table:
+        v = ray.get(ref)
+        toks = tokenize(b["text"].combine_chunks())
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        hit = pc.is_in(toks.flatten(), value_set=v).to_numpy(zero_copy_only=False).astype(np.int64)
+        csum = np.concatenate([[0], np.cumsum(hit)])
+        n_in = csum[offs[1:]] - csum[offs[:-1]]
+        n_tok = np.diff(offs)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_in_vocab": pa.array(n_in, pa.int64()),
+                "coverage_bps": pa.array(n_in * 10000 // np.maximum(n_tok, 1), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+_PRED_PROFILE_SQL = f"""
+    WITH kg AS ({_FLAGSHIP_SQL})
+    SELECT pred,
+           CAST(COUNT(*) AS BIGINT) AS n_edges,
+           CAST(COUNT(DISTINCT subj) AS BIGINT) AS n_subjects,
+           CAST(COUNT(DISTINCT obj) AS BIGINT) AS n_objects
+    FROM kg GROUP BY pred
+"""
+
+
+@_register("q_pred_profile", _PRED_PROFILE_SQL)
+def q_pred_profile(sf_dir: str):
+    """Per-predicate cardinality profile over the constructed KG (edge
+    count, distinct subjects/objects — the functionality / inverse-
+    functionality signal ontology induction needs): runs the flagship,
+    then ONE combiner pass builds per-block (pred, subj) / (pred, obj)
+    distinct partials so the distinct-count exchange carries per-block
+    distinct pairs, never edges."""
+    from ontoea_ray.functions.shuffle import keyed_aggregate, with_partition_key
+    from ontoea_ray.pipelines.kg_construct import kg_construct_pipeline
+
+    kg = kg_construct_pipeline(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        e = df.groupby("pred", sort=False).size().reset_index(name="n_edges")
+        s = df[["pred", "subj"]].drop_duplicates()
+        o = df[["pred", "obj"]].drop_duplicates()
+        return _from_pandas_clean(
+            pd.concat(
+                [
+                    e.assign(kind="e", val=""),
+                    s.rename(columns={"subj": "val"}).assign(kind="s", n_edges=0),
+                    o.rename(columns={"obj": "val"}).assign(kind="o", n_edges=0),
+                ],
+                ignore_index=True,
+            )[["pred", "kind", "val", "n_edges"]]
+        )
+
+    mixed = kg.map_batches(partial, batch_format="pandas")
+    # distinct (pred, kind, val) with edge partial sums riding along
+    dd = keyed_aggregate(mixed, ["pred", "kind", "val"], sums=["n_edges"])
+
+    def reduce_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("pred", sort=False)
+        out = pd.DataFrame(
+            {
+                "n_edges": g.apply(lambda x: int(x["n_edges"].sum()), include_groups=False),
+                "n_subjects": g.apply(lambda x: int((x["kind"] == "s").sum()), include_groups=False),
+                "n_objects": g.apply(lambda x: int((x["kind"] == "o").sum()), include_groups=False),
+            }
+        ).reset_index()
+        for c in ("n_edges", "n_subjects", "n_objects"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    parted = with_partition_key(dd, ["pred"])
+    return parted.groupby("pkey").map_groups(reduce_part, batch_format="pandas")
