@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "q_simhash_pairs",
     "q_vocab_coverage",
     "q_pred_profile",
+    "q_bpe_merges",
 ]
 
 

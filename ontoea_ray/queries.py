@@ -4687,3 +4687,19 @@ def q_pred_profile(sf_dir: str):
 
     parted = with_partition_key(dd, ["pred"])
     return parted.groupby("pkey").map_groups(reduce_part, batch_format="pandas")
+
+
+from ontoea_ray.stages.bpe import bpe_merges_sql
+
+
+@_register("q_bpe_merges", bpe_merges_sql(n_merges=3))
+def q_bpe_merges(sf_dir: str):
+    """Distributed BPE tokenizer training, first 3 merges (stages/bpe.py):
+    after the frequency combiner every iteration touches only the
+    VOCABULARY (pair-count exchange + bounded top-1 + vectorized replace)
+    — the oracle unrolls the identical loop in SQL, including the
+    non-overlapping left-to-right merge semantics."""
+    from ontoea_ray.stages.bpe import bpe_merges
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return bpe_merges(ds, n_merges=3)

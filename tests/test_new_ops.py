@@ -198,3 +198,22 @@ def test_csv_jsonl_round_trip_matches_parquet(sf_dir, tmp_path):
         )
         pd.testing.assert_frame_equal(got.astype({"doc_id": np.int64, "n_chars": np.int64}),
                                       want.astype({"doc_id": np.int64, "n_chars": np.int64}))
+
+
+def test_bpe_merges_hand_oracle_and_run_semantics():
+    """BPE on a crafted corpus: merge 0 must be ('a','a') from 'aaaa'
+    (weight 3 words x 3 pairs = 9 pre-merge pairs but SELECTION counts all
+    adjacent pairs; after merging, 'aaaa' -> 'aa'+'aa' exercises the
+    non-overlapping run rule), and the applied sequences must reflect
+    left-to-right greedy merging."""
+    import ray.data as rd
+
+    from ontoea_ray.stages.bpe import bpe_merges
+
+    docs = rd.from_items([{"text": "aaaa aaaa aaa bc bc bc bc"}])
+    out = bpe_merges(docs, n_merges=2).to_pandas()
+    # pair counts at it 0: (a,a) = 2*3 + 1*2 = 8; (b,c) = 4 -> pick (a,a)
+    assert (out.loc[0, "left"], out.loc[0, "right"], out.loc[0, "n"]) == ("a", "a", 8)
+    # after merge: 'aaaa' -> [aa, aa] (runs merge pairwise), 'aaa' -> [aa, a]
+    # it 1 pairs: (aa,aa)=2, (aa,a)=1, (b,c)=4 -> pick (b,c)
+    assert (out.loc[1, "left"], out.loc[1, "right"], out.loc[1, "n"]) == ("b", "c", 4)
