@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "q_vocab_coverage",
     "q_pred_profile",
     "q_bpe_merges",
+    "q_bpe_tokenize",
 ]
 
 

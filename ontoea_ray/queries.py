@@ -4703,3 +4703,18 @@ def q_bpe_merges(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["text"])
     return bpe_merges(ds, n_merges=3)
+
+
+from ontoea_ray.stages.bpe import bpe_token_counts_sql
+
+
+@_register("q_bpe_tokenize", bpe_token_counts_sql(n_merges=3))
+def q_bpe_tokenize(sf_dir: str):
+    """Tokenizer APPLICATION: per-document subword counts under the
+    3-merge BPE learned by q_bpe_merges — merges apply once to the
+    vocabulary, the word -> n_subwords map broadcasts, and the corpus is
+    scanned exactly once (index_in + prefix-sum gather)."""
+    from ontoea_ray.stages.bpe import bpe_token_counts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bpe_token_counts(ds, n_merges=3)

@@ -160,3 +160,97 @@ def bpe_merges_sql(n_merges: int = 3, source: str = "documents", text_col: str =
         for k in range(n_merges)
     )
     return "WITH " + ",\n    ".join(parts) + "\n    " + selects
+
+
+def bpe_token_counts(
+    docs: ray.data.Dataset,
+    *,
+    n_merges: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """APPLY learned BPE merges: per-document subword count after
+    ``n_merges`` merges — the tokenizer-accurate budget signal whitespace
+    counts overestimate.
+
+    Scale shape: subword counts are a PER-WORD function, so the merges are
+    applied once to the VOCABULARY (the bpe_merges loop already holds the
+    merged sequences); the resulting word -> n_subwords map broadcasts via
+    one ray.put and every document reduces vectorized (token index_in +
+    bincount-style gather) — the corpus is scanned once, merges never
+    touch it."""
+    import pyarrow.compute as pc
+
+    import ray
+
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+    from ontoea_ray.functions.text import tokenize
+    from ontoea_ray.state.ids import token_frequencies
+
+    vocab = token_frequencies(docs.select_columns([text_col]))
+    merges = bpe_merges(docs.select_columns([text_col]), n_merges=n_merges)
+    pairs = list(zip(merges["left"].to_pylist(), merges["right"].to_pylist()))
+
+    # word -> n_subwords map computed DISTRIBUTED over the vocabulary
+    # (vectorized str.replace per merge), then collected once — the map is
+    # (token, int64) only, the smallest thing that can broadcast
+    def word_counts(df: pd.DataFrame) -> pa.Table:
+        toks = df["token"].astype(str)
+        assert not toks.str.contains("|", regex=False).any(), "BPE delimiter '|' in token"
+        s = toks.map(_wrap)
+        for l, r in pairs:
+            s = s.str.replace(f"|{l}||{r}|", f"|{l}{r}|", regex=False)
+        n = s.str.slice(1, -1).str.split("||", regex=False).str.len().astype(np.int64)
+        return _from_pandas_clean(pd.DataFrame({"token": toks, "n_sub": n}))
+
+    wmap = pa.Table.from_pylist(
+        vocab.map_batches(word_counts, batch_format="pandas").take_all()
+    )
+    word_arr = wmap["token"].combine_chunks()
+    cnt_arr = np.asarray(wmap["n_sub"].to_numpy(zero_copy_only=False), np.int64)
+    ref = ray.put((word_arr, cnt_arr))
+
+    def per_doc(b: pa.Table) -> pa.Table:
+        wa, ca = ray.get(ref)
+        toks = tokenize(b[text_col].combine_chunks())
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = pc.index_in(toks.flatten(), value_set=wa).to_numpy(zero_copy_only=False)
+        sub = ca[idx.astype(np.int64)]
+        csum = np.concatenate([[0], np.cumsum(sub)])
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "n_subwords": pa.array(csum[offs[1:]] - csum[offs[:-1]], pa.int64()),
+            }
+        )
+
+    return docs.map_batches(per_doc, batch_format="pyarrow")
+
+
+def bpe_token_counts_sql(
+    n_merges: int = 3, source: str = "documents", text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    """DuckDB replay of :func:`bpe_token_counts`: run the unrolled merge
+    CTEs, map each vocabulary word to its merged-sequence length, sum per
+    document."""
+    base = bpe_merges_sql(n_merges=n_merges, source=source, text_col=text_col)
+    ctes = base[len("WITH ") : base.rindex("SELECT CAST(0")].rstrip().rstrip(",")
+    # s{n_merges} holds fully-merged sequences but lost the token column;
+    # rebuild the token -> subword count map by re-deriving from w0 order
+    merge_exprs = "seq"
+    for k in range(n_merges):
+        merge_exprs = (
+            f"replace({merge_exprs}, "
+            f"'|' || (SELECT l FROM b{k}) || '||' || (SELECT r FROM b{k}) || '|', "
+            f"'|' || (SELECT l FROM b{k}) || (SELECT r FROM b{k}) || '|')"
+        )
+    return f"""WITH {ctes},
+    wmap AS (
+      SELECT token,
+             len(str_split(trim({merge_exprs}, '|'), '||')) AS n_sub
+      FROM (SELECT token, '|' || array_to_string(str_split(token, ''), '||') || '|' AS seq FROM w0)),
+    toks AS (SELECT {id_col}, unnest(str_split({text_col}, ' ')) AS token FROM {source})
+    SELECT toks.{id_col}, CAST(SUM(wmap.n_sub) AS BIGINT) AS n_subwords
+    FROM toks JOIN wmap ON toks.token = wmap.token
+    GROUP BY toks.{id_col}
+"""
