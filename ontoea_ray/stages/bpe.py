@@ -65,7 +65,6 @@ def _pair_partial(df: pd.DataFrame) -> pa.Table:
     flat = np.concatenate([np.asarray(x, dtype=object) for x in syms.to_numpy()])
     freq = df["freq"].to_numpy(np.int64)
     ends = np.cumsum(lens)
-    starts = ends - lens
     # pair (i, i+1) valid where i+1 is not a word start
     valid = np.ones(len(flat) - 1, bool) if len(flat) > 1 else np.zeros(0, bool)
     valid[ends[:-1] - 1] = False  # last symbol of each word (except final) pairs across words
