@@ -191,8 +191,12 @@ def run_bench() -> dict:
     if not os.environ.get("BENCH_FLAGSHIP_ONLY"):
         for name in BENCH_QUERIES:
             t0 = time.time()
-            _consume(QUERIES[name](SF_DIR))
-            q_times[name] = round(time.time() - t0, 3)
+            try:
+                _consume(QUERIES[name](SF_DIR))
+                q_times[name] = round(time.time() - t0, 3)
+            except Exception as exc:  # one broken query must not lose the round's bench
+                print(f"bench: {name} failed: {exc!r}", file=sys.stderr)
+                q_times[name] = -1.0
 
     result = {
         "metric": "flagship_kg_construct_seconds",
