@@ -97,6 +97,8 @@ BENCH_QUERIES = [
     "q_pred_profile",
     "q_bpe_merges",
     "q_bpe_tokenize",
+    "q_recent_window",
+    "q_group_reservoir",
 ]
 
 

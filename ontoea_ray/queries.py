@@ -4718,3 +4718,105 @@ def q_bpe_tokenize(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return bpe_token_counts(ds, n_merges=3)
+
+
+_RECENT_WINDOW_SQL = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_milli
+    FROM events
+    WHERE ts >= (SELECT MAX(ts) FROM events) - INTERVAL 7 DAY
+    GROUP BY 1
+"""
+
+
+@_register("q_recent_window", _RECENT_WINDOW_SQL)
+def q_recent_window(sf_dir: str):
+    """Predicate pushdown at the READ: the last-7-days cutoff comes from
+    the Parquet FOOTER statistics alone (no data scan), and the row filter
+    is handed to read_parquet so row groups outside the window never leave
+    storage — the read-pruning shape the 100 TB time-windowed jobs need
+    (a scan-then-filter plan reads everything to drop most of it)."""
+    import pyarrow.parquet as pqt
+
+    path = f"{sf_dir}/events.parquet"
+    md = pqt.read_metadata(path)
+    ts_idx = md.schema.to_arrow_schema().get_field_index("ts")
+    max_ts = max(
+        md.row_group(i).column(ts_idx).statistics.max for i in range(md.num_row_groups)
+    )
+    cutoff = pd.Timestamp(max_ts) - pd.Timedelta(days=7)
+    ds = ray.data.read_parquet(
+        path,
+        columns=["event_type", "ts", "value"],
+        filter=(pc.field("ts") >= pa.scalar(cutoff.to_pydatetime(), pa.timestamp("us"))),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = pc.cast(pc.floor(pc.multiply(batch["value"].combine_chunks(), 1000.0)), pa.int64())
+        df = pd.DataFrame(
+            {"event_type": batch["event_type"].to_pandas(), "v": v.to_numpy(zero_copy_only=False)}
+        )
+        g = df.groupby("event_type", sort=False).agg(
+            n=("v", "size"), sum_value_milli=("v", "sum")
+        ).reset_index()
+        return _from_pandas_clean(g)
+
+    from ray.data.aggregate import Sum as RSum
+
+    from ontoea_ray.functions.shuffle import compact
+
+    return (
+        compact(ds.map_batches(partial, batch_format="pyarrow"))
+        .groupby("event_type")
+        .aggregate(RSum("n", alias_name="n"), RSum("sum_value_milli", alias_name="sum_value_milli"))
+    )
+
+
+def _group_reservoir_sql(k: int = 2) -> str:
+    from ontoea_ray.functions.lsh_sql import splitmix64_ctes
+
+    return f"""
+    WITH {splitmix64_ctes("documents", "doc_id")}
+    SELECT source, doc_id FROM (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY _h, doc_id) AS rn
+      FROM sm3)
+    WHERE rn <= {k}
+    """
+
+
+@_register("q_group_reservoir", _group_reservoir_sql(k=2))
+def q_group_reservoir(sf_dir: str):
+    """Exactly-k-per-group deterministic sample (k=2 docs per source) via
+    per-group bottom-k-by-hash: each block keeps its local per-group
+    bottom-k (a correct superset), one group-co-located exchange finishes
+    — the balanced-evaluation-set sampler (unlike stratified RATE
+    sampling, output size per group is exact)."""
+    from ontoea_ray.functions.shuffle import compact, with_partition_key
+    from ontoea_ray.stages.sampling import splitmix64
+
+    k = 2
+    ds = _read(sf_dir, "documents", ["source", "doc_id"])
+
+    def hashed(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False), np.int64)
+        h = splitmix64(ids.view(np.uint64))
+        hs = (h ^ np.uint64(1 << 63)).view(np.int64)
+        return pa.table(
+            {"source": batch["source"], "doc_id": pa.array(ids), "_hs": pa.array(hs)}
+        )
+
+    def bottomk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["source", "_hs", "doc_id"], kind="mergesort")
+        return df.groupby("source", sort=False).head(k)
+
+    pruned = ds.map_batches(hashed, batch_format="pyarrow").map_batches(
+        bottomk, batch_format="pandas"
+    )
+    parted = with_partition_key(compact(pruned), ["source"])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return bottomk(df)[["source", "doc_id"]]
+
+    return parted.groupby("pkey").map_groups(final, batch_format="pandas")
