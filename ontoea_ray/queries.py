@@ -4673,17 +4673,16 @@ def q_pred_profile(sf_dir: str):
     dd = keyed_aggregate(mixed, ["pred", "kind", "val"], sums=["n_edges"])
 
     def reduce_part(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("pred", sort=False)
-        out = pd.DataFrame(
+        kind = df["kind"].to_numpy()
+        ind = pd.DataFrame(
             {
-                "n_edges": g.apply(lambda x: int(x["n_edges"].sum()), include_groups=False),
-                "n_subjects": g.apply(lambda x: int((x["kind"] == "s").sum()), include_groups=False),
-                "n_objects": g.apply(lambda x: int((x["kind"] == "o").sum()), include_groups=False),
+                "pred": df["pred"],
+                "n_edges": df["n_edges"].to_numpy(np.int64),
+                "n_subjects": (kind == "s").astype(np.int64),
+                "n_objects": (kind == "o").astype(np.int64),
             }
-        ).reset_index()
-        for c in ("n_edges", "n_subjects", "n_objects"):
-            out[c] = out[c].astype(np.int64)
-        return out
+        )
+        return ind.groupby("pred", sort=False, as_index=False).sum()
 
     parted = with_partition_key(dd, ["pred"])
     return parted.groupby("pkey").map_groups(reduce_part, batch_format="pandas")
