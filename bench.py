@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "q_bpe_tokenize",
     "q_recent_window",
     "q_group_reservoir",
+    "q_peak_concurrency",
 ]
 
 

@@ -4819,3 +4819,61 @@ def q_group_reservoir(sf_dir: str):
         return bottomk(df)[["source", "doc_id"]]
 
     return parted.groupby("pkey").map_groups(final, batch_format="pandas")
+
+
+_PEAK_CONC_SQL = """
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM e
+    ), sess AS (
+      SELECT user_id, sid, MIN(ts) AS start_ts, MAX(ts) AS end_ts
+      FROM s GROUP BY 1, 2
+    ), st AS (SELECT DISTINCT start_ts AS t FROM sess),
+    conc AS (
+      SELECT t, (SELECT COUNT(*) FROM sess
+                 WHERE sess.start_ts <= st.t AND sess.end_ts >= st.t) AS c
+      FROM st)
+    SELECT CAST(epoch(date_trunc('day', t)) AS BIGINT) AS day_epoch,
+           CAST(MAX(c) AS BIGINT) AS peak
+    FROM conc GROUP BY 1
+"""
+
+
+@_register("q_peak_concurrency", _PEAK_CONC_SQL)
+def q_peak_concurrency(sf_dir: str):
+    """Peak concurrent sessions per day — interval analytics via a GLOBAL
+    sweep-line (`stages/temporal.peak_concurrency`): sessionize (user-co-
+    located), reduce sessions to per-timestamp delta partials, one keyed
+    merge, then the distributed prefix-sum gives exact concurrency at
+    every start instant.  The oracle pays the quadratic overlap-count
+    subquery the sweep avoids."""
+    from ontoea_ray.functions.shuffle import compact, with_partition_key
+    from ontoea_ray.stages.temporal import peak_concurrency
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        gap = (g["ts"].diff() > pd.Timedelta(minutes=30)) | new_user
+        sid = gap.cumsum()
+        out = (
+            g.assign(_sid=sid)
+            .groupby("_sid", sort=False)
+            .agg(start_ts=("ts", "min"), end_ts=("ts", "max"))
+            .reset_index(drop=True)
+        )
+        return out
+
+    parted = with_partition_key(compact(ev), ["user_id"])
+    sess = parted.groupby("pkey").map_groups(sessions, batch_format="pandas")
+    return peak_concurrency(sess)

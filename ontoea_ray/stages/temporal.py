@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray.data
 
 from ontoea_ray.functions.shuffle import with_partition_key
@@ -275,3 +276,114 @@ def sliding_window_sum(
         return pd.concat(outs, ignore_index=True)
 
     return parted.groupby("pkey").map_groups(window_part, batch_format="pandas")
+
+
+def peak_concurrency(
+    intervals: ray.data.Dataset,
+    *,
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+) -> ray.data.Dataset:
+    """Sweep-line peak concurrency over CLOSED intervals: for every day,
+    the maximum number of intervals simultaneously open (concurrency is
+    evaluated at interval STARTS, where every local maximum of a
+    closed-interval step function occurs: conc(t) = #starts<=t - #ends<t).
+
+    Scale shape: intervals reduce per batch to (ts, n_start, n_end) delta
+    partials, ONE keyed merge makes them per-timestamp exact, and the
+    global running sum uses the distributed prefix-sum pattern
+    (sort -> per-block totals -> broadcast exclusive offsets -> vectorized
+    label; the delta table never aggregates on the driver — only one
+    (n_start, n_end) pair per block does).  Output: (day_epoch, peak).
+    """
+    import pyarrow.compute as pc
+
+    import ray
+
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+
+    def deltas(batch: pa.Table) -> pa.Table:
+        st = batch[start_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        en = batch[end_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        s_ts, s_n = np.unique(st, return_counts=True)
+        e_ts, e_n = np.unique(en, return_counts=True)
+        return pa.table(
+            {
+                "ts_us": pa.array(np.concatenate([s_ts, e_ts]), pa.int64()),
+                "n_start": pa.array(
+                    np.concatenate([s_n.astype(np.int64), np.zeros(len(e_ts), np.int64)])
+                ),
+                "n_end": pa.array(
+                    np.concatenate([np.zeros(len(s_ts), np.int64), e_n.astype(np.int64)])
+                ),
+            }
+        )
+
+    merged = keyed_aggregate(
+        intervals.map_batches(deltas, batch_format="pyarrow"),
+        ["ts_us"],
+        sums=["n_start", "n_end"],
+    )
+    ordered = merged.sort("ts_us").materialize()
+
+    def block_total(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(batch["ts_us"].to_numpy(zero_copy_only=False), np.int64)
+        return pa.table(
+            {
+                "first_ts": pa.array([int(ts[0]) if len(ts) else 0], pa.int64()),
+                "t_start": pa.array(
+                    [int(np.asarray(batch["n_start"].to_numpy(zero_copy_only=False)).sum())],
+                    pa.int64(),
+                ),
+                "t_end": pa.array(
+                    [int(np.asarray(batch["n_end"].to_numpy(zero_copy_only=False)).sum())],
+                    pa.int64(),
+                ),
+                "n": pa.array([len(ts)], pa.int64()),
+            }
+        )
+
+    totals = (
+        ordered.map_batches(block_total, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .sort_values("first_ts")
+    )
+    totals = totals[totals["n"] > 0]
+    off_start = dict(
+        zip(
+            totals["first_ts"].to_numpy(np.int64),
+            np.concatenate([[0], np.cumsum(totals["t_start"].to_numpy(np.int64))[:-1]]),
+        )
+    )
+    off_end = dict(
+        zip(
+            totals["first_ts"].to_numpy(np.int64),
+            np.concatenate([[0], np.cumsum(totals["t_end"].to_numpy(np.int64))[:-1]]),
+        )
+    )
+    ref = ray.put((off_start, off_end))
+
+    def conc(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        if len(batch) == 0:
+            return pa.table({"day_epoch": pa.array([], pa.int64()), "peak": pa.array([], pa.int64())})
+        o_s, o_e = _ray.get(ref)
+        ts = np.asarray(batch["ts_us"].to_numpy(zero_copy_only=False), np.int64)
+        ns = np.asarray(batch["n_start"].to_numpy(zero_copy_only=False), np.int64)
+        ne = np.asarray(batch["n_end"].to_numpy(zero_copy_only=False), np.int64)
+        base_s, base_e = o_s[int(ts[0])], o_e[int(ts[0])]
+        cum_s_incl = base_s + np.cumsum(ns)
+        cum_e_excl = base_e + np.concatenate([[0], np.cumsum(ne)[:-1]])
+        c = cum_s_incl - cum_e_excl
+        keep = ns > 0  # concurrency peaks occur at start timestamps
+        day = (ts[keep] // 86_400_000_000) * 86_400
+        df = pd.DataFrame({"day_epoch": day, "peak": c[keep]})
+        g = df.groupby("day_epoch", sort=False)["peak"].max().reset_index()
+        g["peak"] = g["peak"].astype(np.int64)
+        from ontoea_ray.functions.tables import from_pandas as _fp
+
+        return _fp(g)
+
+    parts = ordered.map_batches(conc, batch_format="pyarrow", batch_size=None)
+    return keyed_aggregate(parts, ["day_epoch"], maxs=["peak"])
