@@ -4877,3 +4877,277 @@ def q_peak_concurrency(sf_dir: str):
     parted = with_partition_key(compact(ev), ["user_id"])
     sess = parted.groupby("pkey").map_groups(sessions, batch_format="pandas")
     return peak_concurrency(sess)
+
+# ---------------------------------------------------------------------------
+# HAVING-filtered join, outer-join count distribution, unigram-popularity
+# ---------------------------------------------------------------------------
+
+_LARGE_ORDERS_SQL = """
+    WITH qty AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(FLOOR(l_quantity * 100.0) AS BIGINT)) AS BIGINT) AS qty_centi
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(FLOOR(l_quantity * 100.0) AS BIGINT)) > 26000)
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(o_custkey AS BIGINT) AS o_custkey,
+           CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch_s,
+           qty_centi
+    FROM orders JOIN qty ON l_orderkey = o_orderkey
+"""
+
+
+@_register("q_large_orders", _LARGE_ORDERS_SQL)
+def q_large_orders(sf_dir: str):
+    """TPC-H Q18-shaped HAVING-filtered join (large-volume orders): the
+    corpus-proportional side (lineitem) is reduced to one row per order by
+    a combiner-first keyed aggregate, the HAVING filter then drops ~99% of
+    orders BEFORE the only distributed join, so the join moves the
+    selected 1%, never raw lineitems.  Quantities are FLOOR(x*100) centi
+    so DuckDB replays every sum bit-exactly."""
+    from ontoea_ray.functions.join import hash_join
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "o_orderkey": np.asarray(b["l_orderkey"].combine_chunks(), np.int64),
+                "qty_centi": np.floor(
+                    b["l_quantity"].combine_chunks().to_numpy() * 100.0
+                ).astype(np.int64),
+            }
+        )
+        return _from_pandas_clean(
+            df.groupby("o_orderkey", sort=False)["qty_centi"].sum().reset_index()
+        )
+
+    qty = keyed_aggregate(
+        li.map_batches(partial, batch_format="pyarrow"),
+        ["o_orderkey"],
+        sums=["qty_centi"],
+    ).map_batches(
+        lambda b: b.filter(pc.greater(b["qty_centi"], 26000)), batch_format="pyarrow"
+    )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def oproj(b: pa.Table) -> pa.Table:
+        ep = b["o_orderdate"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"].combine_chunks().cast(pa.int64()),
+                "o_custkey": b["o_custkey"].combine_chunks().cast(pa.int64()),
+                "order_epoch_s": pa.array(ep.astype("datetime64[s]").astype(np.int64)),
+            }
+        )
+
+    return hash_join(
+        orders.map_batches(oproj, batch_format="pyarrow"), qty, on=["o_orderkey"]
+    )
+
+
+_CUST_ORDER_DIST_SQL = """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+      SELECT c.c_custkey,
+             CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey)
+    GROUP BY c_count
+"""
+
+
+@_register("q_cust_order_dist", _CUST_ORDER_DIST_SQL)
+def q_cust_order_dist(sf_dir: str):
+    """TPC-H Q13-shaped outer-join count distribution: non-urgent orders
+    reduce to one (custkey, count) row per customer via the combiner-first
+    keyed aggregate, a distributed LEFT join against the customer table
+    keeps zero-order customers (null -> 0), and the final histogram
+    groups by the count value — a key whose cardinality is tiny (max
+    orders per customer), so the last aggregate is a narrow exchange."""
+    from ontoea_ray.functions.join import hash_join
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        sel = b.filter(pc.not_equal(b["o_orderpriority"], "1-URGENT"))
+        df = pd.DataFrame(
+            {"c_custkey": np.asarray(sel["o_custkey"].combine_chunks(), np.int64)}
+        )
+        out = df.groupby("c_custkey", sort=False).size().rename("c_count").reset_index()
+        return _from_pandas_clean(out)
+
+    counts = keyed_aggregate(
+        orders.map_batches(partial, batch_format="pyarrow"),
+        ["c_custkey"],
+        sums=["c_count"],
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda b: pa.table({"c_custkey": b["c_custkey"].combine_chunks().cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(cust, counts, on=["c_custkey"], how="left")
+
+    def histo(b: pa.Table) -> pa.Table:
+        cc = b["c_count"].combine_chunks().fill_null(0).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"c_count": cc.astype(np.int64)})
+        out = df.groupby("c_count", sort=False).size().rename("custdist").reset_index()
+        return _from_pandas_clean(out)
+
+    return keyed_aggregate(
+        joined.map_batches(histo, batch_format="pyarrow"),
+        ["c_count"],
+        sums=["custdist"],
+    )
+
+
+_DOC_POPULARITY_SQL = """
+    WITH toks AS (
+      SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents),
+    tf AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM toks GROUP BY tok)
+    SELECT doc_id,
+           CAST(SUM(tf.freq) AS BIGINT) AS popularity_sum,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens
+    FROM toks JOIN tf USING (tok) GROUP BY doc_id
+"""
+
+
+@_register("q_doc_popularity", _DOC_POPULARITY_SQL)
+def q_doc_popularity(sf_dir: str):
+    """Unigram-popularity document score (the integer-exact core of a
+    unigram language-model quality signal): corpus term frequencies are
+    computed distributed, broadcast ONCE per actor (natural-language
+    vocabulary is sublinear in corpus size; at extreme vocabularies the
+    same shape runs as a token-exploded hash join), then a second corpus
+    pass scores each doc with a vectorized sorted-vocab searchsorted
+    lookup + segment sum — no per-row Python, two corpus scans total."""
+    from ontoea_ray.functions.text import tokenize
+    from ontoea_ray.state.ids import token_frequencies
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    tf = token_frequencies(ds).take_all()
+    vocab = np.array([r["token"] for r in tf])
+    order = np.argsort(vocab)
+    vocab, freqs = vocab[order], np.array([r["freq"] for r in tf], np.int64)[order]
+    shared = ray.put((vocab, freqs))
+
+    class _Score:
+        def __init__(self):
+            self.vocab, self.freqs = ray.get(shared)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            toks = tokenize(b["text"])
+            lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = np.asarray(toks.flatten().to_pandas(), dtype=object)
+            idx = np.searchsorted(self.vocab, flat)
+            f = self.freqs[idx]
+            seg = np.repeat(np.arange(len(b)), lens)
+            pop = np.zeros(len(b), np.int64)
+            np.add.at(pop, seg, f)
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"].combine_chunks().cast(pa.int64()),
+                    "popularity_sum": pa.array(pop),
+                    "n_tokens": pa.array(lens),
+                }
+            )
+
+    return ds.map_batches(_Score, batch_format="pyarrow", concurrency=(1, 4))
+
+
+_TTR_SQL = """
+    WITH toks AS (
+      SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents)
+    SELECT doc_id,
+           CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens
+    FROM toks GROUP BY doc_id
+"""
+
+
+@_register("q_ttr", _TTR_SQL)
+def q_ttr(sf_dir: str):
+    """Type-token ratio inputs per document (lexical-diversity quality
+    signal used by corpus filters): distinct-token and total-token counts
+    per doc, computed entirely inside one map_batches — a doc's tokens
+    never leave its block, so there is NO shuffle at any corpus size (the
+    dedup is within-document by definition)."""
+    from ontoea_ray.functions.text import tokenize
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(b: pa.Table) -> pa.Table:
+        toks = tokenize(b["text"])
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pd.Series(np.asarray(toks.flatten().to_pandas(), dtype=object))
+        seg = np.repeat(np.arange(len(b)), lens)
+        nd = flat.groupby(seg, sort=True).nunique().reindex(range(len(b)), fill_value=0)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].combine_chunks().cast(pa.int64()),
+                "n_distinct": pa.array(nd.to_numpy(np.int64)),
+                "n_tokens": pa.array(lens),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+_USER_ACTIVE_TIME_SQL = """
+    WITH e AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM e
+    ), sess AS (
+      SELECT user_id, sid,
+             epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+      FROM s GROUP BY 1, 2)
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(SUM(dur_us) AS BIGINT) AS active_us,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM sess GROUP BY user_id
+"""
+
+
+@_register("q_user_active_time", _USER_ACTIVE_TIME_SQL)
+def q_user_active_time(sf_dir: str):
+    """Per-user total active time: sessionize (30-min gap) and roll the
+    merged intervals up to (user, total-duration, session-count) INSIDE
+    the same user-co-located map_groups — sessionization's one exchange is
+    the whole job's shuffle, and durations are exact integer microseconds
+    so the SQL replay is bit-identical."""
+    from ontoea_ray.functions.shuffle import compact, with_partition_key
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        gap = (g["ts"].diff() > pd.Timedelta(minutes=30)) | new_user
+        sid = gap.cumsum()
+        ns = g["ts"].astype("datetime64[ns]").astype("int64")
+        sess = (
+            pd.DataFrame({"user_id": g["user_id"], "_sid": sid, "_ns": ns})
+            .groupby("_sid", sort=False)
+            .agg(user_id=("user_id", "first"), lo=("_ns", "min"), hi=("_ns", "max"))
+        )
+        sess["dur_us"] = (sess["hi"] - sess["lo"]) // 1000
+        out = sess.groupby("user_id", sort=False).agg(
+            active_us=("dur_us", "sum"), n_sessions=("dur_us", "size")
+        ).reset_index()
+        out["user_id"] = out["user_id"].astype("int64")
+        return out
+
+    parted = with_partition_key(compact(ev), ["user_id"])
+    return parted.groupby("pkey").map_groups(per_user, batch_format="pandas")
