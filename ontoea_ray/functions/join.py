@@ -32,6 +32,23 @@ class _NormSchema:
         self.names, self.types = names, types
 
 
+def ensure_known_schema(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Return a dataset whose schema is readable WITHOUT re-executing it.
+
+    ``ds.schema()`` on a lazy map/exchange pipeline executes the upstream
+    plan — and because Datasets re-execute from lineage on every consume,
+    a join that probes schemas and THEN unions its inputs runs each input
+    twice (nested joins compound it exponentially).  Inputs whose schema is
+    already known (e.g. Parquet reads) pass through untouched and keep
+    streaming; computed inputs are materialized ONCE so the schema probe
+    and the downstream consume share the same executed blocks — at scale
+    that is a shuffle-boundary checkpoint in the object store (spillable),
+    strictly cheaper than executing the pipeline twice."""
+    if ds.schema(fetch_if_missing=False) is None:
+        ds = ds.materialize()
+    return ds
+
+
 def _arrow_schema(ds: ray.data.Dataset) -> _NormSchema:
     """Dataset schema with every type normalized to a pyarrow DataType.
 
@@ -74,6 +91,7 @@ def hash_join(
     assert len(on) == len(right_on)
     ren = dict(zip(right_on, on))
 
+    left, right = ensure_known_schema(left), ensure_known_schema(right)
     lsch, rsch = _arrow_schema(left), _arrow_schema(right)
     lpay = [n for n in lsch.names if n not in on]
     rpay_src = [n for n in rsch.names if n not in right_on]

@@ -61,6 +61,9 @@ def _merged_sides(
     # payload dtypes come from the OWNING side's schema so the absent side
     # carries typed nulls — the union then has ONE schema (no null-type
     # columns, no per-block schema unification)
+    from ontoea_ray.functions.join import ensure_known_schema
+
+    left, right = ensure_known_schema(left), ensure_known_schema(right)
     types: dict[str, pa.DataType] = {}
     for ds, cols in ((left, left_cols), (right, right_cols)):
         sch = ds.schema()
