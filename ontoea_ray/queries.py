@@ -5151,3 +5151,148 @@ def q_user_active_time(sf_dir: str):
 
     parted = with_partition_key(compact(ev), ["user_id"])
     return parted.groupby("pkey").map_groups(per_user, batch_format="pandas")
+
+
+_CHEAPEST_SUPPLIER_SQL = """
+    WITH unit AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(FLOOR(l_extendedprice * 100.0 / l_quantity) AS BIGINT) AS unit_cents
+      FROM lineitem),
+    best AS (
+      SELECT l_partkey, l_suppkey, unit_cents,
+             ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                ORDER BY unit_cents ASC, l_suppkey ASC) AS rn
+      FROM unit)
+    SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
+           CAST(l_suppkey AS BIGINT) AS l_suppkey,
+           unit_cents
+    FROM best WHERE rn = 1
+"""
+
+
+@_register("q_cheapest_supplier", _CHEAPEST_SUPPLIER_SQL)
+def q_cheapest_supplier(sf_dir: str):
+    """TPC-H Q2-shaped per-key argmin (cheapest observed supplier per
+    part): reuses the combiner-first ``argmax_by`` primitive on NEGATED
+    order columns, so each block first reduces to one candidate row per
+    part and the single keyed exchange moves |parts-per-block| rows, never
+    raw lineitems.  Unit price is FLOOR(p*100/q) — double division is
+    IEEE-identical in DuckDB and numpy, so the oracle replays it."""
+    from ontoea_ray.functions.shuffle import argmax_by
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = np.floor(
+            b["l_extendedprice"].combine_chunks().to_numpy() * 100.0
+            / b["l_quantity"].combine_chunks().to_numpy()
+        ).astype(np.int64)
+        supp = np.asarray(b["l_suppkey"].combine_chunks(), np.int64)
+        return pa.table(
+            {
+                "l_partkey": b["l_partkey"].combine_chunks().cast(pa.int64()),
+                "l_suppkey": pa.array(supp),
+                "unit_cents": pa.array(cents),
+                "_neg_cents": pa.array(-cents),
+                "_neg_supp": pa.array(-supp),
+            }
+        )
+
+    best = argmax_by(
+        li.map_batches(prep, batch_format="pyarrow"),
+        ["l_partkey"],
+        ["_neg_cents", "_neg_supp"],
+    )
+    return best.map_batches(
+        lambda b: b.select(["l_partkey", "l_suppkey", "unit_cents"]),
+        batch_format="pyarrow",
+    )
+
+
+_TRADE_VOLUME_SQL = """
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem, orders, customer, supplier, nation sn, nation cn
+    WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+      AND l_suppkey = s_suppkey
+      AND s_nationkey = sn.n_nationkey AND c_nationkey = cn.n_nationkey
+    GROUP BY 1, 2
+"""
+
+
+@_register("q_trade_volume", _TRADE_VOLUME_SQL)
+def q_trade_volume(sf_dir: str):
+    """TPC-H Q7-shaped bilateral trade matrix (supplier nation x customer
+    nation revenue): the two dimension chains (supplier->nation,
+    customer->nation) are broadcast as sorted int arrays — dimension-sized
+    sides ship once per actor, never shuffle — while the one big-big edge
+    (lineitem x orders on orderkey) is combiner-reduced per (order,
+    supp_nation) BEFORE the distributed hash join, so the join moves
+    ~|orders| rows.  The final nation x nation aggregate is a tiny keyed
+    exchange."""
+    from ontoea_ray.functions.join import hash_join
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nkeys = np.asarray(nation["n_nationkey"].combine_chunks(), np.int64)
+    nnames = np.asarray(nation["n_name"].combine_chunks().to_pylist(), object)
+    norder = np.argsort(nkeys)
+    nkeys, nnames = nkeys[norder], nnames[norder]
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    skeys = np.asarray(supp["s_suppkey"].combine_chunks(), np.int64)
+    snat = nnames[np.searchsorted(nkeys, np.asarray(supp["s_nationkey"].combine_chunks(), np.int64))]
+    sorder = np.argsort(skeys)
+    supp_map = ray.put((skeys[sorder], snat[sorder]))
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    ckeys = np.asarray(cust["c_custkey"].combine_chunks(), np.int64)
+    cnat = nnames[np.searchsorted(nkeys, np.asarray(cust["c_nationkey"].combine_chunks(), np.int64))]
+    corder = np.argsort(ckeys)
+    cust_map = ray.put((ckeys[corder], cnat[corder]))
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        sk, sn = ray.get(supp_map)
+        rev = np.floor(
+            b["l_extendedprice"].combine_chunks().to_numpy()
+            * (1.0 - b["l_discount"].combine_chunks().to_numpy())
+            * 100.0
+        ).astype(np.int64)
+        snames = sn[np.searchsorted(sk, np.asarray(b["l_suppkey"].combine_chunks(), np.int64))]
+        df = pd.DataFrame(
+            {
+                "o_orderkey": np.asarray(b["l_orderkey"].combine_chunks(), np.int64),
+                "supp_nation": snames,
+                "revenue_cents": rev,
+            }
+        )
+        g = df.groupby(["o_orderkey", "supp_nation"], sort=False).agg(
+            revenue_cents=("revenue_cents", "sum"), n_items=("revenue_cents", "size")
+        ).reset_index()
+        return _from_pandas_clean(g)
+
+    li_red = keyed_aggregate(
+        li.map_batches(li_partial, batch_format="pyarrow"),
+        ["o_orderkey", "supp_nation"],
+        sums=["revenue_cents", "n_items"],
+    )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def o_proj(b: pa.Table) -> pa.Table:
+        ck, cn = ray.get(cust_map)
+        cnames = cn[np.searchsorted(ck, np.asarray(b["o_custkey"].combine_chunks(), np.int64))]
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"].combine_chunks().cast(pa.int64()),
+                "cust_nation": pa.array(cnames, pa.string()),
+            }
+        )
+
+    joined = hash_join(li_red, orders.map_batches(o_proj, batch_format="pyarrow"), on=["o_orderkey"])
+    return keyed_aggregate(
+        joined, ["supp_nation", "cust_nation"], sums=["revenue_cents", "n_items"]
+    )
