@@ -100,6 +100,13 @@ BENCH_QUERIES = [
     "q_recent_window",
     "q_group_reservoir",
     "q_peak_concurrency",
+    "q_large_orders",
+    "q_cust_order_dist",
+    "q_doc_popularity",
+    "q_ttr",
+    "q_user_active_time",
+    "q_cheapest_supplier",
+    "q_trade_volume",
 ]
 
 
