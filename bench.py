@@ -107,6 +107,9 @@ BENCH_QUERIES = [
     "q_user_active_time",
     "q_cheapest_supplier",
     "q_trade_volume",
+    "q_grouping_sets",
+    "q_pred_composition",
+    "q_pred_symmetry",
 ]
 
 

@@ -5296,3 +5296,172 @@ def q_trade_volume(sf_dir: str):
     return keyed_aggregate(
         joined, ["supp_nation", "cust_nation"], sums=["revenue_cents", "n_items"]
     )
+
+
+_GROUPING_SETS_SQL = """
+    WITH base AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+             CAST(ROUND(value * 1000) AS BIGINT) AS v_milli
+      FROM events)
+    SELECT COALESCE(event_type, 'ALL') AS event_type,
+           COALESCE(day_epoch, -1) AS day_epoch,
+           CAST(SUM(v_milli) AS BIGINT) AS sum_value_milli,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM base
+    GROUP BY GROUPING SETS ((event_type, day_epoch), (event_type), (day_epoch))
+"""
+
+
+@_register("q_grouping_sets", _GROUPING_SETS_SQL)
+def q_grouping_sets(sf_dir: str):
+    """GROUPING SETS aggregate over an ARBITRARY level list — (type, day),
+    (type), (day), deliberately NOT a lattice so neither CUBE nor ROLLUP
+    expresses it: the combiner reduces each batch to (type, day) leaf
+    partials, explodes each partial into its 3 requested levels, and one
+    keyed merge finishes — shuffle volume is levels x leaf-partials rows
+    no matter the corpus size."""
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ns = b["ts"].combine_chunks().cast(pa.timestamp("ns")).to_numpy(zero_copy_only=False)
+        day = ns.astype("datetime64[D]").astype("datetime64[s]").astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_pandas(),
+                "day_epoch": day,
+                "v": np.round(b["value"].combine_chunks().to_numpy() * 1000).astype(np.int64),
+            }
+        )
+        leaf = (
+            df.groupby(["event_type", "day_epoch"], sort=False)
+            .agg(sum_value_milli=("v", "sum"), n=("v", "size"))
+            .reset_index()
+        )
+        out = pd.concat(
+            [leaf, leaf.assign(day_epoch=np.int64(-1)), leaf.assign(event_type="ALL")],
+            ignore_index=True,
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return _from_pandas_clean(out)
+
+    return keyed_aggregate(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "day_epoch"],
+        sums=["sum_value_milli", "n"],
+    )
+
+
+_PRED_COMPOSITION_SQL = f"""
+    WITH kg AS ({_FLAGSHIP_SQL}),
+    e AS (SELECT DISTINCT subj, pred, obj FROM kg)
+    SELECT e1.pred AS pred_a, e2.pred AS pred_b,
+           CAST(COUNT(*) AS BIGINT) AS n_paths
+    FROM e e1 JOIN e e2 ON e1.obj = e2.subj
+    GROUP BY 1, 2
+"""
+
+
+@_register("q_pred_composition", _PRED_COMPOSITION_SQL)
+def q_pred_composition(sf_dir: str):
+    """Predicate-composition profile over the constructed KG: how often a
+    pred_a edge's object starts a pred_b edge (the 2-hop path statistics
+    rule mining / ontology induction consumes).  Distinct edges via one
+    keyed aggregate, then ONE distributed self-join co-located on the
+    shared node (obj == subj), combiner-counted per (pred_a, pred_b) —
+    path multiplicity never materializes, only pred-pair counts move."""
+    from ontoea_ray.functions.join import hash_join
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+    from ontoea_ray.pipelines.kg_construct import kg_construct_pipeline
+
+    kg = kg_construct_pipeline(sf_dir)
+    edges = keyed_aggregate(
+        kg.map_batches(
+            lambda b: b.select(["subj", "pred", "obj"]), batch_format="pyarrow"
+        ),
+        ["subj", "pred", "obj"],
+        count_alias="_c",
+    ).drop_columns(["_c"])
+
+    lhs = edges.map_batches(
+        lambda b: pa.table({"node": b["obj"], "pred_a": b["pred"]}), batch_format="pyarrow"
+    )
+    rhs = edges.map_batches(
+        lambda b: pa.table({"node": b["subj"], "pred_b": b["pred"]}), batch_format="pyarrow"
+    )
+    paths = hash_join(lhs, rhs, on=["node"])
+
+    def cnt(b: pa.Table) -> pa.Table:
+        df = b.select(["pred_a", "pred_b"]).to_pandas()
+        return _from_pandas_clean(
+            df.groupby(["pred_a", "pred_b"], sort=False).size().reset_index(name="n_paths")
+        )
+
+    return keyed_aggregate(
+        paths.map_batches(cnt, batch_format="pyarrow"),
+        ["pred_a", "pred_b"],
+        sums=["n_paths"],
+    )
+
+
+_PRED_SYMMETRY_SQL = f"""
+    WITH kg AS ({_FLAGSHIP_SQL}),
+    e AS (SELECT DISTINCT subj, pred, obj FROM kg)
+    SELECT e1.pred,
+           CAST(COUNT(*) AS BIGINT) AS n_edges,
+           CAST(COUNT(e2.subj) AS BIGINT) AS n_symmetric
+    FROM e e1 LEFT JOIN e e2
+      ON e1.subj = e2.obj AND e1.obj = e2.subj AND e1.pred = e2.pred
+    GROUP BY 1
+"""
+
+
+@_register("q_pred_symmetry", _PRED_SYMMETRY_SQL)
+def q_pred_symmetry(sf_dir: str):
+    """Per-predicate symmetry score (n_symmetric / n_edges — the
+    symmetric-relation detector ontology induction uses): distinct edges
+    LEFT-joined against their own reversal on the full (subj, obj, pred)
+    key — edge and mirror hash to the same partition, so the check is one
+    exchange — then a pred-level count of matches vs total."""
+    from ontoea_ray.functions.join import hash_join
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+    from ontoea_ray.pipelines.kg_construct import kg_construct_pipeline
+
+    kg = kg_construct_pipeline(sf_dir)
+    edges = keyed_aggregate(
+        kg.map_batches(
+            lambda b: b.select(["subj", "pred", "obj"]), batch_format="pyarrow"
+        ),
+        ["subj", "pred", "obj"],
+        count_alias="_c",
+    ).drop_columns(["_c"])
+
+    rev = edges.map_batches(
+        lambda b: pa.table(
+            {"subj": b["obj"], "obj": b["subj"], "pred": b["pred"],
+             "_hit": pa.array(np.ones(len(b), np.int64))}
+        ),
+        batch_format="pyarrow",
+    )
+    matched = hash_join(edges, rev, on=["subj", "obj", "pred"], how="left")
+
+    def cnt(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "pred": b["pred"].to_pandas(),
+                "n_symmetric": b["_hit"].combine_chunks().fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
+        g = df.groupby("pred", sort=False).agg(
+            n_edges=("n_symmetric", "size"), n_symmetric=("n_symmetric", "sum")
+        ).reset_index()
+        g["n_edges"] = g["n_edges"].astype(np.int64)
+        return _from_pandas_clean(g[["pred", "n_edges", "n_symmetric"]])
+
+    return keyed_aggregate(
+        matched.map_batches(cnt, batch_format="pyarrow"),
+        ["pred"],
+        sums=["n_edges", "n_symmetric"],
+    )
