@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "q_grouping_sets",
     "q_pred_composition",
     "q_pred_symmetry",
+    "q_token_cooc",
 ]
 
 

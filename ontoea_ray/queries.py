@@ -5465,3 +5465,49 @@ def q_pred_symmetry(sf_dir: str):
         ["pred"],
         sums=["n_edges", "n_symmetric"],
     )
+
+
+_TOKEN_COOC_SQL = """
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents)
+    SELECT t1.tok AS tok_a, t2.tok AS tok_b,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM toks t1 JOIN toks t2 ON t1.doc_id = t2.doc_id AND t1.tok < t2.tok
+    GROUP BY 1, 2
+"""
+
+
+@_register("q_token_cooc", _TOKEN_COOC_SQL)
+def q_token_cooc(sf_dir: str):
+    """Document-level token co-occurrence counts (the PMI / word-embedding
+    sufficient statistic): per-doc DISTINCT tokens expand to unordered
+    pairs INSIDE the batch via one vectorized self-merge (a doc's tokens
+    never leave its block), the combiner reduces the quadratic expansion
+    to per-block pair counts, and one keyed exchange merges — shuffle
+    volume is |vocab-pairs| x blocks, independent of corpus size.  The
+    per-doc expansion is inherently quadratic in distinct tokens per doc
+    (cap the tokenizer upstream for pathological docs)."""
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+    from ontoea_ray.functions.text import tokenize
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        toks = tokenize(b["text"])
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "doc": np.repeat(np.arange(len(b)), lens),
+                "tok": np.asarray(toks.flatten().to_pandas(), dtype=object),
+            }
+        ).drop_duplicates()
+        m = df.merge(df, on="doc", suffixes=("_a", "_b"))
+        m = m[m["tok_a"] < m["tok_b"]]
+        g = m.groupby(["tok_a", "tok_b"], sort=False).size().reset_index(name="n_docs")
+        return _from_pandas_clean(g)
+
+    return keyed_aggregate(
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        ["tok_a", "tok_b"],
+        sums=["n_docs"],
+    )
