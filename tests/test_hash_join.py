@@ -90,3 +90,44 @@ def test_salted_aggregate_equals_plain_groupby(ray_session):
         .take_all()
     }
     assert got == plain
+
+
+def test_join_executes_each_input_once(ray_session):
+    """Regression guard: hash_join's schema probe must not re-execute lazy
+    inputs (ds.schema() on a computed pipeline runs the upstream plan, and
+    lineage re-execution would then run it again per consume).  Count
+    actual UDF invocations through a named counter actor."""
+    import numpy as np
+
+    from ontoea_ray.functions.join import hash_join
+
+    @ray.remote
+    class Counter:
+        def __init__(self):
+            self.n = 0
+
+        def bump(self, k):
+            self.n += k
+            return self.n
+
+        def get(self):
+            return self.n
+
+    counter = Counter.options(name="join_exec_counter").remote()
+
+    tbl = pa.table(
+        {"k": pa.array(np.arange(100, dtype=np.int64)), "v": pa.array(np.arange(100, dtype=np.int64))}
+    )
+
+    def counted(b: pa.Table) -> pa.Table:
+        c = ray.get_actor("join_exec_counter")
+        ray.get(c.bump.remote(len(b)))
+        return b
+
+    left = ray.data.from_arrow(tbl).repartition(4).map_batches(counted, batch_format="pyarrow")
+    right = ray.data.from_arrow(tbl).repartition(4)
+    out = hash_join(left, right, on=["k"])
+    assert len(out.take_all()) == 100
+    # every row flows through the counted stage EXACTLY once
+    assert ray.get(counter.get.remote()) == 100
+    ray.kill(counter)
