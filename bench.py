@@ -111,6 +111,8 @@ BENCH_QUERIES = [
     "q_pred_composition",
     "q_pred_symmetry",
     "q_token_cooc",
+    "q_vocab_overlap",
+    "q_dod_change",
 ]
 
 

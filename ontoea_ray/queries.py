@@ -5511,3 +5511,142 @@ def q_token_cooc(sf_dir: str):
         ["tok_a", "tok_b"],
         sums=["n_docs"],
     )
+
+
+_VOCAB_OVERLAP_SQL = """
+    WITH sv AS (
+      SELECT DISTINCT source, unnest(str_split(text, ' ')) AS tok FROM documents),
+    sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab FROM sv GROUP BY 1)
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared,
+           sa.vocab AS vocab_a, sb.vocab AS vocab_b
+    FROM sv a JOIN sv b ON a.tok = b.tok AND a.source < b.source
+    JOIN sz sa ON sa.source = a.source
+    JOIN sz sb ON sb.source = b.source
+    GROUP BY 1, 2, sa.vocab, sb.vocab
+"""
+
+
+@_register("q_vocab_overlap", _VOCAB_OVERLAP_SQL)
+def q_vocab_overlap(sf_dir: str):
+    """Cross-source vocabulary overlap matrix (lexical-similarity audit
+    between corpus sources — the Jaccard numerator/denominators in exact
+    integers): per-batch distinct (source, token) partials reduce to the
+    global distinct table in one keyed exchange, a token-co-located pass
+    emits source pairs per token (bounded by #sources^2 per token — the
+    pair dimension is small even when the vocabulary is huge), and a tiny
+    (source_a, source_b) merge finishes; per-source vocab sizes ride along
+    from the same distinct table, broadcast once."""
+    from ontoea_ray.functions.shuffle import compact, keyed_aggregate, with_partition_key
+    from ontoea_ray.functions.text import tokenize
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def sv_partial(b: pa.Table) -> pa.Table:
+        toks = tokenize(b["text"])
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "source": np.repeat(np.asarray(b["source"].to_pandas(), object), lens),
+                "tok": np.asarray(toks.flatten().to_pandas(), dtype=object),
+            }
+        ).drop_duplicates()
+        return _from_pandas_clean(df)
+
+    sv = keyed_aggregate(
+        ds.map_batches(sv_partial, batch_format="pyarrow"),
+        ["source", "tok"],
+        count_alias="_c",
+    ).drop_columns(["_c"])
+
+    sizes = {
+        r["source"]: r["n"]
+        for r in keyed_aggregate(sv, ["source"], count_alias="n").take_all()
+    }
+    sz_ref = ray.put(sizes)
+
+    parted = with_partition_key(compact(sv), ["tok"])
+
+    def pairs_per_token(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="tok", suffixes=("_a", "_b"))
+        m = m[m["source_a"] < m["source_b"]]
+        return m.groupby(["source_a", "source_b"], sort=False).size().reset_index(name="n_shared")
+
+    shared = keyed_aggregate(
+        parted.groupby("pkey").map_groups(pairs_per_token, batch_format="pandas"),
+        ["source_a", "source_b"],
+        sums=["n_shared"],
+    )
+
+    def attach_sizes(b: pa.Table) -> pa.Table:
+        sz = ray.get(sz_ref)
+        sa = pd.Series(b["source_a"].to_pandas()).map(sz).to_numpy(np.int64)
+        sb = pd.Series(b["source_b"].to_pandas()).map(sz).to_numpy(np.int64)
+        return pa.table(
+            {
+                "source_a": b["source_a"],
+                "source_b": b["source_b"],
+                "n_shared": b["n_shared"].combine_chunks().cast(pa.int64()),
+                "vocab_a": pa.array(sa),
+                "vocab_b": pa.array(sb),
+            }
+        )
+
+    return shared.map_batches(attach_sizes, batch_format="pyarrow")
+
+
+_DOD_CHANGE_SQL = """
+    WITH d AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+             CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, day_epoch, v AS sum_value_milli,
+           CAST(v - COALESCE(LAG(v) OVER (PARTITION BY event_type ORDER BY day_epoch), 0) AS BIGINT) AS delta_milli
+    FROM d
+"""
+
+
+@_register("q_dod_change", _DOD_CHANGE_SQL)
+def q_dod_change(sf_dir: str):
+    """Day-over-day change per event type (LAG over an AGGREGATED series —
+    the trend-monitoring shape): the corpus reduces to (type, day) daily
+    sums via the combiner-first keyed aggregate, and the window diff runs
+    over that aggregate — whose size is types x days, independent of
+    corpus size — in one type-co-located sorted pass."""
+    from ontoea_ray.functions.shuffle import compact, keyed_aggregate, with_partition_key
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ns = b["ts"].combine_chunks().cast(pa.timestamp("ns")).to_numpy(zero_copy_only=False)
+        day = ns.astype("datetime64[D]").astype("datetime64[s]").astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_pandas(),
+                "day_epoch": day,
+                "sum_value_milli": np.round(
+                    b["value"].combine_chunks().to_numpy() * 1000
+                ).astype(np.int64),
+            }
+        )
+        return _from_pandas_clean(
+            df.groupby(["event_type", "day_epoch"], sort=False)["sum_value_milli"]
+            .sum()
+            .reset_index()
+        )
+
+    daily = keyed_aggregate(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "day_epoch"],
+        sums=["sum_value_milli"],
+    )
+    parted = with_partition_key(compact(daily), ["event_type"])
+
+    def diff(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["event_type", "day_epoch"], kind="mergesort")
+        prev = g.groupby("event_type", sort=False)["sum_value_milli"].shift().fillna(0)
+        g["delta_milli"] = (g["sum_value_milli"] - prev).astype(np.int64)
+        return g[["event_type", "day_epoch", "sum_value_milli", "delta_milli"]]
+
+    return parted.groupby("pkey").map_groups(diff, batch_format="pandas")
