@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "q_token_cooc",
     "q_vocab_overlap",
     "q_dod_change",
+    "q_bfs_depth",
 ]
 
 

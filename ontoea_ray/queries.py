@@ -5650,3 +5650,82 @@ def q_dod_change(sf_dir: str):
         return g[["event_type", "day_epoch", "sum_value_milli", "delta_milli"]]
 
     return parted.groupby("pkey").map_groups(diff, batch_format="pandas")
+
+
+_BFS_DEPTH_SQL = f"""
+    WITH kg AS ({_FLAGSHIP_SQL}),
+    e AS (SELECT DISTINCT subj, obj FROM kg),
+    l0 AS (SELECT DISTINCT subj AS node FROM e ORDER BY subj LIMIT 3),
+    l1 AS (SELECT DISTINCT e.obj AS node FROM e JOIN l0 ON e.subj = l0.node),
+    l2 AS (SELECT DISTINCT e.obj AS node FROM e JOIN l1 ON e.subj = l1.node),
+    l3 AS (SELECT DISTINCT e.obj AS node FROM e JOIN l2 ON e.subj = l2.node),
+    reach AS (
+      SELECT node FROM l0 UNION SELECT node FROM l1
+      UNION SELECT node FROM l2 UNION SELECT node FROM l3)
+    SELECT node,
+           CAST(CASE WHEN node IN (SELECT node FROM l0) THEN 0
+                     WHEN node IN (SELECT node FROM l1) THEN 1
+                     WHEN node IN (SELECT node FROM l2) THEN 2
+                     ELSE 3 END AS BIGINT) AS depth
+    FROM reach
+"""
+
+
+@_register("q_bfs_depth", _BFS_DEPTH_SQL)
+def q_bfs_depth(sf_dir: str):
+    """Depth-bounded BFS hop distance from a deterministic seed set (graph
+    reachability / influence-radius primitive): each round is one
+    streaming corpus pass — the frontier ships ONCE per round as a
+    broadcast Arrow value-set (`pc.is_in`), matching edges' objects reduce
+    to the next distinct frontier via the keyed combiner.  Rounds =
+    max-depth (3), frontiers are reachable-set-bounded; above the
+    broadcast budget the same loop runs on the Bloom semi-join
+    (`stages/bloom.py`) instead of `is_in` — the round structure is
+    unchanged."""
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+    from ontoea_ray.pipelines.kg_construct import kg_construct_pipeline
+
+    kg = kg_construct_pipeline(sf_dir)
+    edges = keyed_aggregate(
+        kg.map_batches(lambda b: b.select(["subj", "obj"]), batch_format="pyarrow"),
+        ["subj", "obj"],
+        count_alias="_c",
+    ).drop_columns(["_c"]).materialize()
+
+    def bottom3(b: pa.Table) -> pa.Table:
+        # per-block 3 smallest subjects: a correct superset of the global 3
+        s = sorted(set(b["subj"].to_pylist()))[:3]
+        return pa.table({"node": pa.array(s, pa.string())})
+
+    seed_rows = edges.map_batches(bottom3, batch_format="pyarrow").take_all()
+    seeds = sorted({r["node"] for r in seed_rows})[:3]
+
+    levels = [set(seeds)]
+    seen = set(seeds)
+    for _ in range(3):
+        frontier = pa.array(sorted(levels[-1]), pa.string())
+
+        def expand(b: pa.Table, fr=frontier) -> pa.Table:
+            sel = b.filter(pc.is_in(b["subj"], value_set=fr))
+            return pa.table({"node": sel["obj"]})
+
+        nxt_rows = keyed_aggregate(
+            edges.map_batches(expand, batch_format="pyarrow"),
+            ["node"],
+            count_alias="_c",
+        ).take_all()
+        nxt = {r["node"] for r in nxt_rows}
+        levels.append(nxt)
+        seen |= nxt
+
+    nodes, depths = [], []
+    assigned: dict = {}
+    for d, lv in enumerate(levels):
+        for n in lv:
+            if n not in assigned:
+                assigned[n] = d
+    for n, d in assigned.items():
+        nodes.append(n); depths.append(d)
+    return pa.table(
+        {"node": pa.array(nodes, pa.string()), "depth": pa.array(np.array(depths, np.int64))}
+    )
