@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "q_vocab_overlap",
     "q_dod_change",
     "q_bfs_depth",
+    "q_text_normalize",
 ]
 
 

@@ -5729,3 +5729,63 @@ def q_bfs_depth(sf_dir: str):
     return pa.table(
         {"node": pa.array(nodes, pa.string()), "depth": pa.array(np.array(depths, np.int64))}
     )
+
+
+_TEXT_NORMALIZE_SQL = """
+    WITH messy AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 = 0 THEN chr(160) || 'E' || chr(769) || 'Cafe' ELSE '' END
+             || CASE WHEN doc_id % 2 = 0 THEN '  TAIL ' ELSE '' END AS raw
+      FROM documents)
+    SELECT doc_id,
+           regexp_replace(trim(lower(replace(nfc_normalize(raw), chr(160), ' '))),
+                          ' +', ' ', 'g') AS norm_text,
+           CAST(length(regexp_replace(trim(lower(replace(nfc_normalize(raw), chr(160), ' '))),
+                                      ' +', ' ', 'g')) AS BIGINT) AS n_chars_norm
+    FROM messy
+"""
+
+
+@_register("q_text_normalize", _TEXT_NORMALIZE_SQL)
+def q_text_normalize(sf_dir: str):
+    """Unicode text normalization chain (NFC compose + NBSP -> space +
+    casefold + whitespace collapse + trim — the standard web-text cleanup
+    pass): every step is a vectorized Arrow kernel (`utf8_normalize`,
+    `replace_substring`, `utf8_lower`, `replace_substring_regex`,
+    `utf8_trim_whitespace`) inside one map_batches — zero shuffle, zero
+    Python rows; input messiness (combining accents, NBSP, ragged spaces)
+    is constructed deterministically so DuckDB replays the identical
+    chain."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def norm(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"].combine_chunks(), np.int64)
+        base = pd.Series(b["text"].to_pandas(), dtype=object)
+        suf1 = np.where(ids % 3 == 0, " ÉCafe", "")
+        suf2 = np.where(ids % 2 == 0, "  TAIL ", "")
+        raw = pa.array((base + suf1 + suf2).tolist(), pa.string())
+        # NFC compose: pyarrow 16's utf8_normalize does not compose
+        # combining marks, so ASCII rows (the vast majority of web
+        # text) take the vectorized zero-copy path and only the
+        # non-ASCII minority pays a per-string unicodedata call
+        ascii_mask = pc.string_is_ascii(raw).to_numpy(zero_copy_only=False)
+        if not ascii_mask.all():
+            import unicodedata
+            vals = raw.to_pylist()
+            for k in np.flatnonzero(~ascii_mask):
+                vals[k] = unicodedata.normalize("NFC", vals[k])
+            raw = pa.array(vals, pa.string())
+        x = pc.replace_substring(raw, pattern=" ", replacement=" ")
+        x = pc.utf8_lower(x)
+        x = pc.utf8_trim_whitespace(x)
+        x = pc.replace_substring_regex(x, pattern=" +", replacement=" ")
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "norm_text": x,
+                "n_chars_norm": pc.utf8_length(x).cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow")
