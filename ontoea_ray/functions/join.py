@@ -69,6 +69,31 @@ def _arrow_schema(ds: ray.data.Dataset) -> _NormSchema:
     return _NormSchema(list(sch.names), types)
 
 
+BROADCAST_BUDGET_BYTES = 128 << 20  # per-actor copy of the small side
+
+
+def _broadcastable(ds, how: str, side: str) -> int | None:
+    """Size in bytes if this side may run as the broadcast build side.
+
+    Only already-materialized inputs are considered (a lazy side's size is
+    unknown without executing it); the stream side must keep ALL its rows
+    for the chosen ``how`` — inner joins can broadcast either side, a left
+    join can only broadcast the right, a right join only the left, and a
+    full outer join must track unmatched rows on both sides, so it never
+    broadcasts."""
+    ok = {"inner": ("left", "right"), "left": ("right",), "right": ("left",)}
+    if side not in ok.get(how, ()):
+        return None
+    try:
+        if isinstance(ds, ray.data.dataset.MaterializedDataset):
+            sz = ds.size_bytes()
+            if sz is not None and sz <= BROADCAST_BUDGET_BYTES:
+                return sz
+    except Exception:
+        pass
+    return None
+
+
 def hash_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
@@ -78,15 +103,23 @@ def hash_join(
     how: str = "inner",
     rsuffix: str = "_r",
     width: int | None = None,
+    broadcast: str = "auto",
 ) -> ray.data.Dataset:
     """Distributed hash join (inner / left / right / outer) on equality keys.
 
     Right-side key columns are renamed to the left's; payload columns that
     collide get ``rsuffix``.  Outer-join non-matches carry typed nulls.
-    All variants are the same one-exchange plan (tag side, co-partition by
-    key hash, per-partition vectorized merge) — the ``how`` only changes
-    the per-partition merge mode."""
+
+    Physical plan selection (``broadcast``): when one side is already
+    materialized, under ``BROADCAST_BUDGET_BYTES``, and compatible with
+    ``how`` (see ``_broadcastable``), it ships ONCE per actor via
+    ``ray.put`` and the big side streams through a map-side merge — ZERO
+    exchange.  Otherwise both sides take the one-exchange plan (tag side,
+    co-partition by key hash, per-partition vectorized merge).  Pass
+    ``broadcast="none"`` to force the exchange plan, ``"left"``/``"right"``
+    to force a side (asserts compatibility)."""
     assert how in ("inner", "left", "right", "outer")
+    assert broadcast in ("auto", "none", "left", "right")
     right_on = right_on or on
     assert len(on) == len(right_on)
     ren = dict(zip(right_on, on))
@@ -100,6 +133,74 @@ def hash_join(
     rtypes = {dst: rsch.types[rsch.names.index(src)] for src, dst in rpay}
     ltypes = {n: lsch.types[lsch.names.index(n)] for n in lpay}
     keytypes = {k: lsch.types[lsch.names.index(k)] for k in on}
+
+    out_cols_final = on + lpay + [dst for _, dst in rpay]
+    out_types_final = {**keytypes, **ltypes, **rtypes}
+
+    # ---- physical plan selection: broadcast map-side merge when legal ----
+    bcast_side = None
+    if broadcast in ("left", "right"):
+        assert _broadcastable(left if broadcast == "left" else right, how, broadcast) is not None, (
+            f"side {broadcast!r} is not broadcastable for how={how!r} "
+            "(must be materialized, under budget, and keep-all on the stream side)"
+        )
+        bcast_side = broadcast
+    elif broadcast == "auto":
+        lsz = _broadcastable(left, how, "left")
+        rsz = _broadcastable(right, how, "right")
+        if lsz is not None and rsz is not None:
+            bcast_side = "left" if lsz <= rsz else "right"
+        elif lsz is not None:
+            bcast_side = "left"
+        elif rsz is not None:
+            bcast_side = "right"
+
+    if bcast_side is not None:
+        small, stream = (left, right) if bcast_side == "left" else (right, left)
+        # normalized small-side frame: key cols under the LEFT's names/types,
+        # payload cols under their output names
+        small_keys = on if bcast_side == "left" else right_on
+        small_pay = (
+            [(n, n) for n in lpay] if bcast_side == "left" else rpay
+        )
+
+        def to_norm(b: pa.Table) -> pa.Table:
+            cols = {
+                k: b[sk].combine_chunks().cast(keytypes[k])
+                for k, sk in zip(on, small_keys)
+            }
+            for src, dst in small_pay:
+                cols[dst] = b[src].combine_chunks()
+            return pa.table(cols)
+
+        small_tbl = pa.concat_tables(
+            [to_norm(b) for b in small.iter_batches(batch_format="pyarrow")]
+        )
+        small_ref = ray.put(small_tbl.to_pandas())
+        stream_keys = right_on if bcast_side == "left" else on
+        stream_pay = rpay if bcast_side == "left" else [(n, n) for n in lpay]
+        # pandas merge 'how' from the STREAM side's perspective
+        merge_how = "inner" if how == "inner" else "left"
+
+        class _BcastJoin:
+            def __init__(self):
+                self.small = ray.get(small_ref)
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                cols = {
+                    k: b[sk].combine_chunks().cast(keytypes[k])
+                    for k, sk in zip(on, stream_keys)
+                }
+                for src, dst in stream_pay:
+                    cols[dst] = b[src].combine_chunks()
+                df = pa.table(cols).to_pandas()
+                out = df.merge(self.small, on=on, how=merge_how, sort=False)
+                return pa.table({
+                    c: pa.array(out[c], type=out_types_final[c], from_pandas=True)
+                    for c in out_cols_final
+                })
+
+        return stream.map_batches(_BcastJoin, batch_format="pyarrow", concurrency=(1, 8))
 
     def tag(side: int):
         def fn(batch: pa.Table) -> pa.Table:

@@ -131,3 +131,54 @@ def test_join_executes_each_input_once(ray_session):
     # every row flows through the counted stage EXACTLY once
     assert ray.get(counter.get.remote()) == 100
     ray.kill(counter)
+
+
+def _jdict(ds, cols):
+    return sorted(tuple(r[c] for c in cols) for r in ds.take_all())
+
+
+def test_broadcast_join_matches_exchange_plan(ray_session):
+    """Auto-broadcast (small materialized side) must produce exactly the
+    exchange plan's rows for inner and left joins, including null fills
+    and collision suffixes."""
+    import numpy as np
+
+    from ontoea_ray.functions.join import hash_join
+
+    big = pa.table(
+        {
+            "k": pa.array(np.arange(200, dtype=np.int64) % 50),
+            "v": pa.array(np.arange(200, dtype=np.int64)),
+        }
+    )
+    small = pa.table(
+        {
+            "k": pa.array(np.arange(0, 40, 2, dtype=np.int64)),
+            "v": pa.array(np.arange(20, dtype=np.int64) * 100),
+        }
+    )
+    left = ray.data.from_arrow(big).repartition(4).map_batches(lambda b: b, batch_format="pyarrow")
+    right_m = ray.data.from_arrow(small)  # materialized -> broadcastable
+
+    for how in ("inner", "left"):
+        got = hash_join(left, right_m, on=["k"], how=how)  # auto -> broadcast right
+        ref = hash_join(left, right_m, on=["k"], how=how, broadcast="none")
+        cols = ["k", "v", "v_r"]
+        assert _jdict(got, cols) == _jdict(ref, cols), how
+
+
+def test_broadcast_join_inner_either_side(ray_session):
+    import numpy as np
+
+    from ontoea_ray.functions.join import hash_join
+
+    small = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3], pa.int64()), "a": pa.array([10, 20, 30], pa.int64())})
+    )
+    big = ray.data.from_arrow(
+        pa.table({"k": pa.array([2, 3, 3, 4], pa.int64()), "b": pa.array([1, 2, 3, 4], pa.int64())})
+    ).repartition(2).map_batches(lambda b: b, batch_format="pyarrow")
+
+    got = hash_join(small, big, on=["k"], how="inner")  # broadcast LEFT
+    ref = hash_join(small, big, on=["k"], how="inner", broadcast="none")
+    assert _jdict(got, ["k", "a", "b"]) == _jdict(ref, ["k", "a", "b"])
