@@ -104,6 +104,7 @@ def hash_join(
     rsuffix: str = "_r",
     width: int | None = None,
     broadcast: str = "auto",
+    runtime_filter: bool = True,
 ) -> ray.data.Dataset:
     """Distributed hash join (inner / left / right / outer) on equality keys.
 
@@ -202,8 +203,74 @@ def hash_join(
 
         return stream.map_batches(_BcastJoin, batch_format="pyarrow", concurrency=(1, 8))
 
+    # ---- runtime filter for the exchange plan: when one side is already
+    # materialized (any size — the filter is m-bit, never key-set-sized)
+    # and `how` allows dropping the other side's non-matches, prune the
+    # stream side's batches with a Bloom of the build side's keys BEFORE
+    # the exchange.  Superset semantics (false positives only) — pruned-in
+    # non-matches simply fail to match after the shuffle, so the result is
+    # identical; the exchange just moves selectivity-fewer bytes.
+    prune_fns: dict = {0: None, 1: None}
+    if runtime_filter:
+        import pyarrow.compute as pc
+
+        from ontoea_ray.stages.bloom import _bit_positions, _key_hashes
+        from ontoea_ray.stages.dedup import _perm_params
+
+        def _keystr(batch: pa.Table, keycols: list[str]):
+            parts = [batch[k].combine_chunks().cast(pa.string()) for k in keycols]
+            if len(parts) == 1:
+                return parts[0]
+            return pc.binary_join_element_wise(*parts, "\x1f")
+
+        def _build_bits(build_ds, keycols):
+            n = build_ds.count() or 1
+            m_bits = 1 << max(14, min(24, int(np.ceil(np.log2(n * 10)))))
+            a, b = _perm_params(4, 11)
+
+            def partial(batch: pa.Table) -> pa.Table:
+                h = _key_hashes(_keystr(batch, keycols))
+                bits = np.zeros(m_bits, bool)
+                if len(h):
+                    bits[_bit_positions(np.unique(h), a, b, m_bits).reshape(-1)] = True
+                return pa.table({"packed": pa.array([np.packbits(bits).tobytes()], pa.binary())})
+
+            packed = np.zeros(m_bits // 8, np.uint8)
+            for row in build_ds.map_batches(partial, batch_format="pyarrow").take_all():
+                packed |= np.frombuffer(row["packed"], np.uint8)
+            return ray.put(packed), m_bits, a, b
+
+        def _make_prune(bits_ref, m_bits, a, b, keycols):
+            def prune(batch: pa.Table) -> pa.Table:
+                if len(batch) == 0:
+                    return batch
+                bits = np.unpackbits(ray.get(bits_ref)).astype(bool)
+                h = _key_hashes(_keystr(batch, keycols))
+                keep = np.ones(len(batch), bool)
+                pos = _bit_positions(h, a, b, m_bits)
+                keep = bits[pos].all(axis=0)
+                return batch.filter(pa.array(keep))
+
+            return prune
+
+        is_mat = ray.data.dataset.MaterializedDataset
+        # build side must be materialized; a side is prunable only when its
+        # non-matches are absent from the result: inner -> either side,
+        # left -> prune the RIGHT side only (all left rows survive),
+        # right -> prune the LEFT side only, outer -> neither.
+        if how in ("inner", "right") and isinstance(right, is_mat) and not isinstance(left, is_mat):
+            ref, m, a_, b_ = _build_bits(right, right_on)
+            prune_fns[0] = _make_prune(ref, m, a_, b_, on)
+        elif how in ("inner", "left") and isinstance(left, is_mat) and not isinstance(right, is_mat):
+            ref, m, a_, b_ = _build_bits(left, on)
+            prune_fns[1] = _make_prune(ref, m, a_, b_, right_on)
+
     def tag(side: int):
+        pre = prune_fns[side]
+
         def fn(batch: pa.Table) -> pa.Table:
+            if pre is not None:
+                batch = pre(batch)
             cols: dict = {}
             for k in on:
                 src = k if side == 0 else right_on[on.index(k)]

@@ -182,3 +182,36 @@ def test_broadcast_join_inner_either_side(ray_session):
     got = hash_join(small, big, on=["k"], how="inner")  # broadcast LEFT
     ref = hash_join(small, big, on=["k"], how="inner", broadcast="none")
     assert _jdict(got, ["k", "a", "b"]) == _jdict(ref, ["k", "a", "b"])
+
+
+def test_runtime_filter_prunes_exchange_but_keeps_results(ray_session):
+    """Bloom runtime filter on the exchange plan: identical results for
+    inner (prune lazy left vs materialized right) and left joins (prune
+    lazy right vs materialized left), compared with runtime_filter=False;
+    and the left join still carries its unmatched null-filled rows."""
+    import numpy as np
+
+    from ontoea_ray.functions.join import hash_join
+
+    big = pa.table(
+        {
+            "k": pa.array(np.arange(300, dtype=np.int64) % 100),
+            "v": pa.array(np.arange(300, dtype=np.int64)),
+        }
+    )
+    keys = pa.table(
+        {"k": pa.array([5, 7, 11], pa.int64()), "w": pa.array([1, 2, 3], pa.int64())}
+    )
+    lazy_big = ray.data.from_arrow(big).repartition(4).map_batches(lambda b: b, batch_format="pyarrow")
+    mat_keys = ray.data.from_arrow(keys)
+
+    # inner: right materialized -> left side pruned before the exchange
+    got = hash_join(lazy_big, mat_keys, on=["k"], how="inner", broadcast="none")
+    ref = hash_join(lazy_big, mat_keys, on=["k"], how="inner", broadcast="none", runtime_filter=False)
+    assert _jdict(got, ["k", "v", "w"]) == _jdict(ref, ["k", "v", "w"])
+
+    # left: left materialized -> RIGHT side pruned; every left row survives
+    got2 = hash_join(mat_keys, lazy_big, on=["k"], how="left", broadcast="none")
+    ref2 = hash_join(mat_keys, lazy_big, on=["k"], how="left", broadcast="none", runtime_filter=False)
+    assert _jdict(got2, ["k", "w", "v"]) == _jdict(ref2, ["k", "w", "v"])
+    assert {r["k"] for r in got2.take_all()} == {5, 7, 11}
