@@ -94,6 +94,29 @@ def pages_from_documents(sf_dir: str, *, replicate: int = 1) -> ray.data.Dataset
 
 
 def read_pages(paths, columns: list[str] | None = None) -> ray.data.Dataset:
+    """Pages from parquet.  Accepts either the canonical pages schema
+    (url/warc_ts/html/text/lang) or the driver's documents schema
+    (doc_id/text/lang/source) — the latter is wrapped deterministically
+    into pages via the same transform the flagship oracle replays, so
+    ``python -m ontoea_ray construct --pages documents.parquet`` works
+    directly on the provided testdata."""
+    import pyarrow.parquet as pq
+
+    probe = paths[0] if isinstance(paths, (list, tuple)) else paths
+    try:
+        import os
+
+        if os.path.isdir(probe):
+            inner = sorted(
+                os.path.join(probe, f) for f in os.listdir(probe) if f.endswith(".parquet")
+            )
+            probe = inner[0] if inner else probe
+        names = set(pq.read_schema(probe).names)
+    except Exception:
+        names = set()
+    if "url" not in names and {"doc_id", "text", "source"} <= names:
+        ds = ray.data.read_parquet(paths, columns=["doc_id", "text", "lang", "source"])
+        return ds.map_batches(_docs_to_pages, batch_format="pyarrow")
     return ray.data.read_parquet(paths, columns=columns)
 
 
