@@ -197,13 +197,17 @@ def argmax_by(
 
     part = compact(ds.map_batches(partial, batch_format="pyarrow"), width=width)
 
-    def merge(df):
-        df = df.sort_values(order_cols, kind="mergesort")
-        return pa.Table.from_pandas(df.tail(1), preserve_index=False).replace_schema_metadata(None)
+    # merge per PARTITION, not per key: one vectorized sort + boundary take
+    # over each co-located partition (a per-key map_groups pays a Python
+    # call per key — measured 11 s for 20k part keys vs ~1 s this way)
+    parted = with_partition_key(part, key_cols, width=width)
 
-    return part.groupby(key_cols if len(key_cols) > 1 else key_cols[0]).map_groups(
-        merge, batch_format="pandas"
-    )
+    def merge_part(df):
+        df = df.sort_values(key_cols + order_cols, kind="mergesort")
+        out = df.groupby(key_cols, sort=False).tail(1).drop(columns=["pkey"])
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+    return parted.groupby("pkey").map_groups(merge_part, batch_format="pandas")
 
 
 def keyed_aggregate(

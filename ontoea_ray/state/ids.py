@@ -45,6 +45,12 @@ def zip_with_index(ds: ray.data.Dataset, col: str = "rank") -> ray.data.Dataset:
     off = 0
     for bundle in mat.iter_internal_ref_bundles():
         for ref, meta in bundle.blocks:
+            # skip empty blocks: a zero-row block out of an empty sort
+            # partition can carry a ZERO-COLUMN schema, and from_arrow_refs
+            # would infer the dataset schema from it (rank-only), hiding
+            # every payload column from downstream schema probes
+            if meta.num_rows == 0:
+                continue
             refs.append(ref)
             offsets.append(off)
             off += meta.num_rows

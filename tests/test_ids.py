@@ -87,3 +87,27 @@ def test_rank_and_interleave_match_reference_semantics():
     # dense, disjoint, complete
     allv = sorted(list(ids1.values()) + list(ids2.values()))
     assert allv == list(range(n1 + n2))
+
+
+def test_zip_with_index_skips_empty_blocks(ray_session):
+    """A zero-row (possibly zero-column) block from an empty sort partition
+    must not poison the output schema: every payload column stays visible
+    to downstream schema probes (regression: rank-only schema hid `uri`
+    from the entity-merge joins at sf0.1)."""
+    import pyarrow as pa
+    import ray.data
+
+    from ontoea_ray.state.ids import zip_with_index
+
+    blocks = [
+        pa.table({"uri": pa.array([], pa.string())}).select([]),  # zero-col empty
+        pa.table({"uri": pa.array(["a", "b"], pa.string())}),
+        pa.table({"uri": pa.array([], pa.string())}),             # typed empty
+        pa.table({"uri": pa.array(["c"], pa.string())}),
+    ]
+    ds = ray.data.from_arrow(blocks)
+    out = zip_with_index(ds, "nid")
+    assert set(out.schema().names) == {"uri", "nid"}
+    rows = sorted(out.take_all(), key=lambda r: r["nid"])
+    assert [r["uri"] for r in rows] == ["a", "b", "c"]
+    assert [r["nid"] for r in rows] == [0, 1, 2]

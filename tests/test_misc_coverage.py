@@ -246,3 +246,17 @@ def test_jsonl_pages_roundtrip(sf_dir, tmp_path):
         assert g["text"] == w["text"]
         assert g["lang"] == w["lang"]
         assert bytes(g["html"]) == bytes(w["html"])
+
+
+def test_read_pages_autowraps_documents_schema(sf_dir):
+    """read_pages on the driver's documents.parquet must detect the schema
+    and produce the identical pages table the canonical wrapper builds
+    (the CLI `construct --pages documents.parquet` path)."""
+    from ontoea_ray.sources.pages import pages_from_documents, read_pages
+
+    got = sorted(
+        read_pages(f"{sf_dir}/documents.parquet").take_all(), key=lambda r: r["url"]
+    )
+    want = sorted(pages_from_documents(sf_dir).take_all(), key=lambda r: r["url"])
+    assert len(got) == len(want)
+    assert got == want
