@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "q_dod_change",
     "q_bfs_depth",
     "q_text_normalize",
+    "q_type_runs",
 ]
 
 

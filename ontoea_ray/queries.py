@@ -5293,11 +5293,11 @@ def q_trade_volume(sf_dir: str):
         ).reset_index()
         return _from_pandas_clean(g)
 
-    li_red = keyed_aggregate(
-        li.map_batches(li_partial, batch_format="pyarrow"),
-        ["o_orderkey", "supp_nation"],
-        sums=["revenue_cents", "n_items"],
-    )
+    # per-block partials join directly: they are already combiner-reduced
+    # (one row per (order, supp_nation) per block), the join's own exchange
+    # co-locates them by orderkey, and the final aggregate re-sums — an
+    # intermediate keyed merge would add an exchange and reduce nothing
+    li_red = li.map_batches(li_partial, batch_format="pyarrow")
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
 
@@ -5810,3 +5810,68 @@ def q_text_normalize(sf_dir: str):
         )
 
     return ds.map_batches(norm, batch_format="pyarrow")
+
+
+_TYPE_RUNS_SQL = """
+    WITH e AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), r AS (
+      SELECT user_id, event_type, ts,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS run
+      FROM e)
+    SELECT user_id, event_type,
+           CAST(epoch_us(MIN(ts)) AS BIGINT) AS valid_from_us,
+           CAST(epoch_us(MAX(ts)) AS BIGINT) AS valid_to_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM r GROUP BY user_id, event_type, run
+"""
+
+
+@_register("q_type_runs", _TYPE_RUNS_SQL)
+def q_type_runs(sf_dir: str):
+    """Run-length intervals per user (the SCD2 / state-change collapse: a
+    row per maximal run of consecutive same-type events with its validity
+    window): sessionization's one user-co-located exchange, then a
+    vectorized change-flag cumsum + run groupby inside the partition —
+    the standard change-data-capture compaction at any scale."""
+    from ontoea_ray.functions.shuffle import compact, with_partition_key
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+
+    def runs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        chg = (
+            g["user_id"].ne(g["user_id"].shift())
+            | g["event_type"].ne(g["event_type"].shift())
+        )
+        rid = chg.cumsum()
+        us = g["ts"].astype("datetime64[ns]").astype("int64") // 1000
+        out = (
+            pd.DataFrame(
+                {
+                    "user_id": g["user_id"].astype("int64"),
+                    "event_type": g["event_type"],
+                    "_us": us,
+                    "_rid": rid,
+                }
+            )
+            .groupby("_rid", sort=False)
+            .agg(
+                user_id=("user_id", "first"),
+                event_type=("event_type", "first"),
+                valid_from_us=("_us", "min"),
+                valid_to_us=("_us", "max"),
+                n_events=("_us", "size"),
+            )
+            .reset_index(drop=True)
+        )
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    parted = with_partition_key(compact(ev), ["user_id"])
+    return parted.groupby("pkey").map_groups(runs, batch_format="pandas")
