@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "q_bfs_depth",
     "q_text_normalize",
     "q_type_runs",
+    "q_multimodal_video",
 ]
 
 

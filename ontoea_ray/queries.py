@@ -5875,3 +5875,40 @@ def q_type_runs(sf_dir: str):
 
     parted = with_partition_key(compact(ev), ["user_id"])
     return parted.groupby("pkey").map_groups(runs, batch_format="pandas")
+
+
+@_register("q_multimodal_video")  # binary plumbing — rows-only driver check
+def q_multimodal_video(sf_dir: str):
+    """Video branch of the multimodal plumbing: doc bytes as an opaque
+    video payload, deterministic fake frame sampling (codecs stubbed) in
+    an actor-pool stage, then a vectorized per-frame byte-statistics
+    kernel — one output row per (media, frame), deterministic per input,
+    so rows+schema are meaningful."""
+    from ontoea_ray.stages.multimodal import frame_sample_stage
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": batch["doc_id"],
+                "payload": batch["text"].combine_chunks().cast(pa.binary()),
+            }
+        )
+
+    media = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        to_media, batch_format="pyarrow"
+    )
+    frames = frame_sample_stage(media, n_frames=4, fake=True)
+
+    def frame_stats(batch: pa.Table) -> pa.Table:
+        pay = batch["payload"].combine_chunks()
+        flat = np.frombuffer(b"".join(pay.to_pylist()), np.uint8).reshape(len(batch), -1)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "frame": batch["frame"],
+                "byte_sum": pa.array(flat.astype(np.int64).sum(axis=1), pa.int64()),
+                "byte_max": pa.array(flat.max(axis=1).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return frames.map_batches(frame_stats, batch_format="pyarrow")

@@ -260,3 +260,15 @@ def audio_features_stage(decoded: ray.data.Dataset, *, n_samples: int = 2048,
         fn_constructor_kwargs={"n_samples": n_samples, "n_windows": n_windows},
         batch_format="pyarrow", batch_size=batch_size, concurrency=_stage_pool(concurrency),
     )
+
+
+def frame_sample_stage(media: ray.data.Dataset, *, n_frames: int = 4, fake: bool = False,
+                       concurrency=None, batch_size: int = 64) -> ray.data.Dataset:
+    """Video payloads -> per-frame rows (media_id, frame, payload).  The
+    sampler is an actor-pool stage like the decoders: container seek state
+    would live in ``__init__`` (codec stubbed; ``fake=True`` produces the
+    deterministic frame bytes the tests pin)."""
+    return media.map_batches(
+        FrameSampler, fn_constructor_kwargs={"n_frames": n_frames, "fake": fake},
+        batch_format="pyarrow", batch_size=batch_size, concurrency=_stage_pool(concurrency),
+    )

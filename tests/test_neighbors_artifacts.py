@@ -151,3 +151,27 @@ def test_multimodal_audio_stub_pipeline():
         DecodeAudio(fake=False)(
             pa.table({"media_id": pa.array([1], pa.int64()), "payload": pa.array([b"x"], pa.binary())})
         )
+
+
+def test_multimodal_video_frame_sample_stage():
+    from ontoea_ray.stages.multimodal import FrameSampler, frame_sample_stage
+
+    media = synth_media_dataset(n=8, seed=4)
+    frames = frame_sample_stage(media, n_frames=3, fake=True, concurrency=2, batch_size=8)
+    rows = frames.take_all()
+    assert len(rows) == 8 * 3
+    assert {r["frame"] for r in rows} == {0, 1, 2}
+    assert all(len(r["payload"]) == 64 for r in rows)
+    # determinism: same payload -> same frame bytes
+    again = frame_sample_stage(
+        synth_media_dataset(n=8, seed=4), n_frames=3, fake=True, batch_size=8
+    ).take_all()
+    key = lambda rs: {(r["media_id"], r["frame"]): r["payload"] for r in rs}
+    assert key(rows) == key(again)
+    # real codec path is honestly stubbed
+    import pyarrow as pa
+
+    with pytest.raises(NotImplementedError):
+        FrameSampler(fake=False)(
+            pa.table({"media_id": pa.array([1], pa.int64()), "payload": pa.array([b"x"], pa.binary())})
+        )
