@@ -244,11 +244,12 @@ def hash_join(
             def prune(batch: pa.Table) -> pa.Table:
                 if len(batch) == 0:
                     return batch
-                bits = np.unpackbits(ray.get(bits_ref)).astype(bool)
+                packed = ray.get(bits_ref)  # zero-copy from the object store
                 h = _key_hashes(_keystr(batch, keycols))
-                keep = np.ones(len(batch), bool)
                 pos = _bit_positions(h, a, b, m_bits)
-                keep = bits[pos].all(axis=0)
+                # test bits on the PACKED array (np.packbits is MSB-first)
+                hit = (packed[pos >> 3] >> (7 - (pos & 7))) & 1
+                keep = hit.all(axis=0).astype(bool)
                 return batch.filter(pa.array(keep))
 
             return prune
