@@ -48,6 +48,12 @@ def with_global_rank(
     counts: list[int] = []
     for bundle in sorted_mat.iter_internal_ref_bundles():
         for ref, meta in bundle.blocks:
+            # skip empty blocks: a zero-row block out of an empty sort
+            # partition can carry a ZERO-COLUMN schema, and from_arrow_refs
+            # would infer the output schema from it (rank-only); offsets
+            # are unaffected (the block contributes 0 rows)
+            if meta.num_rows == 0:
+                continue
             refs.append(ref)
             counts.append(meta.num_rows)
     offs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
