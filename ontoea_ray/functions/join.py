@@ -71,6 +71,10 @@ def _arrow_schema(ds: ray.data.Dataset) -> _NormSchema:
 
 BROADCAST_BUDGET_BYTES = 128 << 20  # per-actor copy of the small side
 
+# driver-side count of runtime-filter builds — lets tests assert the Bloom
+# prune path actually activated (the prune fns themselves run in workers)
+RUNTIME_FILTER_BUILDS = 0
+
 
 def _broadcastable(ds, how: str, side: str) -> int | None:
     """Size in bytes if this side may run as the broadcast build side.
@@ -174,9 +178,22 @@ def hash_join(
                 cols[dst] = b[src].combine_chunks()
             return pa.table(cols)
 
-        small_tbl = pa.concat_tables(
-            [to_norm(b) for b in small.iter_batches(batch_format="pyarrow")]
-        )
+        small_batches = [to_norm(b) for b in small.iter_batches(batch_format="pyarrow")]
+        if small_batches:
+            small_tbl = pa.concat_tables(small_batches)
+        else:
+            # a legitimately-empty small side (e.g. after a selective filter)
+            # yields zero batches; synthesize the normalized empty table so
+            # inner joins return empty and left/right joins keep their
+            # unmatched stream rows with typed nulls
+            empty_types = {k: keytypes[k] for k in on}
+            empty_types.update(
+                (dst, (ltypes if bcast_side == "left" else rtypes)[dst])
+                for _, dst in small_pay
+            )
+            small_tbl = pa.table(
+                {c: pa.array([], type=t) for c, t in empty_types.items()}
+            )
         small_ref = ray.put(small_tbl.to_pandas())
         stream_keys = right_on if bcast_side == "left" else on
         stream_pay = rpay if bcast_side == "left" else [(n, n) for n in lpay]
@@ -201,7 +218,16 @@ def hash_join(
                     for c in out_cols_final
                 })
 
-        return stream.map_batches(_BcastJoin, batch_format="pyarrow", concurrency=(1, 8))
+        from ontoea_ray.stages.scan_link import default_pool_size
+
+        # pool scales with the cluster (the whole point of broadcasting is a
+        # map-side merge as wide as the stream); a hard cap would serialize
+        # the merge on a 4N-node cluster
+        return stream.map_batches(
+            _BcastJoin,
+            batch_format="pyarrow",
+            concurrency=(1, default_pool_size(None)),
+        )
 
     # ---- runtime filter for the exchange plan: when one side is already
     # materialized (any size — the filter is m-bit, never key-set-sized)
@@ -218,18 +244,38 @@ def hash_join(
         from ontoea_ray.stages.dedup import _perm_params
 
         def _keystr(batch: pa.Table, keycols: list[str]):
-            parts = [batch[k].combine_chunks().cast(pa.string()) for k in keycols]
+            """Canonical key string per row + a 'has a null key' mask.
+
+            Keys are cast to the join's normalized keytypes BEFORE
+            stringifying — the same cast ``tag()`` applies — so
+            joinable-but-differently-rendered values (decimal '5.00' vs
+            float '5.0') hash identically on both sides.  Nulls are
+            sentinel-filled for hashing; the caller force-keeps null-key
+            rows so they flow through the exchange merge exactly as they
+            did without the filter."""
+            null_mask = np.zeros(len(batch), bool)
+            parts = []
+            for k, kt in zip(keycols, (keytypes[c] for c in on)):
+                col = batch[k].combine_chunks().cast(kt)
+                if col.null_count:
+                    null_mask |= pc.is_null(col).to_numpy(zero_copy_only=False)
+                parts.append(pc.fill_null(col.cast(pa.string()), ""))
             if len(parts) == 1:
-                return parts[0]
-            return pc.binary_join_element_wise(*parts, "\x1f")
+                return parts[0], null_mask
+            return pc.binary_join_element_wise(*parts, "\x1f"), null_mask
 
         def _build_bits(build_ds, keycols):
+            global RUNTIME_FILTER_BUILDS
+            RUNTIME_FILTER_BUILDS += 1
             n = build_ds.count() or 1
             m_bits = 1 << max(14, min(24, int(np.ceil(np.log2(n * 10)))))
             a, b = _perm_params(4, 11)
 
             def partial(batch: pa.Table) -> pa.Table:
-                h = _key_hashes(_keystr(batch, keycols))
+                keys, null_mask = _keystr(batch, keycols)
+                if null_mask.any():
+                    keys = keys.filter(pa.array(~null_mask))
+                h = _key_hashes(keys)
                 bits = np.zeros(m_bits, bool)
                 if len(h):
                     bits[_bit_positions(np.unique(h), a, b, m_bits).reshape(-1)] = True
@@ -245,11 +291,15 @@ def hash_join(
                 if len(batch) == 0:
                     return batch
                 packed = ray.get(bits_ref)  # zero-copy from the object store
-                h = _key_hashes(_keystr(batch, keycols))
+                keys, null_mask = _keystr(batch, keycols)
+                h = _key_hashes(keys)
                 pos = _bit_positions(h, a, b, m_bits)
                 # test bits on the PACKED array (np.packbits is MSB-first)
                 hit = (packed[pos >> 3] >> (7 - (pos & 7))) & 1
                 keep = hit.all(axis=0).astype(bool)
+                # null-key rows bypass the filter: the merge decides their
+                # fate, identically to the unfiltered plan
+                keep |= null_mask
                 return batch.filter(pa.array(keep))
 
             return prune

@@ -97,9 +97,20 @@ def edit1_pairs(
             g_n = len(names)
             if g_n < 2:
                 return
+            # the byte-matrix compare is exact ONLY when every name is pure
+            # ASCII (UTF-8 byte length == char length): a divisible total is
+            # not enough (mixed groups like {'ba', '日a'} are 2+4=6 bytes and
+            # 6 % 2 == 0 but the reshape misaligns rows), and even EQUAL byte
+            # lengths are not enough (a single multi-byte char substitution
+            # is edit distance 1 but 2-3 byte diffs).  names here all share
+            # one char length, so all-ASCII <=> every byte length == it.
+            char_len = len(names[0])
+            blens = np.fromiter(
+                (len(s.encode("utf-8", "surrogatepass")) for s in names), np.int64, g_n
+            )
             mat = np.frombuffer("".join(names.tolist()).encode("utf-8", "surrogatepass"), np.uint8)
             L = mat.size // g_n
-            if L * g_n != mat.size:  # non-ASCII — fall back to scalar check
+            if blens.max() != char_len:  # any non-ASCII — scalar check
                 ii, jj = np.triu_indices(g_n, k=1)
                 ok = np.fromiter(
                     (_is_edit1(a, b) for a, b in zip(names[ii], names[jj])), bool, len(ii)

@@ -184,13 +184,28 @@ def test_broadcast_join_inner_either_side(ray_session):
     assert _jdict(got, ["k", "a", "b"]) == _jdict(ref, ["k", "a", "b"])
 
 
-def test_runtime_filter_prunes_exchange_but_keeps_results(ray_session):
+def _lazy_parquet(tmp_path, tbl: pa.Table, name: str) -> ray.data.Dataset:
+    """A genuinely LAZY dataset with a KNOWN schema (parquet metadata), so
+    ensure_known_schema does not materialize it — a from_arrow().map_batches()
+    chain has unknown schema and would be materialized, making both sides
+    MaterializedDataset and silently disabling the runtime-filter branch."""
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / name)
+    pq.write_table(tbl, p)
+    return ray.data.read_parquet(p)
+
+
+def test_runtime_filter_prunes_exchange_but_keeps_results(ray_session, tmp_path):
     """Bloom runtime filter on the exchange plan: identical results for
     inner (prune lazy left vs materialized right) and left joins (prune
     lazy right vs materialized left), compared with runtime_filter=False;
-    and the left join still carries its unmatched null-filled rows."""
+    and the left join still carries its unmatched null-filled rows.
+    Asserts (via the driver-side build counter) that the filter ACTUALLY
+    activated — a materialized probe side would silently skip it."""
     import numpy as np
 
+    import ontoea_ray.functions.join as joinmod
     from ontoea_ray.functions.join import hash_join
 
     big = pa.table(
@@ -202,16 +217,89 @@ def test_runtime_filter_prunes_exchange_but_keeps_results(ray_session):
     keys = pa.table(
         {"k": pa.array([5, 7, 11], pa.int64()), "w": pa.array([1, 2, 3], pa.int64())}
     )
-    lazy_big = ray.data.from_arrow(big).repartition(4).map_batches(lambda b: b, batch_format="pyarrow")
+    lazy_big = _lazy_parquet(tmp_path, big, "big.parquet")
+    assert lazy_big.schema(fetch_if_missing=False) is not None
+    assert not isinstance(lazy_big, ray.data.dataset.MaterializedDataset)
     mat_keys = ray.data.from_arrow(keys)
 
     # inner: right materialized -> left side pruned before the exchange
+    before = joinmod.RUNTIME_FILTER_BUILDS
     got = hash_join(lazy_big, mat_keys, on=["k"], how="inner", broadcast="none")
+    assert joinmod.RUNTIME_FILTER_BUILDS == before + 1  # filter installed
     ref = hash_join(lazy_big, mat_keys, on=["k"], how="inner", broadcast="none", runtime_filter=False)
     assert _jdict(got, ["k", "v", "w"]) == _jdict(ref, ["k", "v", "w"])
 
     # left: left materialized -> RIGHT side pruned; every left row survives
+    before = joinmod.RUNTIME_FILTER_BUILDS
     got2 = hash_join(mat_keys, lazy_big, on=["k"], how="left", broadcast="none")
+    assert joinmod.RUNTIME_FILTER_BUILDS == before + 1
     ref2 = hash_join(mat_keys, lazy_big, on=["k"], how="left", broadcast="none", runtime_filter=False)
     assert _jdict(got2, ["k", "w", "v"]) == _jdict(ref2, ["k", "w", "v"])
     assert {r["k"] for r in got2.take_all()} == {5, 7, 11}
+
+
+def test_runtime_filter_null_keys_and_type_mismatch(ray_session, tmp_path):
+    """The Bloom filter must neither crash on null join keys nor prune
+    joinable rows whose raw string renderings differ across types (float
+    probe vs int build: '5.0' vs '5') — keys are cast to the normalized
+    keytypes before hashing, and null-key rows bypass the filter."""
+    import ontoea_ray.functions.join as joinmod
+    from ontoea_ray.functions.join import hash_join
+
+    probe = pa.table(
+        {
+            "k": pa.array([5.0, 7.0, None, 42.0], pa.float64()),
+            "v": pa.array([1, 2, 3, 4], pa.int64()),
+        }
+    )
+    build = pa.table(
+        {"k": pa.array([5.0, 7.0], pa.float64()), "w": pa.array([50, 70], pa.int64())}
+    )
+    lazy_probe = _lazy_parquet(tmp_path, probe, "probe.parquet")
+    mat_build = ray.data.from_arrow(build)
+
+    before = joinmod.RUNTIME_FILTER_BUILDS
+    got = hash_join(lazy_probe, mat_build, on=["k"], how="inner", broadcast="none")
+    assert joinmod.RUNTIME_FILTER_BUILDS == before + 1
+    ref = hash_join(lazy_probe, mat_build, on=["k"], how="inner", broadcast="none", runtime_filter=False)
+    assert _jdict(got, ["k", "v", "w"]) == _jdict(ref, ["k", "v", "w"])
+    assert {r["k"] for r in got.take_all()} == {5.0, 7.0}
+
+    # int build side against float probe keys: tag() casts build keys to the
+    # probe's float64, so the filter must hash the CAST value, not '5' vs '5.0'
+    build_int = ray.data.from_arrow(
+        pa.table({"k": pa.array([5, 7], pa.int64()), "w": pa.array([50, 70], pa.int64())})
+    )
+    before = joinmod.RUNTIME_FILTER_BUILDS
+    got2 = hash_join(lazy_probe, build_int, on=["k"], how="inner", broadcast="none")
+    assert joinmod.RUNTIME_FILTER_BUILDS == before + 1
+    assert sorted(r["k"] for r in got2.take_all()) == [5.0, 7.0]
+
+
+def test_broadcast_join_empty_small_side(ray_session, tmp_path):
+    """A legitimately-empty materialized small side (e.g. after a selective
+    filter) must not crash the broadcast plan: inner returns empty, left
+    keeps every stream row with typed nulls."""
+    import numpy as np
+
+    from ontoea_ray.functions.join import hash_join
+
+    big = pa.table(
+        {
+            "k": pa.array(np.arange(20, dtype=np.int64)),
+            "v": pa.array(np.arange(20, dtype=np.int64)),
+        }
+    )
+    stream = _lazy_parquet(tmp_path, big, "stream.parquet")
+    empty = ray.data.from_arrow(
+        pa.table({"k": pa.array([], pa.int64()), "w": pa.array([], pa.int64())})
+    )
+
+    inner = hash_join(stream, empty, on=["k"], how="inner", broadcast="right")
+    assert inner.count() == 0
+
+    left = hash_join(stream, empty, on=["k"], how="left", broadcast="right")
+    rows = left.take_all()
+    assert len(rows) == 20
+    assert all(r["w"] is None for r in rows)
+    assert sorted(r["k"] for r in rows) == list(range(20))

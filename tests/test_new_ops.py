@@ -145,6 +145,38 @@ def test_edit1_pairs_synthetic_including_nonascii_and_lengths():
     assert got == expect
 
 
+def test_edit1_pairs_mixed_utf8_byte_lengths():
+    """Regression: groups with equal CHAR length but mixed UTF-8 BYTE
+    lengths (e.g. {'ba', '日a'} — 2 vs 4 bytes, total divisible by group
+    size) must not take the misaligned byte-matrix path; and equal-byte
+    multi-byte substitutions ('日a' vs 'あa' — edit distance 1 but 3 byte
+    diffs) must still be found."""
+    import itertools
+
+    import ray.data as rd
+
+    from ontoea_ray.stages.fuzzy import edit1_pairs
+
+    names = ["ba", "日a", "あa", "日b", "za", "日", "あ"]
+    ds = rd.from_items([{"c_name": n} for n in names])
+    got = set(
+        map(tuple, pa.Table.from_pylist(edit1_pairs(ds, "c_name").take_all()).to_pandas().values)
+    )
+
+    def lev(a, b):
+        m = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev = m[:]
+            m[0] = i
+            for j, cb in enumerate(b, 1):
+                m[j] = min(prev[j] + 1, m[j - 1] + 1, prev[j - 1] + (ca != cb))
+        return m[-1]
+
+    uniq = sorted(set(names))
+    expect = {(a, b) for a, b in itertools.combinations(uniq, 2) if lev(a, b) == 1}
+    assert got == expect
+
+
 def test_weighted_sample_prefers_heavy_rows(sf_dir):
     """Weight = n_chars: the weighted sample's mean doc length must exceed
     the unweighted bottom-k sample's (statistical sanity, deterministic
