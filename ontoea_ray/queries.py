@@ -48,6 +48,10 @@ ORACLE_SQL: dict = {}
 
 def _register(name: str, sql: str | None = None):
     def deco(fn):
+        # dict registration is silent on duplicates — a second @_register
+        # with the same name would SHADOW the first query and its oracle
+        # without any test failing (it happened: q_hash_split)
+        assert name not in QUERIES, f"duplicate query registration: {name}"
         QUERIES[name] = fn
         if sql is not None:
             ORACLE_SQL[name] = sql
@@ -1141,7 +1145,7 @@ def q_sample_hash(sf_dir: str):
 
 
 @_register(
-    "q_hash_split",
+    "q_split_labels",
     f"""
     WITH {splitmix64_ctes("documents", "doc_id")}
     SELECT doc_id,
@@ -1151,9 +1155,11 @@ def q_sample_hash(sf_dir: str):
     FROM sm3
     """,
 )
-def q_hash_split(sf_dir: str):
-    """Deterministic 80/10/10 train/valid/test labels by hash range — no
-    shuffle, no coordination, per-row reproducible."""
+def q_split_labels(sf_dir: str):
+    """Deterministic 80/10/10 train/valid/test labels by splitmix64 hash
+    range — no shuffle, no coordination, per-row reproducible.  (Renamed
+    from q_hash_split: a later LCG audit-aggregate query reused that name
+    and dict registration silently shadowed this one.)"""
     from ontoea_ray.stages.sampling import hash_split
 
     ds = _read(sf_dir, "documents", ["doc_id"])
