@@ -2393,25 +2393,67 @@ _RANK_SCORE_SQL = """
 """
 
 
+def _tokens_exploded(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Corpus explode to (doc_id, token) rows — streams, never materialized
+    by this function; the input of the over-budget vocabulary join paths."""
+    from ontoea_ray.functions.text import tokenize
+
+    def explode(b: pa.Table) -> pa.Table:
+        toks = tokenize(b["text"])
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_ids = np.repeat(
+            np.asarray(b["doc_id"].combine_chunks(), np.int64), np.diff(offs)
+        )
+        return pa.table({"doc_id": pa.array(doc_ids), "token": toks.flatten()})
+
+    return docs.map_batches(explode, batch_format="pyarrow")
+
+
 @_register("q_rank_score", _RANK_SCORE_SQL)
 def q_rank_score(sf_dir: str):
     """Rank-based LM quality proxy: each token scored by its global
     frequency rank (common token = low rank), per-doc mean in integer
     milli-units — an order-independent, exactly-replayable stand-in for
     unigram-LM perplexity scoring.  The corpus rank table is the engine's
-    distributed sort_elements order (q_term_freq), broadcast once; the
-    corpus pass is shuffle-free index_in + take."""
+    distributed sort_elements order (q_term_freq), assembled INSIDE a Ray
+    task (the driver never holds the vocabulary) and broadcast once; the
+    corpus pass is shuffle-free index_in + gather.  Above the broadcast
+    byte budget (`ONTOEA_BROADCAST_BUDGET_BYTES`) the same score runs as a
+    token-exploded hash join + per-doc keyed aggregate instead."""
+    from ontoea_ray.functions.broadcast import assemble_table_ref
     from ontoea_ray.state.ids import rank_by_frequency, token_frequencies
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    ranks = rank_by_frequency(token_frequencies(docs), key="token").take_all()
-    lookup = pa.array([r["token"] for r in ranks], pa.string())
-    rank_arr = np.array([r["rank"] for r in ranks], np.int64)
-    lk_ref = ray.put((lookup, rank_arr))
+    ranked = rank_by_frequency(token_frequencies(docs), key="token")
+    ranked, lk_ref = assemble_table_ref(ranked, columns=["token", "rank"])
+
+    if lk_ref is None:  # web-scale vocabulary: distributed join plan
+        from ontoea_ray.functions.join import hash_join
+        from ontoea_ray.functions.shuffle import keyed_aggregate
+
+        vocab = ranked.select_columns(["token", "rank"])
+        j = hash_join(_tokens_exploded(docs), vocab, on=["token"])
+        agg = keyed_aggregate(j, ["doc_id"], sums=["rank"], count_alias="n_tokens")
+
+        def final(b: pa.Table) -> pa.Table:
+            s = np.asarray(b["rank"].combine_chunks(), np.int64)
+            n = np.asarray(b["n_tokens"].combine_chunks(), np.int64)
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"].combine_chunks().cast(pa.int64()),
+                    "sum_rank": pa.array(s),
+                    "n_tokens": pa.array(n),
+                    "mean_rank_milli": pa.array((1000 * s) // n),
+                }
+            )
+
+        return agg.map_batches(final, batch_format="pyarrow")
 
     class Score:
         def __init__(self):
-            self.lookup, self.ranks = ray.get(lk_ref)
+            t = ray.get(lk_ref)  # zero-copy arrow from the object store
+            self.lookup = t.column("token").combine_chunks()
+            self.ranks = t.column("rank").combine_chunks().to_numpy(zero_copy_only=False)
 
         def __call__(self, b: pa.Table) -> pa.Table:
             from ontoea_ray.functions.text import tokenize
@@ -5049,19 +5091,43 @@ def q_doc_popularity(sf_dir: str):
     same shape runs as a token-exploded hash join), then a second corpus
     pass scores each doc with a vectorized sorted-vocab searchsorted
     lookup + segment sum — no per-row Python, two corpus scans total."""
+    from ontoea_ray.functions.broadcast import assemble_table_ref
     from ontoea_ray.functions.text import tokenize
     from ontoea_ray.state.ids import token_frequencies
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    tf = token_frequencies(ds).take_all()
-    vocab = np.array([r["token"] for r in tf])
-    order = np.argsort(vocab)
-    vocab, freqs = vocab[order], np.array([r["freq"] for r in tf], np.int64)[order]
-    shared = ray.put((vocab, freqs))
+    tf = token_frequencies(ds)
+    tf, tf_ref = assemble_table_ref(tf, columns=["token", "freq"])
+
+    if tf_ref is None:  # web-scale vocabulary: token-exploded join plan
+        from ontoea_ray.functions.join import hash_join
+        from ontoea_ray.functions.shuffle import keyed_aggregate
+
+        j = hash_join(_tokens_exploded(ds), tf, on=["token"])
+        agg = keyed_aggregate(j, ["doc_id"], sums=["freq"], count_alias="n_tokens")
+
+        def final(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"].combine_chunks().cast(pa.int64()),
+                    "popularity_sum": b["freq"].combine_chunks().cast(pa.int64()),
+                    "n_tokens": b["n_tokens"].combine_chunks().cast(pa.int64()),
+                }
+            )
+
+        return agg.map_batches(final, batch_format="pyarrow")
 
     class _Score:
         def __init__(self):
-            self.vocab, self.freqs = ray.get(shared)
+            # frequency table assembled in a task; the sort for searchsorted
+            # is per-actor (vocab-sized, once per actor lifetime)
+            t = ray.get(tf_ref)
+            vocab = np.asarray(t.column("token").to_pandas(), dtype=object)
+            order = np.argsort(vocab)
+            self.vocab = vocab[order]
+            self.freqs = t.column("freq").combine_chunks().to_numpy(
+                zero_copy_only=False
+            )[order]
 
         def __call__(self, b: pa.Table) -> pa.Table:
             toks = tokenize(b["text"])
@@ -5702,16 +5768,16 @@ _BFS_DEPTH_SQL = f"""
 @_register("q_bfs_depth", _BFS_DEPTH_SQL)
 def q_bfs_depth(sf_dir: str):
     """Depth-bounded BFS hop distance from a deterministic seed set (graph
-    reachability / influence-radius primitive): each round is one
-    streaming corpus pass — the frontier ships ONCE per round as a
-    broadcast Arrow value-set (`pc.is_in`), matching edges' objects reduce
-    to the next distinct frontier via the keyed combiner.  Rounds =
-    max-depth (3), frontiers are reachable-set-bounded; above the
-    broadcast budget the same loop runs on the Bloom semi-join
-    (`stages/bloom.py`) instead of `is_in` — the round structure is
-    unchanged."""
+    reachability / influence-radius primitive), fully distributed
+    (`stages/graph.bfs_depths`): every level is a Dataset — the driver
+    never holds a frontier or a seen set.  Per round, the frontier ships
+    as an is_in value-set assembled inside a Ray task when it fits the
+    broadcast byte budget; above the budget the edges are Bloom-pre-pruned
+    then exactly verified by a keyed semi-join.  Depth = keyed min over
+    depth-tagged levels (the SQL oracle's first-level-that-reaches
+    semantics)."""
     from ontoea_ray.functions.shuffle import keyed_aggregate
-    from ontoea_ray.pipelines.kg_construct import kg_construct_pipeline
+    from ontoea_ray.stages.graph import bfs_depths
 
     kg = _kg_cached(sf_dir)
     edges = keyed_aggregate(
@@ -5728,34 +5794,7 @@ def q_bfs_depth(sf_dir: str):
     seed_rows = edges.map_batches(bottom3, batch_format="pyarrow").take_all()
     seeds = sorted({r["node"] for r in seed_rows})[:3]
 
-    levels = [set(seeds)]
-    seen = set(seeds)
-    for _ in range(3):
-        frontier = pa.array(sorted(levels[-1]), pa.string())
-
-        def expand(b: pa.Table, fr=frontier) -> pa.Table:
-            sel = b.filter(pc.is_in(b["subj"], value_set=fr))
-            # block-local distinct: the driver unions frontier-sized
-            # partials (no exchange per round — the frontier comes back to
-            # the driver anyway to become the next broadcast)
-            return pa.table({"node": pc.unique(sel["obj"].combine_chunks())})
-
-        nxt_rows = edges.map_batches(expand, batch_format="pyarrow").take_all()
-        nxt = {r["node"] for r in nxt_rows}
-        levels.append(nxt)
-        seen |= nxt
-
-    nodes, depths = [], []
-    assigned: dict = {}
-    for d, lv in enumerate(levels):
-        for n in lv:
-            if n not in assigned:
-                assigned[n] = d
-    for n, d in assigned.items():
-        nodes.append(n); depths.append(d)
-    return pa.table(
-        {"node": pa.array(nodes, pa.string()), "depth": pa.array(np.array(depths, np.int64))}
-    )
+    return bfs_depths(edges, seeds, max_depth=3)
 
 
 _TEXT_NORMALIZE_SQL = """

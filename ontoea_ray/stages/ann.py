@@ -195,20 +195,48 @@ def cosine_neardup_pairs(
 
     ``n_planes=0`` (exact): every block joins against the full broadcast
     matrix — one matmul per block, correct for tables whose (id, vec)
-    matrix fits the object store (it is shipped ONCE via ray.put and read
-    zero-copy per task).  ``n_planes>0`` (scale path): candidate pairs are
-    restricted to rows whose hyperplane buckets are within
-    ``hamming_radius`` (explode to (bucket, id, vec) -> pkey-co-located
-    pairwise cosine per bucket) — the 100 TB shape, approximate recall per
-    the hyperplane S-curve; precision stays exact (every emitted pair is
-    cosine-verified).
+    matrix fits the broadcast byte budget; the matrix is assembled INSIDE
+    a Ray task from the dataset's blocks (the driver never holds a
+    vector) and read zero-copy per task.  Above the budget the call
+    AUTO-FLIPS to the LSH-bucketed plan (16 planes) — an exact broadcast
+    would not fit any single node at that size.  ``n_planes>0`` (scale
+    path): candidate pairs are restricted to rows whose hyperplane buckets
+    are within ``hamming_radius`` (explode to (bucket, id, vec) ->
+    pkey-co-located pairwise cosine per bucket) — the 100 TB shape,
+    approximate recall per the hyperplane S-curve; precision stays exact
+    (every emitted pair is cosine-verified).
     """
     if n_planes <= 0:
-        mat = pa.Table.from_pylist(embeddings.select_columns([id_col, vec_col]).take_all())
-        ids_all = np.asarray(mat[id_col].to_pylist(), np.int64)
-        vecs_all = _batch_vectors(mat, vec_col)
-        norm_all = vecs_all / np.maximum(np.linalg.norm(vecs_all, axis=1, keepdims=True), 1e-30)
-        ref = ray.put((ids_all, norm_all))
+        from ontoea_ray.functions.broadcast import assemble_table_ref
+
+        embeddings, tbl_ref = assemble_table_ref(
+            embeddings, columns=[id_col, vec_col]
+        )
+        if tbl_ref is None:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "cosine_neardup_pairs: embedding table exceeds the broadcast "
+                "budget; flipping from the exact all-pairs plan to the "
+                "LSH-bucketed plan (n_planes=16) — recall follows the "
+                "hyperplane S-curve, precision stays exact"
+            )
+            return cosine_neardup_pairs(
+                embeddings, threshold=threshold, id_col=id_col, vec_col=vec_col,
+                n_planes=16, seed=seed, hamming_radius=hamming_radius,
+            )
+
+        @ray.remote
+        def _norm_matrix(tref) -> tuple:
+            mat = tref if isinstance(tref, pa.Table) else ray.get(tref)
+            ids_all = np.asarray(mat[id_col].to_pylist(), np.int64)
+            vecs_all = _batch_vectors(mat, vec_col)
+            norm_all = vecs_all / np.maximum(
+                np.linalg.norm(vecs_all, axis=1, keepdims=True), 1e-30
+            )
+            return ids_all, norm_all
+
+        ref = _norm_matrix.remote(tbl_ref)
 
         def partial(batch: pa.Table) -> pa.Table:
             ids_r, norm_r = ray.get(ref)

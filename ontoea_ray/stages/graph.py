@@ -645,3 +645,97 @@ def connected_components_auto(
     return ray.data.from_arrow(
         pa.table({"node": pa.array(nodes), "component": pa.array(roots)})
     )
+
+
+def _frontier_successors(
+    edges: ray.data.Dataset,
+    frontier: ray.data.Dataset,
+    *,
+    subj_col: str = "subj",
+    obj_col: str = "obj",
+) -> ray.data.Dataset:
+    """DISTINCT successor nodes of ``frontier`` (column ``node``) over
+    ``edges`` — the per-round BFS step, exact under both plans.
+
+    Under the broadcast byte budget the frontier ships as an ``is_in``
+    value set assembled INSIDE a Ray task (the driver never holds a node).
+    Above it, the edges are pre-pruned with a Bloom of the frontier
+    (shuffle-free, superset) and the survivors pass an exact keyed
+    semi-join (`hash_join`) that kills the Bloom false positives — the
+    round stays exact at any frontier size."""
+    from ontoea_ray.functions.broadcast import assemble_value_set_ref
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+
+    frontier, vs_ref = assemble_value_set_ref(frontier, "node")
+    if vs_ref is not None:
+
+        def sel(b: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            keep = pc.is_in(
+                b[subj_col].combine_chunks(), value_set=_ray.get(vs_ref)
+            )
+            return pa.table({"node": b.filter(keep)[obj_col].combine_chunks()})
+
+        matched = edges.map_batches(sel, batch_format="pyarrow")
+    else:
+        from ontoea_ray.stages.bloom import bloom_semi_join
+
+        pruned = bloom_semi_join(
+            edges, frontier, probe_key=subj_col, build_key="node", m_bits=1 << 20
+        )
+        j = hash_join(pruned, frontier, on=[subj_col], right_on=["node"], how="inner")
+        matched = j.map_batches(
+            lambda b: pa.table({"node": b[obj_col].combine_chunks()}),
+            batch_format="pyarrow",
+        )
+    return keyed_aggregate(matched, ["node"], count_alias="_c").drop_columns(["_c"])
+
+
+def bfs_depths(
+    edges: ray.data.Dataset,
+    seeds: list,
+    *,
+    max_depth: int,
+    subj_col: str = "subj",
+    obj_col: str = "obj",
+) -> ray.data.Dataset:
+    """Hop distance (min depth <= max_depth) from ``seeds`` over directed
+    ``edges``, fully distributed: each level is a Dataset (never a driver
+    set), each round is one :func:`_frontier_successors` pass, and the
+    final depth is a keyed min-aggregate over the depth-tagged levels —
+    the exact semantics of the SQL level-CTE oracle (a node's depth is the
+    FIRST level that reaches it).  Driver state: O(1) per round (each
+    level is materialized so lineage stays flat, its rows stay in the
+    object store)."""
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+
+    level = ray.data.from_arrow(
+        pa.table({"node": pa.array(sorted(set(seeds)), pa.string())})
+    ).materialize()
+    tagged = []
+
+    def tag_depth(d: int):
+        def fn(b: pa.Table) -> pa.Table:
+            import numpy as np
+
+            return pa.table(
+                {
+                    "node": b["node"].combine_chunks(),
+                    "depth": pa.array(np.full(len(b), d, np.int64)),
+                }
+            )
+
+        return fn
+
+    tagged.append(level.map_batches(tag_depth(0), batch_format="pyarrow"))
+    for d in range(1, max_depth + 1):
+        level = _frontier_successors(
+            edges, level, subj_col=subj_col, obj_col=obj_col
+        ).materialize()
+        tagged.append(level.map_batches(tag_depth(d), batch_format="pyarrow"))
+
+    allv = tagged[0]
+    for t in tagged[1:]:
+        allv = allv.union(t)
+    return keyed_aggregate(allv, ["node"], mins=["depth"])
