@@ -390,3 +390,98 @@ SELECT c.doc_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
 FROM corp c JOIN bench b USING (h)
 GROUP BY 1
 """
+
+
+def ann_ivf_topk_sql(
+    *,
+    k: int = 10,
+    n_centroids: int = 16,
+    dim: int = 64,
+    iters: int = 4,
+    scale: int = 1000,
+    nprobe: int = 4,
+    sample_size: int = 20_000,
+    query_vec_id: int = 0,
+    source: str = "embeddings",
+) -> str:
+    """Oracle for ``stages.ann.build_ivf_index(quantizer="integer")`` +
+    ``ivf_index_topk`` (as driven by q_ann_ivf): replays the ENTIRE trained
+    quantizer in SQL, not just its application — every training step is
+    integer-exact and order-independent, so the centroids come out
+    bit-identical to the engine's:
+
+    - quantize each vector: floor(float64(v[d]) * scale) per dim (BIGINT)
+    - training sample = first ``sample_size`` rows by (splitmix64(vec_id),
+      vec_id) order; initial centroids = the first ``n_centroids`` of those
+    - ``iters`` unrolled Lloyd rounds: assign by integer squared-Euclidean
+      argmin (ties -> lowest centroid id), update by per-dim
+      floor(sum/count) (FLOOR over DOUBLE division — exact for these
+      magnitudes, and matches numpy floor_divide where `//` in DuckDB
+      truncates); an empty cluster keeps its previous centroid
+    - final lists = all rows assigned to the trained centroids; the query
+      probes its ``nprobe`` integer-closest lists
+
+    Only the LAST step (cosine top-k over the probed candidates) is float —
+    the same DuckDB-vs-numpy float64 dot-product caveat as
+    :func:`ann_lsh_topk_sql`, validated empirically per sf."""
+    rng = f"range(1, {dim + 1})"
+
+    def sqdist(qv: str, cv: str) -> str:
+        return f"list_sum([({qv}[i] - {cv}[i]) * ({qv}[i] - {cv}[i]) FOR i IN {rng}])"
+
+    parts = [f"WITH {splitmix64_ctes(source, 'vec_id')},"]
+    parts.append(f"""
+  hord AS (SELECT vec_id, embedding,
+                  ROW_NUMBER() OVER (ORDER BY _h ASC, vec_id ASC) AS hrank
+           FROM sm3),
+  qall AS (SELECT vec_id, hrank,
+                  [CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {scale}) AS BIGINT)
+                   FOR i IN {rng}] AS qv
+           FROM hord),
+  train AS (SELECT * FROM qall WHERE hrank <= {sample_size}),
+  cent0 AS (SELECT hrank - 1 AS cid, qv AS cv FROM train WHERE hrank <= {n_centroids}),""")
+    for t in range(iters):
+        parts.append(f"""
+  best{t} AS (
+    SELECT vec_id, cid, qv FROM (
+      SELECT train.vec_id, c.cid, train.qv,
+             ROW_NUMBER() OVER (PARTITION BY train.vec_id
+                                ORDER BY {sqdist('train.qv', 'c.cv')} ASC, c.cid ASC) AS rn
+      FROM train CROSS JOIN cent{t} c)
+    WHERE rn = 1),
+  upd{t} AS (
+    SELECT cid, u.i AS d,
+           CAST(FLOOR(CAST(SUM(qv[u.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cval
+    FROM best{t}, UNNEST({rng}) AS u(i)
+    GROUP BY cid, u.i),
+  cent{t + 1} AS (
+    SELECT c.cid, COALESCE(n.cv, c.cv) AS cv
+    FROM cent{t} c
+    LEFT JOIN (SELECT cid, list(cval ORDER BY d) AS cv FROM upd{t} GROUP BY cid) n
+      USING (cid)),""")
+    parts.append(f"""
+  finalasg AS (
+    SELECT vec_id, cid FROM (
+      SELECT qall.vec_id, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY qall.vec_id
+                                ORDER BY {sqdist('qall.qv', 'c.cv')} ASC, c.cid ASC) AS rn
+      FROM qall CROSS JOIN cent{iters} c)
+    WHERE rn = 1),
+  qvec AS (SELECT qv FROM qall WHERE vec_id = {query_vec_id}),
+  probes AS (
+    SELECT cid FROM (
+      SELECT c.cid,
+             ROW_NUMBER() OVER (ORDER BY {sqdist('qvec.qv', 'c.cv')} ASC, c.cid ASC) AS rn
+      FROM cent{iters} c CROSS JOIN qvec)
+    WHERE rn <= {nprobe}),
+  cand AS (SELECT f.vec_id FROM finalasg f JOIN probes USING (cid))
+SELECT vec_id, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT e.vec_id,
+         ROW_NUMBER() OVER (
+           ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                    (SELECT CAST(embedding AS DOUBLE[]) FROM {source}
+                     WHERE vec_id = {query_vec_id})) DESC,
+                    e.vec_id ASC) AS rnk
+  FROM {source} e JOIN cand ON cand.vec_id = e.vec_id
+) WHERE rnk <= {k}""")
+    return "\n".join(parts)

@@ -1305,11 +1305,24 @@ def q_ann_lsh(sf_dir: str):
     return out.select(["vec_id", "rnk"])
 
 
-@_register("q_ann_ivf")  # approximate — verified in pytest against brute force
+from ontoea_ray.functions.lsh_sql import ann_ivf_topk_sql
+
+
+@_register(
+    "q_ann_ivf",
+    ann_ivf_topk_sql(k=10, n_centroids=16, dim=64, iters=4, scale=1000, nprobe=4),
+)
 def q_ann_ivf(sf_dir: str):
-    """IVF-indexed ANN: spherical-k-means coarse quantizer (bounded-sample
-    training), table written partitioned by nearest-centroid list (once per
-    sf_dir, cached under /tmp), queries read only their nprobe lists."""
+    """IVF-indexed ANN: integer-k-means coarse quantizer (bounded
+    hash-ordered sample, SQL-replayable training — see
+    `stages.ann.train_centroids_integer`), table written partitioned by
+    nearest-centroid list (once per sf_dir, cached under /tmp), queries
+    read only their nprobe lists.
+
+    Full value oracle: DuckDB RE-TRAINS the quantizer (every training step
+    is integer-exact and order-independent) and replays list assignment,
+    probe selection and the cosine top-k — approximation is vs brute force
+    (recall pinned in pytest), not nondeterminism."""
     import hashlib
     import os
 
@@ -1317,13 +1330,13 @@ def q_ann_ivf(sf_dir: str):
 
     src = f"{sf_dir}/embeddings.parquet"
     tag = hashlib.blake2b(
-        f"ivf:{os.path.abspath(src)}:{os.path.getmtime(src)}".encode(), digest_size=8
+        f"ivf-int:{os.path.abspath(src)}:{os.path.getmtime(src)}".encode(), digest_size=8
     ).hexdigest()
     index_dir = f"/tmp/ontoea_ann_index/{tag}"
     if not os.path.exists(os.path.join(index_dir, "_meta.json")):
         build_ivf_index(
             _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
-            index_dir, n_centroids=16, seed=7,
+            index_dir, n_centroids=16, iters=4, quantizer="integer", scale=1000,
         )
     tbl = pq.read_table(src, columns=["vec_id", "embedding"])
     q = np.asarray(tbl.filter(pc.equal(tbl["vec_id"], 0))["embedding"].to_pylist()[0], np.float64)

@@ -468,6 +468,72 @@ def train_centroids(
     return cent
 
 
+def _quantize_int(vecs: np.ndarray, scale: int) -> np.ndarray:
+    """floor(float64(v) * scale) per element — the integer lattice both the
+    engine and the DuckDB oracle quantize onto (float32 -> float64 is
+    exact; the product and floor are IEEE-identical on both sides)."""
+    return np.floor(vecs.astype(np.float64) * scale).astype(np.int64)
+
+
+def train_centroids_integer(
+    embeddings: ray.data.Dataset,
+    *,
+    n_centroids: int = 16,
+    iters: int = 4,
+    scale: int = 1000,
+    sample_size: int = 20_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """SQL-replayable integer k-means coarse quantizer — every step is
+    integer-exact and order-independent, so DuckDB re-trains bit-identical
+    centroids (`functions.lsh_sql.ann_ivf_topk_sql`); the float spherical
+    trainer (:func:`train_centroids`) remains for recall-tuned paths.
+
+    Steps (mirrored in the oracle SQL):
+    - training sample = first ``sample_size`` rows by (splitmix64(id), id)
+      order (per-block partial top-N, merged INSIDE a Ray task — the
+      driver holds only the final sample);
+    - init = the first ``n_centroids`` sample rows;
+    - assign by integer squared-Euclidean argmin (ties -> lowest centroid
+      index), update per-dim floor(sum/count); an empty cluster keeps its
+      previous centroid.
+
+    Returns int64 [n_centroids, dim]."""
+    from ontoea_ray.stages.sampling import splitmix64
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b[id_col].combine_chunks(), np.int64)
+        h = splitmix64(ids)
+        order = np.lexsort((ids, h))[:sample_size]
+        t = b.select([id_col, vec_col]).take(pa.array(order))
+        return t.append_column("_h", pa.array(h[order], pa.uint64()))
+
+    partials = embeddings.map_batches(partial, batch_format="pyarrow")
+
+    @ray.remote
+    def _merge_sample(*tbls: pa.Table) -> pa.Table:
+        t = pa.concat_tables([x for x in tbls if x.num_columns > 0])
+        ids = np.asarray(t[id_col].combine_chunks(), np.int64)
+        h = t["_h"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h))[:sample_size]
+        return t.take(pa.array(order)).drop_columns(["_h"])
+
+    sample = ray.get(_merge_sample.remote(*partials.materialize().to_arrow_refs()))
+    qv = _quantize_int(_batch_vectors(sample, vec_col), scale)
+    kc = min(n_centroids, len(qv))
+    cent = qv[:kc].copy()
+    for _ in range(iters):
+        # per-centroid distance columns keep memory O(n*k), ints exact
+        dist = np.stack([((qv - c) ** 2).sum(axis=1) for c in cent], axis=1)
+        assign = np.argmin(dist, axis=1)  # first min -> lowest centroid id
+        for c in range(kc):
+            m = assign == c
+            if m.any():
+                cent[c] = np.floor_divide(qv[m].sum(axis=0), m.sum())
+    return cent
+
+
 def build_ivf_index(
     embeddings: ray.data.Dataset,
     index_dir: str,
@@ -478,23 +544,43 @@ def build_ivf_index(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantizer: str = "float",
+    scale: int = 1000,
 ) -> dict:
     """One-time pass: assign every row to its nearest centroid (broadcast
     centroid matrix, one matmul per batch) and write Parquet partitioned by
     ``list_id``.  Queries then read only their ``nprobe`` closest lists —
     partition pruning at the READ, like :func:`build_lsh_index`, but with
-    data-adaptive balanced partitions."""
-    cent = train_centroids(
-        embeddings, n_centroids=n_centroids, sample_size=sample_size,
-        iters=iters, seed=seed, vec_col=vec_col,
-    )
+    data-adaptive balanced partitions.
+
+    ``quantizer="float"`` (default): spherical k-means, cosine assignment.
+    ``quantizer="integer"``: the SQL-replayable integer k-means
+    (:func:`train_centroids_integer`) with squared-Euclidean assignment on
+    the ``scale``-quantized lattice — bit-exact against the DuckDB oracle
+    end to end (only the final cosine ranking is float)."""
+    assert quantizer in ("float", "integer")
+    if quantizer == "integer":
+        cent = train_centroids_integer(
+            embeddings, n_centroids=n_centroids, sample_size=sample_size,
+            iters=iters, scale=scale, id_col=id_col, vec_col=vec_col,
+        )
+    else:
+        cent = train_centroids(
+            embeddings, n_centroids=n_centroids, sample_size=sample_size,
+            iters=iters, seed=seed, vec_col=vec_col,
+        )
     cent_ref = ray.put(cent)
 
     def add_list(batch: pa.Table) -> pa.Table:
         c = ray.get(cent_ref)
         v = _batch_vectors(batch, vec_col)
-        vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-30)
-        lists = np.argmax(vn @ c.T, axis=1).astype(np.int64)
+        if quantizer == "integer":
+            q = _quantize_int(v, scale)
+            dist = np.stack([((q - cc) ** 2).sum(axis=1) for cc in c], axis=1)
+            lists = np.argmin(dist, axis=1).astype(np.int64)
+        else:
+            vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-30)
+            lists = np.argmax(vn @ c.T, axis=1).astype(np.int64)
         batch = batch.replace_schema_metadata(None)
         return batch.append_column("list_id", pa.array(lists, pa.int64()))
 
@@ -506,6 +592,7 @@ def build_ivf_index(
     meta = {
         "kind": "ivf", "n_centroids": int(cent.shape[0]), "dim": int(cent.shape[1]),
         "seed": seed, "id_col": id_col, "vec_col": vec_col,
+        "quantizer": quantizer, "scale": scale,
     }
     with open(os.path.join(index_dir, "_meta.json"), "w") as f:
         json.dump(meta, f)
@@ -528,9 +615,19 @@ def ivf_index_topk(
     cent = np.load(os.path.join(index_dir, "_centroids.npy"))
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     queries = np.atleast_2d(np.asarray(query_vectors, np.float64))
-    qn = queries / np.maximum(np.linalg.norm(queries, axis=1, keepdims=True), 1e-30)
     npr = min(nprobe, cent.shape[0])
-    probe_lists = np.argpartition(-(qn @ cent.T), npr - 1, axis=1)[:, :npr]
+    if meta.get("quantizer") == "integer":
+        # integer-exact probe order (dist ASC, cid ASC) — matches the SQL
+        # oracle's deterministic tie-break
+        q = _quantize_int(queries, meta["scale"])
+        dist = np.stack([((q - cc) ** 2).sum(axis=1) for cc in cent], axis=1)
+        cids = np.arange(cent.shape[0])
+        probe_lists = np.stack(
+            [np.lexsort((cids, d))[:npr] for d in dist], axis=0
+        )
+    else:
+        qn = queries / np.maximum(np.linalg.norm(queries, axis=1, keepdims=True), 1e-30)
+        probe_lists = np.argpartition(-(qn @ cent.T), npr - 1, axis=1)[:, :npr]
     wanted = sorted({int(x) for x in probe_lists.ravel()})
     paths = [
         os.path.join(index_dir, f"list_id={s}", f)

@@ -192,6 +192,38 @@ def test_ivf_index_recall_and_pruning(tmp_path):
     assert again["vec_id"].to_pylist() == approx["vec_id"].to_pylist()
 
 
+def test_ivf_integer_quantizer_recall_and_pruning(tmp_path):
+    """The SQL-replayable integer-k-means IVF variant (the q_ann_ivf
+    oracle path) must keep the same recall/pruning properties as the float
+    quantizer on clustered data."""
+    from ontoea_ray.stages.ann import brute_force_topk, build_ivf_index, ivf_index_topk
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((8, 24)) * 3
+    vecs = [centers[i % 8] + 0.1 * rng.standard_normal(24) for i in range(600)]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(600), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs]),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    idx_dir = str(tmp_path / "ivfint")
+    build_ivf_index(
+        ds, idx_dir, n_centroids=16, sample_size=600, iters=4,
+        quantizer="integer", scale=1000,
+    )
+    qs = np.stack([vecs[0], vecs[3]])
+    exact = brute_force_topk(ds, qs, k=10)
+    approx, stats = ivf_index_topk(idx_dir, qs, k=10, nprobe=3, return_stats=True)
+    for qi in (0, 1):
+        e = set(exact.filter(pa.compute.equal(exact["query_id"], qi))["vec_id"].to_pylist())
+        a = set(approx.filter(pa.compute.equal(approx["query_id"], qi))["vec_id"].to_pylist())
+        assert len(a & e) / len(e) >= 0.9, (qi, a, e)
+    assert 0 < stats["scanned_rows"] < 600 * 0.6
+    assert stats["scanned_lists"] < stats["total_lists"]
+
+
 def test_replicated_pages_deterministic(sf_dir):
     from ontoea_ray.sources.pages import pages_from_documents
 
