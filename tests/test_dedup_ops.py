@@ -139,3 +139,40 @@ def test_simhash_banding_is_lossless_vs_brute_force(sf_dir):
         )
     }
     assert got == expect and len(got) > 0
+
+
+def test_fast_hash_backend_equivalent_dedup_results(corpus):
+    """The vectorized FNV/splitmix token-hash backend must reproduce the
+    md5 backend's VERIFIED outputs (values differ, the dedup semantics must
+    not): identical LSH near-dup pair sets on the fixture, and simhash of
+    identical docs identical / near-dup docs within the Manku radius."""
+    from ontoea_ray.stages.dedup import _fnv_hash_strings, _token_hashes
+
+    ds = ray.data.from_items(corpus)
+    md5_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_near_duplicates(ds, threshold=0.8).take_all()
+    }
+    fast_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_near_duplicates(ds, threshold=0.8, hash_backend="fast").take_all()
+    }
+    # verify is exact-string Jaccard in both cases; banding recall at
+    # j>=0.9 is ~1 under any uniform hash, so the verified sets coincide
+    assert md5_pairs == fast_pairs
+    assert (0, 1) in fast_pairs and (0, 2) in fast_pairs
+
+    sim = {r["doc_id"]: r["simhash"] for r in simhash64(ds, hash_backend="fast").take_all()}
+    assert sim[0] == sim[1]  # identical docs, identical fingerprint
+    assert bin(sim[0] ^ sim[2]).count("1") <= 12  # near dup stays near
+
+    # backend basics: deterministic, distinct on distinct strings, and the
+    # fast path agrees with itself across chunking layouts
+    import pyarrow as pa
+
+    toks = pa.array([f"tok{i}" for i in range(1000)] * 2)
+    h1 = _token_hashes(toks, backend="fast")
+    assert (h1[:1000] == h1[1000:]).all()
+    assert len(set(h1[:1000].tolist())) == 1000
+    direct = _fnv_hash_strings(pa.array(["a", "bb", "ccc"]))
+    assert len(set(direct.tolist())) == 3
