@@ -161,8 +161,6 @@ def construct_kg(
     # partials need 1-2 partitions, a 100 TB run gets the full cluster
     # width — either way the shuffle is proportional to the data, not a
     # fixed fraction of the CPUs.
-    from ontoea_ray.functions.shuffle import sized_width
-
     return dedup_merge(canon, width=sized_width(partials.size_bytes()))
 
 

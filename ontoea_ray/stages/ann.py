@@ -69,7 +69,7 @@ def brute_force_topk(
 
     def partial(batch: pa.Table) -> pa.Table:
         qs = ray.get(q_ref)
-        ids = np.asarray(batch[id_col].to_pylist(), np.int64)
+        ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
         cos = _cosine(_batch_vectors(batch, vec_col), qs)  # [rows, q]
         nq = qs.shape[0]
         kk = min(k, len(ids))
@@ -167,7 +167,7 @@ def lsh_bucketed_topk(
 
     def partial(batch: pa.Table) -> pa.Table:
         pl, qs, want = ray.get(state)
-        ids = np.asarray(batch[id_col].to_pylist(), np.int64)
+        ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
         vecs = _batch_vectors(batch, vec_col)
         sigs = hyperplane_signatures(vecs, pl)
         keep = np.isin(sigs, np.asarray(want, np.int64))
@@ -229,7 +229,7 @@ def cosine_neardup_pairs(
         @ray.remote
         def _norm_matrix(tref) -> tuple:
             mat = tref if isinstance(tref, pa.Table) else ray.get(tref)
-            ids_all = np.asarray(mat[id_col].to_pylist(), np.int64)
+            ids_all = mat[id_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
             vecs_all = _batch_vectors(mat, vec_col)
             norm_all = vecs_all / np.maximum(
                 np.linalg.norm(vecs_all, axis=1, keepdims=True), 1e-30
@@ -240,7 +240,7 @@ def cosine_neardup_pairs(
 
         def partial(batch: pa.Table) -> pa.Table:
             ids_r, norm_r = ray.get(ref)
-            ids = np.asarray(batch[id_col].to_pylist(), np.int64)
+            ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
             v = _batch_vectors(batch, vec_col)
             vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-30)
             cos = vn @ norm_r.T
@@ -270,7 +270,7 @@ def cosine_neardup_pairs(
         import pandas as pd
 
         pl = ray.get(pl_ref)
-        ids = np.asarray(batch[id_col].to_pylist(), np.int64)
+        ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
         vecs = _batch_vectors(batch, vec_col)
         vn = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-30)
         sigs = hyperplane_signatures(vn, pl)
@@ -418,7 +418,7 @@ def lsh_index_topk(
 
     def partial(batch: pa.Table) -> pa.Table:
         qs = ray.get(q_ref)
-        ids = np.asarray(batch[id_col].to_pylist(), np.int64)
+        ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
         return _topk_partial_table(ids, _cosine(_batch_vectors(batch, vec_col), qs), k, id_col)
 
     if return_stats:
@@ -647,8 +647,8 @@ def ivf_index_topk(
 
     def partial(batch: pa.Table) -> pa.Table:
         qs, probes = ray.get(state)
-        ids = np.asarray(batch[id_col].to_pylist(), np.int64)
-        lists = np.asarray(batch["list_id"].to_pylist(), np.int64)
+        ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        lists = batch["list_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
         cos = _cosine(_batch_vectors(batch, vec_col), qs)  # [rows, q]
         # a row only competes for queries that probe its list
         out = []

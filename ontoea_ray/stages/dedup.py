@@ -238,7 +238,19 @@ def _pairs_from_bucket_block(
         row_sz = np.bincount(gid)[gid]
         keep = row_sz >= 2
         if max_group is not None:
-            keep &= row_sz <= max_group
+            hot = row_sz > max_group
+            keep &= ~hot
+            if hot.any():
+                # no-silent-caps rule: a dropped hub bucket is a coverage
+                # decision, not an implementation detail — surface it
+                import logging
+
+                n_hot = int(np.unique(gid[hot]).size)
+                logging.getLogger(__name__).warning(
+                    "dropped %d hot bucket(s) over max_group=%d "
+                    "(largest=%d members; %d rows skipped)",
+                    n_hot, max_group, int(row_sz[hot].max()), int(hot.sum()),
+                )
         if not keep.any():
             return empty
         ids_s, gid = ids_s[keep], gid[keep]
