@@ -44,6 +44,13 @@ class EvalState:
     type_weight: float = 0.2
     enum_weight: bool = False
     top_cut: int = 0                   # if >0, also emit top-cut candidate lists
+    # per-row type FEATURES: the blockwise alternative to a precomputed
+    # dense ccm gather — each block computes its own block_rows x n2 type
+    # similarity chunk (type1[rows] @ type2.T), so no caller ever has to
+    # materialize an n1 x n2 type matrix (the trainer's eval used to build
+    # exactly that in-actor; at the 100K tier it is a 40 GB array)
+    type1: np.ndarray | None = None    # [n1, d_t] (pre-normalized)
+    type2: np.ndarray | None = None    # [n2, d_t] (pre-normalized)
 
 
 def _left_dataset(embed1: np.ndarray, block_rows: int) -> ray.data.Dataset:
@@ -77,7 +84,10 @@ def _block_scores(batch: pa.Table, st: EvalState) -> tuple[np.ndarray, np.ndarra
 
         row_nearest = topk_mean_exact(s, st.csls_k)
         s = (2 * s - row_nearest[:, None]) - st.col_nearest[None, :]
-    if st.ccm is not None:
+    if st.type1 is not None:
+        tm = st.type1[rows] @ st.type2.T  # block_rows x n2, never n1 x n2
+        s = (1 - st.type_weight) * s + st.type_weight * tm if st.enum_weight else s + st.type_weight * tm
+    elif st.ccm is not None:
         tm = st.ccm[st.class1[rows][:, None], st.class2[None, :]]
         s = (1 - st.type_weight) * s + st.type_weight * tm if st.enum_weight else s + st.type_weight * tm
     return rows, s
@@ -157,19 +167,27 @@ def greedy_alignment_eval(
     block_rows: int = 2048,
     concurrency: int | tuple[int, int] = 4,
     top_cut: int = 0,
+    type1: np.ndarray | None = None,
+    type2: np.ndarray | None = None,
 ) -> dict:
     """Distributed greedy alignment; returns metrics + per-row alignment.
 
     ``embed1[i]``'s gold counterpart is ``embed2[i]`` (OpenEA aligned-test
     convention).  Result: {"hits": {k: pct}, "mr", "mrr", "alignment":
     [(i, top1_i)], optional "prefs"}.
-    """
+
+    Type fusion: pass either a class-compatibility gather (``class1`` /
+    ``class2`` / ``ccm``) or per-row type FEATURE matrices (``type1`` /
+    ``type2``, pre-normalized) — the latter keeps the type similarity
+    blockwise too (no n1 x n2 matrix anywhere in the pipeline)."""
     embed1 = np.ascontiguousarray(embed1, np.float32)
     embed2 = np.ascontiguousarray(embed2, np.float32)
     st = EvalState(
         embed2=embed2, metric=metric, normalize=normalize, csls_k=csls_k,
         class1=class1, class2=class2, ccm=ccm,
         type_weight=type_weight, enum_weight=enum_weight, top_cut=top_cut,
+        type1=None if type1 is None else np.ascontiguousarray(type1, np.float32),
+        type2=None if type2 is None else np.ascontiguousarray(type2, np.float32),
     )
     if csls_k > 0:
         st.col_nearest = _col_nearest(embed1, st, block_rows, concurrency).astype(np.float32)

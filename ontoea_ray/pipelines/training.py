@@ -560,18 +560,21 @@ class OntoEATrainer:
         from ontoea_ray.functions.similarity import l2_normalize, sim_dense
 
         f1, f2, w1, w2 = self.eval_embeddings(pairs)
-        type_mat = sim_dense(l2_normalize(w1), l2_normalize(w2), metric="inner")
         if use_ray:
             from ontoea_ray.pipelines.alignment import greedy_alignment_eval
 
-            # class ids double as a row/col index into a per-pair type matrix:
-            # pass the dense gather via ccm=type_mat with identity indexing
+            # type FEATURES, not a precomputed dense type matrix: each eval
+            # block computes its own block x n type-sim chunk, so nothing in
+            # the distributed path is n x n (the old ccm-gather trick built
+            # the full per-pair matrix in this actor first — actor-memory-
+            # bound at the 100K tier)
             return greedy_alignment_eval(
                 l2_normalize(f1).astype(np.float32), l2_normalize(f2).astype(np.float32),
                 top_k=top_k,
-                class1=np.arange(len(pairs)), class2=np.arange(len(pairs)),
-                ccm=type_mat.astype(np.float32), type_weight=self.cfg.gamma,
+                type1=l2_normalize(w1), type2=l2_normalize(w2),
+                type_weight=self.cfg.gamma,
             )
+        type_mat = sim_dense(l2_normalize(w1), l2_normalize(w2), metric="inner")
         s = sim_dense(f1, f2, metric="inner", normalize=True) + self.cfg.gamma * type_mat
         order = np.argsort(-s, axis=1)
         ranks = np.array([np.nonzero(order[i] == i)[0][0] for i in range(len(pairs))])

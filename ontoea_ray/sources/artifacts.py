@@ -163,7 +163,7 @@ def retest(
     ``full=True`` mirrors the reference's whole retest block
     (basic_model.py:289-331): {"forward", "reversed" (embeds2 vs mapped
     embeds1), "stable" (Gale–Shapley), "stable_csls"}."""
-    from ontoea_ray.functions.similarity import l2_normalize, sim_dense
+    from ontoea_ray.functions.similarity import l2_normalize
     from ontoea_ray.pipelines.alignment import greedy_alignment_eval, stable_alignment_eval
 
     _, ent = _read_vec_table(os.path.join(out_dir, "ent_embeds.parquet"))
@@ -176,14 +176,13 @@ def retest(
         m["class_paths"].shape[0], m["class_paths"].shape[1], onto.shape[1]
     )
     pooled = (o * m["class_masks"][:, :, None]).sum(axis=1)
-    w1, w2 = pooled[cls1], pooled[cls2]
-    type_mat = sim_dense(l2_normalize(w1), l2_normalize(w2), metric="inner")
+    w1n, w2n = l2_normalize(pooled[cls1]), l2_normalize(pooled[cls2])
     f1 = l2_normalize(ent[pairs[:, 0]] @ m["mapping"]).astype(np.float32)
     f2 = l2_normalize(ent[pairs[:, 1]]).astype(np.float32)
-    idx = np.arange(len(pairs))
+    # type FEATURES (blockwise fusion) — never a dense per-pair type matrix
     forward = greedy_alignment_eval(
         f1, f2, top_k=top_k, csls_k=csls_k,
-        class1=idx, class2=idx, ccm=type_mat.astype(np.float32), type_weight=type_weight,
+        type1=w1n, type2=w2n, type_weight=type_weight,
     )
     if not full:
         return forward
@@ -191,7 +190,7 @@ def retest(
     # reference maps first, then swaps the test arguments)
     rev = greedy_alignment_eval(
         f2, f1, top_k=top_k, csls_k=csls_k,
-        class1=idx, class2=idx, ccm=type_mat.T.astype(np.float32).copy(), type_weight=type_weight,
+        type1=w2n, type2=w1n, type_weight=type_weight,
     )
     stable = stable_alignment_eval(f1, f2, csls_k=0)
     stable_csls = stable_alignment_eval(f1, f2, csls_k=stable_csls_k)

@@ -175,3 +175,62 @@ def test_multimodal_video_frame_sample_stage():
         FrameSampler(fake=False)(
             pa.table({"media_id": pa.array([1], pa.int64()), "payload": pa.array([b"x"], pa.binary())})
         )
+
+
+def test_generate_neighbours_blockwise_matches_dict_variant():
+    """The artifact-sharded kNN refresh (Dataset in, Dataset out, broadcast
+    matrix assembled in a task) must produce the same per-entity neighbor
+    sets as the in-actor dict variant."""
+    import pyarrow as pa
+    import ray.data
+
+    from ontoea_ray.stages.neighbors import (
+        generate_neighbours,
+        generate_neighbours_blockwise,
+    )
+
+    rng = np.random.default_rng(7)
+    emb = l2_normalize(rng.standard_normal((300, 16)).astype(np.float32))
+    ids = np.arange(500, 800)
+    dense = generate_neighbours(emb, ids, k=7, block_rows=64, concurrency=2)
+
+    tbl = pa.table(
+        {
+            "ent_id": pa.array(ids, pa.int64()),
+            "vec": pa.FixedSizeListArray.from_arrays(
+                pa.array(emb.reshape(-1), pa.float32()), emb.shape[1]
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    out = generate_neighbours_blockwise(ds, 7, batch_size=64, concurrency=2)
+    got = {r["entity"]: set(r["neighbors"]) for r in out.take_all()}
+    assert set(got) == set(dense)
+    for e in dense:
+        assert got[e] == set(dense[e]), e
+
+
+def test_blockwise_type_fused_eval_matches_dense_features():
+    """greedy_alignment_eval with per-row type FEATURES must equal the
+    dense formula sim + w * (t1 @ t2.T) computed by hand — no n x n type
+    matrix ever enters the distributed path."""
+    from ontoea_ray.pipelines.alignment import greedy_alignment_eval
+
+    rng = np.random.default_rng(3)
+    n, d, dt = 257, 12, 6
+    f1 = l2_normalize(rng.standard_normal((n, d)).astype(np.float32))
+    f2 = l2_normalize(rng.standard_normal((n, d)).astype(np.float32))
+    # make gold pairs findable: pull f2 toward f1
+    f2 = l2_normalize(0.7 * f1 + 0.3 * f2)
+    t1 = l2_normalize(rng.standard_normal((n, dt)).astype(np.float32))
+    t2 = l2_normalize(0.5 * t1 + 0.5 * rng.standard_normal((n, dt)).astype(np.float32))
+
+    got = greedy_alignment_eval(
+        f1, f2, type1=t1, type2=t2, type_weight=0.4, block_rows=64, concurrency=2
+    )
+    s = f1 @ f2.T + np.float32(0.4) * (t1.astype(np.float32) @ t2.astype(np.float32).T)
+    order = np.argsort(-s, axis=1)
+    ranks = (order == np.arange(n)[:, None]).argmax(axis=1)
+    assert got["hits"][1] == round(float((ranks < 1).sum()) / n * 100, 3)
+    assert got["mr"] == pytest.approx(float((ranks + 1).mean()))
+    assert got["mrr"] == pytest.approx(float((1 / (ranks + 1)).mean()))
