@@ -906,6 +906,41 @@ def q_dedup_exact(sf_dir: str):
     return exact_dedup(ds).select_columns(["doc_id"])
 
 
+_CROSS_DUP_N = 8
+
+_CROSS_DUP_SQL = f"""
+    WITH toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+           unnest(CASE WHEN len(t) >= {_CROSS_DUP_N}
+                  THEN [array_to_string(t[i : i + {_CROSS_DUP_N - 1}], ' ')
+                        FOR i IN range(1, len(t) - {_CROSS_DUP_N - 2})]
+                  ELSE [array_to_string(t, ' ')] END) AS s
+           FROM toks),
+    df AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+    d AS (SELECT sh.doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                 CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+          FROM sh JOIN df USING (s) GROUP BY 1)
+    SELECT doc_id, n_distinct, n_dup,
+           CAST(n_dup * 1000 // n_distinct AS BIGINT) AS dup_milli
+    FROM d
+"""
+
+
+@_register("q_cross_dup_spans", _CROSS_DUP_SQL)
+def q_cross_dup_spans(sf_dir: str):
+    """CROSS-document duplicated-span fraction per doc — the token-window
+    form of exact-substring dedup (Lee et al. ACL 2022), distinct from
+    q_repetition's WITHIN-doc signal: an 8-token span is duplicated when
+    the identical span occurs in any other document.  Combiner-first:
+    distinct (doc, span) explode with per-doc counts carried in-batch, one
+    span-keyed exchange flags doc-frequency >= 2, per-doc keyed sum."""
+    from ontoea_ray.stages.dedup import cross_doc_dup_spans
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return cross_doc_dup_spans(ds, n=_CROSS_DUP_N)
+
+
 _SHINGLE_SQL = """
     WITH toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
     sh AS (SELECT DISTINCT doc_id,

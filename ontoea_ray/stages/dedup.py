@@ -729,3 +729,79 @@ def simhash_neardup_pairs(
 
     pairs = parted.groupby("pkey").map_groups(pairs_in_partition, batch_format="pandas")
     return keyed_aggregate(pairs, ["id_a", "id_b"], mins=["hamming"], width=width)
+
+
+def cross_doc_dup_spans(
+    docs: ray.data.Dataset,
+    *,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int | None = None,
+) -> ray.data.Dataset:
+    """Per-document CROSS-document duplicated-span statistics — the
+    token-window form of exact-substring dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022): a window is
+    duplicated if the identical n-token span occurs in ANY other document.
+    Complements :func:`exact_dedup` (whole-doc) and q_repetition
+    (WITHIN-doc 3-gram repetition).
+
+    Returns (doc_id, n_distinct, n_dup, dup_milli): distinct n-gram spans
+    per doc, how many of them are cross-doc duplicated, and the integer
+    milli fraction.  Rows shorter than n tokens count their whole text as
+    one span (same convention as the repetition/Jaccard shingles).
+
+    Plan (combiner-first, one span-keyed exchange): in-batch DISTINCT
+    (doc, span) explode with the per-doc distinct count carried on each
+    row -> span-partitioned doc-frequency groups emit one (doc, dup-flag)
+    row per member -> per-doc keyed sum.  The exchange carries distinct
+    (doc, span) rows — never raw windows — and no state sits on the
+    driver."""
+    from ontoea_ray.functions.shuffle import keyed_aggregate, with_partition_key
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].combine_chunks(), np.int64)
+        df = shingle_strings(batch[text_col], ids, n)
+        df["sz"] = df.groupby("id", sort=False)["shingle"].transform("size").astype(np.int64)
+        df = df.rename(columns={"id": id_col, "shingle": "span"})
+        return _from_pandas_clean(df)
+
+    rows = docs.map_batches(explode, batch_format="pyarrow")
+    parted = with_partition_key(rows, ["span"], width=width)
+
+    def flag_dups(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return _from_pandas_clean(
+                pd.DataFrame({
+                    id_col: pd.Series([], dtype=np.int64),
+                    "sz": pd.Series([], dtype=np.int64),
+                    "dup": pd.Series([], dtype=np.int64),
+                })
+            )
+        # (doc, span) rows are distinct, so group size == doc frequency
+        g = df.groupby("span", sort=False)[id_col].transform("size")
+        out = pd.DataFrame({
+            id_col: df[id_col].to_numpy(np.int64),
+            "sz": df["sz"].to_numpy(np.int64),
+            "dup": (g.to_numpy(np.int64) >= 2).astype(np.int64),
+        })
+        return _from_pandas_clean(out)
+
+    flagged = parted.groupby("pkey").map_groups(flag_dups, batch_format="pandas")
+    agg = keyed_aggregate(
+        flagged, [id_col], sums=["dup"], mins=["sz"], width=width
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        nd = np.asarray(b["sz"].combine_chunks(), np.int64)
+        dup = np.asarray(b["dup"].combine_chunks(), np.int64)
+        return pa.table(
+            {
+                id_col: b[id_col].combine_chunks().cast(pa.int64()),
+                "n_distinct": pa.array(nd),
+                "n_dup": pa.array(dup),
+                "dup_milli": pa.array((1000 * dup) // nd),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
