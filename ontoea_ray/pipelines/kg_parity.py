@@ -29,6 +29,18 @@ def _ranked(ds) -> pa.Table:
     return pa.Table.from_pylist(ds.take_all()).sort_by("rank")
 
 
+def _lexsorted(mat: np.ndarray) -> np.ndarray:
+    """Canonical row order for a collected id matrix.  Dataset row order is
+    NOT part of the executor contract (preserve_order is off), so two loads
+    of the same root can collect the same rows differently ordered; sorting
+    here makes load_train_data a pure function of the files — the trainer
+    re-shuffles per epoch with its seeded rng, eval metrics are row-order
+    invariant, and supervision patches become order-stable."""
+    if not len(mat):
+        return mat
+    return mat[np.lexsort(mat.T[::-1])]
+
+
 def load_train_data(
     root: str,
     *,
@@ -56,9 +68,10 @@ def load_train_data(
         from ontoea_ray.state.ids import encode_triples
 
         rows = encode_triples(ds, ent_ids, rel_ids).take_all()
-        return np.array(
+        mat = np.array(
             [[r["subj_id"], r["pred_id"], r["obj_id"]] for r in rows], np.int64
         ).reshape(-1, 3)
+        return _lexsorted(mat)
 
     rel_triples = np.concatenate([encode_rel(rel1_ds), encode_rel(rel2_ds)])
 
@@ -93,7 +106,8 @@ def load_train_data(
     def pairs(name):
         ds = KF.read_links(f"{root}/721_5fold/1/{name}")
         rows = encode_pairs(ds, ent_ids1, ent_ids2).take_all()
-        return np.array([[r["id1"], r["id2"]] for r in rows], np.int64).reshape(-1, 2)
+        mat = np.array([[r["id1"], r["id2"]] for r in rows], np.int64).reshape(-1, 2)
+        return _lexsorted(mat)
 
     train_pairs, valid_pairs, test_pairs = pairs("train_links"), pairs("valid_links"), pairs("test_links")
 
