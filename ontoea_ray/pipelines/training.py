@@ -174,7 +174,7 @@ class OntoEATrainer:
             q, _ = np.linalg.qr(m)
             return q[:din, :dout].astype(np.float32).copy()
 
-        self.ent = unit_init(data.num_entities, c.dim)
+        self.ent = unit_init(data.num_entities, c.dim) if self._dense_ent_init() else None
         self.rel = unit_init(max(data.num_relations, 1), c.dim)
         self.onto = unit_init(data.num_classes, c.onto_dim)
         self.onto_rel = unit_init(max(data.num_onto_relations, 1), c.onto_dim)
@@ -184,7 +184,9 @@ class OntoEATrainer:
         self.hier_W = orth_init(c.onto_dim, c.onto_dim)
         self.hier_b = np.zeros(c.onto_dim, np.float32)
 
-        self.opt_ent = _Adagrad(self.ent.shape, c.learning_rate)
+        self.opt_ent = (
+            _Adagrad(self.ent.shape, c.learning_rate) if self.ent is not None else None
+        )
         self.opt_rel = _Adagrad(self.rel.shape, c.learning_rate)
         self.opt_onto = _Adagrad(self.onto.shape, c.learning_rate)
         self.opt_onto_rel = _Adagrad(self.onto_rel.shape, c.learning_rate)
@@ -282,12 +284,37 @@ class OntoEATrainer:
         out[np.arange(n), cols] = picks
         return out
 
+    # ---- entity-table indirection (overridden by the sharded trainer) ----
+
+    def _dense_ent_init(self) -> bool:
+        return True
+
+    def _ent_gather(self, ids: np.ndarray) -> np.ndarray:
+        return self.ent[ids]
+
+    def _ent_update(self, rows: np.ndarray, grads: np.ndarray) -> None:
+        self.opt_ent.update_rows(self.ent, rows, grads)
+
+    def ent_matrix(self) -> np.ndarray:
+        """Dense entity table (artifact/eval surface; O(N) — the sharded
+        trainer overrides this to concat shard snapshots, and at scale the
+        artifact path should use ent_dataset() instead)."""
+        return self.ent
+
     # ---- loss steps ------------------------------------------------------
 
-    def _limited_transe_step(self, pos, neg, emb, rel_emb, opt_e, opt_r) -> float:
+    def _limited_transe_step(self, pos, neg) -> float:
         c = self.cfg
-        ph, pn = _norm_rows(emb[pos[:, 0]]); pr, prn = _norm_rows(rel_emb[pos[:, 1]]); pt, ptn = _norm_rows(emb[pos[:, 2]])
-        nh, nn = _norm_rows(emb[neg[:, 0]]); nr, nrn = _norm_rows(rel_emb[neg[:, 1]]); nt, ntn = _norm_rows(emb[neg[:, 2]])
+        rel_emb = self.rel
+        b = len(pos)
+        fetched = self._ent_gather(
+            np.concatenate([pos[:, 0], pos[:, 2], neg[:, 0], neg[:, 2]])
+        )
+        nb = len(neg)
+        e_ph, e_pt = fetched[:b], fetched[b : 2 * b]
+        e_nh, e_nt = fetched[2 * b : 2 * b + nb], fetched[2 * b + nb :]
+        ph, pn = _norm_rows(e_ph); pr, prn = _norm_rows(rel_emb[pos[:, 1]]); pt, ptn = _norm_rows(e_pt)
+        nh, nn = _norm_rows(e_nh); nr, nrn = _norm_rows(rel_emb[neg[:, 1]]); nt, ntn = _norm_rows(e_nt)
         pd = ph + pr - pt
         nd = nh + nr - nt
         ps = (pd * pd).sum(1)
@@ -302,10 +329,10 @@ class OntoEATrainer:
             _norm_backward(ph, pn, gp), _norm_backward(pt, ptn, -gp),
             _norm_backward(nh, nn, gn), _norm_backward(nt, ntn, -gn),
         ])
-        opt_e.update_rows(emb, rows, grads)
+        self._ent_update(rows, grads)
         r_rows = np.concatenate([pos[:, 1], neg[:, 1]])
         r_grads = np.concatenate([_norm_backward(pr, prn, gp), _norm_backward(nr, nrn, gn)])
-        opt_r.update_rows(rel_emb, r_rows, r_grads)
+        self.opt_rel.update_rows(rel_emb, r_rows, r_grads)
         return loss
 
     def _hier_step(self, pos, neg) -> float:
@@ -345,8 +372,9 @@ class OntoEATrainer:
 
     def _cv_step(self, pos, neg) -> float:
         c = self.cfg
-        pe, pen = _norm_rows(self.ent[pos[:, 0]]); pc_, pcn = _norm_rows(self.onto[pos[:, 1]])
-        ne, nen = _norm_rows(self.ent[neg[:, 0]]); nc, ncn = _norm_rows(self.onto[neg[:, 1]])
+        fetched = self._ent_gather(np.concatenate([pos[:, 0], neg[:, 0]]))
+        pe, pen = _norm_rows(fetched[: len(pos)]); pc_, pcn = _norm_rows(self.onto[pos[:, 1]])
+        ne, nen = _norm_rows(fetched[len(pos) :]); nc, ncn = _norm_rows(self.onto[neg[:, 1]])
         pp, pcache = _tanh_norm_forward(pe, self.cv_W, self.cv_b)
         np_, ncache = _tanh_norm_forward(ne, self.cv_W, self.cv_b)
         pd = pp - pc_
@@ -360,8 +388,7 @@ class OntoEATrainer:
         g_ne, gW2, gb2 = _tanh_norm_backward(gn, ncache, self.cv_W)
         self.opt_cv_W.update_dense(self.cv_W, gW1 + gW2)
         self.opt_cv_b.update_dense(self.cv_b, gb1 + gb2)
-        self.opt_ent.update_rows(
-            self.ent,
+        self._ent_update(
             np.concatenate([pos[:, 0], neg[:, 0]]),
             np.concatenate([_norm_backward(pe, pen, g_pe), _norm_backward(ne, nen, g_ne)]),
         )
@@ -390,8 +417,12 @@ class OntoEATrainer:
     def _mapping_step(self, pos: np.ndarray, neg: np.ndarray) -> float:
         c = self.cfg
         d = self.d
-        u1, n1 = _norm_rows(self.ent[pos[:, 0]]); u2, n2 = _norm_rows(self.ent[pos[:, 1]])
-        v1, m1 = _norm_rows(self.ent[neg[:, 0]]); v2, m2 = _norm_rows(self.ent[neg[:, 1]])
+        nb = len(pos)
+        fetched = self._ent_gather(
+            np.concatenate([pos[:, 0], pos[:, 1], neg[:, 0], neg[:, 1]])
+        )
+        u1, n1 = _norm_rows(fetched[:nb]); u2, n2 = _norm_rows(fetched[nb : 2 * nb])
+        v1, m1 = _norm_rows(fetched[2 * nb : 2 * nb + len(neg)]); v2, m2 = _norm_rows(fetched[2 * nb + len(neg) :])
         mapped = u1 @ self.M
         nmapped = v1 @ self.M
         pos_score = float(((u2 - mapped) ** 2).sum())
@@ -458,7 +489,7 @@ class OntoEATrainer:
             ent_rows += [pos[:, 0], pos[:, 1]]
             ent_grads += [_norm_backward(u1, n1, g1), _norm_backward(u2, n2, g2)]
 
-        self.opt_ent.update_rows(self.ent, np.concatenate(ent_rows), np.concatenate(ent_grads))
+        self._ent_update(np.concatenate(ent_rows), np.concatenate(ent_grads))
         self.opt_M.update_dense(self.M, gM)
         return loss_total
 
@@ -477,7 +508,7 @@ class OntoEATrainer:
         for _ in range(c.sub_epoch):
             losses["triple"] = self._epoch(
                 d.rel_triples, c.batch_size,
-                lambda b: self._limited_transe_step(b, self._neg_triples(b, c.neg_triple_num), self.ent, self.rel, self.opt_ent, self.opt_rel),
+                lambda b: self._limited_transe_step(b, self._neg_triples(b, c.neg_triple_num)),
             )
         for _ in range(c.sub_epoch):
             losses["onto"] = self._epoch(
@@ -530,7 +561,7 @@ class OntoEATrainer:
             if len(ids) == 0:
                 continue
             k = max(1, int((1 - self.cfg.truncated_epsilon) * len(ids)))
-            emb = _norm_rows(self.ent[ids])[0]
+            emb = _norm_rows(self._ent_gather(ids))[0]
             pools.update(generate_neighbours(emb, ids, k))
         self._neighbors = pools or None
 
@@ -545,8 +576,9 @@ class OntoEATrainer:
         """(e1 @ M, e2, pooled_onto1, pooled_onto2) for the given pairs —
         raw entity lookups, per-vector-normalized path pooling."""
         d = self.d
-        e1 = self.ent[pairs[:, 0]]
-        e2 = self.ent[pairs[:, 1]]
+        fetched = self._ent_gather(np.concatenate([pairs[:, 0], pairs[:, 1]]))
+        e1 = fetched[: len(pairs)]
+        e2 = fetched[len(pairs) :]
         cls1 = d.ent_class[pairs[:, 0]]
         cls2 = d.ent_class[pairs[:, 1]]
         o1 = _norm_rows(self.onto[d.class_paths[cls1]])[0]
@@ -608,3 +640,95 @@ class OntoEATrainer:
                     break
         test = self.evaluate(self.d.test_pairs)
         return {"test": test, "valid_history": history}
+
+
+# ---------------------------------------------------------------------------
+# sharded trainer (parameter-server entity table)
+# ---------------------------------------------------------------------------
+
+class ShardedOntoEATrainer(OntoEATrainer):
+    """OntoEA trainer whose ENTITY table (the only O(num_entities x dim)
+    state) lives row-partitioned across K parameter-server actors
+    (state/param_server.py) instead of this process's heap.  Every other
+    table (rel, onto, M, MLPs — all O(relations/classes/dim²)) stays local.
+
+    Two init modes:
+    - scatter (default): the dense seeded init is built once, scattered to
+      the shards and freed — consumes the SAME rng draws as the dense
+      trainer, so a sharded run is bit-identical to OntoEATrainer for any
+      shard count (pinned in tests/test_training.py).
+    - shard_init=True: each shard draws its own rows from rng([seed, i])
+      and the table never exists densely anywhere — the at-scale path
+      (metric-level equivalent, not bitwise: skipping the dense draw
+      shifts the rng stream for the other tables).
+
+    Consistency: per-batch gathers fan out to the owning shards and updates
+    are fired without blocking; Ray's per-actor FIFO guarantees a later
+    gather sees every earlier update (read-your-writes per row), matching
+    the dense trainer's sequential SGD exactly.  The kNN hard-negative
+    refresh streams shard blocks through the blockwise Dataset kernel, so
+    no step of the schedule materializes the table in one process."""
+
+    def __init__(self, data: KGTrainData, cfg: OntoEAConfig | None = None, *,
+                 num_shards: int | None = None, shard_init: bool = False):
+        self._num_shards = num_shards
+        self._shard_init = shard_init
+        super().__init__(data, cfg)
+        from ontoea_ray.state.param_server import ShardedEntityStore
+
+        init = self.ent  # None when shard_init (base skipped the draw)
+        self.ent_store = ShardedEntityStore(
+            data.num_entities, self.cfg.dim, self.cfg.learning_rate,
+            num_shards=num_shards, init_array=init, seed=self.cfg.seed,
+        )
+        self.ent = None
+        self.opt_ent = None
+
+    def _dense_ent_init(self) -> bool:
+        return not self._shard_init
+
+    def _ent_gather(self, ids: np.ndarray) -> np.ndarray:
+        return self.ent_store.gather(ids)
+
+    def _ent_update(self, rows: np.ndarray, grads: np.ndarray) -> None:
+        self.ent_store.update(rows, grads)
+
+    def ent_matrix(self) -> np.ndarray:
+        return self.ent_store.matrix()
+
+    def ent_dataset(self, **kw):
+        """The entity table as a Dataset of per-shard Arrow blocks."""
+        return self.ent_store.to_dataset(**kw)
+
+    def train_iteration(self) -> dict:
+        out = super().train_iteration()
+        self.ent_store.sync()   # surface any shard-side error per iteration
+        return out
+
+    def refresh_neighbors(self) -> None:
+        """Blockwise kNN refresh: per-KG shard blocks (normalized shard-
+        side) stream through generate_neighbours_blockwise — the table is
+        never gathered into this actor (reference ontoea.py:606-621)."""
+        import ray as _ray
+
+        from ontoea_ray.stages.neighbors import generate_neighbours_blockwise
+
+        # leave the shard actors' CPUs out of the kNN pool so the map stage
+        # can always start (fixed pools sized >= free CPUs stall)
+        free = int(
+            _ray.cluster_resources().get("CPU", 8) - self.ent_store.reserved_cpus
+        )
+        conc = (1, max(1, free - 1))
+        pools: dict[int, np.ndarray] = {}
+        for ids in (self.d.kg1_entities, self.d.kg2_entities):
+            if len(ids) == 0:
+                continue
+            k = max(1, int((1 - self.cfg.truncated_epsilon) * len(ids)))
+            ds = self.ent_store.to_dataset(ids=np.sort(ids), normalize=True)
+            out = generate_neighbours_blockwise(ds, k, concurrency=conc)
+            for batch in out.iter_batches(batch_format="pyarrow"):
+                ents = batch["entity"].to_numpy(zero_copy_only=False)
+                nbrs = batch["neighbors"]
+                for e, p in zip(ents, nbrs.to_pylist()):
+                    pools[int(e)] = np.asarray(p, np.int64)
+        self._neighbors = pools or None

@@ -40,7 +40,13 @@ def save_trainer_artifacts(trainer, out_dir: str, *, id_dicts: dict | None = Non
     """Persist everything the eval needs: embedding tables (parquet), dense
     matrices (npz), config (json), optional uri->id dicts (parquet)."""
     os.makedirs(out_dir, exist_ok=True)
-    _write_vec_table(os.path.join(out_dir, "ent_embeds.parquet"), np.arange(len(trainer.ent)), trainer.ent)
+    if getattr(trainer, "ent", None) is None and hasattr(trainer, "ent_store"):
+        # sharded trainer: stream one row group per shard — the dense
+        # table never concatenates in this process
+        trainer.ent_store.write_parquet_stream(os.path.join(out_dir, "ent_embeds.parquet"))
+    else:
+        ent = trainer.ent_matrix() if hasattr(trainer, "ent_matrix") else trainer.ent
+        _write_vec_table(os.path.join(out_dir, "ent_embeds.parquet"), np.arange(len(ent)), ent)
     _write_vec_table(os.path.join(out_dir, "rel_embeds.parquet"), np.arange(len(trainer.rel)), trainer.rel)
     _write_vec_table(os.path.join(out_dir, "onto_embeds.parquet"), np.arange(len(trainer.onto)), trainer.onto)
     np.savez(
