@@ -941,6 +941,44 @@ def q_cross_dup_spans(sf_dir: str):
     return cross_doc_dup_spans(ds, n=_CROSS_DUP_N)
 
 
+_TILE_DEDUP_SQL = """
+    WITH toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+    tl AS (SELECT doc_id,
+                  [{'idx': i - 1, 'tile': array_to_string(t[(i-1)*8+1 : (i-1)*8+8], ' ')}
+                   FOR i IN range(1, CAST(ceil(len(t)/8.0) AS BIGINT) + 1)] AS tiles
+           FROM toks),
+    tiles AS (SELECT doc_id, u.idx AS tile_idx, u.tile AS tile
+              FROM (SELECT doc_id, unnest(tiles) AS u FROM tl)),
+    f1 AS (SELECT tile, min(doc_id) AS fdoc FROM tiles GROUP BY tile),
+    f2 AS (SELECT ti.tile, ti.doc_id AS fdoc, min(ti.tile_idx) AS fidx
+           FROM tiles ti JOIN f1 ON ti.tile = f1.tile AND ti.doc_id = f1.fdoc
+           GROUP BY 1, 2),
+    flagged AS (
+      SELECT ti.doc_id, ti.tile_idx, ti.tile,
+             (ti.doc_id = f2.fdoc AND ti.tile_idx = f2.fidx) AS keep
+      FROM tiles ti JOIN f2 ON ti.tile = f2.tile)
+    SELECT doc_id,
+           COALESCE(string_agg(tile, ' ' ORDER BY tile_idx) FILTER (WHERE keep), '') AS clean_text,
+           CAST(count(*) AS BIGINT) AS n_tiles,
+           CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+    FROM flagged GROUP BY doc_id
+"""
+
+
+@_register("q_tile_dedup", _TILE_DEDUP_SQL)
+def q_tile_dedup(sf_dir: str):
+    """Duplicated-tile REMOVAL (a transform, not just a statistic): docs
+    chunked into non-overlapping 8-token tiles, a tile duplicated anywhere
+    in the corpus survives only at its global first occurrence
+    (lexicographic min (doc_id, tile_idx)), surviving tiles re-joined in
+    order — exact-substring dedup a la Lee et al. ACL 2022, tile-
+    simplified so DuckDB replays the cleaned text byte-for-byte."""
+    from ontoea_ray.stages.dedup import dedup_tiles
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup_tiles(ds, n=8)
+
+
 _SHINGLE_SQL = """
     WITH toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
     sh AS (SELECT DISTINCT doc_id,

@@ -805,3 +805,135 @@ def cross_doc_dup_spans(
         )
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def dedup_tiles(
+    docs: ray.data.Dataset,
+    *,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int | None = None,
+) -> ray.data.Dataset:
+    """Cross-document duplicated-TILE removal — exact-substring dedup in
+    the spirit of Lee et al. (ACL 2022), simplified to NON-overlapping
+    n-token tiles so the transform is deterministic and SQL-replayable:
+    each doc is chunked into consecutive n-token tiles (last tile may be
+    short), a tile whose exact content occurs anywhere else in the corpus
+    is kept only at its global first occurrence (lexicographic min
+    (doc_id, tile_idx)), and each doc's surviving tiles are re-joined in
+    order.
+
+    Returns (doc_id, clean_text, n_tiles, n_dropped).
+
+    Plan: vectorized tile explode (tiles cut from the same windowed join
+    the shingle kernel uses — no per-token Python for full tiles) ->
+    tile-keyed exchange flags first occurrences -> doc-keyed exchange
+    reassembles.  The exchanges carry each doc's text ~once (tiles do not
+    overlap, unlike shingles) and nothing lands on the driver."""
+    import pyarrow.compute as pc
+
+    from ontoea_ray.functions.shuffle import with_partition_key
+    from ontoea_ray.functions.text import tokenize
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].combine_chunks(), np.int64)
+        toks = tokenize(batch[text_col].combine_chunks())
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.diff(offs)
+        flat = toks.flatten()
+        nf = len(flat)
+        row_id = np.repeat(np.arange(len(counts)), counts)
+        out_doc, out_idx, out_tile = [], [], []
+        if nf >= n:
+            parts = [flat.slice(j, nf - n + 1) for j in range(n)]
+            joined = pc.binary_join_element_wise(*parts, " ")
+            starts = np.arange(nf - n + 1)
+            srow = row_id[: nf - n + 1]
+            rel = starts - offs[srow]
+            pick = (srow == row_id[n - 1 :]) & (rel % n == 0)
+            out_doc.append(ids[srow[pick]])
+            out_idx.append(rel[pick] // n)
+            out_tile.append(joined.to_pandas()[pick].to_numpy())
+        rem = counts % n
+        if rem.any():
+            # trailing short tile per doc (the whole doc when counts < n)
+            pos = np.arange(nf) - offs[row_id]
+            sel = (pos >= (counts[row_id] // n) * n) & (rem[row_id] != 0)
+            part = pd.DataFrame({"r": row_id[sel], "tok": flat.to_pandas()[sel]})
+            joined_part = part.groupby("r", sort=True)["tok"].agg(" ".join)
+            rows = joined_part.index.to_numpy()
+            out_doc.append(ids[rows])
+            out_idx.append(counts[rows] // n)
+            out_tile.append(joined_part.to_numpy())
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(out_doc) if out_doc else [], pa.int64()),
+                "tile_idx": pa.array(np.concatenate(out_idx) if out_idx else [], pa.int64()),
+                "tile": pa.array(np.concatenate(out_tile) if out_tile else [], pa.string()),
+            }
+        )
+
+    tiles = docs.map_batches(explode, batch_format="pyarrow")
+    by_tile = with_partition_key(tiles, ["tile"], width=width)
+
+    def flag(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "tile_idx": pa.array([], pa.int64()),
+                    "tile": pa.array([], pa.string()),
+                    "keep": pa.array([], pa.int64()),
+                }
+            )
+        doc = df[id_col].to_numpy(np.int64)
+        idx = df["tile_idx"].to_numpy(np.int64)
+        fdoc = df.groupby("tile", sort=False)[id_col].transform("min").to_numpy(np.int64)
+        k = np.where(doc == fdoc, idx, np.iinfo(np.int64).max)
+        fidx = (
+            pd.Series(k)
+            .groupby(df["tile"].to_numpy(), sort=False)
+            .transform("min")
+            .to_numpy(np.int64)
+        )
+        keep = ((doc == fdoc) & (idx == fidx)).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(doc),
+                "tile_idx": pa.array(idx),
+                "tile": df["tile"].to_numpy(),
+                "keep": pa.array(keep),
+            }
+        )
+
+    flagged = by_tile.groupby("pkey").map_groups(flag, batch_format="pandas")
+    by_doc = with_partition_key(flagged, [id_col], width=width)
+
+    def rebuild(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "clean_text": pa.array([], pa.string()),
+                    "n_tiles": pa.array([], pa.int64()),
+                    "n_dropped": pa.array([], pa.int64()),
+                }
+            )
+        df = df.sort_values([id_col, "tile_idx"], kind="mergesort")
+        g = df.groupby(id_col, sort=True)
+        n_tiles = g.size()
+        n_dropped = n_tiles - g["keep"].sum()
+        kept = df[df["keep"] == 1]
+        clean = kept.groupby(id_col, sort=True)["tile"].agg(" ".join)
+        clean = clean.reindex(n_tiles.index, fill_value="")
+        return pa.table(
+            {
+                id_col: pa.array(n_tiles.index.to_numpy(np.int64)),
+                "clean_text": pa.array(clean.to_numpy(), pa.string()),
+                "n_tiles": pa.array(n_tiles.to_numpy(np.int64)),
+                "n_dropped": pa.array(n_dropped.to_numpy(np.int64)),
+            }
+        )
+
+    return by_doc.groupby("pkey").map_groups(rebuild, batch_format="pandas")

@@ -176,3 +176,26 @@ def test_fast_hash_backend_equivalent_dedup_results(corpus):
     assert len(set(h1[:1000].tolist())) == 1000
     direct = _fnv_hash_strings(pa.array(["a", "bb", "ccc"]))
     assert len(set(direct.tolist())) == 3
+
+
+def test_dedup_tiles_first_occurrence_semantics(ray_session):
+    """Tile-level exact-substring dedup: a duplicated 2-token tile survives
+    only at its lexicographically-first (doc, tile) position — including
+    within-doc repeats — and short docs are one (short) tile."""
+    import ray.data
+
+    from ontoea_ray.stages.dedup import dedup_tiles
+
+    docs = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": "a b c d a b"},   # tiles: 'a b','c d','a b'
+            {"doc_id": 2, "text": "c d x"},          # tiles: 'c d','x'
+            {"doc_id": 3, "text": "z"},              # one short tile
+        ]
+    )
+    out = {r["doc_id"]: r for r in dedup_tiles(docs, n=2).take_all()}
+    assert out[1]["clean_text"] == "a b c d"         # second 'a b' dropped
+    assert out[1]["n_tiles"] == 3 and out[1]["n_dropped"] == 1
+    assert out[2]["clean_text"] == "x"               # 'c d' first seen in doc 1
+    assert out[2]["n_tiles"] == 2 and out[2]["n_dropped"] == 1
+    assert out[3]["clean_text"] == "z" and out[3]["n_dropped"] == 0
