@@ -117,6 +117,8 @@ BENCH_QUERIES = [
     "q_text_normalize",
     "q_type_runs",
     "q_multimodal_video",
+    "q_cross_dup_spans",
+    "q_tile_dedup",
 ]
 
 
