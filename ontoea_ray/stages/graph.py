@@ -376,18 +376,16 @@ def pagerank(
 # CSR broadcast ~5 s on the same session.  Above the caller's broadcast edge
 # budget use the exchange plans instead — the crossover is worker RAM.
 
-def _csr_arrays(edges: ray.data.Dataset, src: str, dst: str):
-    """Materialize an oriented edge table into CSR + sorted encoded-pair
-    form, deduping on the driver (np.unique over the encoded pairs) so
-    callers can hand in raw pair emissions without a distinct exchange.
-
-    Driver holds one |E|-sized array transiently (the broadcast build);
-    callers gate on their broadcast edge budget first."""
+def _csr_from_table(tbl, src: str, dst: str):
+    """Oriented edge Arrow table -> CSR + sorted encoded-pair form, deduping
+    (np.unique over the encoded pairs) so callers can hand in raw pair
+    emissions without a distinct exchange.  Runs INSIDE the assembly Ray
+    task (`_broadcast_csr`) so no |E|-sized array ever lives on the
+    driver; callers gate on their broadcast edge budget first."""
     import numpy as np
 
-    df = edges.select_columns([src, dst]).to_pandas()
-    a = df[src].to_numpy(np.int64)
-    b = df[dst].to_numpy(np.int64)
+    a = tbl[src].to_pandas().to_numpy(np.int64)
+    b = tbl[dst].to_pandas().to_numpy(np.int64)
     m = int(max(a.max(), b.max())) + 1 if len(a) else 1
     if m >= np.iinfo(np.int64).max // m:
         raise ValueError("node-id space too large for int64 pair encoding; remap ids first")
@@ -554,10 +552,28 @@ def _two_hop_fn(ref):
 
 
 def _broadcast_csr(edges: ray.data.Dataset, src: str, dst: str):
+    """CSR tuple assembled INSIDE a Ray task from the edge table's block
+    refs (the `assemble_table_ref` pattern) — the driver receives only the
+    node count; the |E|-sized arrays go block refs -> task -> object
+    store without ever landing driver-side."""
     import ray as _ray
 
-    indptr, indices, enc, m, bits = _csr_arrays(edges, src, dst)
-    return _ray.put((indptr, indices, enc, m, bits)), m
+    from ontoea_ray.functions.broadcast import assemble_table_ref
+
+    # callers gate on their own (edge-count) broadcast budget, so the
+    # assembly itself is uncapped here
+    _, tbl_ref = assemble_table_ref(
+        edges.select_columns([src, dst]), columns=[src, dst], budget=1 << 62
+    )
+
+    @_ray.remote(num_returns=2)
+    def _build(tref):
+        t = tref if not isinstance(tref, _ray.ObjectRef) else _ray.get(tref)
+        csr = _csr_from_table(t, src, dst)
+        return csr, csr[3]
+
+    ref, m_ref = _build.remote(tbl_ref)
+    return ref, int(_ray.get(m_ref))
 
 
 def _node_range(m: int) -> ray.data.Dataset:
