@@ -159,15 +159,26 @@ class ShardedEntityStore:
         ids = np.asarray(ids, np.int64)
         out = np.empty((len(ids), self.dim), np.float32)
         parts = [(m, self.shards[i].gather.remote(ids[m])) for i, m in self._masks(ids)]
+        matched = 0
         for (m, _), res in zip(parts, ray.get([r for _, r in parts])):
             out[m] = res
+            matched += int(m.sum())
+        if matched != len(ids):
+            # an unmatched id would otherwise return uninitialized memory
+            bad = ids[(ids < 0) | (ids >= self.num_rows)]
+            raise IndexError(f"ids outside [0, {self.num_rows}): {bad[:5]}...")
         return out
 
     def update(self, rows: np.ndarray, grads: np.ndarray) -> None:
         rows = np.asarray(rows, np.int64)
         grads = grads.astype(np.float32, copy=False)
+        matched = 0
         for i, m in self._masks(rows):
             self._pending.append(self.shards[i].update.remote(rows[m], grads[m]))
+            matched += int(m.sum())
+        if matched != len(rows):
+            bad = rows[(rows < 0) | (rows >= self.num_rows)]
+            raise IndexError(f"update rows outside [0, {self.num_rows}): {bad[:5]}...")
         if len(self._pending) > 512:
             self.sync()
 

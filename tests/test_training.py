@@ -215,3 +215,15 @@ def test_sharded_store_gather_update_roundtrip():
     got = {r["ent_id"]: np.asarray(r["vec"], np.float32) for r in ds.take_all()}
     assert len(got) == 37
     assert np.array_equal(got[20], dense[20])
+
+
+def test_sharded_store_rejects_out_of_range_ids():
+    import pytest as _pytest
+
+    from ontoea_ray.state.param_server import ShardedEntityStore
+
+    store = ShardedEntityStore(10, 4, 0.1, num_shards=2, seed=1)
+    with _pytest.raises(IndexError):
+        store.gather(np.array([3, 10], np.int64))
+    with _pytest.raises(IndexError):
+        store.update(np.array([-1], np.int64), np.zeros((1, 4), np.float32))
