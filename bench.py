@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "q_multimodal_video",
     "q_cross_dup_spans",
     "q_tile_dedup",
+    "q_kcore",
 ]
 
 

@@ -2799,6 +2799,70 @@ def _copurchase_edges(sf_dir: str) -> ray.data.Dataset:
     ).drop_columns(["_c"])
 
 
+def _kcore_sql(k: int, rounds: int, *, pct: int = 7) -> str:
+    """Unrolled R-round k-core peel over the splitmix64-sampled co-purchase
+    graph.  Every round CTE is MATERIALIZED: each e_r is referenced three
+    times (twice by the degree UNION ALL, once by the survivor join), so an
+    inlined chain would re-scan the base 4^R times."""
+    p = [
+        "WITH",
+        _COPURCHASE_E_CTE.replace(" e AS ", " eall0 AS "),
+        ", eall AS MATERIALIZED (SELECT a, b FROM eall0),",
+        splitmix64_ctes("eall", "(a * 100000 + b)"),
+        f", e0 AS MATERIALIZED (SELECT a, b FROM sm3 WHERE _h % 100 < {pct})",
+    ]
+    for r in range(rounds):
+        p.append(
+            f", d{r} AS MATERIALIZED (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg"
+            f" FROM (SELECT a AS node FROM e{r} UNION ALL SELECT b AS node FROM e{r})"
+            f" GROUP BY node)"
+        )
+        p.append(f", k{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE deg >= {k})")
+        p.append(
+            f", e{r + 1} AS MATERIALIZED (SELECT e{r}.a, e{r}.b FROM e{r}"
+            f" JOIN k{r} ka ON e{r}.a = ka.node JOIN k{r} kb ON e{r}.b = kb.node)"
+        )
+    p.append(
+        f", dF AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg"
+        f" FROM (SELECT a AS node FROM e{rounds} UNION ALL SELECT b AS node FROM e{rounds})"
+        f" GROUP BY node)"
+    )
+    p.append(f"SELECT node, deg FROM dF WHERE deg >= {k}")
+    return "\n".join(p)
+
+
+@_register("q_kcore", _kcore_sql(6, 6))
+def q_kcore(sf_dir: str):
+    """6-round 6-core peel of the splitmix64-sampled (7%) co-purchase
+    graph — the dense-subgraph primitive (spam-farm / mirror-cluster
+    detection at corpus scale).  The sampling makes the synthetic graph
+    sparse enough to cascade; the peel itself is `stages/graph.
+    kcore_rounds`: combiner-first degree aggregates, survivor sets shipped
+    as in-task-assembled is_in value sets under the broadcast budget
+    (Bloom + exact keyed semi-join above it), fixpoint short-circuit —
+    exactly the unrolled SQL's R-round semantics either way."""
+    from ontoea_ray.stages.graph import kcore_rounds
+    from ontoea_ray.stages.sampling import splitmix64
+
+    edges = _copurchase_edges(sf_dir)
+
+    def sample(b: pa.Table) -> pa.Table:
+        a = np.asarray(b["id_a"].combine_chunks(), np.int64)
+        c = np.asarray(b["id_b"].combine_chunks(), np.int64)
+        h = splitmix64((a * 100000 + c).astype(np.uint64))
+        return b.filter(pa.array(h % np.uint64(100) < np.uint64(7)))
+
+    sampled = edges.map_batches(sample, batch_format="pyarrow")
+    out = kcore_rounds(sampled, k=6, rounds=6, src="id_a", dst="id_b")
+    return out.map_batches(
+        lambda b: pa.table(
+            {"node": b["node"].combine_chunks().cast(pa.int64()),
+             "deg": b["deg"].combine_chunks().cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 # Above this many distinct edges the broadcast CSR (~24 B/edge per worker)
 # stops fitting comfortably in worker heaps; fall back to the exchange plan
 # (wedge emission -> hash-join against the edge set), which never holds the

@@ -755,3 +755,82 @@ def bfs_depths(
     for t in tagged[1:]:
         allv = allv.union(t)
     return keyed_aggregate(allv, ["node"], mins=["depth"])
+
+
+def _degree_table(edges: ray.data.Dataset, src: str, dst: str) -> ray.data.Dataset:
+    """(node, deg) over an undirected distinct edge table — combiner-first
+    (endpoints exploded in-batch, one keyed exchange)."""
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+
+    def explode(b: pa.Table) -> pa.Table:
+        a = b[src].combine_chunks()
+        return pa.table({"node": pa.concat_arrays([a, b[dst].combine_chunks().cast(a.type)])})
+
+    ends = edges.map_batches(explode, batch_format="pyarrow")
+    return keyed_aggregate(ends, ["node"], count_alias="deg")
+
+
+def _edges_within(
+    edges: ray.data.Dataset, keep: ray.data.Dataset, src: str, dst: str
+) -> ray.data.Dataset:
+    """Edges whose BOTH endpoints appear in ``keep`` (column ``node``) —
+    exact under both plans: ``is_in`` value set assembled inside a Ray task
+    under the broadcast byte budget, else per-endpoint Bloom prune + exact
+    keyed semi-join (the `_frontier_successors` pattern)."""
+    from ontoea_ray.functions.broadcast import assemble_value_set_ref
+
+    keep, vs_ref = assemble_value_set_ref(keep, "node")
+    if vs_ref is not None:
+
+        def sel(b: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            vals = _ray.get(vs_ref)
+            if len(vals) == 0:
+                return b.slice(0, 0)
+            ka = pc.is_in(b[src].combine_chunks(), value_set=vals)
+            kb = pc.is_in(b[dst].combine_chunks(), value_set=vals)
+            return b.filter(pc.and_(ka, kb))
+
+        return edges.map_batches(sel, batch_format="pyarrow")
+
+    from ontoea_ray.stages.bloom import bloom_semi_join
+
+    cur = edges
+    for col in (src, dst):
+        pruned = bloom_semi_join(cur, keep, probe_key=col, build_key="node", m_bits=1 << 20)
+        cur = hash_join(pruned, keep, on=[col], right_on=["node"], how="inner")
+    return cur.select_columns([src, dst])
+
+
+def kcore_rounds(
+    edges: ray.data.Dataset,
+    *,
+    k: int,
+    rounds: int,
+    src: str = "a",
+    dst: str = "b",
+) -> ray.data.Dataset:
+    """R-round k-core peel of an undirected DISTINCT edge table: each
+    round drops every node with degree < k (over the surviving subgraph)
+    and all incident edges; returns (node, deg) for nodes with deg >= k in
+    the round-R subgraph — the exact semantics of the unrolled SQL oracle,
+    converged or not (fixpoint short-circuits early: once no node is
+    dropped, further rounds are identities in both engines).
+
+    Fully distributed: degrees are combiner-first keyed aggregates, the
+    survivor set ships as an in-task-assembled is_in value set under the
+    broadcast budget (Bloom + exact keyed semi-join above it), and no
+    node or edge set ever lands on the driver."""
+    cur = edges
+    if not isinstance(cur, ray.data.dataset.MaterializedDataset):
+        cur = cur.materialize()
+    for _ in range(max(rounds, 0)):
+        deg = _degree_table(cur, src, dst).materialize()
+        keep = deg.filter(expr=f"deg >= {int(k)}").materialize()
+        n_all, n_keep = deg.count(), keep.count()
+        if n_keep == n_all:
+            break   # fixpoint: every further round is an identity
+        cur = _edges_within(cur, keep.select_columns(["node"]), src, dst).materialize()
+    final = _degree_table(cur, src, dst)
+    return final.filter(expr=f"deg >= {int(k)}")

@@ -248,3 +248,49 @@ def test_cc_auto_matches_distributed(ray_session, monkeypatch):
     forced = {r["node"]: r["component"]
               for r in g.connected_components_auto(ray.data.from_arrow(tbl)).take_all()}
     assert forced == dist
+
+
+def test_kcore_rounds_peeling_cascade(ray_session):
+    """k-core peel: a triangle+tail graph — the tail peels away round by
+    round (cascade), the triangle survives as the 2-core; k=3 collapses
+    everything (empty result, no crash)."""
+    import ray.data
+
+    from ontoea_ray.stages.graph import kcore_rounds
+
+    # triangle 1-2-3 plus a path 3-4-5 hanging off it
+    edges = ray.data.from_items(
+        [
+            {"a": 1, "b": 2}, {"a": 1, "b": 3}, {"a": 2, "b": 3},
+            {"a": 3, "b": 4}, {"a": 4, "b": 5},
+        ]
+    )
+    core2 = {r["node"]: r["deg"] for r in kcore_rounds(edges, k=2, rounds=4).take_all()}
+    assert core2 == {1: 2, 2: 2, 3: 2}   # tail 4,5 peeled (5 first, then 4)
+    assert kcore_rounds(edges, k=3, rounds=4).take_all() == []
+
+
+def test_kcore_distributed_semijoin_path_equals_broadcast(ray_session, monkeypatch):
+    """Budget=1 forces every survivor set through the Bloom + exact keyed
+    semi-join plan; results must equal the broadcast plan bit-for-bit."""
+    import pandas as pd
+    import ray.data
+
+    from ontoea_ray.stages.graph import kcore_rounds
+
+    rng = __import__("numpy").random.default_rng(3)
+    rows = [
+        {"a": int(min(x, y)), "b": int(max(x, y))}
+        for x, y in rng.integers(0, 40, (150, 2)) if x != y
+    ]
+    dedup = {(r["a"], r["b"]): r for r in rows}
+    edges = ray.data.from_items(list(dedup.values()))
+
+    def run():
+        out = kcore_rounds(edges, k=3, rounds=5).take_all()
+        return sorted((r["node"], r["deg"]) for r in out)
+
+    broadcast = run()
+    monkeypatch.setenv("ONTOEA_BROADCAST_BUDGET_BYTES", "1")
+    forced = run()
+    assert broadcast == forced and len(broadcast) > 0
