@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "q_cross_dup_spans",
     "q_tile_dedup",
     "q_kcore",
+    "q_assortativity",
 ]
 
 

@@ -2799,6 +2799,58 @@ def _copurchase_edges(sf_dir: str) -> ray.data.Dataset:
     ).drop_columns(["_c"])
 
 
+_ASSORT_SQL = f"""
+    WITH {_COPURCHASE_E_CTE},
+    d AS MATERIALIZED (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+         FROM (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e) GROUP BY node)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+           CAST(SUM(da.deg) AS BIGINT) AS s_da,
+           CAST(SUM(db.deg) AS BIGINT) AS s_db,
+           CAST(SUM(da.deg * da.deg) AS BIGINT) AS s_dada,
+           CAST(SUM(db.deg * db.deg) AS BIGINT) AS s_dbdb,
+           CAST(SUM(da.deg * db.deg) AS BIGINT) AS s_dadb
+    FROM e JOIN d da ON e.a = da.node JOIN d db ON e.b = db.node
+"""
+
+
+@_register("q_assortativity", _ASSORT_SQL)
+def q_assortativity(sf_dir: str):
+    """Degree-assortativity moment sums over the co-purchase graph: the
+    six integer moments (n, sum da, sum db, sum da², sum db², sum da·db
+    across oriented edges) from which the Pearson degree-correlation
+    coefficient follows exactly — emitted as BIGINTs so the oracle is
+    bit-exact with no float hashing.  Degrees gather onto edges via the
+    distributed hash join; moments reduce as one-row per-batch partials."""
+    from ontoea_ray.functions.join import hash_join
+    from ontoea_ray.stages.graph import _degree_table
+
+    edges = _copurchase_edges(sf_dir)
+    deg = _degree_table(edges, "id_a", "id_b")
+    da = hash_join(edges, deg, on=["id_a"], right_on=["node"]).map_batches(
+        lambda b: pa.table({"id_b": b["id_b"], "da": b["deg"]}), batch_format="pyarrow"
+    )
+    both = hash_join(da, deg, on=["id_b"], right_on=["node"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = np.asarray(b["da"].combine_chunks(), np.int64)
+        y = np.asarray(b["deg"].combine_chunks(), np.int64)
+        return pa.table(
+            {
+                "n_edges": pa.array([len(x)], pa.int64()),
+                "s_da": pa.array([int(x.sum())], pa.int64()),
+                "s_db": pa.array([int(y.sum())], pa.int64()),
+                "s_dada": pa.array([int((x * x).sum())], pa.int64()),
+                "s_dbdb": pa.array([int((y * y).sum())], pa.int64()),
+                "s_dadb": pa.array([int((x * y).sum())], pa.int64()),
+            }
+        )
+
+    parts = pa.Table.from_pylist(
+        both.map_batches(partial, batch_format="pyarrow").take_all()
+    ).to_pandas()
+    return pa.table({c: pa.array([int(parts[c].sum())], pa.int64()) for c in parts.columns})
+
+
 def _kcore_sql(k: int, rounds: int, *, pct: int = 7) -> str:
     """Unrolled R-round k-core peel over the splitmix64-sampled co-purchase
     graph.  Every round CTE is MATERIALIZED: each e_r is referenced three
