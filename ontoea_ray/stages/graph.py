@@ -818,13 +818,55 @@ def kcore_rounds(
     converged or not (fixpoint short-circuits early: once no node is
     dropped, further rounds are identities in both engines).
 
-    Fully distributed: degrees are combiner-first keyed aggregates, the
-    survivor set ships as an in-task-assembled is_in value set under the
-    broadcast budget (Bloom + exact keyed semi-join above it), and no
-    node or edge set ever lands on the driver."""
-    cur = edges
-    if not isinstance(cur, ray.data.dataset.MaterializedDataset):
-        cur = cur.materialize()
+    Two plans, bit-equal (pinned by test): under the broadcast byte
+    budget the WHOLE peel runs inside one Ray task over the assembled
+    edge table (numpy bincount rounds — peeling is a node-iterator
+    problem like the CSR kernels, so R distributed exchanges would buy
+    nothing but latency); above it, every round is a combiner-first
+    degree aggregate + exact both-endpoint semi-join (is_in value set /
+    Bloom + keyed semi-join) and no node or edge set ever lands on the
+    driver."""
+    from ontoea_ray.functions.broadcast import assemble_table_ref
+
+    edges2, tbl_ref = assemble_table_ref(
+        edges.select_columns([src, dst]), columns=[src, dst]
+    )
+    int_nodes = all(
+        pa.types.is_integer(f.type) for f in edges2.schema().base_schema
+    )
+    if tbl_ref is not None and int_nodes:
+
+        @ray.remote
+        def _peel(tref) -> pa.Table:
+            import numpy as np
+
+            t = tref
+            a = t[src].to_pandas().to_numpy(np.int64)
+            b = t[dst].to_pandas().to_numpy(np.int64)
+            for _ in range(max(rounds, 0)):
+                if not len(a):
+                    break
+                nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+                deg = np.bincount(inv)
+                alive = deg >= k
+                if alive.all():
+                    break
+                m = alive[inv[: len(a)]] & alive[inv[len(a) :]]
+                a, b = a[m], b[m]
+            if len(a):
+                nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+                deg = np.bincount(inv)
+                sel = deg >= k
+                nodes, deg = nodes[sel], deg[sel]
+            else:
+                nodes = deg = np.array([], np.int64)
+            return pa.table(
+                {"node": pa.array(nodes, pa.int64()), "deg": pa.array(deg.astype(np.int64))}
+            )
+
+        return ray.data.from_arrow_refs([_peel.remote(tbl_ref)])
+
+    cur = edges2
     for _ in range(max(rounds, 0)):
         deg = _degree_table(cur, src, dst).materialize()
         keep = deg.filter(expr=f"deg >= {int(k)}").materialize()
