@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "q_embed_moments",
     "q_shipping_priority",
     "q_hash_split",
+    "q_split_labels",
     "q_kmeans_update",
     "q_profile",
     "q_outlier_filter",

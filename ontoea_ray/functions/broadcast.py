@@ -78,13 +78,20 @@ def assemble_value_set_ref(
     if sz is not None and sz > budget:
         return ds, None
 
+    try:
+        empty_type = ds.schema().base_schema.field(column).type
+    except Exception:
+        empty_type = pa.string()
+
     @ray.remote
     def _distinct(*tbls: pa.Table) -> pa.Array:
         import pyarrow.compute as pc
 
         chunks = [t[column].combine_chunks() for t in tbls if t.num_columns > 0]
         if not chunks:
-            return pa.array([], pa.string())
+            # typed from the dataset schema — a hardcoded string here
+            # breaks is_in against int-keyed callers
+            return pa.array([], empty_type)
         uniq = pc.unique(pa.chunked_array(chunks))
         return uniq.combine_chunks() if isinstance(uniq, pa.ChunkedArray) else uniq
 

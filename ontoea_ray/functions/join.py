@@ -194,7 +194,9 @@ def hash_join(
             small_tbl = pa.table(
                 {c: pa.array([], type=t) for c, t in empty_types.items()}
             )
-        small_ref = ray.put(small_tbl.to_pandas())
+        # plasma holds the ARROW table (zero-copy, node-shared); each actor
+        # converts to its pandas merge frame once in __init__
+        small_ref = ray.put(small_tbl)
         stream_keys = right_on if bcast_side == "left" else on
         stream_pay = rpay if bcast_side == "left" else [(n, n) for n in lpay]
         # pandas merge 'how' from the STREAM side's perspective
@@ -202,7 +204,7 @@ def hash_join(
 
         class _BcastJoin:
             def __init__(self):
-                self.small = ray.get(small_ref)
+                self.small = ray.get(small_ref).to_pandas()
 
             def __call__(self, b: pa.Table) -> pa.Table:
                 cols = {
@@ -221,12 +223,19 @@ def hash_join(
         from ontoea_ray.stages.scan_link import default_pool_size
 
         # pool scales with the cluster (the whole point of broadcasting is a
-        # map-side merge as wide as the stream); a hard cap would serialize
-        # the merge on a 4N-node cluster
+        # map-side merge as wide as the stream), but each actor holds its
+        # own pandas frame of the small side (~3x the Arrow bytes for
+        # object strings) — cap the pool so actors x copy stays inside a
+        # heap budget instead of the old hard cap of 8
+        import os
+
+        heap_budget = int(os.environ.get("ONTOEA_BCAST_JOIN_HEAP_BYTES", 4 << 30))
+        est_copy = max(1, 3 * small_tbl.nbytes)
+        pool = max(2, min(default_pool_size(None), heap_budget // est_copy))
         return stream.map_batches(
             _BcastJoin,
             batch_format="pyarrow",
-            concurrency=(1, default_pool_size(None)),
+            concurrency=(1, pool),
         )
 
     # ---- runtime filter for the exchange plan: when one side is already

@@ -84,11 +84,14 @@ def _token_hashes(tokens: pa.Array, backend: str | None = None) -> np.ndarray:
     if backend == "fast":
         vals = _fnv_hash_strings(uniq)
     else:
-        table = {
-            t: int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
-            for t in uniq.to_pylist()
-        }
-        vals = np.fromiter((table[t] for t in uniq.to_pylist()), np.uint64, len(table))
+        vals = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+                for t in uniq.to_pylist()
+            ),
+            np.uint64,
+            len(uniq),
+        )
     idx = pc.index_in(tokens, value_set=uniq).to_numpy(zero_copy_only=False).astype(np.int64)
     return vals[idx]
 

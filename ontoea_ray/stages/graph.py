@@ -726,8 +726,10 @@ def bfs_depths(
     object store)."""
     from ontoea_ray.functions.shuffle import keyed_aggregate
 
+    # infer the node type from the seeds (string URIs or int ids) so the
+    # frontier value set matches the edge columns' type
     level = ray.data.from_arrow(
-        pa.table({"node": pa.array(sorted(set(seeds)), pa.string())})
+        pa.table({"node": pa.array(sorted(set(seeds)))})
     ).materialize()
     tagged = []
 

@@ -172,13 +172,15 @@ class ShardedEntityStore:
     def update(self, rows: np.ndarray, grads: np.ndarray) -> None:
         rows = np.asarray(rows, np.int64)
         grads = grads.astype(np.float32, copy=False)
-        matched = 0
-        for i, m in self._masks(rows):
-            self._pending.append(self.shards[i].update.remote(rows[m], grads[m]))
-            matched += int(m.sum())
-        if matched != len(rows):
+        # validate BEFORE any submission: a post-hoc check would leave a
+        # half-applied step in the store (breaking dense bit-parity for
+        # callers that catch and continue)
+        parts = list(self._masks(rows))
+        if sum(int(m.sum()) for _, m in parts) != len(rows):
             bad = rows[(rows < 0) | (rows >= self.num_rows)]
             raise IndexError(f"update rows outside [0, {self.num_rows}): {bad[:5]}...")
+        for i, m in parts:
+            self._pending.append(self.shards[i].update.remote(rows[m], grads[m]))
         if len(self._pending) > 512:
             self.sync()
 
