@@ -2824,8 +2824,10 @@ def q_assortativity(sf_dir: str):
     from ontoea_ray.functions.join import hash_join
     from ontoea_ray.stages.graph import _degree_table
 
-    edges = _copurchase_edges(sf_dir)
-    deg = _degree_table(edges, "id_a", "id_b")
+    # materialize once: degree pass + two join consumers would otherwise
+    # re-run the whole pair emission from lineage per consumer
+    edges = _copurchase_edges(sf_dir).materialize()
+    deg = _degree_table(edges, "id_a", "id_b").materialize()
     da = hash_join(edges, deg, on=["id_a"], right_on=["node"]).map_batches(
         lambda b: pa.table({"id_b": b["id_b"], "da": b["deg"]}), batch_format="pyarrow"
     )
