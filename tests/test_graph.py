@@ -294,3 +294,21 @@ def test_kcore_distributed_semijoin_path_equals_broadcast(ray_session, monkeypat
     monkeypatch.setenv("ONTOEA_BROADCAST_BUDGET_BYTES", "1")
     forced = run()
     assert broadcast == forced and len(broadcast) > 0
+
+
+def test_kcore_string_nodes_use_distributed_plan(ray_session):
+    """Non-integer node ids can't take the single-task numpy peel — they
+    must route through the per-round distributed plan and still produce
+    the correct core."""
+    import ray.data
+
+    from ontoea_ray.stages.graph import kcore_rounds
+
+    edges = ray.data.from_items(
+        [
+            {"a": "x", "b": "y"}, {"a": "x", "b": "z"}, {"a": "y", "b": "z"},
+            {"a": "z", "b": "w"},
+        ]
+    )
+    out = {r["node"]: r["deg"] for r in kcore_rounds(edges, k=2, rounds=3).take_all()}
+    assert out == {"x": 2, "y": 2, "z": 2}
