@@ -144,12 +144,12 @@ def test_sharded_trainer_bitwise_matches_dense(tmp_path):
     assert np.array_equal(dense.M, sharded.M)
 
 
-def test_sharded_trainer_truncated_sampling_runs(tmp_path):
-    """Truncated hard-negative schedule on the sharded trainer: the kNN
-    refresh streams shard blocks (never gathers the table); pools must
-    cover both KGs and the run must hit the quality floor of a tiny
-    fixture run (sanity, not parity — blockwise refresh is pinned equal
-    to dense elsewhere)."""
+def test_sharded_trainer_truncated_schedule_bitwise_matches_dense(tmp_path):
+    """The FULL truncated schedule — including the kNN hard-negative
+    refresh, which the sharded trainer runs blockwise over shard Datasets
+    while the dense trainer gathers in-actor — stays bit-identical:
+    identical embeddings produce identical argpartition pools, so the rng
+    stream and every subsequent update line up exactly."""
     from ontoea_ray.pipelines.kg_parity import load_train_data
     from ontoea_ray.pipelines.training import ShardedOntoEATrainer
 
@@ -158,9 +158,14 @@ def test_sharded_trainer_truncated_sampling_runs(tmp_path):
         dim=16, onto_dim=8, max_epoch=6, sub_epoch=3, start_valid=100,
         neg_sampling="truncated", truncated_freq=1,
     )
+    dense = OntoEATrainer(data, cfg)
+    r_dense = dense.run()
     tr = ShardedOntoEATrainer(data, cfg, num_shards=2)
-    tr.run()
-    assert tr._neighbors
+    r_sharded = tr.run()
+    assert r_dense["test"] == r_sharded["test"]
+    assert np.array_equal(dense.ent_matrix(), tr.ent_matrix())
+    assert set(dense._neighbors) == set(tr._neighbors)
+    assert all(np.array_equal(dense._neighbors[k], tr._neighbors[k]) for k in dense._neighbors)
     ents = set(tr._neighbors)
     assert ents & set(data.kg1_entities.tolist())
     assert ents & set(data.kg2_entities.tolist())
