@@ -65,16 +65,28 @@ def cmd_align(args) -> int:
     import ray
 
     from ontoea_ray.pipelines.kg_parity import load_train_data, run_parity
-    from ontoea_ray.pipelines.training import OntoEAConfig, OntoEATrainer
+    from ontoea_ray.pipelines.training import (
+        OntoEAConfig,
+        OntoEATrainer,
+        ShardedOntoEATrainer,
+    )
 
     cfg = OntoEAConfig(dim=args.dim, onto_dim=args.onto_dim, max_epoch=args.max_epoch)
-    if args.out:
+    if args.out or args.shards:
         data = load_train_data(args.data)
-        trainer = OntoEATrainer(data, cfg)
+        if args.shards:
+            # parameter-server entity table: scatter mode keeps dense
+            # bit-parity; --shard-init never materializes the table
+            trainer = ShardedOntoEATrainer(
+                data, cfg, num_shards=args.shards, shard_init=args.shard_init
+            )
+        else:
+            trainer = OntoEATrainer(data, cfg)
         res = trainer.run()
-        from ontoea_ray.sources.artifacts import save_trainer_artifacts
+        if args.out:
+            from ontoea_ray.sources.artifacts import save_trainer_artifacts
 
-        save_trainer_artifacts(trainer, args.out)
+            save_trainer_artifacts(trainer, args.out)
     else:
         res = run_parity(args.data, cfg)
     print(json.dumps(res["test"]))
@@ -100,6 +112,10 @@ def main(argv=None) -> int:
     a.add_argument("--onto-dim", type=int, default=48)
     a.add_argument("--max-epoch", type=int, default=200)
     a.add_argument("--out", default=None)
+    a.add_argument("--shards", type=int, default=0,
+                   help="shard the entity table across N parameter-server actors")
+    a.add_argument("--shard-init", action="store_true",
+                   help="initialize rows shard-side (table never dense anywhere)")
     a.set_defaults(fn=cmd_align)
 
     args = p.parse_args(argv)

@@ -42,3 +42,13 @@ def test_cli_align(cli_inputs):
     assert r.returncode == 0, r.stderr[-500:]
     payload = json.loads(r.stdout.strip().splitlines()[-1])
     assert "hits" in payload and "mrr" in payload
+
+
+def test_cli_align_sharded(cli_inputs):
+    r = _run([
+        "align", "--data", str(cli_inputs / "kg"), "--dim", "16", "--onto-dim", "8",
+        "--max-epoch", "10", "--shards", "2", "--shard-init",
+    ])
+    assert r.returncode == 0, r.stderr[-500:]
+    payload = json.loads(r.stdout.strip().splitlines()[-1])
+    assert "hits" in payload and "mrr" in payload
