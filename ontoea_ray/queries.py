@@ -4709,8 +4709,14 @@ _SOURCE_DUP_SQL = f"""
 def q_source_dup_rate(sf_dir: str):
     """Near-duplication structure ACROSS sources (which feeds copy which —
     mirror detection, license laundering, scraper loops): exact-Jaccard
-    near-dup pairs joined to each side's source label via the distributed
-    hash join, reduced to an unordered source-pair count matrix."""
+    near-dup pairs labeled with each side's source, reduced to an
+    unordered source-pair count matrix.
+
+    The doc->source map is a dimension table (one short row per doc):
+    under the broadcast budget it ships once as a sorted-id gather and
+    BOTH sides label in a single map pass (no joins); above it the two
+    distributed hash joins are the fallback."""
+    from ontoea_ray.functions.broadcast import assemble_table_ref
     from ontoea_ray.functions.join import hash_join
     from ontoea_ray.functions.shuffle import keyed_aggregate
     from ontoea_ray.stages.dedup import jaccard_pairs
@@ -4719,16 +4725,33 @@ def q_source_dup_rate(sf_dir: str):
     pairs = jaccard_pairs(ds, threshold=0.5, shingle_n=3)
     meta = _read(sf_dir, "documents", ["doc_id", "source"])
 
-    a = hash_join(
-        pairs.map_batches(
-            lambda b: pa.table({"doc_id": b["id_a"], "id_b": b["id_b"]}), batch_format="pyarrow"
-        ),
-        meta,
-        on=["doc_id"],
-    ).map_batches(
-        lambda b: pa.table({"doc_id": b["id_b"], "src_a": b["source"]}), batch_format="pyarrow"
-    )
-    both = hash_join(a, meta, on=["doc_id"])
+    meta, meta_ref = assemble_table_ref(meta, columns=["doc_id", "source"])
+    if meta_ref is not None:
+
+        def label(b: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            m = _ray.get(meta_ref)
+            ids = m["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+            src = m["source"].combine_chunks().to_numpy(zero_copy_only=False)
+            order = np.argsort(ids, kind="stable")
+            ids, src = ids[order], src[order]
+            ia = np.searchsorted(ids, np.asarray(b["id_a"].combine_chunks(), np.int64))
+            ib = np.searchsorted(ids, np.asarray(b["id_b"].combine_chunks(), np.int64))
+            return pa.table({"src_a": pa.array(src[ia]), "source": pa.array(src[ib])})
+
+        both = pairs.map_batches(label, batch_format="pyarrow")
+    else:
+        a = hash_join(
+            pairs.map_batches(
+                lambda b: pa.table({"doc_id": b["id_a"], "id_b": b["id_b"]}), batch_format="pyarrow"
+            ),
+            meta,
+            on=["doc_id"],
+        ).map_batches(
+            lambda b: pa.table({"doc_id": b["id_b"], "src_a": b["source"]}), batch_format="pyarrow"
+        )
+        both = hash_join(a, meta, on=["doc_id"])
 
     def partial(b: pa.Table) -> pa.Table:
         sa = b["src_a"].to_pandas()

@@ -118,3 +118,16 @@ def test_exact_cosine_pairs_assembled_off_driver(ray_session):
         ).take_all()
     }
     assert got == {(0, 1)}
+
+
+def test_source_dup_rate_join_path_equals_broadcast(sf_dir, tiny_budget, monkeypatch):
+    """Budget=1 forces the doc->source labeling through the two
+    distributed hash joins; the source-pair matrix must match the
+    broadcast-gather plan exactly."""
+    from ontoea_ray.queries import QUERIES
+
+    monkeypatch.delenv("ONTOEA_BROADCAST_BUDGET_BYTES", raising=False)
+    want = _df(QUERIES["q_source_dup_rate"](sf_dir))
+    monkeypatch.setenv("ONTOEA_BROADCAST_BUDGET_BYTES", "1")
+    got = _df(QUERIES["q_source_dup_rate"](sf_dir))
+    pd.testing.assert_frame_equal(want, got)
