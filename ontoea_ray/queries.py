@@ -4728,19 +4728,24 @@ def q_source_dup_rate(sf_dir: str):
     meta, meta_ref = assemble_table_ref(meta, columns=["doc_id", "source"])
     if meta_ref is not None:
 
-        def label(b: pa.Table) -> pa.Table:
-            import ray as _ray
+        class _Label:
+            def __init__(self):   # sort once per actor, not per batch
+                import ray as _ray
 
-            m = _ray.get(meta_ref)
-            ids = m["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
-            src = m["source"].combine_chunks().to_numpy(zero_copy_only=False)
-            order = np.argsort(ids, kind="stable")
-            ids, src = ids[order], src[order]
-            ia = np.searchsorted(ids, np.asarray(b["id_a"].combine_chunks(), np.int64))
-            ib = np.searchsorted(ids, np.asarray(b["id_b"].combine_chunks(), np.int64))
-            return pa.table({"src_a": pa.array(src[ia]), "source": pa.array(src[ib])})
+                m = _ray.get(meta_ref)
+                ids = m["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+                src = m["source"].combine_chunks().to_numpy(zero_copy_only=False)
+                order = np.argsort(ids, kind="stable")
+                self.ids, self.src = ids[order], src[order]
 
-        both = pairs.map_batches(label, batch_format="pyarrow")
+            def __call__(self, b: pa.Table) -> pa.Table:
+                ia = np.searchsorted(self.ids, np.asarray(b["id_a"].combine_chunks(), np.int64))
+                ib = np.searchsorted(self.ids, np.asarray(b["id_b"].combine_chunks(), np.int64))
+                return pa.table(
+                    {"src_a": pa.array(self.src[ia]), "source": pa.array(self.src[ib])}
+                )
+
+        both = pairs.map_batches(_Label, batch_format="pyarrow", concurrency=(1, 4))
     else:
         a = hash_join(
             pairs.map_batches(
