@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "q_cross_dup_spans",
     "q_tile_dedup",
     "q_kcore",
+    "q_communities",
     "q_assortativity",
 ]
 
@@ -159,6 +160,10 @@ def run_bench() -> dict:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        # worker stdout must NOT reach the driver's stdout: the harness
+        # contract is exactly ONE JSON line there (a forwarded worker
+        # print would corrupt it)
+        log_to_driver=False,
     )
     from ontoea_ray.context import tune_data_context
 

@@ -2917,6 +2917,69 @@ def q_kcore(sf_dir: str):
     )
 
 
+def _communities_sql(rounds: int, *, pct: int = 10) -> str:
+    """Unrolled R-round synchronous label propagation over the
+    splitmix64-sampled co-purchase graph.  Round CTEs are MATERIALIZED
+    (each l_r feeds both the next count join and — transitively — every
+    later round)."""
+    p = [
+        "WITH",
+        _COPURCHASE_E_CTE.replace(" e AS ", " eall0 AS "),
+        ", eall AS MATERIALIZED (SELECT a, b FROM eall0),",
+        splitmix64_ctes("eall", "(a * 100000 + b)"),
+        f", e0 AS MATERIALIZED (SELECT a, b FROM sm3 WHERE _h % 100 < {pct})",
+        ", nb AS MATERIALIZED (SELECT a AS node, b AS nbr FROM e0"
+        "  UNION ALL SELECT b AS node, a AS nbr FROM e0)",
+        ", l0 AS MATERIALIZED (SELECT DISTINCT node, node AS label FROM nb)",
+    ]
+    for r in range(rounds):
+        p.append(
+            f", n{r} AS MATERIALIZED (SELECT nb.node, l.label,"
+            f" CAST(COUNT(*) AS BIGINT) AS c"
+            f" FROM nb JOIN l{r} l ON nb.nbr = l.node GROUP BY nb.node, l.label)"
+        )
+        p.append(
+            f", l{r + 1} AS MATERIALIZED (SELECT node, label FROM ("
+            f"SELECT node, label, ROW_NUMBER() OVER (PARTITION BY node"
+            f" ORDER BY c DESC, label ASC) AS rn FROM n{r}) WHERE rn = 1)"
+        )
+    p.append(f"SELECT node, label FROM l{rounds}")
+    return "\n".join(p)
+
+
+@_register("q_communities", _communities_sql(4))
+def q_communities(sf_dir: str):
+    """4-round synchronous label-propagation communities over the
+    splitmix64-sampled (10%) co-purchase graph — the corpus-clustering
+    primitive (mirror-site / template-family grouping) complementary to
+    connected components: LP finds DENSE regions without an explicit
+    same-as edge.  `stages/communities.labelprop_rounds`: single-task
+    numpy mode-rounds under the broadcast budget, per-round join +
+    combiner count + node-co-located argmax above it — exactly the
+    unrolled SQL's R-round semantics (max neighbour-label count, ties to
+    the smallest label) either way."""
+    from ontoea_ray.stages.communities import labelprop_rounds
+    from ontoea_ray.stages.sampling import splitmix64
+
+    edges = _copurchase_edges(sf_dir)
+
+    def sample(b: pa.Table) -> pa.Table:
+        a = np.asarray(b["id_a"].combine_chunks(), np.int64)
+        c = np.asarray(b["id_b"].combine_chunks(), np.int64)
+        h = splitmix64((a * 100000 + c).astype(np.uint64))
+        return b.filter(pa.array(h % np.uint64(100) < np.uint64(10)))
+
+    sampled = edges.map_batches(sample, batch_format="pyarrow")
+    out = labelprop_rounds(sampled, rounds=4, src="id_a", dst="id_b")
+    return out.map_batches(
+        lambda b: pa.table(
+            {"node": b["node"].combine_chunks().cast(pa.int64()),
+             "label": b["label"].combine_chunks().cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 # Above this many distinct edges the broadcast CSR (~24 B/edge per worker)
 # stops fitting comfortably in worker heaps; fall back to the exchange plan
 # (wedge emission -> hash-join against the edge set), which never holds the

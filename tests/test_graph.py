@@ -312,3 +312,76 @@ def test_kcore_string_nodes_use_distributed_plan(ray_session):
     )
     out = {r["node"]: r["deg"] for r in kcore_rounds(edges, k=2, rounds=3).take_all()}
     assert out == {"x": 2, "y": 2, "z": 2}
+
+
+def test_labelprop_two_cliques_converge(ray_session):
+    """Label propagation on two 4-cliques joined by one bridge edge: each
+    clique converges to its minimum node id; the bridge is outvoted by the
+    in-clique majority on both sides."""
+    import itertools
+
+    import ray.data
+
+    from ontoea_ray.stages.communities import labelprop_rounds
+
+    edges = [
+        {"a": int(x), "b": int(y)}
+        for grp in ([1, 2, 3, 4], [10, 11, 12, 13])
+        for x, y in itertools.combinations(grp, 2)
+    ] + [{"a": 4, "b": 10}]
+    out = {
+        r["node"]: r["label"]
+        for r in labelprop_rounds(
+            ray.data.from_items(edges), rounds=4
+        ).take_all()
+    }
+    assert out == {n: 1 for n in [1, 2, 3, 4]} | {n: 10 for n in [10, 11, 12, 13]}
+
+
+def test_labelprop_distributed_plan_equals_broadcast(ray_session, monkeypatch):
+    """Budget=1 forces the per-round join + count + argmax plan; results
+    must equal the single-task numpy plan bit-for-bit (same R rounds, same
+    max-count / min-label tie-break)."""
+    import numpy as np
+    import ray.data
+
+    from ontoea_ray.stages.communities import labelprop_rounds
+
+    rng = np.random.default_rng(7)
+    rows = {
+        (int(min(x, y)), int(max(x, y)))
+        for x, y in rng.integers(0, 60, (250, 2)) if x != y
+    }
+    edges = ray.data.from_items([{"a": a, "b": b} for a, b in sorted(rows)])
+
+    def run():
+        out = labelprop_rounds(edges, rounds=3).take_all()
+        return sorted((r["node"], r["label"]) for r in out)
+
+    broadcast = run()
+    monkeypatch.setenv("ONTOEA_BROADCAST_BUDGET_BYTES", "1")
+    forced = run()
+    assert broadcast == forced and len(broadcast) > 0
+
+
+def test_labelprop_string_nodes_use_distributed_plan(ray_session):
+    """String node ids route through the distributed plan (min-label ties
+    are lexicographic there, matching SQL ORDER BY label ASC)."""
+    import itertools
+
+    import ray.data
+
+    from ontoea_ray.stages.communities import labelprop_rounds
+
+    edges = [
+        {"a": x, "b": y}
+        for grp in (["a1", "a2", "a3"], ["b1", "b2", "b3"])
+        for x, y in itertools.combinations(grp, 2)
+    ]
+    out = {
+        r["node"]: r["label"]
+        for r in labelprop_rounds(ray.data.from_items(edges), rounds=3).take_all()
+    }
+    assert out == {n: "a1" for n in ["a1", "a2", "a3"]} | {
+        n: "b1" for n in ["b1", "b2", "b3"]
+    }
