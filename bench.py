@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "q_large_orders",
     "q_cust_order_dist",
     "q_doc_popularity",
+    "q_lm_score",
     "q_ttr",
     "q_user_active_time",
     "q_cheapest_supplier",

@@ -5482,6 +5482,186 @@ def q_ttr(sf_dir: str):
     return ds.map_batches(stats, batch_format="pyarrow")
 
 
+def _bigrams_exploded(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Corpus explode to (doc_id, bigram) occurrence rows — the bigram
+    analogue of `_tokens_exploded`; streams, never materialized here."""
+    from ontoea_ray.functions.text import tokenize
+
+    def explode(b: pa.Table) -> pa.Table:
+        toks = tokenize(b["text"])
+        flat = toks.flatten().to_pandas()
+        if len(flat) < 2:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "bigram": pa.array([], pa.string())}
+            )
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        start = np.zeros(len(flat) + 1, np.bool_)
+        start[offs] = True
+        valid = ~start[1 : len(flat)]  # pair (i, i+1) inside one document
+        pairs = (
+            flat.iloc[:-1].reset_index(drop=True)
+            + " "
+            + flat.iloc[1:].reset_index(drop=True)
+        )[valid]
+        doc_ids = np.repeat(
+            np.asarray(b["doc_id"].combine_chunks(), np.int64), np.diff(offs)
+        )[: len(flat) - 1][valid]
+        return pa.table(
+            {"doc_id": pa.array(doc_ids, pa.int64()),
+             "bigram": pa.array(pairs, pa.string())}
+        )
+
+    return docs.map_batches(explode, batch_format="pyarrow")
+
+
+_LM_SCORE_SQL = """
+    WITH t AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+    db AS (SELECT doc_id,
+                  t[unnest(range(1, len(t)))] || ' ' || t[unnest(range(2, len(t) + 1))] AS bigram
+           FROM t),
+    c2 AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c2 FROM db GROUP BY bigram),
+    c1 AS (SELECT str_split(bigram, ' ')[1] AS w1, CAST(SUM(c2) AS BIGINT) AS c1
+           FROM c2 GROUP BY w1),
+    p AS (SELECT c2.bigram, (1000000 * c2.c2) // c1.c1 AS p
+          FROM c2 JOIN c1 ON str_split(c2.bigram, ' ')[1] = c1.w1)
+    SELECT db.doc_id,
+           CAST(SUM(p.p) AS BIGINT) AS pred_sum,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams
+    FROM db JOIN p USING (bigram) GROUP BY db.doc_id
+"""
+
+
+@_register("q_lm_score", _LM_SCORE_SQL)
+def q_lm_score(sf_dir: str):
+    """Bigram-predictability document score — the integer-exact core of an
+    n-gram LM perplexity filter (the CCNet-style quality signal): each
+    bigram occurrence scores the conditional probability of its second
+    token given its first, as the exact rational
+    ``(1e6 * count(w1 w2)) // count(w1 _)``, summed per document (low sum
+    = surprising text).  Pure integer ratios, so the oracle replays every
+    value bit-for-bit — no libm log to diverge.
+
+    Scale shape: bigram counts are combiner-first (per-block partials, one
+    keyed aggregate); the prefix marginal derives from the count table
+    itself (never re-scans the corpus); the per-bigram score table is
+    assembled INSIDE a Ray task and broadcast once per actor for a
+    shuffle-free searchsorted scoring pass — above the broadcast byte
+    budget the same score runs as a bigram-exploded hash join + per-doc
+    keyed aggregate instead (budget=1 test pins the plans equal)."""
+    from ontoea_ray.functions.broadcast import assemble_table_ref
+    from ontoea_ray.functions.join import hash_join
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+    from ontoea_ray.functions.text import bigram_counts, tokenize
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    partial = ds.map_batches(
+        lambda b: bigram_counts(b["text"].combine_chunks()), batch_format="pyarrow"
+    )
+    c2 = partial.groupby("bigram").sum("freq").map_batches(
+        lambda b: pa.table(
+            {
+                "bigram": b["bigram"].combine_chunks(),
+                "w1": pc.list_element(
+                    pc.split_pattern(b["bigram"].combine_chunks(), pattern=" "), 0
+                ),
+                "c2": b["sum(freq)"].combine_chunks().cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    c1 = keyed_aggregate(c2.select_columns(["w1", "c2"]), ["w1"], sums=["c2"])
+    c1 = c1.map_batches(
+        lambda b: pa.table(
+            {"w1": b["w1"].combine_chunks(),
+             "c1": b["c2"].combine_chunks().cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    ptab = hash_join(c2, c1, on=["w1"]).map_batches(
+        lambda b: pa.table(
+            {
+                "bigram": b["bigram"].combine_chunks(),
+                "p": pc.divide(
+                    pc.multiply(
+                        pa.scalar(1_000_000, pa.int64()),
+                        b["c2"].combine_chunks().cast(pa.int64()),
+                    ),
+                    b["c1"].combine_chunks().cast(pa.int64()),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    ptab, p_ref = assemble_table_ref(ptab, columns=["bigram", "p"])
+
+    if p_ref is None:  # web-scale bigram vocabulary: exploded join plan
+        j = hash_join(_bigrams_exploded(ds), ptab, on=["bigram"])
+        agg = keyed_aggregate(j, ["doc_id"], sums=["p"], count_alias="n_bigrams")
+        return agg.map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": b["doc_id"].combine_chunks().cast(pa.int64()),
+                    "pred_sum": b["p"].combine_chunks().cast(pa.int64()),
+                    "n_bigrams": b["n_bigrams"].combine_chunks().cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    class _Score:
+        def __init__(self):
+            t = ray.get(p_ref)
+            vocab = np.asarray(t.column("bigram").to_pandas(), dtype=object)
+            order = np.argsort(vocab)
+            self.vocab = vocab[order]
+            self.p = t.column("p").combine_chunks().to_numpy(zero_copy_only=False)[
+                order
+            ]
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            toks = tokenize(b["text"])
+            flat = toks.flatten().to_pandas()
+            n = len(b)
+            if len(flat) < 2:
+                return pa.table(
+                    {"doc_id": pa.array([], pa.int64()),
+                     "pred_sum": pa.array([], pa.int64()),
+                     "n_bigrams": pa.array([], pa.int64())}
+                )
+            offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            start = np.zeros(len(flat) + 1, np.bool_)
+            start[offs] = True
+            valid = ~start[1 : len(flat)]
+            pairs = np.asarray(
+                (
+                    flat.iloc[:-1].reset_index(drop=True)
+                    + " "
+                    + flat.iloc[1:].reset_index(drop=True)
+                )[valid],
+                dtype=object,
+            )
+            seg_all = np.repeat(np.arange(n), np.diff(offs))[: len(flat) - 1][valid]
+            idx = np.searchsorted(self.vocab, pairs)
+            scores = self.p[idx]  # every corpus bigram is in the table
+            pred = np.zeros(n, np.int64)
+            np.add.at(pred, seg_all, scores)
+            cnt = np.bincount(seg_all, minlength=n).astype(np.int64)
+            keep = cnt > 0  # docs with no bigram don't appear (SQL inner join)
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"].combine_chunks().cast(pa.int64()).take(
+                        pa.array(np.flatnonzero(keep))
+                    ),
+                    "pred_sum": pa.array(pred[keep]),
+                    "n_bigrams": pa.array(cnt[keep]),
+                }
+            )
+
+    return ds.map_batches(_Score, batch_format="pyarrow", concurrency=(1, 4))
+
+
 _USER_ACTIVE_TIME_SQL = """
     WITH e AS (
       SELECT user_id, ts,

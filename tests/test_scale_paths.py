@@ -131,3 +131,15 @@ def test_source_dup_rate_join_path_equals_broadcast(sf_dir, tiny_budget, monkeyp
     monkeypatch.setenv("ONTOEA_BROADCAST_BUDGET_BYTES", "1")
     got = _df(QUERIES["q_source_dup_rate"](sf_dir))
     pd.testing.assert_frame_equal(want, got)
+
+
+def test_lm_score_join_path_equals_broadcast(sf_dir, tiny_budget, monkeypatch):
+    """Budget=1 forces the bigram-exploded hash-join scoring plan; the
+    per-doc predictability sums must equal the broadcast searchsorted
+    plan bit-for-bit."""
+    from ontoea_ray.queries import QUERIES
+
+    forced = _df(QUERIES["q_lm_score"](sf_dir))
+    monkeypatch.delenv("ONTOEA_BROADCAST_BUDGET_BYTES")
+    base = _df(QUERIES["q_lm_score"](sf_dir))
+    pd.testing.assert_frame_equal(forced, base)
