@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "q_minhash_lsh",
     "q_simhash",
     "q_ann_topk",
+    "q_ann_pq",
     "q_langid",
     "q_asof_join",
     "q_range_join",

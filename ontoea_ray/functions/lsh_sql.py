@@ -485,3 +485,94 @@ SELECT vec_id, CAST(rnk AS BIGINT) AS rnk FROM (
   FROM {source} e JOIN cand ON cand.vec_id = e.vec_id
 ) WHERE rnk <= {k}""")
     return "\n".join(parts)
+
+
+def ann_pq_topk_sql(
+    *,
+    k: int = 10,
+    m: int = 4,
+    ksub: int = 8,
+    dim: int = 64,
+    iters: int = 3,
+    scale: int = 1000,
+    sample_size: int = 20_000,
+    query_vec_id: int = 0,
+    source: str = "embeddings",
+) -> str:
+    """Oracle for ``stages.ann.build_pq_index`` + ``pq_index_topk`` (as
+    driven by q_ann_pq): replays the ENTIRE product quantizer in SQL —
+    per-subspace integer k-means training (same sample / init / Lloyd
+    steps as :func:`ann_ivf_topk_sql`, once per subspace), the code
+    assignment of every row, the query's asymmetric-distance LUT and the
+    final (adist ASC, vec_id ASC) ranking.  Unlike the LSH/IVF oracles
+    even the FINAL ranking is integer — there is no float step anywhere,
+    so every output column hash-matches bit-for-bit."""
+    assert dim % m == 0
+    dsub = dim // m
+    rng = f"range(1, {dsub + 1})"
+
+    def sqdist(av: str, bv: str) -> str:
+        return f"list_sum([({av}[i] - {bv}[i]) * ({av}[i] - {bv}[i]) FOR i IN {rng}])"
+
+    sv_cols = ", ".join(
+        f"qv[{s * dsub + 1}:{(s + 1) * dsub}] AS sv{s}" for s in range(m)
+    )
+    parts = [f"WITH {splitmix64_ctes(source, 'vec_id')},"]
+    parts.append(f"""
+  hord AS (SELECT vec_id, embedding,
+                  ROW_NUMBER() OVER (ORDER BY _h ASC, vec_id ASC) AS hrank
+           FROM sm3),
+  qall AS MATERIALIZED (
+    SELECT vec_id, hrank, {sv_cols} FROM (
+      SELECT vec_id, hrank,
+             [CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {scale}) AS BIGINT)
+              FOR i IN range(1, {dim + 1})] AS qv
+      FROM hord)),
+  train AS MATERIALIZED (SELECT * FROM qall WHERE hrank <= {sample_size}),""")
+    for s in range(m):
+        parts.append(
+            f"  c{s}_0 AS (SELECT hrank - 1 AS cid, sv{s} AS cv"
+            f" FROM train WHERE hrank <= {ksub}),"
+        )
+        for t in range(iters):
+            parts.append(f"""
+  b{s}_{t} AS (
+    SELECT vec_id, cid, sv FROM (
+      SELECT train.vec_id, c.cid, train.sv{s} AS sv,
+             ROW_NUMBER() OVER (PARTITION BY train.vec_id
+                                ORDER BY {sqdist(f'train.sv{s}', 'c.cv')} ASC, c.cid ASC) AS rn
+      FROM train CROSS JOIN c{s}_{t} c)
+    WHERE rn = 1),
+  u{s}_{t} AS (
+    SELECT cid, uu.i AS d,
+           CAST(FLOOR(CAST(SUM(sv[uu.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cval
+    FROM b{s}_{t}, UNNEST({rng}) AS uu(i)
+    GROUP BY cid, uu.i),
+  c{s}_{t + 1} AS (
+    SELECT c.cid, COALESCE(n.cv, c.cv) AS cv
+    FROM c{s}_{t} c
+    LEFT JOIN (SELECT cid, list(cval ORDER BY d) AS cv FROM u{s}_{t} GROUP BY cid) n
+      USING (cid)),""")
+        parts.append(f"""
+  code{s} AS MATERIALIZED (
+    SELECT vec_id, cid AS code FROM (
+      SELECT qall.vec_id, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY qall.vec_id
+                                ORDER BY {sqdist(f'qall.sv{s}', 'c.cv')} ASC, c.cid ASC) AS rn
+      FROM qall CROSS JOIN c{s}_{iters} c)
+    WHERE rn = 1),
+  qsub{s} AS (SELECT sv{s} AS qsv FROM qall WHERE vec_id = {query_vec_id}),
+  sc{s} AS (
+    SELECT code{s}.vec_id, {sqdist('q.qsv', 'c.cv')} AS d{s}
+    FROM code{s} JOIN c{s}_{iters} c ON code{s}.code = c.cid
+    CROSS JOIN qsub{s} q),""")
+    joins = " ".join(f"JOIN sc{s} USING (vec_id)" for s in range(1, m))
+    dsum = " + ".join(f"d{s}" for s in range(m))
+    parts.append(f"""
+  tot AS (SELECT sc0.vec_id, {dsum} AS adist FROM sc0 {joins})
+SELECT vec_id, CAST(rnk AS BIGINT) AS rnk, CAST(adist AS BIGINT) AS adist FROM (
+  SELECT vec_id, adist,
+         ROW_NUMBER() OVER (ORDER BY adist ASC, vec_id ASC) AS rnk
+  FROM tot
+) WHERE rnk <= {k}""")
+    return "\n".join(parts)

@@ -1417,6 +1417,48 @@ def q_ann_ivf(sf_dir: str):
     return out.select(["vec_id", "rnk"])
 
 
+from ontoea_ray.functions.lsh_sql import ann_pq_topk_sql
+
+
+@_register(
+    "q_ann_pq",
+    ann_pq_topk_sql(k=10, m=4, ksub=8, dim=64, iters=3, scale=1000),
+)
+def q_ann_pq(sf_dir: str):
+    """Product-quantization ANN — the COMPRESSION scale path (LSH/IVF
+    prune which rows are read; PQ shrinks what a row costs: ~m bytes per
+    vector instead of dim*4, so a 100 TB float32 embedding table answers
+    from a ~1.5 TB code table with no raw vectors touched at query time).
+    Per-subspace integer k-means codebooks (`stages.ann.
+    train_pq_codebooks_integer`), one encode pass cached under /tmp,
+    query = integer asymmetric-distance LUT gather.
+
+    Full value oracle: DuckDB RE-TRAINS all m codebooks, re-encodes every
+    row and replays the LUT ranking — there is NO float step anywhere, so
+    unlike the LSH/IVF oracles even the final ranking hash-matches
+    bit-for-bit.  Approximation is vs brute force (recall pinned in
+    pytest), not nondeterminism."""
+    import hashlib
+    import os
+
+    from ontoea_ray.stages.ann import build_pq_index, pq_index_topk
+
+    src = f"{sf_dir}/embeddings.parquet"
+    tag = hashlib.blake2b(
+        f"pq-int:{os.path.abspath(src)}:{os.path.getmtime(src)}".encode(), digest_size=8
+    ).hexdigest()
+    index_dir = f"/tmp/ontoea_ann_index/{tag}"
+    if not os.path.exists(os.path.join(index_dir, "_meta.json")):
+        build_pq_index(
+            _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+            index_dir, m=4, ksub=8, iters=3, scale=1000,
+        )
+    tbl = pq.read_table(src, columns=["vec_id", "embedding"])
+    q = np.asarray(tbl.filter(pc.equal(tbl["vec_id"], 0))["embedding"].to_pylist()[0], np.float64)
+    out = pq_index_topk(index_dir, q[None, :], k=10)
+    return out.select(["vec_id", "rnk", "adist"])
+
+
 # ---------------------------------------------------------------------------
 # flagship pipeline (non-SQL — rows-only driver check; pytest holds the
 # oracle-comparison tests)

@@ -500,6 +500,19 @@ def train_centroids_integer(
       previous centroid.
 
     Returns int64 [n_centroids, dim]."""
+    sample = _hash_ordered_sample(
+        embeddings, sample_size=sample_size, id_col=id_col, vec_col=vec_col
+    )
+    qv = _quantize_int(_batch_vectors(sample, vec_col), scale)
+    return _lloyd_integer(qv, n_centroids, iters)
+
+
+def _hash_ordered_sample(
+    embeddings: ray.data.Dataset, *, sample_size: int, id_col: str, vec_col: str
+) -> pa.Table:
+    """Deterministic bounded training sample: the first ``sample_size``
+    rows by (splitmix64(id), id) order — per-block partial top-N, merged
+    INSIDE a Ray task so the driver holds only the final sample."""
     from ontoea_ray.stages.sampling import splitmix64
 
     def partial(b: pa.Table) -> pa.Table:
@@ -519,8 +532,14 @@ def train_centroids_integer(
         order = np.lexsort((ids, h))[:sample_size]
         return t.take(pa.array(order)).drop_columns(["_h"])
 
-    sample = ray.get(_merge_sample.remote(*partials.materialize().to_arrow_refs()))
-    qv = _quantize_int(_batch_vectors(sample, vec_col), scale)
+    return ray.get(_merge_sample.remote(*partials.materialize().to_arrow_refs()))
+
+
+def _lloyd_integer(qv: np.ndarray, n_centroids: int, iters: int) -> np.ndarray:
+    """Integer-exact Lloyd rounds on an already-quantized matrix: init =
+    first ``n_centroids`` rows, assign by squared-Euclidean argmin (ties ->
+    lowest centroid id), update per-dim floor(sum/count); an empty cluster
+    keeps its previous centroid.  Bit-identical to the SQL replay."""
     kc = min(n_centroids, len(qv))
     cent = qv[:kc].copy()
     for _ in range(iters):
@@ -532,6 +551,200 @@ def train_centroids_integer(
             if m.any():
                 cent[c] = np.floor_divide(qv[m].sum(axis=0), m.sum())
     return cent
+
+
+def train_pq_codebooks_integer(
+    embeddings: ray.data.Dataset,
+    *,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 3,
+    scale: int = 1000,
+    sample_size: int = 20_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Product-quantization codebooks: the dim axis splits into ``m``
+    contiguous subspaces and each gets its own integer k-means
+    (:func:`_lloyd_integer`) over the SAME hash-ordered bounded sample —
+    every step integer-exact and order-independent, so the DuckDB oracle
+    (`functions.lsh_sql.ann_pq_topk_sql`) re-trains every codebook
+    bit-identically.  Returns int64 [m, ksub, dim // m]."""
+    sample = _hash_ordered_sample(
+        embeddings, sample_size=sample_size, id_col=id_col, vec_col=vec_col
+    )
+    qv = _quantize_int(_batch_vectors(sample, vec_col), scale)
+    dim = qv.shape[1]
+    assert dim % m == 0, f"dim {dim} not divisible into {m} subspaces"
+    dsub = dim // m
+    return np.stack(
+        [
+            _lloyd_integer(qv[:, s * dsub : (s + 1) * dsub].copy(), ksub, iters)
+            for s in range(m)
+        ]
+    )
+
+
+def build_pq_index(
+    embeddings: ray.data.Dataset,
+    index_dir: str,
+    *,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 3,
+    scale: int = 1000,
+    sample_size: int = 20_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Product-quantization index — the COMPRESSION scale path (LSH and
+    IVF prune which rows are read; PQ shrinks what a row costs): each
+    vector is encoded as ``m`` small centroid codes (~m bytes/vector vs
+    dim*4 raw — a 100 TB float32 embedding table scans from a ~1.5 TB code
+    table), queries score by asymmetric-distance LUT gather, no raw
+    vectors touched at query time.  One encode pass (codebooks broadcast
+    via ``ray.put``, argmin ties -> lowest code), codes written as plain
+    int64 columns ``code_0..code_{m-1}``."""
+    books = train_pq_codebooks_integer(
+        embeddings, m=m, ksub=ksub, iters=iters, scale=scale,
+        sample_size=sample_size, id_col=id_col, vec_col=vec_col,
+    )
+    dsub = books.shape[2]
+    books_ref = ray.put(books)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        bk = ray.get(books_ref)
+        q = _quantize_int(_batch_vectors(batch, vec_col), scale)
+        cols = {id_col: batch[id_col].combine_chunks().cast(pa.int64())}
+        for s in range(m):
+            sub = q[:, s * dsub : (s + 1) * dsub]
+            dist = ((sub[:, None, :] - bk[s][None, :, :]) ** 2).sum(axis=2)
+            cols[f"code_{s}"] = pa.array(np.argmin(dist, axis=1).astype(np.int64))
+        return pa.table(cols)
+
+    os.makedirs(index_dir, exist_ok=True)
+    embeddings.map_batches(encode, batch_format="pyarrow").write_parquet(index_dir)
+    np.save(os.path.join(index_dir, "_codebooks.npy"), books)
+    meta = {
+        "kind": "pq", "m": m, "ksub": int(books.shape[1]), "dsub": int(dsub),
+        "scale": scale, "id_col": id_col, "vec_col": vec_col,
+    }
+    with open(os.path.join(index_dir, "_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def pq_index_topk(
+    index_dir: str,
+    query_vectors: np.ndarray,
+    *,
+    k: int = 10,
+    rerank_against: "ray.data.Dataset | None" = None,
+    shortlist: int | None = None,
+) -> pa.Table:
+    """Approximate top-k by asymmetric PQ distance against a
+    :func:`build_pq_index` directory: per query one integer LUT
+    [m, ksub] of subspace distances, then the code scan is a pure LUT
+    gather + row sum — vectorized, integer-exact, no raw vectors read.
+    Returns (query_id, vec_id, rnk, adist) ranked by (adist ASC, vec_id
+    ASC) — every column bit-replayable by the SQL oracle.
+
+    ``rerank_against``: the canonical PQ serving pipeline — the code scan
+    produces a ``shortlist`` (default 10*k) of ADC candidates per query,
+    then ONLY those rows' raw vectors are read from the given embedding
+    Dataset (an is_in filter — at scale a pruned read, never a full
+    gather) and reranked by exact cosine; output is (query_id, vec_id,
+    rnk, cos).  ADC alone cannot order near-equidistant neighbours (the
+    quantization cell is coarser than their distance gaps); shortlist +
+    exact rerank recovers brute-force quality while still never scanning
+    raw vectors for the 99%+ of rows the codes exclude."""
+    with open(os.path.join(index_dir, "_meta.json")) as f:
+        meta = json.load(f)
+    books = np.load(os.path.join(index_dir, "_codebooks.npy"))
+    m, dsub, id_col = meta["m"], meta["dsub"], meta["id_col"]
+    queries = np.atleast_2d(np.asarray(query_vectors, np.float64))
+    qq = _quantize_int(queries, meta["scale"])
+    # luts[qi, s, c] = squared distance from query qi's subspace s to code c
+    luts = np.stack(
+        [
+            ((qq[:, s * dsub : (s + 1) * dsub][:, None, :] - books[s][None, :, :]) ** 2).sum(
+                axis=2
+            )
+            for s in range(m)
+        ],
+        axis=1,
+    )
+    lut_ref = ray.put(luts)
+
+    codes = ray.data.read_parquet(
+        index_dir, columns=[id_col] + [f"code_{s}" for s in range(m)]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lt = ray.get(lut_ref)
+        ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        code_mat = np.stack(
+            [
+                batch[f"code_{s}"].combine_chunks().to_numpy(zero_copy_only=False)
+                for s in range(m)
+            ],
+            axis=1,
+        )
+        out = []
+        for qi in range(lt.shape[0]):
+            adist = lt[qi][np.arange(m)[None, :], code_mat].sum(axis=1)
+            kk = min(k, len(ids))
+            part = (
+                np.argpartition(adist, kk - 1)[:kk] if len(ids) > kk else np.arange(len(ids))
+            )
+            out.append(
+                pa.table(
+                    {
+                        "query_id": pa.array(np.full(len(part), qi, np.int64), pa.int64()),
+                        id_col: pa.array(ids[part], pa.int64()),
+                        "adist": pa.array(adist[part].astype(np.int64), pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(out)
+
+    parts = pa.Table.from_pylist(
+        codes.map_batches(partial, batch_format="pyarrow").take_all()
+    )
+    import pandas as pd
+
+    df = parts.to_pandas()
+    if df.empty:
+        return pa.table({"query_id": pa.array([], pa.int64()), id_col: pa.array([], pa.int64()),
+                         "rnk": pa.array([], pa.int64()), "adist": pa.array([], pa.int64())})
+    n_keep = k if rerank_against is None else max(shortlist or 10 * k, k)
+    df = df.sort_values(["query_id", "adist", id_col], kind="mergesort")
+    df = df.groupby("query_id", sort=True).head(n_keep).reset_index(drop=True)
+    if rerank_against is None:
+        df["rnk"] = (df.groupby("query_id").cumcount() + 1).astype(np.int64)
+        return _from_pandas_clean(df[["query_id", id_col, "rnk", "adist"]])
+
+    # exact-cosine rerank over the UNION of shortlists: one is_in-filtered
+    # pass over the raw table (pruned read at scale), then brute-force
+    # ranking restricted to each query's own candidate set
+    cand_ids = np.unique(df[id_col].to_numpy(np.int64))
+    vec_col = meta["vec_col"]
+    cand = rerank_against.map_batches(
+        lambda b: b.filter(
+            pa.compute.is_in(b[id_col].combine_chunks(), value_set=pa.array(cand_ids))
+        ),
+        batch_format="pyarrow",
+    )
+    scored = brute_force_topk(
+        cand, queries, k=len(cand_ids), id_col=id_col, vec_col=vec_col
+    )
+    sdf = scored.to_pandas().merge(
+        df[["query_id", id_col]], on=["query_id", id_col], how="inner"
+    )
+    sdf = sdf.sort_values(["query_id", "cos", id_col], ascending=[True, False, True], kind="mergesort")
+    sdf = sdf.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    sdf["rnk"] = (sdf.groupby("query_id").cumcount() + 1).astype(np.int64)
+    return _from_pandas_clean(sdf[["query_id", id_col, "rnk", "cos"]])
 
 
 def build_ivf_index(

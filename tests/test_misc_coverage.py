@@ -292,3 +292,69 @@ def test_read_pages_autowraps_documents_schema(sf_dir):
     want = sorted(pages_from_documents(sf_dir).take_all(), key=lambda r: r["url"])
     assert len(got) == len(want)
     assert got == want
+
+
+def test_pq_index_recall_and_compression(tmp_path):
+    """PQ serving pipeline: ADC shortlist over the code table + exact
+    rerank of only the shortlisted raw rows recovers the brute-force
+    top-k; the code table stores only m int columns (no raw vectors);
+    pure-ADC ranking is deterministic and integer-exact."""
+    from ontoea_ray.stages.ann import brute_force_topk, build_pq_index, pq_index_topk
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((8, 24)) * 3
+    vecs = [centers[i % 8] + 0.8 * rng.standard_normal(24) for i in range(600)]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(600), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs]),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    idx_dir = str(tmp_path / "pqidx")
+    meta = build_pq_index(ds, idx_dir, m=4, ksub=16, iters=4, sample_size=600)
+    assert meta["dsub"] == 6
+    qs = np.stack([vecs[0], vecs[3]])
+    exact = brute_force_topk(ds, qs, k=10)
+    approx = pq_index_topk(idx_dir, qs, k=10, rerank_against=ds, shortlist=100)
+    for qi in (0, 1):
+        e = set(exact.filter(pa.compute.equal(exact["query_id"], qi))["vec_id"].to_pylist())
+        a = set(approx.filter(pa.compute.equal(approx["query_id"], qi))["vec_id"].to_pylist())
+        assert len(a & e) / len(e) >= 0.9, (qi, a, e)
+    # compression: the code table carries only id + m code columns
+    import pyarrow.parquet as pq_mod
+    import glob
+
+    files = glob.glob(f"{idx_dir}/*.parquet")
+    assert files
+    names = set(pq_mod.read_schema(files[0]).names)
+    assert names == {"vec_id", "code_0", "code_1", "code_2", "code_3"}
+    # pure-ADC ranking (the oracle path): deterministic, integer adist
+    adc = pq_index_topk(idx_dir, qs, k=10)
+    again = pq_index_topk(idx_dir, qs, k=10)
+    assert again["vec_id"].to_pylist() == adc["vec_id"].to_pylist()
+    assert again["adist"].to_pylist() == adc["adist"].to_pylist()
+
+
+def test_pq_codebooks_deterministic_and_subspace_shaped(tmp_path):
+    """Codebook training is a pure function of the input (hash-ordered
+    sample, integer Lloyd) — two trainings agree bit-for-bit and the
+    shape is [m, ksub, dim // m]."""
+    from ontoea_ray.stages.ann import train_pq_codebooks_integer
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((200, 16))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(200), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs]),
+        }
+    )
+    a = train_pq_codebooks_integer(
+        ray.data.from_arrow(tbl), m=2, ksub=4, iters=3, sample_size=200
+    )
+    b = train_pq_codebooks_integer(
+        ray.data.from_arrow(tbl).repartition(7), m=2, ksub=4, iters=3, sample_size=200
+    )
+    assert a.shape == (2, 4, 8)
+    assert (a == b).all()
