@@ -103,19 +103,22 @@ def _doc_shingles_cte(shingle_n: int, source: str = "documents") -> str:
 """
 
 
-def _band_chain_ctes(bands: int, r: int) -> str:
+def _band_chain_ctes(
+    bands: int, r: int, id_cols: tuple[str, ...] = ("doc_id",), source: str = "docsigs"
+) -> str:
     """CTEs c0..c{r}: FNV-1a fold acc = (acc XOR sig_j) * FNV_PRIME mod 2^64
     over each band's r signature slots, staged so the acc expression stays
     one column reference (no exponential text blowup)."""
+    idl = ", ".join(id_cols)
     parts = [
-        f"  c0 AS (SELECT doc_id, b.band AS band, sigs,"
+        f"  c0 AS (SELECT {idl}, b.band AS band, sigs,"
         f" CAST({FNV_OFFSET} AS HUGEINT) AS acc"
-        f" FROM docsigs, (SELECT unnest(range({bands})) AS band) b)"
+        f" FROM {source}, (SELECT unnest(range({bands})) AS band) b)"
     ]
     for j in range(r):
         x = _xor64("acc", f"sigs[band * {r} + {j + 1}]")
         parts.append(
-            f"  c{j + 1} AS (SELECT doc_id, band, sigs,"
+            f"  c{j + 1} AS (SELECT {idl}, band, sigs,"
             f" (({x}) * {FNV_PRIME}) % {TWO64} AS acc FROM c{j})"
         )
     return ",\n".join(parts)
@@ -576,3 +579,109 @@ SELECT vec_id, CAST(rnk AS BIGINT) AS rnk, CAST(adist AS BIGINT) AS adist FROM (
   FROM tot
 ) WHERE rnk <= {k}""")
     return "\n".join(parts)
+
+
+def _char_shingle_hash_exprs(n: int) -> tuple[str, dict[int, str]]:
+    """(full-window expr over chars s[i..i+n-1], {short_len: expr}) —
+    mirrors ``stages.blocking.char_shingle_hashes``: a full window folds
+    ``acc = acc * P + codepoint`` starting from its FIRST codepoint; short
+    rows fold from the FNV offset over all their chars."""
+
+    def cp(pos_expr: str) -> str:
+        return f"CAST(unicode(substring(s, {pos_expr}, 1)) AS HUGEINT)"
+
+    acc = cp("i")
+    for j in range(1, n):
+        acc = _addmod(_mulmod_p(acc), cp(f"i+{j}"))
+    shorts: dict[int, str] = {}
+    for ln in range(0, n):
+        e = str(FNV_OFFSET)
+        for k in range(ln):
+            e = _addmod(_mulmod_p(e), cp(str(k + 1)))
+        shorts[ln] = e
+    return acc, shorts
+
+
+def _char_shingles_cte(shingle_n: int, source: str = "csrc") -> str:
+    """CTE shl: per-(side, id) HUGEINT char-shingle-hash list over column
+    ``s`` of ``source(side, id, s)`` (multiset — minima unaffected)."""
+    full, shorts = _char_shingle_hash_exprs(shingle_n)
+    short_cases = " ".join(
+        f"WHEN length(s) = {ln} THEN [{expr}]"
+        for ln, expr in sorted(shorts.items())
+        if ln > 0
+    )
+    return f"""
+  shl AS (
+    SELECT side, id,
+      CASE WHEN length(s) >= {shingle_n}
+           THEN [{full} FOR i IN range(1, length(s) - {shingle_n - 2})]
+           {short_cases}
+           ELSE [CAST({FNV_OFFSET} AS HUGEINT)] END AS sh
+    FROM {source})
+"""
+
+
+def lsh_cross_verified_sql(
+    left_sql: str,
+    right_sql: str,
+    *,
+    num_perm: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    seed: int = 7,
+    max_group: int = 4000,
+    jaccard_pct: int = 40,
+    mention_col: str = "mention",
+    entity_col: str = "entity",
+) -> str:
+    """Exact oracle for ``stages.blocking.lsh_link_candidates``: cross-table
+    char-shingle MinHash-LSH candidates (mention x gazetteer) verified by
+    exact char-shingle Jaccard >= jaccard_pct/100.
+
+    ``left_sql`` / ``right_sql`` are subqueries each producing one string
+    column ``id`` of DISTINCT surfaces.  Output: (mention, entity,
+    inter_sz, union_sz) — all integer columns bit-exact with the engine."""
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    return f"""
+WITH
+  csrc AS (
+    SELECT 0 AS side, id, id AS s FROM ({left_sql})
+    UNION ALL
+    SELECT 1 AS side, id, id AS s FROM ({right_sql})),
+{_char_shingles_cte(shingle_n)},
+  mins AS (
+    SELECT s.side, s.id, perms.p AS p,
+           MIN(((perms.a * s.h + perms.b) % {TWO64}) % {MERSENNE}) AS sig
+    FROM (SELECT side, id, unnest(sh) AS h FROM shl) s, {_perm_values_sql(num_perm, seed)}
+    GROUP BY s.side, s.id, perms.p),
+  sidesigs AS (SELECT side, id, list(sig ORDER BY p) AS sigs
+               FROM mins GROUP BY side, id),
+{_band_chain_ctes(bands, r, id_cols=("side", "id"), source="sidesigs")},
+  buck AS (SELECT side, id, band, acc % {MASK63 + 1} AS band_key FROM c{r}),
+  ok AS (SELECT band, band_key FROM buck
+         GROUP BY band, band_key
+         HAVING COUNT(*) <= {max_group}
+            AND COUNT(*) FILTER (WHERE side = 0) > 0
+            AND COUNT(*) FILTER (WHERE side = 1) > 0),
+  cand AS (SELECT DISTINCT a.id AS mention, b.id AS entity
+           FROM buck a
+           JOIN buck b ON a.band = b.band AND a.band_key = b.band_key
+                      AND a.side = 0 AND b.side = 1
+           JOIN ok ON ok.band = a.band AND ok.band_key = a.band_key),
+  dsets AS (SELECT DISTINCT side, id, h
+            FROM (SELECT side, id, unnest(sh) AS h FROM shl)),
+  szs AS (SELECT side, id, COUNT(*) AS sz FROM dsets GROUP BY side, id),
+  inter AS (SELECT a.id AS mention, b.id AS entity, COUNT(*) AS inter_sz
+            FROM dsets a JOIN dsets b ON a.h = b.h AND a.side = 0 AND b.side = 1
+            GROUP BY a.id, b.id)
+SELECT i.mention AS {mention_col}, i.entity AS {entity_col},
+       CAST(i.inter_sz AS BIGINT) AS inter_sz,
+       CAST(sa.sz + sb.sz - i.inter_sz AS BIGINT) AS union_sz
+FROM inter i
+JOIN szs sa ON sa.side = 0 AND sa.id = i.mention
+JOIN szs sb ON sb.side = 1 AND sb.id = i.entity
+JOIN cand c ON c.mention = i.mention AND c.entity = i.entity
+WHERE 100 * i.inter_sz >= {jaccard_pct} * (sa.sz + sb.sz - i.inter_sz)
+"""

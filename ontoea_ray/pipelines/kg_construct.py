@@ -63,6 +63,9 @@ def bootstrap_linker_from_corpus(
     n_predicates: int = 12,
     seed: int = 42,
     type_weight: float = 0.2,
+    fuzzy_blocking: bool = False,
+    fuzzy_jaccard_pct: int = 50,
+    fuzzy_max_cands: int = 3,
 ) -> LinkerState:
     """Derive a gazetteer from corpus token frequencies (distributed
     prepass), assign classes from the bootstrap ontology deterministically,
@@ -70,10 +73,24 @@ def bootstrap_linker_from_corpus(
 
     Tokens ranked [0, n_entities) by (freq desc, token desc) become entity
     surfaces; the next n_predicates become predicates.
+
+    ``fuzzy_blocking=True`` adds the north-star candidate-blocking stage:
+    MinHash-LSH over CHAR shingles of surface forms
+    (`stages/blocking.lsh_link_candidates`) pairs every vocabulary token
+    with near-miss gazetteer surfaces (char-shingle Jaccard >=
+    ``fuzzy_jaccard_pct``/100), so typo'd mentions ("tble") still reach the
+    embedding+CCM disambiguation inner loop with the right candidate set.
+    The verified pair table is GAZETTEER-proportional (each entity surface
+    attracts only its Jaccard ball), so folding it into the broadcast
+    linker dict is dimension-sized driver state — same class as the
+    gazetteer head itself, not a corpus pull.
     """
     from ontoea_ray.state.ids import token_frequencies, top_k_by_frequency
 
-    top = top_k_by_frequency(token_frequencies(texts), n_entities + n_predicates, key="token")
+    freq = token_frequencies(texts)
+    if fuzzy_blocking:
+        freq = freq.materialize()  # consumed twice: head + mention side
+    top = top_k_by_frequency(freq, n_entities + n_predicates, key="token")
     toks = [t for t, _ in top]
     # Small corpora can have fewer distinct tokens than requested: keep the
     # entity/predicate split proportional so both gazetteers are non-empty.
@@ -87,6 +104,34 @@ def bootstrap_linker_from_corpus(
     class_ids, ccm = build_ccm(onto, version=4)
     non_root = [c for c in classes if c != THING]
     surface_to_cands = {s: [f"kg://ent/{s}"] for s in ent_surfaces}
+    if fuzzy_blocking and ent_surfaces:
+        from ontoea_ray.stages.blocking import lsh_link_candidates
+
+        mentions = freq.map_batches(
+            lambda b: pa.table({"mention": b["token"]}), batch_format="pyarrow"
+        )
+        gaz = ray.data.from_arrow(
+            pa.table({"entity": pa.array(list(ent_surfaces), pa.string())})
+        )
+        verified = lsh_link_candidates(
+            mentions, gaz, jaccard_pct=fuzzy_jaccard_pct,
+            num_perm=16, bands=8, shingle_n=3, seed=seed, max_group=4000,
+        )
+        # Deterministic candidate order: jaccard desc (integer cross-
+        # multiplied), then surface asc.  Only NON-gazetteer mentions gain
+        # fuzzy candidates — exact surfaces keep their exact entity.
+        rows = sorted(
+            verified.take_all(),  # gazetteer-proportional (see docstring)
+            key=lambda r: (r["mention"], -r["inter_sz"] * 10**6 // r["union_sz"], r["entity"]),
+        )
+        for r in rows:
+            m = r["mention"]
+            if m in surface_to_cands and m in ent_surfaces:
+                continue
+            cands = surface_to_cands.setdefault(m, [])
+            uri = f"kg://ent/{r['entity']}"
+            if uri not in cands and len(cands) < fuzzy_max_cands:
+                cands.append(uri)
     uri_class = {
         f"kg://ent/{s}": class_ids[non_root[stable_hash64(s) % len(non_root)]]
         for s in ent_surfaces

@@ -6474,3 +6474,63 @@ def q_multimodal_video(sf_dir: str):
         )
 
     return frames.map_batches(frame_stats, batch_format="pyarrow")
+
+
+_BIGRAM_EXPLODE_SQL = """
+      SELECT t[unnest(range(1, len(t)))] || ' ' || t[unnest(range(2, len(t) + 1))] AS bigram
+      FROM (SELECT str_split(text, ' ') AS t FROM documents)
+"""
+
+from ontoea_ray.functions.lsh_sql import lsh_cross_verified_sql as _lsh_cross_sql  # noqa: E402
+
+
+@_register(
+    "q_surface_blocking",
+    _lsh_cross_sql(
+        f"SELECT DISTINCT bigram AS id FROM ({_BIGRAM_EXPLODE_SQL})",
+        f"""SELECT bigram AS id FROM (
+              SELECT bigram,
+                     ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, bigram DESC) - 1 AS rank
+              FROM ({_BIGRAM_EXPLODE_SQL}) GROUP BY bigram)
+            WHERE rank < 64""",
+        num_perm=16, bands=8, shingle_n=3, seed=7, max_group=4000, jaccard_pct=40,
+    ),
+)
+def q_surface_blocking(sf_dir: str):
+    """Entity-linking candidate blocking by MinHash-LSH over surface forms
+    (the north-star blocking stage; `stages/blocking.py`).
+
+    Mention surfaces = every distinct corpus bigram; gazetteer = the 64
+    most frequent bigrams (freq desc, surface desc — the reference's
+    vocabulary order, read.py:23-25).  Cross-table CHAR-shingle LSH pairs
+    each mention with near-miss gazetteer entries, verified by exact
+    char-shingle Jaccard >= 0.40 — typo-tolerant candidate generation that
+    exact dict lookup (the reference's linker) cannot express.  Every hash,
+    band key and Jaccard count is integer arithmetic the oracle replays
+    bit-for-bit.  Scale shape: the corpus is touched once (bigram combiner);
+    blocking exchanges only (band, band_key)- and shingle-keyed rows over
+    the SURFACE VOCABULARY, never the corpus; the gazetteer head is k x
+    #blocks driver-merged (bounded by k, not data)."""
+    from ontoea_ray.functions.text import bigram_counts
+    from ontoea_ray.stages.blocking import lsh_link_candidates
+    from ontoea_ray.state.ids import top_k_by_frequency
+
+    ds = _read(sf_dir, "documents", ["text"])
+    partial = ds.map_batches(
+        lambda b: bigram_counts(b["text"].combine_chunks()), batch_format="pyarrow"
+    )
+    freq = compact(partial).groupby("bigram").sum("freq").map_batches(
+        lambda b: pa.table({"bigram": b["bigram"], "freq": b["sum(freq)"]}),
+        batch_format="pyarrow",
+    ).materialize()  # two consumers below; vocabulary-sized
+    mentions = freq.map_batches(
+        lambda b: pa.table({"mention": b["bigram"]}), batch_format="pyarrow"
+    )
+    top = top_k_by_frequency(freq, 64, key="bigram")
+    gaz = ray.data.from_arrow(
+        pa.table({"entity": pa.array([t for t, _ in top], pa.string())})
+    )
+    return lsh_link_candidates(
+        mentions, gaz, jaccard_pct=40, num_perm=16, bands=8,
+        shingle_n=3, seed=7, max_group=4000,
+    )

@@ -93,6 +93,22 @@ def pages_from_documents(sf_dir: str, *, replicate: int = 1) -> ray.data.Dataset
     return ds.map_batches(_docs_to_pages, batch_format="pyarrow")
 
 
+def pages_from_texts(texts: list[str], *, lang: str = "en", source: str = "test") -> ray.data.Dataset:
+    """Canonical pages table from in-memory texts (fixture/bootstrap
+    convenience): positional doc ids, urls/warc_ts derived exactly like
+    ``pages_from_documents``."""
+    n = len(texts)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array([lang] * n, pa.string()),
+            "source": pa.array([source] * n, pa.string()),
+        }
+    )
+    return ray.data.from_arrow(_docs_to_pages(tbl))
+
+
 def read_pages(paths, columns: list[str] | None = None) -> ray.data.Dataset:
     """Pages from parquet.  Accepts either the canonical pages schema
     (url/warc_ts/html/text/lang) or the driver's documents schema
