@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "q_surface_blocking",
     "q_simhash",
     "q_ann_topk",
+    "q_semdedup",
     "q_ann_pq",
     "q_langid",
     "q_asof_join",

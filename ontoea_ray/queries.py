@@ -6534,3 +6534,56 @@ def q_surface_blocking(sf_dir: str):
         mentions, gaz, jaccard_pct=40, num_perm=16, bands=8,
         shingle_n=3, seed=7, max_group=4000,
     )
+
+
+_SEMDEDUP_SQL = """
+    WITH q AS (SELECT vec_id,
+                      [CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+                       FOR i IN range(1, 65)] AS qv
+               FROM embeddings),
+    cents AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < 8),
+    scores AS (SELECT q.vec_id, cents.cid,
+                      CAST(list_sum([q.qv[i] * cents.cv[i] FOR i IN range(1, 65)]) AS BIGINT) AS score
+               FROM q CROSS JOIN cents),
+    assigned AS (SELECT vec_id, cid AS centroid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cid ASC) AS rn
+        FROM scores) WHERE rn = 1),
+    pairdots AS (SELECT b.vec_id AS v,
+                        CAST(list_sum([x.qv[i] * y.qv[i] FOR i IN range(1, 65)]) AS HUGEINT) AS dot,
+                        CAST(list_sum([x.qv[i] * x.qv[i] FOR i IN range(1, 65)]) AS HUGEINT) AS na2,
+                        CAST(list_sum([y.qv[i] * y.qv[i] FOR i IN range(1, 65)]) AS HUGEINT) AS nb2
+                 FROM assigned a
+                 JOIN assigned b ON a.centroid = b.centroid AND a.vec_id < b.vec_id
+                 JOIN q x ON x.vec_id = a.vec_id
+                 JOIN q y ON y.vec_id = b.vec_id),
+    dropped AS (SELECT DISTINCT v FROM pairdots
+                WHERE dot >= 0 AND dot * dot * 400 >= 49 * na2 * nb2)
+    SELECT a.vec_id, CAST(a.centroid AS BIGINT) AS centroid
+    FROM assigned a WHERE a.vec_id NOT IN (SELECT v FROM dropped)
+"""
+
+
+@_register("q_semdedup", _SEMDEDUP_SQL)
+def q_semdedup(sf_dir: str):
+    """SemDeDup semantic deduplication (Abbas et al. 2023): k-means-style
+    cluster assignment against broadcast centroids (the first 8 embeddings
+    — deterministic; production swaps in the IVF-trained quantizer), then
+    within each cluster every vector with a lower-id neighbour at quantized
+    cosine >= 7/20 is dropped.  The cosine test is the cross-multiplied
+    integer comparison (milli-quantized int dots, no float, no sqrt), so
+    the oracle replays every keep/drop decision exactly.  One corpus pass
+    fuses assignment + quantization; the only exchange partitions the
+    quantized table by centroid; the per-cluster O(c^2 d) matmul is the
+    SemDeDup design cost (K sized so n/K fits a worker)."""
+    from ontoea_ray.stages.ann import semantic_dedup
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cent_rows = sorted(
+        emb.map_batches(
+            lambda b: b.filter(pc.less(b["vec_id"], 8)), batch_format="pyarrow"
+        ).take_all(),
+        key=lambda r: r["vec_id"],
+    )
+    cents = np.array([r["embedding"] for r in cent_rows], np.float64)
+    return semantic_dedup(emb, cents, tau_num=7, tau_den=20)

@@ -940,3 +940,110 @@ def centroid_assign(
     return embeddings.select_columns([id_col, vec_col]).map_batches(
         Assign, batch_format="pyarrow", concurrency=default_pool_size(None)
     )
+
+
+def semantic_dedup(
+    embeddings: ray.data.Dataset,
+    centroids: np.ndarray,
+    *,
+    tau_num: int = 7,
+    tau_den: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = 1000,
+    max_cluster: int | None = None,
+) -> ray.data.Dataset:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    vectors by max-inner-product against broadcast centroids, then within
+    each cluster drop every vector that has a LOWER-id neighbour with
+    quantized cosine >= tau_num/tau_den.  Returns the survivors
+    (id_col, centroid).
+
+    Exactness: both sides are milli-quantized ints; the cosine test is the
+    cross-multiplied integer comparison dot >= 0 AND dot^2 * den^2 >=
+    num^2 * |a|^2 * |b|^2 — no float anywhere, so DuckDB replays every
+    decision bit-for-bit.  int64 bounds (unit-norm vectors, quant=1000,
+    d <= 64): |dot| <= 6.4e7, dot^2 * den^2 <= 1.6e18 < 2^63 for den <= 20.
+    Keep tau as a SMALL fraction (den <= ~30) to stay inside int64.
+
+    Scale shape: ONE pass computes assignment + quantized vector; the only
+    exchange is the cluster-keyed partition of the (quantized) embedding
+    table — the SemDeDup design point, with K sized so n/K rows fit a
+    worker.  The per-cluster O(c^2 d) matmul is the algorithm's stated
+    cost.  The drop rule is the pairwise epsilon-ball (a dropped vector
+    still witnesses later drops) — deterministic without transitive
+    closure; chain-merging dedup composes via connected_components
+    (q_dup_clusters) instead.  ``max_cluster`` (production guard) skips —
+    and LOGS — clusters too big to pair, keeping all their rows.
+    """
+    import pandas as pd
+
+    from ontoea_ray.functions.shuffle import with_partition_key
+    from ontoea_ray.stages.scan_link import default_pool_size
+
+    cq = np.floor(centroids.astype(np.float64) * quant).astype(np.int64)
+    cref = ray.put(cq)
+    den2 = np.int64(tau_den * tau_den)
+    num2 = np.int64(tau_num * tau_num)
+
+    class AssignQ:
+        def __init__(self):
+            self.c = ray.get(cref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vecs = batch[vec_col].combine_chunks()
+            flat = np.asarray(vecs.values, np.float32).astype(np.float64)
+            mat = np.floor(flat.reshape(len(batch), -1) * quant).astype(np.int64)
+            best = np.argmax(mat @ self.c.T, axis=1)  # first max = lowest cid
+            d = mat.shape[1]
+            return pa.table(
+                {
+                    id_col: batch[id_col],
+                    "centroid": pa.array(best.astype(np.int64)),
+                    "qv": pa.FixedSizeListArray.from_arrays(
+                        pa.array(mat.reshape(-1), pa.int64()), d
+                    ),
+                }
+            )
+
+    assigned = embeddings.select_columns([id_col, vec_col]).map_batches(
+        AssignQ, batch_format="pyarrow", concurrency=default_pool_size(None)
+    )
+
+    def dedup_clusters(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {id_col: pd.Series([], dtype=np.int64), "centroid": pd.Series([], dtype=np.int64)}
+        )
+        if df.empty:
+            return empty
+        df = df.sort_values(["centroid", id_col], kind="mergesort")
+        cent = df["centroid"].to_numpy(np.int64)
+        ids = df[id_col].to_numpy(np.int64)
+        qmat = np.stack(df["qv"].to_numpy())
+        keep_mask = np.ones(len(df), bool)
+        starts = np.flatnonzero(np.concatenate([[True], cent[1:] != cent[:-1]]))
+        bounds = np.concatenate([starts, [len(df)]])
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            c = e - s
+            if c < 2:
+                continue
+            if max_cluster is not None and c > max_cluster:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "semantic_dedup: skipped cluster %d with %d rows (> max_cluster=%d); all kept",
+                    int(cent[s]), c, max_cluster,
+                )
+                continue
+            Q = qmat[s:e]
+            G = Q @ Q.T
+            n2 = np.diag(G).copy()
+            cond = (G >= 0) & (G * G * den2 >= num2 * np.outer(n2, n2))
+            # strict lower triangle: row i dropped if any j < i is tau-close
+            cond[np.triu_indices(c)] = False
+            keep_mask[s:e] = ~cond.any(axis=1)
+        out = pd.DataFrame({id_col: ids[keep_mask], "centroid": cent[keep_mask]})
+        return out if len(out) else empty
+
+    parted = with_partition_key(assigned, ["centroid"])
+    return parted.groupby("pkey").map_groups(dedup_clusters, batch_format="pandas")
