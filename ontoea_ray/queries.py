@@ -6587,3 +6587,54 @@ def q_semdedup(sf_dir: str):
     )
     cents = np.array([r["embedding"] for r in cent_rows], np.float64)
     return semantic_dedup(emb, cents, tau_num=7, tau_den=20)
+
+
+def _link_predict_sql(min_common: int = 2, pct: int = 7) -> str:
+    from ontoea_ray.functions.lsh_sql import splitmix64_ctes
+
+    return f"""
+WITH
+{_COPURCHASE_E_CTE.replace(" e AS ", " eall0 AS ")},
+eall AS MATERIALIZED (SELECT a, b FROM eall0),
+{splitmix64_ctes("eall", "(a * 100000 + b)")},
+e AS MATERIALIZED (SELECT a, b FROM sm3 WHERE _h % 100 < {pct}),
+nbr AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+cn AS (SELECT n1.v AS id_a, n2.v AS id_b, CAST(COUNT(*) AS BIGINT) AS cn
+       FROM nbr n1 JOIN nbr n2 ON n1.u = n2.u AND n1.v < n2.v
+       GROUP BY n1.v, n2.v HAVING COUNT(*) >= {min_common}),
+ne AS (SELECT cn.* FROM cn
+       WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = cn.id_a AND e.b = cn.id_b)),
+d AS MATERIALIZED (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+     FROM (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e) GROUP BY node)
+SELECT ne.id_a, ne.id_b, ne.cn, da.deg AS da, db.deg AS db,
+       CAST(1000 * ne.cn // (da.deg + db.deg - ne.cn) AS BIGINT) AS jac_milli
+FROM ne JOIN d da ON ne.id_a = da.node JOIN d db ON ne.id_b = db.node
+"""
+
+
+@_register("q_link_predict", _link_predict_sql())
+def q_link_predict(sf_dir: str):
+    """Neighbourhood-overlap link prediction over the splitmix64-sampled
+    (7%) co-purchase graph: non-adjacent node pairs at distance 2 with
+    common-neighbour count >= 2, endpoint degrees, and integer-milli
+    neighbourhood Jaccard — the classic common-neighbours/Jaccard link
+    scorer, and the KG-completion primitive (predict missing same-as /
+    co-occurrence edges).  `stages/graph.common_neighbor_pairs`: wedge
+    pairs emit per center node through the shared segment-pairs kernel,
+    combine in-block before one (id_a, id_b) exchange, filter BEFORE the
+    adjacency anti-join (pair-co-located) and the two degree hash joins.
+    All outputs are integers; the oracle replays the sampling, counts and
+    floor-divided Jaccard bit-for-bit."""
+    from ontoea_ray.stages.graph import common_neighbor_pairs
+    from ontoea_ray.stages.sampling import splitmix64
+
+    edges = _copurchase_edges(sf_dir)
+
+    def sample(b: pa.Table) -> pa.Table:
+        a = np.asarray(b["id_a"].combine_chunks(), np.int64)
+        c = np.asarray(b["id_b"].combine_chunks(), np.int64)
+        h = splitmix64((a * 100000 + c).astype(np.uint64))
+        return b.filter(pa.array(h % np.uint64(100) < np.uint64(7)))
+
+    sampled = edges.map_batches(sample, batch_format="pyarrow")
+    return common_neighbor_pairs(sampled, min_common=2)

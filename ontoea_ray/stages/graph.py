@@ -878,3 +878,112 @@ def kcore_rounds(
         cur = _edges_within(cur, keep.select_columns(["node"]), src, dst).materialize()
     final = _degree_table(cur, src, dst)
     return final.filter(expr=f"deg >= {int(k)}")
+
+
+def common_neighbor_pairs(
+    edges: ray.data.Dataset,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    min_common: int = 2,
+) -> ray.data.Dataset:
+    """Link-prediction candidates over an undirected distinct edge table:
+    NON-adjacent node pairs at distance 2, with common-neighbour count,
+    endpoint degrees and integer-milli Jaccard of the neighbourhoods —
+    (id_a, id_b, cn, da, db, jac_milli), id_a < id_b, cn >= min_common.
+
+    jac_milli = 1000 * cn // (da + db - cn): |N(a) ∩ N(b)| over
+    |N(a) ∪ N(b)| (for non-adjacent pairs the union is da + db - cn) —
+    integer floor, so every value is oracle-replayable.
+
+    Scale shape: wedge pairs emit per CENTER node (one keyed co-location of
+    the symmetric neighbour table; the segment-pairs kernel is the shared
+    triangle/jaccard machinery), shrink through an in-block combiner before
+    the (id_a, id_b) exchange, and the min_common filter applies BEFORE the
+    anti-join/degree joins so only candidate-grade pairs ride them.  The
+    adjacency anti-join co-locates two pair-sized tables by pkey; degrees
+    gather via the distributed hash join.  Nothing lands on the driver.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ontoea_ray.functions.shuffle import keyed_aggregate, with_partition_key
+    from ontoea_ray.functions.tables import from_pandas as _fp
+    from ontoea_ray.stages.dedup import _pairs_from_bucket_block
+
+    edges = edges.materialize()  # three consumers: wedges, anti-join, degrees
+    nbr = _bidirect(edges, src, dst)
+    parted = with_partition_key(nbr, ["node"])
+    emit = _pairs_from_bucket_block("nb", None, keys=("node",), distinct=False)
+    wedges = parted.groupby("pkey").map_groups(emit, batch_format="pandas")
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        return _fp(df.groupby(["id_a", "id_b"], sort=False).size().reset_index(name="cn"))
+
+    parts = compact(wedges.map_batches(partial, batch_format="pyarrow"))
+    cn = keyed_aggregate(parts, ["id_a", "id_b"], sums=["cn"])
+    cn = cn.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["cn"].combine_chunks(), min_common)),
+        batch_format="pyarrow",
+    )
+
+    def tag(flag: int, a_col: str, b_col: str, cn_col: str | None):
+        def fn(b: pa.Table) -> pa.Table:
+            n = len(b)
+            return pa.table(
+                {
+                    "id_a": b[a_col].combine_chunks().cast(pa.int64()),
+                    "id_b": b[b_col].combine_chunks().cast(pa.int64()),
+                    "cn": b[cn_col].combine_chunks().cast(pa.int64())
+                    if cn_col
+                    else pa.array(np.zeros(n, np.int64)),
+                    "_src": pa.array(np.full(n, flag, np.int8)),
+                }
+            )
+
+        return fn
+
+    both = cn.map_batches(tag(0, "id_a", "id_b", "cn"), batch_format="pyarrow").union(
+        edges.map_batches(tag(1, src, dst, None), batch_format="pyarrow")
+    )
+
+    def keep_non_edges(df: pd.DataFrame) -> pa.Table:
+        empty = pd.DataFrame(
+            {c: pd.Series([], dtype=np.int64) for c in ("id_a", "id_b", "cn")}
+        )
+        if df.empty:
+            return _fp(empty)
+        is_edge = df.groupby(["id_a", "id_b"], sort=False)["_src"].transform("max") == 1
+        out = df.loc[~is_edge & (df["_src"] == 0), ["id_a", "id_b", "cn"]]
+        return _fp(out if len(out) else empty)
+
+    parted2 = with_partition_key(both, ["id_a", "id_b"])
+    cand = parted2.groupby("pkey").map_groups(keep_non_edges, batch_format="pandas")
+
+    deg = _degree_table(edges, src, dst).materialize()
+    j1 = hash_join(cand, deg, on=["id_a"], right_on=["node"]).map_batches(
+        lambda b: pa.table(
+            {"id_a": b["id_a"], "id_b": b["id_b"], "cn": b["cn"], "da": b["deg"]}
+        ),
+        batch_format="pyarrow",
+    )
+    j2 = hash_join(j1, deg, on=["id_b"], right_on=["node"])
+
+    def finalize(b: pa.Table) -> pa.Table:
+        cnv = np.asarray(b["cn"].combine_chunks(), np.int64)
+        da = np.asarray(b["da"].combine_chunks(), np.int64)
+        db = np.asarray(b["deg"].combine_chunks(), np.int64)
+        jac = 1000 * cnv // (da + db - cnv)
+        return pa.table(
+            {
+                "id_a": b["id_a"].combine_chunks().cast(pa.int64()),
+                "id_b": b["id_b"].combine_chunks().cast(pa.int64()),
+                "cn": pa.array(cnv, pa.int64()),
+                "da": pa.array(da, pa.int64()),
+                "db": pa.array(db, pa.int64()),
+                "jac_milli": pa.array(jac, pa.int64()),
+            }
+        )
+
+    return j2.map_batches(finalize, batch_format="pyarrow")
