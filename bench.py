@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "q_tile_dedup",
     "q_kcore",
     "q_link_predict",
+    "q_hyperball",
     "q_communities",
     "q_assortativity",
 ]

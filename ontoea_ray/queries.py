@@ -6638,3 +6638,66 @@ def q_link_predict(sf_dir: str):
 
     sampled = edges.map_batches(sample, batch_format="pyarrow")
     return common_neighbor_pairs(sampled, min_common=2)
+
+
+def _hyperball_sql(p: int = 4, rounds: int = 3, pct: int = 7) -> str:
+    from ontoea_ray.functions.lsh_sql import splitmix64_ctes
+
+    nbits = 64 - p
+    parts = [
+        "WITH",
+        _COPURCHASE_E_CTE.replace(" e AS ", " eall0 AS "),
+        ", eall AS MATERIALIZED (SELECT a, b FROM eall0),",
+        splitmix64_ctes("eall", "(a * 100000 + b)"),
+        f", e AS MATERIALIZED (SELECT a, b FROM sm3 WHERE _h % 100 < {pct}),",
+        "nbr AS MATERIALIZED (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),",
+        "nodes AS (SELECT DISTINCT u AS node FROM nbr),",
+        # splitmix over the node id (fresh sm chain names would collide with
+        # the edge-sampling chain above, so inline with n-prefixed names)
+        splitmix64_ctes("nodes", "node")
+        .replace("sm0", "nsm0").replace("sm1", "nsm1")
+        .replace("sm2", "nsm2").replace("sm3", "nsm3")
+        .replace("_z0", "_y0").replace("_z1", "_y1").replace("_z2", "_y2"),
+        f""", r0 AS MATERIALIZED (
+   SELECT node, CAST(_h // {1 << nbits} AS BIGINT) AS slot,
+          CAST(CASE WHEN _h % {1 << nbits} = 0 THEN {nbits + 1}
+               ELSE {nbits} - length(bin(CAST(_h % {1 << nbits} AS BIGINT))) + 1 END AS BIGINT) AS rho
+   FROM nsm3)""",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f""", r{r + 1} AS MATERIALIZED (
+   SELECT node, slot, CAST(MAX(rho) AS BIGINT) AS rho FROM (
+     SELECT nbr.u AS node, x.slot, x.rho FROM r{r} x JOIN nbr ON nbr.v = x.node
+     UNION ALL SELECT node, slot, rho FROM r{r}
+   ) GROUP BY node, slot)"""
+        )
+    parts.append(f"SELECT node, slot, rho FROM r{rounds}")
+    return "\n".join(parts)
+
+
+@_register("q_hyperball", _hyperball_sql())
+def q_hyperball(sf_dir: str):
+    """HyperBall distance sketching (Boldi & Vigna 2013) over the
+    splitmix64-sampled (7%) co-purchase graph: each node's HyperLogLog
+    registers of its radius-3 ball after 3 synchronous max-merge rounds —
+    the neighbourhood-function / effective-diameter primitive at graph
+    scale (per-node BFS is quadratic; HyperBall is R keyed max-merges).
+    `stages/graph.hyperball_registers`: register rows move along edges via
+    one hash join per round and shrink through in-block max combiners
+    before each (node, slot) exchange.  Node hashes, slots and rho ranks
+    are the engine-wide splitmix64/bit-length conventions, so the unrolled
+    oracle replays every register bit-for-bit."""
+    from ontoea_ray.stages.graph import hyperball_registers
+    from ontoea_ray.stages.sampling import splitmix64
+
+    edges = _copurchase_edges(sf_dir)
+
+    def sample(b: pa.Table) -> pa.Table:
+        a = np.asarray(b["id_a"].combine_chunks(), np.int64)
+        c = np.asarray(b["id_b"].combine_chunks(), np.int64)
+        h = splitmix64((a * 100000 + c).astype(np.uint64))
+        return b.filter(pa.array(h % np.uint64(100) < np.uint64(7)))
+
+    sampled = edges.map_batches(sample, batch_format="pyarrow")
+    return hyperball_registers(sampled, p=4, rounds=3)

@@ -987,3 +987,67 @@ def common_neighbor_pairs(
         )
 
     return j2.map_batches(finalize, batch_format="pyarrow")
+
+
+def hyperball_registers(
+    edges: ray.data.Dataset,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    p: int = 4,
+    rounds: int = 3,
+) -> ray.data.Dataset:
+    """HyperBall (Boldi & Vigna 2013): per-node HyperLogLog registers of
+    the radius-``rounds`` ball, via R max-merge rounds over the edge table
+    — the distance-distribution / effective-diameter sketch that exact BFS
+    from every node cannot afford.  Returns (node, slot, rho): node's ball
+    sketch as the q_hll_registers row convention (absent slots empty).
+
+    Exactness: node hashes are splitmix64, slot = top p bits, rho = the
+    1-based leading-zero rank of the low 64-p bits (float-free bit length),
+    and each round is ``reg_r(u) = max(reg_{r-1}(u), max_{v in N(u)}
+    reg_{r-1}(v))`` — all integer max-merges the oracle unrolls exactly.
+
+    Scale shape: state is |V| x 2^p register rows; each round moves
+    |E| x (slots present) rows through ONE keyed max aggregate whose
+    in-block combiner pre-merges before the exchange.  No driver state —
+    the round loop on the driver holds only Dataset handles.
+    """
+    import numpy as np
+
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+    from ontoea_ray.stages.sampling import splitmix64
+    from ontoea_ray.stages.sketch import hll_rho
+
+    nbits = 64 - p
+    nbr = _bidirect(edges, src, dst).materialize()
+    nodes = keyed_aggregate(
+        nbr.map_batches(lambda b: pa.table({"node": b["node"]}), batch_format="pyarrow"),
+        ["node"],
+        count_alias="_c",
+    ).drop_columns(["_c"])
+
+    def seed(b: pa.Table) -> pa.Table:
+        n = np.asarray(b["node"].combine_chunks(), np.int64)
+        h = splitmix64(n.astype(np.uint64))
+        slot = (h >> np.uint64(nbits)).astype(np.int64)
+        rest = h & np.uint64((1 << nbits) - 1)
+        return pa.table(
+            {
+                "node": pa.array(n, pa.int64()),
+                "slot": pa.array(slot, pa.int64()),
+                "rho": pa.array(hll_rho(rest, nbits), pa.int64()),
+            }
+        )
+
+    regs = nodes.map_batches(seed, batch_format="pyarrow")
+    for _ in range(rounds):
+        regs = regs.materialize()  # two consumers: neighbour move + self union
+        moved = hash_join(nbr, regs, on=["nb"], right_on=["node"]).map_batches(
+            lambda b: pa.table(
+                {"node": b["node"], "slot": b["slot"], "rho": b["rho"]}
+            ),
+            batch_format="pyarrow",
+        )
+        regs = keyed_aggregate(moved.union(regs), ["node", "slot"], maxs=["rho"])
+    return regs
