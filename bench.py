@@ -129,6 +129,8 @@ BENCH_QUERIES = [
     "q_hyperball",
     "q_communities",
     "q_assortativity",
+    "q_outlinks",
+    "q_domain_indegree",
 ]
 
 

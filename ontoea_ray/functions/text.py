@@ -19,6 +19,10 @@ import pyarrow.compute as pc
 
 ARTICLE_OPEN = "<article>"
 ARTICLE_CLOSE = "</article>"
+NAV_OPEN = "<nav>"
+NAV_CLOSE = "</nav>"
+# deterministic outlink fan-out per synthesized page (see nav_links_block)
+N_NAV_LINKS = 3
 
 # Minimal HTML entity escaping — order matters: '&' first on escape, last on
 # unescape, so the mapping is a bijection for arbitrary input text.
@@ -56,16 +60,84 @@ def unescape_html_text(arr: pa.Array) -> pa.Array:
     return arr
 
 
+def _list_rebuild(flat: pa.Array, lengths: np.ndarray) -> pa.ListArray:
+    """ListArray from a flat child + per-row lengths (offset-safe)."""
+    offsets = pa.array(
+        np.concatenate([[0], np.cumsum(lengths, dtype=np.int64)]), pa.int32()
+    )
+    return pa.ListArray.from_arrays(offsets, flat)
+
+
+def nav_links_block(text: pa.Array) -> pa.Array:
+    """Deterministic per-page outlink ``<nav>`` block.
+
+    The first ``N_NAV_LINKS`` space-tokens of the page text each become an
+    anchor ``<a href="https://{tok}.example.org/t/{tok}">{tok}</a>`` (tokens
+    HTML-escaped like the body).  This is the synthetic stand-in for a real
+    page's link section — the Common-Crawl-style web link graph derives from
+    it via :func:`outlink_lists` — and the rule is a pure string function of
+    ``text``, so DuckDB oracles replay every href exactly.
+    """
+    esc = escape_html_text(_as_array(text))
+    sliced = pc.list_slice(pc.split_pattern(esc, pattern=" "), 0, N_NAV_LINKS)
+    lengths = pc.list_value_length(sliced).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(sliced)
+    anchors = pc.binary_join_element_wise(
+        '<a href="https://', flat, ".example.org/t/", flat, '">', flat, "</a>", ""
+    )
+    inner = pc.binary_join(_list_rebuild(anchors, lengths), "")
+    return pc.binary_join_element_wise(NAV_OPEN, inner, NAV_CLOSE, "")
+
+
 def wrap_html(text: pa.Array) -> pa.Array:
-    """Build deterministic page HTML around ``text`` (binary column out)."""
+    """Build deterministic page HTML around ``text`` (binary column out).
+
+    Layout: head, a ``<nav>`` outlink block (:func:`nav_links_block` —
+    OUTSIDE the article markers, so text extraction is unaffected), then the
+    escaped body between the article markers."""
     esc = escape_html_text(_as_array(text))
     html = pc.binary_join_element_wise(
-        "<html><head><meta charset=\"utf-8\"/></head><body>" + ARTICLE_OPEN,
+        "<html><head><meta charset=\"utf-8\"/></head><body>",
+        nav_links_block(text),
+        ARTICLE_OPEN,
         esc,
         ARTICLE_CLOSE + "</body></html>",
         "",
     )
     return html.cast(pa.binary())
+
+
+def outlink_lists(html: pa.Array) -> pa.ListArray:
+    """All ``href="..."`` attribute values per page, in document order.
+
+    Generic over any HTML bytes (not just :func:`wrap_html` output):
+    vectorized split on the ``href="`` opener, drop each row's pre-first-href
+    prefix, then cut every fragment at its closing quote.  Attribute values
+    are returned as raw bytes (no entity unescaping), matching what a crawler
+    link-graph extraction emits."""
+    s = _as_array(html).cast(pa.string())
+    parts = pc.split_pattern(s, pattern='href="')
+    n_list = pc.list_value_length(parts).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(parts)
+    starts = np.concatenate([[0], np.cumsum(n_list, dtype=np.int64)])[:-1]
+    mask = np.ones(len(flat), bool)
+    mask[starts[n_list > 0]] = False  # the before-first-href fragment per row
+    kept = flat.filter(pa.array(mask))
+    urls = pc.list_element(pc.split_pattern(kept, pattern='"', max_splits=1), 0)
+    return _list_rebuild(urls, np.maximum(n_list - 1, 0))
+
+
+def url_domain(urls: pa.Array) -> pa.Array:
+    """Registrable host of a URL: the segment between ``://`` and the first
+    ``/`` (the whole string when either is absent)."""
+    u = _as_array(urls)
+    after_scheme = pc.split_pattern(u, pattern="://", max_splits=1)
+    # last element per row (the whole string when '://' is absent) — gather
+    # by offsets, since list_element raises on the length-1 rows
+    lengths = pc.list_value_length(after_scheme).to_numpy(zero_copy_only=False).astype(np.int64)
+    last_idx = np.cumsum(lengths) - 1
+    tail = pc.list_flatten(after_scheme).take(pa.array(last_idx))
+    return pc.list_element(pc.split_pattern(tail, pattern="/", max_splits=1), 0)
 
 
 def extract_text(html: pa.Array) -> pa.Array:

@@ -6710,3 +6710,66 @@ def q_hyperball(sf_dir: str):
 
     sampled = edges.map_batches(sample, batch_format="pyarrow")
     return hyperball_registers(sampled, p=4, rounds=3)
+
+
+# ---------------------------------------------------------------------------
+# Web link graph (stages/weblinks.py) — the Common-Crawl-side edge table
+# ---------------------------------------------------------------------------
+
+_ESC_TOK_SQL = (
+    "replace(replace(replace(tok, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
+)
+
+_OUTLINK_EDGES_CTE = f"""
+  link_tok AS (
+    SELECT 'https://' || source || '.example.org/doc/' || CAST(doc_id AS VARCHAR) AS src_url,
+           source || '.example.org' AS src_domain,
+           unnest(list_slice(str_split(text, ' '), 1, 3)) AS tok
+    FROM documents
+  ),
+  outlink_edges AS (
+    SELECT src_url, src_domain,
+           'https://' || {_ESC_TOK_SQL} || '.example.org/t/' || {_ESC_TOK_SQL} AS href,
+           {_ESC_TOK_SQL} || '.example.org' AS dst_domain
+    FROM link_tok
+  )"""
+
+
+@_register(
+    "q_outlinks",
+    f"WITH {_OUTLINK_EDGES_CTE} SELECT src_url, href FROM outlink_edges",
+)
+def q_outlinks(sf_dir: str):
+    """Web link-graph extraction: every ``href`` attribute of every page
+    becomes a (src_url, href) edge — the Common-Crawl link-graph primitive.
+    One streaming zero-copy pass (`stages/weblinks.outlink_edges`): the
+    vectorized `functions/text.outlink_lists` splitter consumes the html
+    bytes inside the batch, so the multi-MB payload never rides past the
+    stage.  The oracle replays the deterministic nav-link generation rule
+    (first 3 escaped tokens) from the documents table, pinning that
+    extraction inverts generation exactly."""
+    from ontoea_ray.sources.pages import pages_from_documents
+    from ontoea_ray.stages.weblinks import outlink_edges
+
+    return outlink_edges(pages_from_documents(sf_dir))
+
+
+@_register(
+    "q_domain_indegree",
+    f"""WITH {_OUTLINK_EDGES_CTE}
+    SELECT dst_domain,
+           CAST(COUNT(*) AS BIGINT) AS n_edges,
+           CAST(COUNT(DISTINCT src_domain) AS BIGINT) AS n_src_domains
+    FROM outlink_edges GROUP BY dst_domain""",
+)
+def q_domain_indegree(sf_dir: str):
+    """Host-level link-graph indegree: per destination domain, total inbound
+    anchors and distinct source hosts — the web-centrality aggregate the
+    public web-graph releases ship.  Combiner-first two-level reduction
+    (`stages/weblinks.domain_indegree`): the (dst, src) pair exchange moves
+    the distinct-pair vocabulary, never raw edges, and the distinct-source
+    count falls out of the first level's group count."""
+    from ontoea_ray.sources.pages import pages_from_documents
+    from ontoea_ray.stages.weblinks import domain_indegree
+
+    return domain_indegree(pages_from_documents(sf_dir))

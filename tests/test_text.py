@@ -94,3 +94,49 @@ def test_normalize_urls_spec():
     }
     got = normalize_urls(pa.array(list(cases), pa.string())).to_pylist()
     assert got == list(cases.values())
+
+
+def test_nav_links_block_deterministic():
+    arr = pa.array(["alpha beta gamma delta", "x", ""])
+    nav = T.nav_links_block(arr).to_pylist()
+    assert nav[0] == (
+        '<nav><a href="https://alpha.example.org/t/alpha">alpha</a>'
+        '<a href="https://beta.example.org/t/beta">beta</a>'
+        '<a href="https://gamma.example.org/t/gamma">gamma</a></nav>'
+    )
+    assert nav[1] == '<nav><a href="https://x.example.org/t/x">x</a></nav>'
+    # empty text still yields exactly one (empty-token) anchor — split(' ') of
+    # "" is [""], matching the tokenize() convention everywhere else
+    assert nav[2].count("<a ") == 1
+
+
+def test_outlink_lists_generic_html():
+    # arbitrary html, not wrap_html output: multiple hrefs, rows with none
+    html = pa.array(
+        [
+            b'<p><a href="https://a.com/x">x</a> text <a href="http://b.org/">b</a></p>',
+            b"<p>no links here</p>",
+            b'<link href="https://c.net/style.css"/>',
+        ],
+        pa.binary(),
+    )
+    got = T.outlink_lists(html).to_pylist()
+    assert got == [["https://a.com/x", "http://b.org/"], [], ["https://c.net/style.css"]]
+
+
+def test_outlinks_invert_wrap_html():
+    texts = ["alpha beta gamma delta", "solo"]
+    links = T.outlink_lists(T.wrap_html(pa.array(texts))).to_pylist()
+    assert links[0] == [
+        "https://alpha.example.org/t/alpha",
+        "https://beta.example.org/t/beta",
+        "https://gamma.example.org/t/gamma",
+    ]
+    assert links[1] == ["https://solo.example.org/t/solo"]
+
+
+def test_url_domain():
+    arr = pa.array(
+        ["https://a.example.org/doc/1", "http://b.com", "no-scheme/path", "https://c.io/"]
+    )
+    assert T.url_domain(arr).to_pylist() == ["a.example.org", "b.com", "no-scheme", "c.io"]
