@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "q_assortativity",
     "q_outlinks",
     "q_domain_indegree",
+    "q_random_walks",
 ]
 
 

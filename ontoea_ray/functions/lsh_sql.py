@@ -246,10 +246,12 @@ SELECT vec_id, CAST(rnk AS BIGINT) AS rnk FROM (
 """
 
 
-def splitmix64_ctes(source: str, key_expr: str) -> str:
-    """CTE chain sm0..sm3 computing splitmix64(key_expr) over ``source``;
-    the final CTE ``sm3`` carries every source column plus ``_h`` (the
-    64-bit hash as HUGEINT).  Mirrors ``stages.sampling.splitmix64``."""
+def splitmix64_ctes(source: str, key_expr: str, sfx: str = "") -> str:
+    """CTE chain sm0{sfx}..sm3{sfx} computing splitmix64(key_expr) over
+    ``source``; the final CTE ``sm3{sfx}`` carries every source column plus
+    ``_h`` (the 64-bit hash as HUGEINT).  Mirrors ``stages.sampling.
+    splitmix64``.  Pass a distinct ``sfx`` to instantiate the chain more
+    than once in one statement (e.g. per walk round)."""
     from ontoea_ray.stages.sampling import (
         SPLITMIX_GAMMA,
         SPLITMIX_M1,
@@ -257,10 +259,10 @@ def splitmix64_ctes(source: str, key_expr: str) -> str:
     )
 
     return f"""
-  sm0 AS (SELECT *, ((CAST({key_expr} AS HUGEINT) + {SPLITMIX_GAMMA}) % {TWO64}) AS _z0 FROM {source}),
-  sm1 AS (SELECT *, {_mulmod(_xor64("_z0", f"(_z0 // {1 << 30})"), SPLITMIX_M1)} AS _z1 FROM sm0),
-  sm2 AS (SELECT *, {_mulmod(_xor64("_z1", f"(_z1 // {1 << 27})"), SPLITMIX_M2)} AS _z2 FROM sm1),
-  sm3 AS (SELECT *, {_xor64("_z2", f"(_z2 // {1 << 31})")} AS _h FROM sm2)
+  sm0{sfx} AS (SELECT *, ((CAST({key_expr} AS HUGEINT) + {SPLITMIX_GAMMA}) % {TWO64}) AS _z0 FROM {source}),
+  sm1{sfx} AS (SELECT *, {_mulmod(_xor64("_z0", f"(_z0 // {1 << 30})"), SPLITMIX_M1)} AS _z1 FROM sm0{sfx}),
+  sm2{sfx} AS (SELECT *, {_mulmod(_xor64("_z1", f"(_z1 // {1 << 27})"), SPLITMIX_M2)} AS _z2 FROM sm1{sfx}),
+  sm3{sfx} AS (SELECT *, {_xor64("_z2", f"(_z2 // {1 << 31})")} AS _h FROM sm2{sfx})
 """
 
 

@@ -6773,3 +6773,71 @@ def q_domain_indegree(sf_dir: str):
     from ontoea_ray.stages.weblinks import domain_indegree
 
     return domain_indegree(pages_from_documents(sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Random-walk corpus (stages/walks.py) — DeepWalk / node2vec p=q=1
+# ---------------------------------------------------------------------------
+
+
+def _random_walks_sql(steps: int = 3, pct: int = 7, salt: int = 1_000_003) -> str:
+    """Unrolled walk oracle over the splitmix64-sampled co-purchase graph:
+    replays the indexed adjacency (ROW_NUMBER over sorted neighbours) and
+    every hash-indexed hop bit-for-bit."""
+    from ontoea_ray.functions.lsh_sql import TWO64
+
+    p = [
+        "WITH",
+        _COPURCHASE_E_CTE.replace(" e AS ", " eall0 AS "),
+        ", eall AS MATERIALIZED (SELECT a, b FROM eall0),",
+        splitmix64_ctes("eall", "(a * 100000 + b)"),
+        f", e0 AS MATERIALIZED (SELECT a, b FROM sm3 WHERE _h % 100 < {pct})",
+        ", und AS MATERIALIZED (SELECT a AS u, b AS v FROM e0 UNION SELECT b AS u, a AS v FROM e0)",
+        ", adj AS MATERIALIZED (SELECT u, v,"
+        "  CAST(ROW_NUMBER() OVER (PARTITION BY u ORDER BY v) - 1 AS HUGEINT) AS idx FROM und)",
+        ", deg AS MATERIALIZED (SELECT u, CAST(COUNT(*) AS HUGEINT) AS deg FROM und GROUP BY u)",
+        ", w0 AS (SELECT u AS walk_id, u AS cur FROM deg)",
+    ]
+    for s in range(1, steps + 1):
+        key = f"((CAST(walk_id AS HUGEINT) * {salt} + {s}) % {TWO64})"
+        p.append(f", k{s} AS (SELECT walk_id, cur FROM w{s - 1}),")
+        p.append(splitmix64_ctes(f"k{s}", key, sfx=f"_w{s}"))
+        p.append(
+            f", w{s} AS (SELECT s.walk_id, a.v AS cur FROM sm3_w{s} s"
+            f" JOIN deg d ON d.u = s.cur"
+            f" JOIN adj a ON a.u = s.cur AND a.idx = (s._h % d.deg))"
+        )
+    selects = [
+        f"SELECT CAST(walk_id AS BIGINT) AS walk_id, CAST({s} AS BIGINT) AS step,"
+        f" CAST(cur AS BIGINT) AS node FROM w{s}"
+        for s in range(steps + 1)
+    ]
+    p.append("\n" + "\nUNION ALL ".join(selects))
+    return "\n".join(p)
+
+
+@_register("q_random_walks", _random_walks_sql())
+def q_random_walks(sf_dir: str):
+    """Deterministic random-walk corpus (DeepWalk, Perozzi et al. KDD 2014)
+    over the splitmix64-sampled (7%) co-purchase graph: one 3-hop walk per
+    node, step s moving to sorted-neighbour index
+    splitmix64(walk_id * salt + s) % deg(cur) — uniform per step yet a pure
+    function of the graph, so walks are reproducible, resumable, and
+    replayed bit-for-bit by the unrolled oracle.  `stages/walks.
+    random_walks`: indexed adjacency from one distinct exchange + one
+    u-co-located ranking pass; each round is two planner-routed hash joins
+    over walk-front-sized tables (auto-broadcast under budget), with no
+    driver state beyond Dataset handles."""
+    from ontoea_ray.stages.sampling import splitmix64
+    from ontoea_ray.stages.walks import random_walks
+
+    edges = _copurchase_cached(sf_dir)
+
+    def sample(b: pa.Table) -> pa.Table:
+        a = np.asarray(b["id_a"].combine_chunks(), np.int64)
+        c = np.asarray(b["id_b"].combine_chunks(), np.int64)
+        h = splitmix64((a * 100000 + c).astype(np.uint64))
+        return b.filter(pa.array(h % np.uint64(100) < np.uint64(7)))
+
+    sampled = edges.map_batches(sample, batch_format="pyarrow")
+    return random_walks(sampled, steps=3)
