@@ -132,6 +132,8 @@ BENCH_QUERIES = [
     "q_outlinks",
     "q_domain_indegree",
     "q_random_walks",
+    "q_dsir_weights",
+    "q_bm25",
 ]
 
 

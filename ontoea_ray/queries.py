@@ -6841,3 +6841,108 @@ def q_random_walks(sf_dir: str):
 
     sampled = edges.map_batches(sample, batch_format="pyarrow")
     return random_walks(sampled, steps=3)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weighting (stages/dsir.py)
+# ---------------------------------------------------------------------------
+
+
+def _dsir_sql(n_buckets: int = 1024, scale: int = 1_000_000) -> str:
+    from ontoea_ray.functions.lsh_sql import _h
+
+    return f"""
+    WITH tok AS (SELECT doc_id, lang, unnest(str_split(text, ' ')) AS tok FROM documents),
+    tb AS (SELECT doc_id, lang, CAST({_h("tok")} % {n_buckets} AS BIGINT) AS bucket FROM tok),
+    cnt AS (SELECT bucket,
+                   CAST(COUNT(*) AS HUGEINT) AS n_raw,
+                   CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS HUGEINT) AS n_tgt
+            FROM tb GROUP BY bucket),
+    tot AS (SELECT SUM(n_raw) AS raw_total, SUM(n_tgt) AS tgt_total FROM cnt),
+    w AS (SELECT bucket,
+                 ({scale} * (n_tgt + 1) * (raw_total + {n_buckets}))
+                 // ((n_raw + 1) * (tgt_total + {n_buckets})) AS w
+          FROM cnt, tot),
+    per_doc AS (SELECT tb.doc_id,
+                       CAST(SUM(w.w) AS BIGINT) AS dsir_sum,
+                       CAST(COUNT(*) AS BIGINT) AS n_tokens
+                FROM tb JOIN w USING (bucket) GROUP BY tb.doc_id)
+    SELECT doc_id, dsir_sum, n_tokens,
+           CAST(dsir_sum // GREATEST(n_tokens, 1) AS BIGINT) AS dsir_mean
+    FROM per_doc
+"""
+
+
+@_register("q_dsir_weights", _dsir_sql())
+def q_dsir_weights(sf_dir: str):
+    """DSIR-style importance weights (Xie et al., NeurIPS 2023): every raw
+    document scored by how target-like (lang='en') its hashed-token
+    distribution is — the data-selection primitive for domain-matched
+    pre-training corpora.  Hashed features keep the fitted state at
+    n_buckets integers regardless of corpus scale; scoring uses exact
+    integer ratios with add-one smoothing instead of log-probabilities, so
+    the oracle replays every weight bit-for-bit (`stages/dsir.py`).
+    Combiner-first bucket counts (one <= B-row keyed aggregate), weight
+    table assembled inside a Ray task and broadcast once per actor, then a
+    shuffle-free per-block scoring pass."""
+    from ontoea_ray.stages.dsir import dsir_weights
+
+    return dsir_weights(_read(sf_dir, "documents", ["doc_id", "text", "lang"]))
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (stages/bm25.py) over the partitioned inverted index
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("scan", "merge", "vector")
+
+
+def _bm25_sql(terms=_BM25_TERMS, k: int = 10, scale: int = 1_000_000,
+              k1m: int = 1200, bm: int = 750) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+    WITH t AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+    stats AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n_docs,
+                     CAST(SUM(len(t)) AS HUGEINT) AS total_toks FROM t),
+    dl AS (SELECT doc_id, CAST(len(t) AS HUGEINT) AS dl FROM t),
+    tok AS (SELECT doc_id, unnest(t) AS token FROM t),
+    tf AS (SELECT token, doc_id, CAST(COUNT(*) AS HUGEINT) AS tf FROM tok
+           WHERE token IN ({tlist}) GROUP BY token, doc_id),
+    df AS (SELECT token, CAST(COUNT(*) AS HUGEINT) AS df FROM tf GROUP BY token),
+    sc AS (SELECT tf.doc_id,
+                  ((({scale} * (s.n_docs - df.df + 1)) // (df.df + 1)) * tf.tf * ({k1m} + 1000))
+                  // (1000 * tf.tf + ({k1m} * (1000 - {bm} + ({bm} * dl.dl * s.n_docs) // s.total_toks)) // 1000)
+                  AS sv
+           FROM tf JOIN df USING (token) JOIN dl ON dl.doc_id = tf.doc_id, stats s),
+    agg AS (SELECT doc_id, CAST(SUM(sv) AS BIGINT) AS score FROM sc GROUP BY doc_id)
+    SELECT doc_id, score,
+           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+    FROM agg ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
+@_register("q_bm25", _bm25_sql())
+def q_bm25(sf_dir: str):
+    """BM25 ranked retrieval (Robertson & Walker, SIGIR 1994) for a fixed
+    term set over the hash-partitioned inverted index — the search-side
+    serving primitive: only the query terms' bucket partitions leave
+    storage, tf/df reduce combiner-first, document lengths join through
+    the planner, and the final top-k sorts the candidate score table,
+    never the corpus.  Scores are exact integer rationals (rational IDF +
+    milli-unit k1/b — `stages/bm25.py`), so the oracle replays the full
+    ranking bit-for-bit including ties."""
+    import hashlib
+    import os
+
+    from ontoea_ray.stages.bm25 import bm25_topk
+    from ontoea_ray.stages.inverted_index import build_inverted_index
+
+    src = f"{sf_dir}/documents.parquet"
+    tag = hashlib.blake2b(
+        f"inv:{os.path.abspath(src)}:{os.path.getmtime(src)}".encode(), digest_size=8
+    ).hexdigest()
+    index_dir = f"/tmp/ontoea_inv_index/{tag}"
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    if not os.path.exists(os.path.join(index_dir, "_meta.json")):
+        build_inverted_index(docs, index_dir, n_buckets=64)
+    return bm25_topk(index_dir, docs, list(_BM25_TERMS), k=10)
