@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "q_random_walks",
     "q_dsir_weights",
     "q_bm25",
+    "q_domain_pagerank",
 ]
 
 

@@ -1932,13 +1932,20 @@ def q_decontaminate(sf_dir: str):
     return contamination_overlap(corpus, benchmark_ngram_hashes(bench))
 
 
-def _pagerank_sql(iters: int = 5, scale: int = 10**9, damping_pct: int = 85) -> str:
+def _pagerank_sql(
+    iters: int = 5, scale: int = 10**9, damping_pct: int = 85,
+    edge_ctes: list[str] | None = None,
+) -> str:
     """Unrolled integer power iteration replaying stages/graph.pagerank
-    exactly (floor divisions, dropped dangling/rounding mass)."""
+    exactly (floor divisions, dropped dangling/rounding mass).
+    ``edge_ctes`` overrides the edge-table source: a CTE list whose last
+    entry defines ``e(s, d)`` (defaults to the flagship KG edges)."""
     base = (100 - damping_pct) * scale // 100
-    ctes = [
+    ctes = list(edge_ctes) if edge_ctes is not None else [
         f"kg AS ({_FLAGSHIP_SQL})",
         "e AS (SELECT subj AS s, obj AS d FROM kg)",
+    ]
+    ctes += [
         "nodes AS (SELECT DISTINCT n FROM (SELECT s AS n FROM e UNION SELECT d FROM e))",
         "deg AS (SELECT s, COUNT(*) AS dg FROM e GROUP BY s)",
         f"m0 AS (SELECT n, CAST({scale} AS HUGEINT) AS m FROM nodes)",
@@ -6946,3 +6953,30 @@ def q_bm25(sf_dir: str):
     if not os.path.exists(os.path.join(index_dir, "_meta.json")):
         build_inverted_index(docs, index_dir, n_buckets=64)
     return bm25_topk(index_dir, docs, list(_BM25_TERMS), k=10)
+
+
+@_register(
+    "q_domain_pagerank",
+    _pagerank_sql(
+        iters=3,
+        edge_ctes=[
+            _OUTLINK_EDGES_CTE.strip(),
+            "e AS (SELECT src_domain AS s, dst_domain AS d FROM outlink_edges)",
+        ],
+    ),
+)
+def q_domain_pagerank(sf_dir: str):
+    """Integer PageRank over the EXTRACTED web link graph at host level —
+    the Common-Crawl centrality ranking (which domains dominate the crawl;
+    the host-rank the public web-graph releases publish).  Edges come from
+    `stages/weblinks.domain_edges` (href extraction, one zero-copy pass);
+    the power iteration is `stages/graph.pagerank`'s bit-deterministic
+    integer mass scheme, multi-edges weighting naturally, so the unrolled
+    oracle replays every rank unit.  3 iterations keep the oracle's
+    unrolled join chain tractable at sf0.01."""
+    from ontoea_ray.sources.pages import pages_from_documents
+    from ontoea_ray.stages.graph import pagerank
+    from ontoea_ray.stages.weblinks import domain_edges
+
+    e = domain_edges(pages_from_documents(sf_dir))
+    return pagerank(e, src="src_domain", dst="dst_domain", iters=3)

@@ -289,7 +289,43 @@ def pagerank(
             }
         )
 
-    e = compact(edges.map_batches(_proj, batch_format="pyarrow")).materialize()
+    from ontoea_ray.functions.broadcast import assemble_table_ref
+
+    e, tbl_ref = assemble_table_ref(
+        compact(edges.map_batches(_proj, batch_format="pyarrow")), columns=["s", "d"]
+    )
+    if tbl_ref is not None:
+        # under the broadcast budget the WHOLE power iteration runs inside
+        # one Ray task (np.unique factorize + int64 scatter-add rounds) —
+        # bit-equal to the exchange plan below (integer mass is execution-
+        # order independent), pinned by a budget=1 test
+        _iters, _scale, _damp = iters, scale, damping_pct
+
+        @ray.remote
+        def _pr(tref) -> pa.Table:
+            import numpy as np
+
+            s = tref["s"].to_pandas().to_numpy(object)
+            d = tref["d"].to_pandas().to_numpy(object)
+            nodes, inv = np.unique(np.concatenate([s, d]), return_inverse=True)
+            si, di = inv[: len(s)], inv[len(s):]
+            deg = np.bincount(si, minlength=len(nodes))
+            b = (100 - _damp) * _scale // 100
+            m = np.full(len(nodes), _scale, np.int64)
+            for _ in range(_iters):
+                q = m[si] // deg[si]
+                recv = np.zeros(len(nodes), np.int64)
+                np.add.at(recv, di, q)
+                m = b + _damp * recv // 100
+            return pa.table(
+                {
+                    "node": pa.array(nodes.astype(str), pa.string()),
+                    "rank_units": pa.array(m, pa.int64()),
+                }
+            )
+
+        return ray.data.from_arrow_refs([_pr.remote(tbl_ref)])
+
     width = sized_width(e.size_bytes())
 
     def _nodes_part(b: pa.Table) -> pa.Table:

@@ -385,3 +385,23 @@ def test_labelprop_string_nodes_use_distributed_plan(ray_session):
     assert out == {n: "a1" for n in ["a1", "a2", "a3"]} | {
         n: "b1" for n in ["b1", "b2", "b3"]
     }
+
+
+def test_pagerank_budget_plans_equal(ray_session, monkeypatch):
+    import pyarrow as pa
+    import ray.data
+
+    from ontoea_ray.stages.graph import pagerank
+
+    e = ray.data.from_arrow(
+        pa.table(
+            {
+                "subj": pa.array(["a", "a", "b", "c", "c", "c"], pa.string()),
+                "obj": pa.array(["b", "c", "c", "a", "b", "b"], pa.string()),
+            }
+        )
+    )
+    bcast = {(r["node"], r["rank_units"]) for r in pagerank(e, iters=3).take_all()}
+    monkeypatch.setenv("ONTOEA_BROADCAST_BUDGET_BYTES", "1")
+    dist = {(r["node"], r["rank_units"]) for r in pagerank(e, iters=3).take_all()}
+    assert bcast == dist
