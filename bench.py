@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "q_cross_dup_spans",
     "q_tile_dedup",
     "q_kcore",
+    "q_ktruss",
     "q_link_predict",
     "q_hyperball",
     "q_communities",

@@ -2983,6 +2983,66 @@ def q_kcore(sf_dir: str):
     )
 
 
+def _ktruss_sql(k: int, rounds: int) -> str:
+    """Unrolled R-round k-truss peel over the FULL co-purchase graph (no
+    sampling — co-purchase orders form cliques, so truss support is high
+    and the k=12 peel cascades 115k -> 1.1k edges at sf0.01).  Each round
+    enumerates every triangle (x < y < z) ONCE via the oriented 3-way
+    self-join, credits all three of its edges, and keeps edges with
+    support >= k-2; a zero-support edge never appears in the support
+    aggregate, which is exactly the drop the threshold implies (k >= 3).
+    Round CTEs are MATERIALIZED — each e_r feeds three scans of the
+    triangle join plus the survivor filter."""
+    thresh = k - 2
+    p = ["WITH", _COPURCHASE_E_CTE, ", e0 AS MATERIALIZED (SELECT a, b FROM e)"]
+    for r in range(rounds + 1):
+        p.append(
+            f", t{r} AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z"
+            f" FROM e{r} e1 JOIN e{r} e2 ON e1.a = e2.a AND e1.b < e2.b"
+            f" JOIN e{r} e3 ON e3.a = e1.b AND e3.b = e2.b)"
+        )
+        p.append(
+            f", s{r} AS MATERIALIZED (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS sup"
+            f" FROM (SELECT x AS a, y AS b FROM t{r}"
+            f"       UNION ALL SELECT x, z FROM t{r}"
+            f"       UNION ALL SELECT y, z FROM t{r}) GROUP BY a, b)"
+        )
+        if r < rounds:
+            p.append(
+                f", e{r + 1} AS MATERIALIZED"
+                f" (SELECT a, b FROM s{r} WHERE sup >= {thresh})"
+            )
+    p.append(
+        f"SELECT a AS id_a, b AS id_b, sup FROM s{rounds} WHERE sup >= {thresh}"
+    )
+    return "\n".join(p)
+
+
+@_register("q_ktruss", _ktruss_sql(12, 4))
+def q_ktruss(sf_dir: str):
+    """4-round 12-truss peel of the co-purchase graph — the EDGE-peel
+    dense-subgraph primitive (Cohen 2008) complementary to the k-core node
+    peel: an edge survives only while it closes >= k-2 triangles in the
+    surviving subgraph, so trusses isolate clique-like cores (spam rings /
+    mirror clusters) that degree alone can't.  `stages/graph.ktruss_rounds`:
+    single-task chunked oriented-wedge support kernel under the broadcast
+    budget, wedge-emission + keyed support exchange + edge co-location
+    above it — the unrolled SQL's R-round semantics either way (plan
+    equality pinned by the budget=1 pytest)."""
+    from ontoea_ray.stages.graph import ktruss_rounds
+
+    edges = _copurchase_cached(sf_dir)
+    out = ktruss_rounds(edges, k=12, rounds=4, src="id_a", dst="id_b")
+    return out.map_batches(
+        lambda b: pa.table(
+            {"id_a": b["id_a"].combine_chunks().cast(pa.int64()),
+             "id_b": b["id_b"].combine_chunks().cast(pa.int64()),
+             "sup": b["sup"].combine_chunks().cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _communities_sql(rounds: int, *, pct: int = 10) -> str:
     """Unrolled R-round synchronous label propagation over the
     splitmix64-sampled co-purchase graph.  Round CTEs are MATERIALIZED

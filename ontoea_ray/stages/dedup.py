@@ -218,8 +218,13 @@ def _pairs_from_bucket_block(
         # repeat/cumsum index arithmetic — no Python loop over groups (a
         # per-group loop measured 20s on a 5k-doc block with a dense
         # shared-shingle graph; this kernel does the same block in <1s).
+        is_str = df[id_col].dtype.kind not in "iu"
         empty = pd.DataFrame(
-            {c: pd.Series([], dtype=np.int64) for c in ("id_a", "id_b", *extra)}
+            {
+                "id_a": pd.Series([], dtype=object if is_str else np.int64),
+                "id_b": pd.Series([], dtype=object if is_str else np.int64),
+                **{c: pd.Series([], dtype=np.int64) for c in extra},
+            }
         )
         if df.empty:
             return empty
@@ -227,7 +232,16 @@ def _pairs_from_bucket_block(
         codes = [
             a if a.dtype.kind in "iu" else pd.factorize(a)[0] for a in key_arrays
         ]
-        ids = df[id_col].to_numpy(np.int64)
+        if is_str:
+            # string ids: sorted-unique inverse codes preserve lexicographic
+            # order, so in-group pair orientation (id_a < id_b) matches the
+            # integer path exactly; codes map back at emission
+            id_uniq, ids = np.unique(
+                df[id_col].to_numpy(object).astype(str), return_inverse=True
+            )
+            ids = ids.astype(np.int64)
+        else:
+            ids = df[id_col].to_numpy(np.int64)
         order = np.lexsort((ids, *reversed(codes)))
         codes_s = [c[order] for c in codes]
         ids_s = ids[order]
@@ -273,7 +287,10 @@ def _pairs_from_bucket_block(
         runstart = np.concatenate([[0], np.cumsum(rep)[:-1]])
         off = np.arange(total) - np.repeat(runstart, rep)
         b_idx = a_idx + 1 + off
-        cols = {"id_a": ids_s[a_idx], "id_b": ids_s[b_idx]}
+        if is_str:
+            cols = {"id_a": id_uniq[ids_s[a_idx]], "id_b": id_uniq[ids_s[b_idx]]}
+        else:
+            cols = {"id_a": ids_s[a_idx], "id_b": ids_s[b_idx]}
         if size_col:
             cols["sz_a"] = sz_s[a_idx]
             cols["sz_b"] = sz_s[b_idx]

@@ -1087,3 +1087,253 @@ def hyperball_registers(
         )
         regs = keyed_aggregate(moved.union(regs), ["node", "slot"], maxs=["rho"])
     return regs
+
+
+def _truss_support(enc: "np.ndarray", m: int) -> "np.ndarray":
+    """Per-edge triangle support for a sorted encoded oriented edge array
+    (``enc = a*m + b``, a < b): each triangle (x < y < z) is enumerated
+    exactly once at its smallest vertex (oriented wedge pairs, the
+    `_triangle_chunk` expansion) and credits ALL THREE of its edges —
+    support(e) = number of triangles containing e = |N(a) ∩ N(b)|.
+    Chunked by the `_CHUNK_PAIRS` expansion cap; int64 throughout."""
+    import numpy as np
+
+    sup = np.zeros(len(enc), np.int64)
+    if not len(enc):
+        return sup
+    a, b = enc // m, enc % m
+    indptr = np.zeros(m + 1, np.int64)
+    np.cumsum(np.bincount(a, minlength=m), out=indptr[1:])
+    centers = np.unique(a)
+    degc = indptr[centers + 1] - indptr[centers]
+    centers, degc = centers[degc > 1], degc[degc > 1]
+    if not len(centers):
+        return sup
+    chunk = np.cumsum(degc * (degc - 1) // 2) // _CHUNK_PAIRS
+    for cid in np.unique(chunk):
+        nodes = centers[chunk == cid]
+        seg, nb, deg = _gather_segments(indptr, b, nodes)
+        offs = np.zeros(len(nodes), np.int64)
+        np.cumsum(deg[:-1], out=offs[1:])
+        local_i = np.arange(len(nb), dtype=np.int64) - offs[seg]
+        rep = deg[seg] - 1 - local_i
+        total = int(rep.sum())
+        if total == 0:
+            continue
+        row = np.repeat(np.arange(len(nb), dtype=np.int64), rep)
+        starts = np.zeros(len(nb), np.int64)
+        starts[1:] = np.cumsum(rep[:-1])
+        k = np.arange(total, dtype=np.int64) - starts[row]
+        b1 = nb[row]
+        b2 = nb[row + 1 + k]
+        keys = b1 * m + b2
+        pos = np.searchsorted(enc, keys)
+        hit = (pos < len(enc)) & (enc[np.minimum(pos, len(enc) - 1)] == keys)
+        if not hit.any():
+            continue
+        ctr = nodes[seg[row[hit]]]
+        np.add.at(sup, pos[hit], 1)                                # edge (b1, b2)
+        np.add.at(sup, np.searchsorted(enc, ctr * m + b1[hit]), 1)  # edge (x, b1)
+        np.add.at(sup, np.searchsorted(enc, ctr * m + b2[hit]), 1)  # edge (x, b2)
+    return sup
+
+
+def ktruss_rounds(
+    edges: ray.data.Dataset,
+    *,
+    k: int,
+    rounds: int,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> ray.data.Dataset:
+    """R-round k-truss peel of an undirected DISTINCT edge table: each
+    round drops every edge in fewer than ``k - 2`` triangles (over the
+    surviving subgraph); returns (id_a, id_b, sup) for edges with
+    sup >= k-2 in the round-R subgraph — the edge analogue of the k-core
+    node peel and the dense-subgraph / community-backbone primitive
+    (Cohen 2008).  Fixpoint short-circuits are identities in the unrolled
+    SQL semantics, exactly like `kcore_rounds`.
+
+    Two plans, value-equal (pinned by a budget=1 test): under the
+    broadcast byte budget the WHOLE peel runs inside one Ray task
+    (`_truss_support` chunked oriented-wedge kernel per round); above it,
+    every round emits wedge pairs per center node through the shared
+    segment-pairs kernel, counts them with one (id_a, id_b) keyed
+    exchange, pair-co-locates the count table with the edge table to keep
+    only actual edges, and filters — no edge set ever lands on the
+    driver."""
+    import numpy as np
+    import pandas as pd
+
+    from ontoea_ray.functions.broadcast import assemble_table_ref
+    from ontoea_ray.functions.shuffle import keyed_aggregate, with_partition_key
+    from ontoea_ray.functions.tables import from_pandas as _fp
+    from ontoea_ray.stages.dedup import _pairs_from_bucket_block
+
+    assert k >= 3, "k-truss needs k >= 3 (support threshold k-2 >= 1)"
+    thresh = k - 2
+
+    edges2, tbl_ref = assemble_table_ref(
+        edges.select_columns([src, dst]), columns=[src, dst]
+    )
+    int_nodes = all(
+        pa.types.is_integer(f.type) for f in edges2.schema().base_schema
+    )
+    if tbl_ref is not None and int_nodes:
+
+        @ray.remote
+        def _peel(tref) -> pa.Table:
+            t = tref
+            x = t[src].to_pandas().to_numpy(np.int64)
+            y = t[dst].to_pandas().to_numpy(np.int64)
+            lo, hi = np.minimum(x, y), np.maximum(x, y)
+            m = int(hi.max()) + 1 if len(hi) else 1
+            if m and m >= np.iinfo(np.int64).max // m:
+                raise ValueError("node-id space too large for int64 pair encoding")
+            enc = np.unique(lo * m + hi)
+            for _ in range(max(rounds, 0)):
+                if not len(enc):
+                    break
+                keep = _truss_support(enc, m) >= thresh
+                if keep.all():
+                    break
+                enc = enc[keep]
+            if len(enc):
+                sup = _truss_support(enc, m)
+                sel = sup >= thresh
+                enc, sup = enc[sel], sup[sel]
+            else:
+                sup = np.array([], np.int64)
+            return pa.table(
+                {
+                    "id_a": pa.array(enc // m if len(enc) else np.array([], np.int64), pa.int64()),
+                    "id_b": pa.array(enc % m if len(enc) else np.array([], np.int64), pa.int64()),
+                    "sup": pa.array(sup, pa.int64()),
+                }
+            )
+
+        return ray.data.from_arrow_refs([_peel.remote(tbl_ref)])
+
+    # every block of the exchange plan pins this node type explicitly so
+    # empty partitions (pandas object -> Arrow null) can't fork the schema
+    node_t = pa.int64() if int_nodes else pa.string()
+
+    def edge_support(cur: ray.data.Dataset) -> ray.data.Dataset:
+        """(id_a, id_b, sup) for pairs that ARE edges of ``cur`` (zero-
+        support edges are absent — they fail thresh >= 1 anyway).
+        ``cur`` always carries (id_a, id_b) columns here."""
+
+        def bidir(b: pa.Table) -> pa.Table:
+            a = b["id_a"].combine_chunks().cast(node_t)
+            c = b["id_b"].combine_chunks().cast(node_t)
+            return pa.table(
+                {
+                    "node": pa.chunked_array([a, c]).combine_chunks(),
+                    "nb": pa.chunked_array([c, a]).combine_chunks(),
+                }
+            )
+
+        nbr = cur.map_batches(bidir, batch_format="pyarrow")
+        parted = with_partition_key(nbr, ["node"])
+        emit = _pairs_from_bucket_block("nb", None, keys=("node",), distinct=False)
+        wedges = parted.groupby("pkey").map_groups(emit, batch_format="pandas")
+
+        def partial(b: pa.Table) -> pa.Table:
+            g = (
+                b.to_pandas()
+                .groupby(["id_a", "id_b"], sort=False)
+                .size()
+                .reset_index(name="sup")
+            )
+            return pa.table(
+                {
+                    "id_a": pa.array(g["id_a"], type=node_t, from_pandas=True),
+                    "id_b": pa.array(g["id_b"], type=node_t, from_pandas=True),
+                    "sup": pa.array(g["sup"].to_numpy(np.int64)),
+                }
+            )
+
+        cn = keyed_aggregate(
+            compact(wedges.map_batches(partial, batch_format="pyarrow")),
+            ["id_a", "id_b"],
+            sums=["sup"],
+        )
+
+        def tag(flag: int, sup_col: str | None):
+            def fn(b: pa.Table) -> pa.Table:
+                n = len(b)
+                return pa.table(
+                    {
+                        "id_a": b["id_a"].combine_chunks().cast(node_t),
+                        "id_b": b["id_b"].combine_chunks().cast(node_t),
+                        "sup": b[sup_col].combine_chunks().cast(pa.int64())
+                        if sup_col
+                        else pa.array(np.zeros(n, np.int64)),
+                        "_src": pa.array(np.full(n, flag, np.int8)),
+                    }
+                )
+
+            return fn
+
+        both = cn.map_batches(tag(0, "sup"), batch_format="pyarrow").union(
+            cur.map_batches(tag(1, None), batch_format="pyarrow")
+        )
+
+        def keep_edges(df: pd.DataFrame) -> pa.Table:
+            if df.empty:
+                out = df
+            else:
+                is_edge = (
+                    df.groupby(["id_a", "id_b"], sort=False)["_src"].transform("max")
+                    == 1
+                )
+                out = df.loc[is_edge & (df["_src"] == 0)]
+            return pa.table(
+                {
+                    "id_a": pa.array(out.get("id_a", []), type=node_t, from_pandas=True),
+                    "id_b": pa.array(out.get("id_b", []), type=node_t, from_pandas=True),
+                    "sup": pa.array(
+                        out["sup"].to_numpy(np.int64) if len(out) else np.array([], np.int64)
+                    ),
+                }
+            )
+
+        parted2 = with_partition_key(both, ["id_a", "id_b"])
+        return parted2.groupby("pkey").map_groups(keep_edges, batch_format="pandas")
+
+    def orient(b: pa.Table) -> pa.Table:
+        if not int_nodes:  # string nodes: lexicographic orientation
+            df = b.to_pandas()
+            lo = df[[src, dst]].min(axis=1)
+            hi = df[[src, dst]].max(axis=1)
+            return pa.table(
+                {
+                    src: pa.array(lo, type=node_t, from_pandas=True),
+                    dst: pa.array(hi, type=node_t, from_pandas=True),
+                }
+            )
+        x = np.asarray(b[src].combine_chunks().cast(pa.int64()), np.int64)
+        y = np.asarray(b[dst].combine_chunks().cast(pa.int64()), np.int64)
+        return pa.table(
+            {src: pa.array(np.minimum(x, y)), dst: pa.array(np.maximum(x, y))}
+        )
+
+    cur = keyed_aggregate(
+        edges2.map_batches(orient, batch_format="pyarrow"), [src, dst], count_alias="_c"
+    ).drop_columns(["_c"])
+    if (src, dst) != ("id_a", "id_b"):
+        cur = cur.map_batches(
+            lambda b: pa.table({"id_a": b[src], "id_b": b[dst]}), batch_format="pyarrow"
+        )
+    cur = cur.materialize()
+    for _ in range(max(rounds, 0)):
+        n_before = cur.count()
+        if n_before == 0:
+            break
+        sup = edge_support(cur).materialize()
+        surv = sup.filter(expr=f"sup >= {int(thresh)}").materialize()
+        if surv.count() == n_before:
+            break  # fixpoint: every further round is an identity
+        cur = surv.select_columns(["id_a", "id_b"]).materialize()
+    final = edge_support(cur)
+    return final.filter(expr=f"sup >= {int(thresh)}")

@@ -405,3 +405,94 @@ def test_pagerank_budget_plans_equal(ray_session, monkeypatch):
     monkeypatch.setenv("ONTOEA_BROADCAST_BUDGET_BYTES", "1")
     dist = {(r["node"], r["rank_units"]) for r in pagerank(e, iters=3).take_all()}
     assert bcast == dist
+
+
+def _ktruss_scalar(edges, k, rounds):
+    """Scalar replay of the R-round truss peel + final support filter."""
+    thresh = k - 2
+    cur = {tuple(sorted(e)) for e in edges}
+
+    def support(cur):
+        adj = {}
+        for x, y in cur:
+            adj.setdefault(x, set()).add(y)
+            adj.setdefault(y, set()).add(x)
+        return {(x, y): len(adj[x] & adj[y]) for x, y in cur}
+
+    for _ in range(rounds):
+        sup = support(cur)
+        new = {e for e in cur if sup[e] >= thresh}
+        if new == cur:
+            break
+        cur = new
+    sup = support(cur)
+    return {(a, b, s) for (a, b), s in sup.items() if s >= thresh}
+
+
+def test_ktruss_hand_graph_vs_scalar(ray_session):
+    """K4 + pendant edge, all k levels, against the scalar replay."""
+    import itertools
+
+    import ray.data
+
+    from ontoea_ray.stages.graph import ktruss_rounds
+
+    edges = list(itertools.combinations(range(4), 2)) + [(3, 4)]
+    ds = ray.data.from_items([{"id_a": a, "id_b": b} for a, b in edges])
+    for k in (3, 4, 5):
+        got = {
+            (r["id_a"], r["id_b"], r["sup"])
+            for r in ktruss_rounds(ds, k=k, rounds=4).take_all()
+        }
+        assert got == _ktruss_scalar(edges, k, 4), k
+
+
+def test_ktruss_cascade_and_budget_plans_equal(ray_session, monkeypatch):
+    """Two K5s sharing one bridge edge + a triangle fringe: the k=4 peel
+    must CASCADE (fringe first, then nothing else) and the broadcast and
+    exchange plans must emit identical rows."""
+    import itertools
+
+    import ray.data
+
+    from ontoea_ray.stages.graph import ktruss_rounds
+
+    edges = (
+        list(itertools.combinations(range(5), 2))
+        + list(itertools.combinations(range(5, 10), 2))
+        + [(0, 5), (0, 10), (5, 10), (10, 11), (0, 11)]
+    )
+    ds = ray.data.from_items([{"id_a": a, "id_b": b} for a, b in edges])
+    exp = _ktruss_scalar(edges, 4, 6)
+    assert exp  # the two K5 cliques survive
+    assert len(exp) < len(edges)  # the fringe peeled away
+    bcast = {
+        (r["id_a"], r["id_b"], r["sup"])
+        for r in ktruss_rounds(ds, k=4, rounds=6).take_all()
+    }
+    monkeypatch.setenv("ONTOEA_BROADCAST_BUDGET_BYTES", "1")
+    dist = {
+        (r["id_a"], r["id_b"], r["sup"])
+        for r in ktruss_rounds(ds, k=4, rounds=6).take_all()
+    }
+    assert bcast == exp
+    assert dist == exp
+
+
+def test_ktruss_string_nodes_use_exchange_plan(ray_session):
+    """String node ids route to the exchange plan (no int encoding);
+    orientation is lexicographic, matching the scalar replay."""
+    import itertools
+
+    import ray.data
+
+    from ontoea_ray.stages.graph import ktruss_rounds
+
+    names = ["ant", "bee", "cat", "dog"]
+    edges = list(itertools.combinations(names, 2)) + [("dog", "emu")]
+    ds = ray.data.from_items([{"id_a": a, "id_b": b} for a, b in edges])
+    got = {
+        (r["id_a"], r["id_b"], r["sup"])
+        for r in ktruss_rounds(ds, k=4, rounds=3).take_all()
+    }
+    assert got == _ktruss_scalar(edges, 4, 3)
