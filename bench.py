@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "q_price_histogram",
     "q_source_topn",
     "q_simhash_pairs",
+    "q_containment_pairs",
     "q_vocab_coverage",
     "q_pred_profile",
     "q_bpe_merges",
@@ -132,10 +133,12 @@ BENCH_QUERIES = [
     "q_assortativity",
     "q_outlinks",
     "q_domain_indegree",
+    "q_anchor_text",
     "q_random_walks",
     "q_dsir_weights",
     "q_bm25",
     "q_domain_pagerank",
+    "q_hits",
 ]
 
 

@@ -127,6 +127,40 @@ def outlink_lists(html: pa.Array) -> pa.ListArray:
     return _list_rebuild(urls, np.maximum(n_list - 1, 0))
 
 
+def anchor_lists(html: pa.Array) -> tuple[pa.ListArray, pa.ListArray]:
+    """Per-page ``(hrefs, anchor_texts)`` list pair from ``<a href="...">``
+    tags, in document order.
+
+    Generic over any HTML bytes: vectorized split on the ``<a href="``
+    opener; each fragment's href is the run up to its closing quote (extra
+    attributes after the href survive — the cut at ``">`` still lands at the
+    tag end), and its anchor text is the run between the tag-closing ``">``
+    and ``</a>``.  Unterminated anchors yield "" text, never a crash — the
+    crawler-extraction convention."""
+    s = _as_array(html).cast(pa.string())
+    parts = pc.split_pattern(s, pattern='<a href="')
+    n_list = pc.list_value_length(parts).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(parts)
+    starts = np.concatenate([[0], np.cumsum(n_list, dtype=np.int64)])[:-1]
+    mask = np.ones(len(flat), bool)
+    mask[starts[n_list > 0]] = False  # the before-first-anchor fragment
+    kept = flat.filter(pa.array(mask))
+    hrefs = pc.list_element(pc.split_pattern(kept, pattern='"', max_splits=1), 0)
+    after_tag = pc.split_pattern(kept, pattern='">', max_splits=1)
+    # rows without a '">' (unterminated tag) have a 1-element split; gather
+    # the LAST element then blank the unterminated ones
+    lens2 = pc.list_value_length(after_tag).to_numpy(zero_copy_only=False).astype(np.int64)
+    tail = pc.list_flatten(after_tag).take(pa.array(np.cumsum(lens2) - 1))
+    closed = pc.split_pattern(tail, pattern="</a>", max_splits=1)
+    lens3 = pc.list_value_length(closed).to_numpy(zero_copy_only=False).astype(np.int64)
+    texts = pc.list_element(closed, 0)
+    # blank when the tag never closed ('">' missing) or never terminated
+    # ('</a>' missing) — an alias table must not swallow arbitrary tails
+    texts = pc.if_else(pa.array((lens2 > 1) & (lens3 > 1)), texts, "")
+    lengths = np.maximum(n_list - 1, 0)
+    return _list_rebuild(hrefs, lengths), _list_rebuild(texts, lengths)
+
+
 def url_domain(urls: pa.Array) -> pa.Array:
     """Registrable host of a URL: the segment between ``://`` and the first
     ``/`` (the whole string when either is absent)."""

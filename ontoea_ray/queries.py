@@ -1006,6 +1006,40 @@ def q_jaccard_pairs(sf_dir: str):
     return jaccard_pairs(ds, threshold=0.5, shingle_n=3)
 
 
+_CONTAINMENT_SQL = """
+    WITH toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+           unnest(CASE WHEN len(t) >= 3
+                  THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
+                  ELSE [array_to_string(t, ' ')] END) AS s
+           FROM toks),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           CAST(1000 * c // LEAST(sa.sz, sb.sz) AS BIGINT) AS cont_milli
+    FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
+               JOIN sizes sb ON inter.id_b = sb.doc_id
+    WHERE 1000 * c // LEAST(sa.sz, sb.sz) >= 500
+"""
+
+
+@_register("q_containment_pairs", _CONTAINMENT_SQL)
+def q_containment_pairs(sf_dir: str):
+    """Shingle-set CONTAINMENT pairs (Broder 1997's asymmetric measure):
+    1000·|A∩B| // min(|A|,|B|) >= 500 — catches a document embedded inside
+    a larger one (boilerplate-wrapped reposts, quote farms), which
+    symmetric Jaccard misses because the union term drowns the small side.
+    Same one-exchange shingle-co-location machinery as q_jaccard_pairs
+    (`stages/dedup._pair_intersections`); integer milli-units so the
+    oracle replays every value."""
+    from ontoea_ray.stages.dedup import containment_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return containment_pairs(ds, threshold_milli=500, shingle_n=3)
+
+
 _DUP_CLUSTER_SQL = f"""
     WITH RECURSIVE pairs AS ({_SHINGLE_SQL}),
     edges AS (SELECT id_a AS a, id_b AS b FROM pairs
@@ -6842,6 +6876,30 @@ def q_domain_indegree(sf_dir: str):
     return domain_indegree(pages_from_documents(sf_dir))
 
 
+@_register(
+    "q_anchor_text",
+    f"""WITH {_OUTLINK_EDGES_CTE}
+    SELECT {_ESC_TOK_SQL} || '.example.org' AS dst_domain,
+           {_ESC_TOK_SQL} AS anchor,
+           CAST(COUNT(*) AS BIGINT) AS n_anchors
+    FROM link_tok GROUP BY dst_domain, anchor""",
+)
+def q_anchor_text(sf_dir: str):
+    """Anchor-text alias table: per (destination domain, anchor TEXT)
+    inbound-anchor counts — the surface-form prior entity linking builds
+    from the web (anchor text is how the web names the page it links to;
+    Mihalcea & Csomai 2007 / Wikipedia anchor dictionaries are the public
+    precedent).  `functions/text.anchor_lists` extracts (href, anchor-text)
+    pairs vectorized from generic HTML in the same zero-copy streaming pass
+    as the outlink splitter; the reduction is one combiner-first keyed
+    exchange over the (domain, anchor) vocabulary.  The oracle replays the
+    nav generation rule: each nav anchor's text IS its escaped token."""
+    from ontoea_ray.sources.pages import pages_from_documents
+    from ontoea_ray.stages.weblinks import anchor_text_table
+
+    return anchor_text_table(pages_from_documents(sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Random-walk corpus (stages/walks.py) — DeepWalk / node2vec p=q=1
 # ---------------------------------------------------------------------------
@@ -7013,6 +7071,79 @@ def q_bm25(sf_dir: str):
     if not os.path.exists(os.path.join(index_dir, "_meta.json")):
         build_inverted_index(docs, index_dir, n_buckets=64)
     return bm25_topk(index_dir, docs, list(_BM25_TERMS), k=10)
+
+
+def _hits_sql(
+    rounds: int = 3, scale: int = 1000, edge_ctes: list[str] | None = None
+) -> str:
+    """Unrolled integer HITS replaying stages/graph.hits_rounds exactly:
+    per half-round, HUGEINT sum of the opposite units over the (multi-)edge
+    join, then max-rescale with floor division.  ``edge_ctes``'s last entry
+    must define ``e(s, d)`` (multi-rows weight naturally)."""
+    ctes = list(edge_ctes) if edge_ctes is not None else [
+        f"kg AS ({_FLAGSHIP_SQL})",
+        "e AS (SELECT subj AS s, obj AS d FROM kg)",
+    ]
+    ctes += [
+        "nodes AS (SELECT DISTINCT n FROM (SELECT s AS n FROM e UNION SELECT d FROM e))",
+        f"h0 AS (SELECT n, CAST({scale} AS HUGEINT) AS u FROM nodes)",
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"araw{r} AS (SELECT e.d AS n, SUM(h{r}.u) AS raw"
+            f" FROM e JOIN h{r} ON h{r}.n = e.s GROUP BY 1)"
+        )
+        ctes.append(f"amax{r} AS (SELECT MAX(raw) AS mx FROM araw{r})")
+        ctes.append(
+            f"a{r + 1} AS (SELECT n, (raw * {scale}) // mx AS u"
+            f" FROM araw{r}, amax{r})"
+        )
+        ctes.append(
+            f"hraw{r} AS (SELECT e.s AS n, SUM(a{r + 1}.u) AS raw"
+            f" FROM e JOIN a{r + 1} ON a{r + 1}.n = e.d GROUP BY 1)"
+        )
+        ctes.append(f"hmax{r} AS (SELECT MAX(raw) AS mx FROM hraw{r})")
+        ctes.append(
+            f"h{r + 1} AS (SELECT n, (raw * {scale}) // mx AS u"
+            f" FROM hraw{r}, hmax{r})"
+        )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT nodes.n AS node,
+           CAST(COALESCE(h{rounds}.u, 0) AS BIGINT) AS hub_units,
+           CAST(COALESCE(a{rounds}.u, 0) AS BIGINT) AS auth_units
+    FROM nodes LEFT JOIN h{rounds} ON h{rounds}.n = nodes.n
+               LEFT JOIN a{rounds} ON a{rounds}.n = nodes.n
+"""
+
+
+@_register(
+    "q_hits",
+    _hits_sql(
+        rounds=3,
+        edge_ctes=[
+            _OUTLINK_EDGES_CTE.strip(),
+            "e AS (SELECT src_domain AS s, dst_domain AS d FROM outlink_edges)",
+        ],
+    ),
+)
+def q_hits(sf_dir: str):
+    """Integer HITS hubs & authorities (Kleinberg 1999) over the extracted
+    host-level web link graph — the complementary centrality to PageRank
+    (a domain can be a great DIRECTORY without being a great DESTINATION;
+    hubs/authorities separate the two).  `stages/graph.hits_rounds`:
+    bit-deterministic integer half-rounds with exact max-rescale instead of
+    the float L2 norm, multi-edges weighting naturally; single-task
+    scatter-add plan under the broadcast budget, join + keyed-sum + O(1)
+    scalar-max half-rounds above it (plan equality pinned by the budget=1
+    pytest).  The unrolled oracle replays every unit."""
+    from ontoea_ray.sources.pages import pages_from_documents
+    from ontoea_ray.stages.graph import hits_rounds
+    from ontoea_ray.stages.weblinks import domain_edges
+
+    e = domain_edges(pages_from_documents(sf_dir))
+    return hits_rounds(e, src="src_domain", dst="dst_domain", rounds=3)
 
 
 @_register(

@@ -589,6 +589,38 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: ray.data.Dataset,
+    *,
+    threshold_milli: int = 500,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_group: int = 1000,
+) -> ray.data.Dataset:
+    """Shingle-set CONTAINMENT near-dup pairs (Broder 1997's other measure):
+    ``cont_milli = 1000 * |A∩B| // min(|A|, |B|)`` — catches a document
+    embedded inside a larger one (quote farms, boilerplate-wrapped
+    reposts), which symmetric Jaccard misses because the union term drowns
+    the small side.  Integer milli-units so the oracle hashes exactly.
+    Returns (id_a, id_b, cont_milli) with id_a < id_b, cont >= threshold."""
+    inter = _pair_intersections(
+        docs, shingle_n=shingle_n, id_col=id_col, text_col=text_col,
+        max_group=max_group,
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        mn = np.minimum(df["sz_a"].to_numpy(np.int64), df["sz_b"].to_numpy(np.int64))
+        cont = 1000 * df["inter"].to_numpy(np.int64) // np.maximum(mn, 1)
+        df["cont_milli"] = cont
+        return _from_pandas_clean(
+            df.loc[cont >= threshold_milli, ["id_a", "id_b", "cont_milli"]]
+        )
+
+    return inter.map_batches(finalize, batch_format="pyarrow")
+
+
 def _exact_jaccard_core(
     docs: ray.data.Dataset,
     *,
@@ -598,11 +630,39 @@ def _exact_jaccard_core(
     text_col: str,
     max_group: int | None,
 ) -> ray.data.Dataset:
-    """Distributed exact-Jaccard machinery shared by :func:`jaccard_pairs`
-    and the LSH verify step.  Per-doc set sizes are computed during the
-    shingle explode (each doc's text is one row, so its full distinct set
-    is in-batch) and carried WITH the pairs as (sz_a, sz_b) — no driver-side
-    size dict, no second pass over the corpus."""
+    """Exact-Jaccard finalize over :func:`_pair_intersections` (shared with
+    the LSH verify step)."""
+    inter = _pair_intersections(
+        docs, shingle_n=shingle_n, id_col=id_col, text_col=text_col,
+        max_group=max_group,
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        na = df["sz_a"].to_numpy(np.float64)
+        nb = df["sz_b"].to_numpy(np.float64)
+        it = df["inter"].to_numpy(np.float64)
+        jac = it / (na + nb - it)
+        keep = jac >= threshold
+        return _from_pandas_clean(df.loc[keep, ["id_a", "id_b"]])
+
+    return inter.map_batches(finalize, batch_format="pyarrow")
+
+
+def _pair_intersections(
+    docs: ray.data.Dataset,
+    *,
+    shingle_n: int,
+    id_col: str,
+    text_col: str,
+    max_group: int | None,
+) -> ray.data.Dataset:
+    """Distributed shingle-set pair machinery shared by Jaccard and
+    containment: -> (id_a, id_b, sz_a, sz_b, inter).  Per-doc set sizes are
+    computed during the shingle explode (each doc's text is one row, so its
+    full distinct set is in-batch) and carried WITH the pairs as
+    (sz_a, sz_b) — no driver-side size dict, no second pass over the
+    corpus."""
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch[id_col].to_pylist(), np.int64)
@@ -646,18 +706,7 @@ def _exact_jaccard_core(
         )
         return _from_pandas_clean(out)
 
-    inter = parted2.groupby("pkey").map_groups(merge_counts, batch_format="pandas")
-
-    def finalize(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        na = df["sz_a"].to_numpy(np.float64)
-        nb = df["sz_b"].to_numpy(np.float64)
-        it = df["inter"].to_numpy(np.float64)
-        jac = it / (na + nb - it)
-        keep = jac >= threshold
-        return _from_pandas_clean(df.loc[keep, ["id_a", "id_b"]])
-
-    return inter.map_batches(finalize, batch_format="pyarrow")
+    return parted2.groupby("pkey").map_groups(merge_counts, batch_format="pandas")
 
 
 def popcount64(x: np.ndarray) -> np.ndarray:

@@ -397,6 +397,173 @@ def pagerank(
     )
 
 
+def hits_rounds(
+    edges: ray.data.Dataset,
+    *,
+    src: str = "src_domain",
+    dst: str = "dst_domain",
+    rounds: int = 3,
+    scale: int = 1000,
+) -> ray.data.Dataset:
+    """Integer-arithmetic HITS (Kleinberg 1999) over an edge table:
+    ``(node, hub_units, auth_units)`` after R alternating rounds.
+
+    Deliberately INTEGER like :func:`pagerank`, so the result is
+    bit-deterministic under any execution order and exactly
+    DuckDB-replayable: every node starts with ``scale`` hub units; each
+    round computes raw authority ``a_raw(v) = Σ_{(u,v)} h(u)`` (multi-edges
+    weight naturally), rescales ``a = a_raw * scale // max(a_raw)``, then
+    raw hubs ``h_raw(u) = Σ_{(u,v)} a(v)`` rescaled the same way — the
+    max-normalization replaces the float L2 norm with an exact scalar the
+    SQL replays (products stay inside int64: values ≤ scale, so raw sums ≤
+    weighted-degree · scale, guarded below).
+
+    Two value-equal plans (budget=1 pytest): under the broadcast budget the
+    whole iteration runs in one Ray task (np.unique factorize + int64
+    scatter-add); above it each half-round is one planner-routed hash join
+    (units onto the weighted edge list) + one keyed sum + one O(1) scalar
+    max — no node table ever lands on the driver beyond that scalar."""
+    import numpy as np
+    from ray.data.aggregate import Count, Sum
+
+    from ontoea_ray.functions.broadcast import assemble_table_ref
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+
+    def _proj(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "s": b[src].combine_chunks().cast(pa.string()),
+                "d": b[dst].combine_chunks().cast(pa.string()),
+            }
+        )
+
+    e, tbl_ref = assemble_table_ref(
+        compact(edges.map_batches(_proj, batch_format="pyarrow")), columns=["s", "d"]
+    )
+    if tbl_ref is not None:
+        _rounds, _scale = rounds, scale
+
+        @ray.remote
+        def _hits(tref) -> pa.Table:
+            import numpy as np
+
+            s = tref["s"].to_pandas().to_numpy(object)
+            d = tref["d"].to_pandas().to_numpy(object)
+            nodes, inv = np.unique(np.concatenate([s, d]), return_inverse=True)
+            si, di = inv[: len(s)], inv[len(s):]
+            # raw sums are bounded by max-degree * scale; rescale multiplies
+            # by scale again — guard the int64 headroom explicitly
+            max_deg = int(
+                max(
+                    np.bincount(si, minlength=1).max(),
+                    np.bincount(di, minlength=1).max(),
+                )
+            )
+            if max_deg * _scale * _scale >= np.iinfo(np.int64).max:
+                raise ValueError("hits_rounds: scale too large for int64 rescale")
+            h = np.full(len(nodes), _scale, np.int64)
+            a = np.zeros(len(nodes), np.int64)
+
+            def half(units, from_i, to_i):
+                raw = np.zeros(len(nodes), np.int64)
+                np.add.at(raw, to_i, units[from_i])
+                mx = raw.max() if len(raw) else 0
+                return raw * _scale // mx if mx > 0 else raw
+
+            for _ in range(_rounds):
+                a = half(h, si, di)
+                h = half(a, di, si)
+            return pa.table(
+                {
+                    "node": pa.array(nodes.astype(str), pa.string()),
+                    "hub_units": pa.array(h, pa.int64()),
+                    "auth_units": pa.array(a, pa.int64()),
+                }
+            )
+
+        return ray.data.from_arrow_refs([_hits.remote(tbl_ref)])
+
+    # ---- exchange plan: weighted edge list + per-half-round join/sum/max
+    width = sized_width(e.size_bytes())
+    we = keyed_aggregate(e, ["s", "d"], count_alias="w", width=width).materialize()
+
+    def _nodes_part(b: pa.Table) -> pa.Table:
+        u = pc.unique(
+            pa.chunked_array([b["s"].combine_chunks(), b["d"].combine_chunks()])
+        )
+        return pa.table({"node": u})
+
+    nodes = (
+        we.map_batches(_nodes_part, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"])
+        .materialize()
+    )
+
+    def _units(ds, col):
+        # (node, u) view of a (node, <col>) table
+        return ds.map_batches(
+            lambda b: pa.table({"node": b["node"], "u": b[col].combine_chunks()}),
+            batch_format="pyarrow",
+        )
+
+    def half_round(units, join_key, out_key):
+        """units(node,u) -> rescaled sums at the other endpoint."""
+        contrib = hash_join(we, units, on=[join_key], right_on=["node"], width=width).map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b[out_key].combine_chunks(),
+                    "raw": pa.array(
+                        np.asarray(b["w"].combine_chunks(), np.int64)
+                        * np.asarray(b["u"].combine_chunks(), np.int64)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        sums = keyed_aggregate(
+            compact(contrib), ["node"], sums=["raw"], width=width
+        ).materialize()
+        mx = int(sums.max("raw") or 0)  # O(1) scalar on the driver
+
+        def rescale(b: pa.Table) -> pa.Table:
+            raw = np.asarray(b["raw"].combine_chunks(), np.int64)
+            out = raw * scale // mx if mx > 0 else raw
+            return pa.table({"node": b["node"], "u": pa.array(out, pa.int64())})
+
+        return sums.map_batches(rescale, batch_format="pyarrow").materialize()
+
+    h = nodes.map_batches(
+        lambda b: pa.table(
+            {"node": b["node"], "u": pa.array(np.full(len(b), scale, np.int64))}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    a = None
+    for _ in range(max(rounds, 0)):
+        # authority: hub units flow ALONG edges (join at s, land at d);
+        # hubs: authority units flow BACK (join at d, land at s)
+        a = half_round(h, "s", "d")
+        h = half_round(a, "d", "s")
+    out = hash_join(nodes, h, on=["node"], how="left", width=width)
+    out = hash_join(out, a if a is not None else h, on=["node"], how="left",
+                    rsuffix="_a", width=width)
+
+    def final(b: pa.Table) -> pa.Table:
+        hu = pc.coalesce(b["u"], pa.scalar(0, pa.int64()))
+        au = pc.coalesce(b["u_a"], pa.scalar(0, pa.int64()))
+        return pa.table(
+            {
+                "node": b["node"].combine_chunks().cast(pa.string()),
+                "hub_units": hu.cast(pa.int64()),
+                "auth_units": au.cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(final, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # broadcast-CSR neighborhood kernels (triangles, two-hop)
 # ---------------------------------------------------------------------------

@@ -56,6 +56,52 @@ def domain_edges(pages: ray.data.Dataset) -> ray.data.Dataset:
     return pages.map_batches(project, batch_format="pyarrow")
 
 
+def anchor_edges(pages: ray.data.Dataset) -> ray.data.Dataset:
+    """pages(url, html, ...) -> (src_url, href, anchor): one row per
+    ``<a href>`` tag, carrying its anchor TEXT — the surface-form signal
+    entity-alias tables are built from (anchor text is how the web names
+    the page it links to).  Same zero-copy streaming contract as
+    :func:`outlink_edges`: html bytes die inside the batch."""
+    from ontoea_ray.functions.text import anchor_lists
+
+    def explode(batch: pa.Table) -> pa.Table:
+        hrefs, texts = anchor_lists(batch["html"])
+        lengths = pa.compute.list_value_length(hrefs).to_numpy(zero_copy_only=False)
+        idx = np.repeat(np.arange(len(batch), dtype=np.int64), lengths.astype(np.int64))
+        return pa.table(
+            {
+                "src_url": batch["url"].combine_chunks().take(pa.array(idx)),
+                "href": pa.compute.list_flatten(hrefs),
+                "anchor": pa.compute.list_flatten(texts),
+            }
+        )
+
+    return pages.map_batches(explode, batch_format="pyarrow")
+
+
+def anchor_text_table(
+    pages: ray.data.Dataset, *, width: int | None = None
+) -> ray.data.Dataset:
+    """Per (dst_domain, anchor) inbound-anchor counts — the alias/surface
+    prior table for entity linking (how often the web calls this host by
+    this name).  One combiner-first keyed exchange over the (domain, anchor)
+    vocabulary; raw anchor rows never shuffle."""
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "dst_domain": url_domain(batch["href"]),
+                "anchor": batch["anchor"].combine_chunks(),
+            }
+        )
+
+    pairs = anchor_edges(pages).map_batches(project, batch_format="pyarrow")
+    return keyed_aggregate(
+        pairs, ["dst_domain", "anchor"], count_alias="n_anchors", width=width
+    )
+
+
 def domain_indegree(pages: ray.data.Dataset, *, width: int | None = None) -> ray.data.Dataset:
     """Per destination host: total inbound anchors and distinct source hosts.
 

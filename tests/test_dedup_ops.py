@@ -199,3 +199,29 @@ def test_dedup_tiles_first_occurrence_semantics(ray_session):
     assert out[2]["clean_text"] == "x"               # 'c d' first seen in doc 1
     assert out[2]["n_tiles"] == 2 and out[2]["n_dropped"] == 1
     assert out[3]["clean_text"] == "z" and out[3]["n_dropped"] == 0
+
+
+def test_containment_catches_doc_inside_doc(ray_session):
+    """A short doc fully contained in a long one: containment fires where
+    Jaccard (union-normalized) stays below threshold."""
+    import ray.data
+
+    from ontoea_ray.stages.dedup import containment_pairs, jaccard_pairs
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " " + " ".join(f"tok{i}" for i in range(40))
+    other = " ".join(f"zzz{i}" for i in range(10))
+    ds = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": short},
+            {"doc_id": 2, "text": long},
+            {"doc_id": 3, "text": other},
+        ]
+    )
+    cont = {
+        (r["id_a"], r["id_b"]): r["cont_milli"]
+        for r in containment_pairs(ds, threshold_milli=900).take_all()
+    }
+    assert cont == {(1, 2): 1000}  # short's shingles all inside long
+    jac = {(r["id_a"], r["id_b"]) for r in jaccard_pairs(ds, threshold=0.5).take_all()}
+    assert (1, 2) not in jac  # symmetric Jaccard misses it

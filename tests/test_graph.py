@@ -496,3 +496,45 @@ def test_ktruss_string_nodes_use_exchange_plan(ray_session):
         for r in ktruss_rounds(ds, k=4, rounds=3).take_all()
     }
     assert got == _ktruss_scalar(edges, 4, 3)
+
+
+def test_hits_hand_graph_and_budget_plans_equal(ray_session, monkeypatch):
+    """Star hub 'h' -> {x, y, z}, plus y -> x: scalar replay of the integer
+    max-rescale rounds, and broadcast == exchange plan."""
+    import numpy as np
+    import ray.data
+
+    from ontoea_ray.stages.graph import hits_rounds
+
+    edges = [("h", "x"), ("h", "y"), ("h", "z"), ("y", "x"), ("h", "x")]
+    ds = ray.data.from_items([{"s": a, "d": b} for a, b in edges])
+
+    # scalar replay
+    nodes = sorted({n for e in edges for n in e})
+    scale, rounds = 1000, 3
+    h = {n: scale for n in nodes}
+    a = {n: 0 for n in nodes}
+    for _ in range(rounds):
+        raw = {n: 0 for n in nodes}
+        for s, d in edges:
+            raw[d] += h[s]
+        mx = max(raw.values())
+        a = {n: raw[n] * scale // mx if mx else 0 for n in nodes}
+        raw = {n: 0 for n in nodes}
+        for s, d in edges:
+            raw[s] += a[d]
+        mx = max(raw.values())
+        h = {n: raw[n] * scale // mx if mx else 0 for n in nodes}
+    exp = {(n, h[n], a[n]) for n in nodes}
+
+    got = {
+        (r["node"], r["hub_units"], r["auth_units"])
+        for r in hits_rounds(ds, src="s", dst="d", rounds=rounds).take_all()
+    }
+    assert got == exp
+    monkeypatch.setenv("ONTOEA_BROADCAST_BUDGET_BYTES", "1")
+    dist = {
+        (r["node"], r["hub_units"], r["auth_units"])
+        for r in hits_rounds(ds, src="s", dst="d", rounds=rounds).take_all()
+    }
+    assert dist == exp

@@ -124,6 +124,34 @@ def test_outlink_lists_generic_html():
     assert got == [["https://a.com/x", "http://b.org/"], [], ["https://c.net/style.css"]]
 
 
+def test_anchor_lists_generic_html():
+    # generic html: extra attributes after href, unterminated anchor,
+    # rows with no anchors, non-<a> href tags ignored
+    html = pa.array(
+        [
+            b'<p><a href="https://a.com/x" class="b">Click me</a> and '
+            b'<a href="http://b.org/">B Site</a></p>',
+            b"<p>no links</p>",
+            b'<link href="https://c.net/s.css"/><a href="https://d.io">unterminated',
+        ],
+        pa.binary(),
+    )
+    hrefs, texts = T.anchor_lists(html)
+    assert hrefs.to_pylist() == [
+        ["https://a.com/x", "http://b.org/"],
+        [],
+        ["https://d.io"],
+    ]
+    assert texts.to_pylist() == [["Click me", "B Site"], [], [""]]
+
+
+def test_anchor_lists_invert_nav_generation():
+    texts = ["alpha beta gamma delta", "solo"]
+    hrefs, anchors = T.anchor_lists(T.wrap_html(pa.array(texts)))
+    assert anchors.to_pylist() == [["alpha", "beta", "gamma"], ["solo"]]
+    assert hrefs.to_pylist()[1] == ["https://solo.example.org/t/solo"]
+
+
 def test_outlinks_invert_wrap_html():
     texts = ["alpha beta gamma delta", "solo"]
     links = T.outlink_lists(T.wrap_html(pa.array(texts))).to_pylist()
