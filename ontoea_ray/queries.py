@@ -6625,13 +6625,21 @@ def q_surface_blocking(sf_dir: str):
     from ontoea_ray.stages.blocking import lsh_link_candidates
     from ontoea_ray.state.ids import top_k_by_frequency
 
+    from ontoea_ray.functions.shuffle import keyed_aggregate, sized_width
+
     ds = _read(sf_dir, "documents", ["text"])
-    partial = ds.map_batches(
-        lambda b: bigram_counts(b["text"].combine_chunks()), batch_format="pyarrow"
-    )
-    freq = compact(partial).groupby("bigram").sum("freq").map_batches(
-        lambda b: pa.table({"bigram": b["bigram"], "freq": b["sum(freq)"]}),
-        batch_format="pyarrow",
+    # per-batch bigram combiner -> blocks are vocabulary-sized partials:
+    # materialize them so every downstream exchange is sized by the VOCAB
+    # bytes (width 1-2 at test scale, cluster width at 100 TB) instead of
+    # paying cpus/2 partition barriers per wide op on a 7k-row table
+    partial = compact(
+        ds.map_batches(
+            lambda b: bigram_counts(b["text"].combine_chunks()), batch_format="pyarrow"
+        )
+    ).materialize()
+    w = sized_width(partial.size_bytes())
+    freq = keyed_aggregate(
+        partial, ["bigram"], sums=["freq"], width=w
     ).materialize()  # two consumers below; vocabulary-sized
     mentions = freq.map_batches(
         lambda b: pa.table({"mention": b["bigram"]}), batch_format="pyarrow"
@@ -6641,7 +6649,7 @@ def q_surface_blocking(sf_dir: str):
         pa.table({"entity": pa.array([t for t, _ in top], pa.string())})
     )
     return lsh_link_candidates(
-        mentions, gaz, jaccard_pct=40, num_perm=16, bands=8,
+        mentions, gaz, width=w, jaccard_pct=40, num_perm=16, bands=8,
         shingle_n=3, seed=7, max_group=4000,
     )
 

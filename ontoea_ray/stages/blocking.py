@@ -248,6 +248,7 @@ def lsh_cross_candidates(
     shingle_n: int = 3,
     seed: int = 7,
     max_group: int = 4000,
+    width: int | None = None,
 ) -> ray.data.Dataset:
     """Distinct (mention, entity) LSH candidate pairs across two tables.
 
@@ -266,14 +267,14 @@ def lsh_cross_candidates(
     )
     from ontoea_ray.functions.shuffle import keyed_aggregate, with_partition_key
 
-    parted = with_partition_key(lb.union(rb), ["band", "band_key"])
+    parted = with_partition_key(lb.union(rb), ["band", "band_key"], width=width)
     pairs = parted.groupby("pkey").map_groups(
         _cross_pairs_kernel(("band", "band_key"), max_group=max_group,
                             distinct=True, carry_sz=False,
                             out_a=mention_col, out_b=entity_col),
         batch_format="pandas",
     )
-    distinct = keyed_aggregate(pairs, [mention_col, entity_col], count_alias="_c")
+    distinct = keyed_aggregate(pairs, [mention_col, entity_col], count_alias="_c", width=width)
     return distinct.drop_columns(["_c"])
 
 
@@ -316,6 +317,7 @@ def lsh_link_candidates(
     shingle_n: int = 3,
     seed: int = 7,
     max_group: int = 4000,
+    width: int | None = None,
 ) -> ray.data.Dataset:
     """LSH candidates VERIFIED by exact char-shingle Jaccard: output rows
     (mention, entity, inter_sz, union_sz) with 100*inter >= pct*union.
@@ -330,7 +332,7 @@ def lsh_link_candidates(
     cands = lsh_cross_candidates(
         mentions, gazetteer, mention_col=mention_col, entity_col=entity_col,
         num_perm=num_perm, bands=bands, shingle_n=shingle_n, seed=seed,
-        max_group=max_group,
+        max_group=max_group, width=width,
     ).materialize()
     empty = pa.table(
         {
@@ -370,7 +372,7 @@ def lsh_link_candidates(
 
     from ontoea_ray.functions.shuffle import compact, with_partition_key
 
-    parted = with_partition_key(m_rows.union(e_rows), ["sh"])
+    parted = with_partition_key(m_rows.union(e_rows), ["sh"], width=width)
     # no cap on the verify: precision must be exact, and the input is already
     # candidate-involved surfaces (bounded by the candidate structure)
     pair_rows = parted.groupby("pkey").map_groups(
@@ -387,8 +389,8 @@ def lsh_link_candidates(
             df.groupby(gcols, sort=False).size().reset_index(name="inter_sz")
         )
 
-    parts = compact(pair_rows.map_batches(partial_counts, batch_format="pyarrow"))
-    parted2 = with_partition_key(parts, [mention_col, entity_col])
+    parts = compact(pair_rows.map_batches(partial_counts, batch_format="pyarrow"), width=width)
+    parted2 = with_partition_key(parts, [mention_col, entity_col], width=width)
 
     def merge_and_filter(df: pd.DataFrame) -> pa.Table:
         out = df.groupby(gcols, sort=False)["inter_sz"].sum().reset_index()

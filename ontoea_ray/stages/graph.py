@@ -908,7 +908,16 @@ def _frontier_successors(
             lambda b: pa.table({"node": b[obj_col].combine_chunks()}),
             batch_format="pyarrow",
         )
-    return keyed_aggregate(matched, ["node"], count_alias="_c").drop_columns(["_c"])
+    # per-block distinct first, then size the exchange by the MEASURED
+    # partial bytes: a hop frontier is usually tiny, and paying cpus/2
+    # partition barriers per BFS round on a few-KB table is pure latency
+    # (at 100 TB the same call returns the full cluster width)
+    part = matched.map_batches(
+        lambda b: pa.table({"node": pc.unique(b["node"].combine_chunks())}),
+        batch_format="pyarrow",
+    ).materialize()
+    w = sized_width(part.size_bytes())
+    return keyed_aggregate(part, ["node"], count_alias="_c", width=w).drop_columns(["_c"])
 
 
 def bfs_depths(
@@ -950,19 +959,28 @@ def bfs_depths(
         return fn
 
     tagged.append(level.map_batches(tag_depth(0), batch_format="pyarrow"))
+    total_bytes = level.size_bytes() or 0
     for d in range(1, max_depth + 1):
         level = _frontier_successors(
             edges, level, subj_col=subj_col, obj_col=obj_col
         ).materialize()
+        total_bytes += level.size_bytes() or 0
         tagged.append(level.map_batches(tag_depth(d), batch_format="pyarrow"))
 
     allv = tagged[0]
     for t in tagged[1:]:
         allv = allv.union(t)
-    return keyed_aggregate(allv, ["node"], mins=["depth"])
+    # levels are materialized -> the min-exchange is sized by their bytes
+    from ontoea_ray.functions.shuffle import sized_width as _sw
+
+    return keyed_aggregate(
+        allv, ["node"], mins=["depth"], width=_sw(total_bytes or None)
+    )
 
 
-def _degree_table(edges: ray.data.Dataset, src: str, dst: str) -> ray.data.Dataset:
+def _degree_table(
+    edges: ray.data.Dataset, src: str, dst: str, *, width: int | None = None
+) -> ray.data.Dataset:
     """(node, deg) over an undirected distinct edge table — combiner-first
     (endpoints exploded in-batch, one keyed exchange)."""
     from ontoea_ray.functions.shuffle import keyed_aggregate
@@ -972,7 +990,7 @@ def _degree_table(edges: ray.data.Dataset, src: str, dst: str) -> ray.data.Datas
         return pa.table({"node": pa.concat_arrays([a, b[dst].combine_chunks().cast(a.type)])})
 
     ends = edges.map_batches(explode, batch_format="pyarrow")
-    return keyed_aggregate(ends, ["node"], count_alias="deg")
+    return keyed_aggregate(ends, ["node"], count_alias="deg", width=width)
 
 
 def _edges_within(
@@ -1115,8 +1133,9 @@ def common_neighbor_pairs(
     from ontoea_ray.stages.dedup import _pairs_from_bucket_block
 
     edges = edges.materialize()  # three consumers: wedges, anti-join, degrees
+    w_e = sized_width(edges.size_bytes())
     nbr = _bidirect(edges, src, dst)
-    parted = with_partition_key(nbr, ["node"])
+    parted = with_partition_key(nbr, ["node"], width=w_e)
     emit = _pairs_from_bucket_block("nb", None, keys=("node",), distinct=False)
     wedges = parted.groupby("pkey").map_groups(emit, batch_format="pandas")
 
@@ -1124,8 +1143,13 @@ def common_neighbor_pairs(
         df = b.to_pandas()
         return _fp(df.groupby(["id_a", "id_b"], sort=False).size().reset_index(name="cn"))
 
-    parts = compact(wedges.map_batches(partial, batch_format="pyarrow"))
-    cn = keyed_aggregate(parts, ["id_a", "id_b"], sums=["cn"])
+    # measure the combiner output and size every downstream exchange from
+    # it (pair vocabulary ≪ wedges; a tiny sampled graph then pays 1-2
+    # partitions instead of cpus/2 barriers, the full cluster width at
+    # 100 TB)
+    parts = compact(wedges.map_batches(partial, batch_format="pyarrow")).materialize()
+    w_p = sized_width(parts.size_bytes())
+    cn = keyed_aggregate(parts, ["id_a", "id_b"], sums=["cn"], width=w_p)
     cn = cn.map_batches(
         lambda b: b.filter(pc.greater_equal(b["cn"].combine_chunks(), min_common)),
         batch_format="pyarrow",
@@ -1161,17 +1185,17 @@ def common_neighbor_pairs(
         out = df.loc[~is_edge & (df["_src"] == 0), ["id_a", "id_b", "cn"]]
         return _fp(out if len(out) else empty)
 
-    parted2 = with_partition_key(both, ["id_a", "id_b"])
+    parted2 = with_partition_key(both, ["id_a", "id_b"], width=w_p)
     cand = parted2.groupby("pkey").map_groups(keep_non_edges, batch_format="pandas")
 
-    deg = _degree_table(edges, src, dst).materialize()
-    j1 = hash_join(cand, deg, on=["id_a"], right_on=["node"]).map_batches(
+    deg = _degree_table(edges, src, dst, width=w_e).materialize()
+    j1 = hash_join(cand, deg, on=["id_a"], right_on=["node"], width=w_p).map_batches(
         lambda b: pa.table(
             {"id_a": b["id_a"], "id_b": b["id_b"], "cn": b["cn"], "da": b["deg"]}
         ),
         batch_format="pyarrow",
     )
-    j2 = hash_join(j1, deg, on=["id_b"], right_on=["node"])
+    j2 = hash_join(j1, deg, on=["id_b"], right_on=["node"], width=w_p)
 
     def finalize(b: pa.Table) -> pa.Table:
         cnv = np.asarray(b["cn"].combine_chunks(), np.int64)
@@ -1271,12 +1295,24 @@ def _truss_support(enc: "np.ndarray", m: int) -> "np.ndarray":
     a, b = enc // m, enc % m
     indptr = np.zeros(m + 1, np.int64)
     np.cumsum(np.bincount(a, minlength=m), out=indptr[1:])
+    # packed m*m bitset pre-probe (one memory touch per wedge) so the
+    # positional searchsorted runs only over CLOSED wedges (= triangles,
+    # usually ≪ wedges); same budget gate as the triangle kernel
+    bits = None
+    nbytes = (m * m + 7) // 8
+    if nbytes <= _BITSET_MAX_BYTES:
+        bits = np.zeros(nbytes, np.uint8)
+        np.bitwise_or.at(bits, enc >> 3, np.uint8(1) << (enc & 7).astype(np.uint8))
     centers = np.unique(a)
     degc = indptr[centers + 1] - indptr[centers]
     centers, degc = centers[degc > 1], degc[degc > 1]
     if not len(centers):
         return sup
     chunk = np.cumsum(degc * (degc - 1) // 2) // _CHUNK_PAIRS
+    # int32 expansion when the m^2 key space fits: the wedge arrays are the
+    # kernel's memory traffic, and it is bandwidth-bound
+    it = np.int32 if m * m < 2**31 else np.int64
+    L = len(enc)
     for cid in np.unique(chunk):
         nodes = centers[chunk == cid]
         seg, nb, deg = _gather_segments(indptr, b, nodes)
@@ -1287,21 +1323,36 @@ def _truss_support(enc: "np.ndarray", m: int) -> "np.ndarray":
         total = int(rep.sum())
         if total == 0:
             continue
-        row = np.repeat(np.arange(len(nb), dtype=np.int64), rep)
-        starts = np.zeros(len(nb), np.int64)
-        starts[1:] = np.cumsum(rep[:-1])
-        k = np.arange(total, dtype=np.int64) - starts[row]
-        b1 = nb[row]
-        b2 = nb[row + 1 + k]
-        keys = b1 * m + b2
-        pos = np.searchsorted(enc, keys)
-        hit = (pos < len(enc)) & (enc[np.minimum(pos, len(enc) - 1)] == keys)
+        row = np.repeat(np.arange(len(nb), dtype=it), rep)
+        starts = np.zeros(len(nb), it)
+        starts[1:] = np.cumsum(rep[:-1], dtype=it)
+        k = np.arange(total, dtype=it) - starts[row]
+        nbt = nb if it is np.int64 else nb.astype(it)
+        b1 = nbt[row]
+        b2 = nbt[row + 1 + k]  # same segment: rep never crosses the boundary
+        keys = b1 * it(m) + b2
+        if bits is not None:
+            hit = (bits[keys >> 3] & (np.uint8(1) << (keys & 7).astype(np.uint8))) != 0
+            pos_yz = np.searchsorted(enc, keys[hit].astype(np.int64))
+        else:
+            pos = np.searchsorted(enc, keys.astype(np.int64))
+            hit = (pos < L) & (enc[np.minimum(pos, L - 1)] == keys.astype(np.int64))
+            pos_yz = pos[hit]
         if not hit.any():
             continue
-        ctr = nodes[seg[row[hit]]]
-        np.add.at(sup, pos[hit], 1)                                # edge (b1, b2)
-        np.add.at(sup, np.searchsorted(enc, ctr * m + b1[hit]), 1)  # edge (x, b1)
-        np.add.at(sup, np.searchsorted(enc, ctr * m + b2[hit]), 1)  # edge (x, b2)
+        # (x,b1)/(x,b2) are edges by construction and their enc positions
+        # are the gather positions themselves (nb is the slice of b = the
+        # tails of enc's CSR rows) — no searchsorted needed for them
+        gpos = (
+            np.arange(len(nb), dtype=np.int64)
+            - offs[seg]
+            + indptr[nodes][seg]
+        )
+        rh = row[hit].astype(np.int64)
+        all_pos = np.concatenate(
+            [pos_yz, gpos[rh], gpos[rh + 1 + k[hit].astype(np.int64)]]
+        )
+        sup += np.bincount(all_pos, minlength=L)
     return sup
 
 
