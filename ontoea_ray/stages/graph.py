@@ -780,8 +780,14 @@ def _broadcast_csr(edges: ray.data.Dataset, src: str, dst: str):
 
 
 def _node_range(m: int) -> ray.data.Dataset:
+    # cpus*4 blocks: the per-node work (sum of neighbor degrees) is skewed
+    # ~3x across contiguous id ranges, so over-split to smooth it.  Callers
+    # must pass batch_size=None so each block IS a task's batch — a fixed
+    # batch_size larger than m/blocks makes Ray Data bundle every block
+    # into ONE task and the whole kernel runs serially (measured: the
+    # 49M-wedge two-hop at sf0.1 got zero speedup at batch_size=65536).
     cpus = int(ray.cluster_resources().get("CPU", 4))
-    return ray.data.range(m, override_num_blocks=max(4, cpus * 2))
+    return ray.data.range(m, override_num_blocks=max(4, cpus * 4))
 
 
 def triangle_count_broadcast(
@@ -792,7 +798,7 @@ def triangle_count_broadcast(
     over plain tasks (see module comment for the regime / fallback)."""
     ref, m = _broadcast_csr(edges, src, dst)
     parts = _node_range(m).map_batches(
-        _triangle_fn(ref), batch_format="pyarrow", batch_size=65536
+        _triangle_fn(ref), batch_format="pyarrow", batch_size=None
     )
     return sum(r["n"] for r in parts.take_all())
 
@@ -805,7 +811,7 @@ def two_hop_counts_broadcast(
     two-level gather (regime: see module comment)."""
     ref, m = _broadcast_csr(edges, src, dst)
     return _node_range(m).map_batches(
-        _two_hop_fn(ref), batch_format="pyarrow", batch_size=65536
+        _two_hop_fn(ref), batch_format="pyarrow", batch_size=None
     )
 
 
