@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "q_cust_order_dist",
     "q_doc_popularity",
     "q_lm_score",
+    "q_pmi_collocations",
     "q_ttr",
     "q_user_active_time",
     "q_cheapest_supplier",
@@ -124,6 +125,7 @@ BENCH_QUERIES = [
     "q_type_runs",
     "q_multimodal_video",
     "q_cross_dup_spans",
+    "q_boilerplate_tiles",
     "q_tile_dedup",
     "q_kcore",
     "q_ktruss",
@@ -132,6 +134,7 @@ BENCH_QUERIES = [
     "q_communities",
     "q_assortativity",
     "q_outlinks",
+    "q_warclite_roundtrip",
     "q_domain_indegree",
     "q_anchor_text",
     "q_random_walks",

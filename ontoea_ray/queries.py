@@ -965,6 +965,37 @@ _TILE_DEDUP_SQL = """
 """
 
 
+_BOILERPLATE_SQL = """
+    WITH toks AS (SELECT doc_id, source, str_split(text, ' ') AS t FROM documents),
+    tl AS (SELECT doc_id, source,
+                  unnest([array_to_string(t[(i-1)*8+1 : (i-1)*8+8], ' ')
+                          FOR i IN range(1, CAST(ceil(len(t)/8.0) AS BIGINT) + 1)]) AS tile
+           FROM toks),
+    d AS (SELECT source, tile, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+          FROM tl GROUP BY 1, 2),
+    tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_total FROM documents GROUP BY 1)
+    SELECT d.source, d.tile, d.n_docs,
+           CAST(d.n_docs * 1000 // tot.n_total AS BIGINT) AS share_milli
+    FROM d JOIN tot USING (source)
+    WHERE d.n_docs >= 2
+"""
+
+
+@_register("q_boilerplate_tiles", _BOILERPLATE_SQL)
+def q_boilerplate_tiles(sf_dir: str):
+    """Per-source template-tile table (boilerplate discovery, the CCNet-
+    style cleaning artifact): an 8-token tile appearing in >= 2 distinct
+    documents of the same source is template text, reported with its
+    doc count and integer-milli share of the source's documents.
+    Combiner-first: in-batch distinct (source, tile, doc) collapses to
+    per-batch partial counts, one keyed exchange, min_docs filter BEFORE
+    the planner-routed totals join."""
+    from ontoea_ray.stages.dedup import boilerplate_tiles
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    return boilerplate_tiles(ds, n=8, min_docs=2)
+
+
 @_register("q_tile_dedup", _TILE_DEDUP_SQL)
 def q_tile_dedup(sf_dir: str):
     """Duplicated-tile REMOVAL (a transform, not just a statistic): docs
@@ -5814,6 +5845,126 @@ def q_lm_score(sf_dir: str):
     return ds.map_batches(_Score, batch_format="pyarrow", concurrency=(1, 4))
 
 
+_PMI_MIN_COUNT = 5
+
+_PMI_SQL = f"""
+    WITH t AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+    db AS (SELECT t[unnest(range(1, len(t)))] || ' ' || t[unnest(range(2, len(t) + 1))] AS bigram
+           FROM t),
+    c2 AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c12 FROM db GROUP BY 1
+           HAVING COUNT(*) >= {_PMI_MIN_COUNT}),
+    uni AS (SELECT unnest(t) AS w FROM t),
+    c1 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c1 FROM uni GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM uni)
+    SELECT c2.bigram, c2.c12,
+           CAST((CAST(1000000 AS HUGEINT) * c2.c12 * n.n)
+                // (CAST(ca.c1 AS HUGEINT) * cb.c1) AS BIGINT) AS pmi_ppm
+    FROM c2
+    JOIN c1 ca ON str_split(c2.bigram, ' ')[1] = ca.w
+    JOIN c1 cb ON str_split(c2.bigram, ' ')[2] = cb.w
+    CROSS JOIN n
+"""
+
+
+@_register("q_pmi_collocations", _PMI_SQL)
+def q_pmi_collocations(sf_dir: str):
+    """Collocation detection by pointwise-mutual-information lift — the
+    word2vec-era phrase-mining statistic (Mikolov et al. 2013's phrase
+    score): for every bigram seen >= {min_count} times,
+    ``pmi_ppm = (1e6 * c12 * N) // (c1a * c1b)`` with c12 the bigram
+    occurrences, c1 the token occurrences, N the corpus token total —
+    an exact integer rational (no libm log), so the DuckDB oracle
+    replays every value via HUGEINT.
+
+    Scale shape: bigram and unigram counts reduce combiner-first; the
+    ``min_count`` filter applies BEFORE the two unigram joins, so only
+    the repeated-bigram vocabulary (a vanishing fraction of all bigrams)
+    rides them; N is a one-row scalar aggregate; scoring runs over the
+    filtered collocation table with Python-int intermediates (the DSIR
+    convention: 128-bit products, int64-overflow guard raises loudly)."""
+    from ontoea_ray.functions.join import hash_join
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+    from ontoea_ray.functions.text import bigram_counts
+    from ontoea_ray.state.ids import token_frequencies
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    partial = ds.map_batches(
+        lambda b: bigram_counts(b["text"].combine_chunks()), batch_format="pyarrow"
+    )
+    c2 = compact(partial).groupby("bigram").sum("freq").map_batches(
+        lambda b: pa.table(
+            {
+                "bigram": b["bigram"].combine_chunks(),
+                "c12": b["sum(freq)"].combine_chunks().cast(pa.int64()),
+            }
+        ).filter(
+            pc.greater_equal(
+                b["sum(freq)"].combine_chunks().cast(pa.int64()),
+                pa.scalar(_PMI_MIN_COUNT, pa.int64()),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    c2 = c2.map_batches(
+        lambda b: pa.table(
+            {
+                "bigram": b["bigram"].combine_chunks(),
+                "c12": b["c12"].combine_chunks(),
+                "w1": pc.list_element(
+                    pc.split_pattern(b["bigram"].combine_chunks(), pattern=" "), 0
+                ),
+                "w2": pc.list_element(
+                    pc.split_pattern(b["bigram"].combine_chunks(), pattern=" "), 1
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    c1 = token_frequencies(ds).materialize()  # two join consumers
+    n_total = int(
+        c1.map_batches(
+            lambda b: pa.table(
+                {"s": pa.array([pc.sum(b["freq"].combine_chunks()).as_py() or 0], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ).sum("s")
+    )
+    ja = hash_join(c2, c1, on=["w1"], right_on=["token"]).map_batches(
+        lambda b: pa.table(
+            {
+                "bigram": b["bigram"].combine_chunks(),
+                "c12": b["c12"].combine_chunks(),
+                "w2": b["w2"].combine_chunks(),
+                "c1a": b["freq"].combine_chunks().cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    jb = hash_join(ja, c1, on=["w2"], right_on=["token"])
+
+    def score(b: pa.Table) -> pa.Table:
+        c12 = b["c12"].combine_chunks().to_pylist()
+        c1a = b["c1a"].combine_chunks().to_pylist()
+        c1b = b["freq"].combine_chunks().to_pylist()
+        imax = np.iinfo(np.int64).max
+        out = []
+        for x, a, bb in zip(c12, c1a, c1b):
+            v = (1_000_000 * x * n_total) // (a * bb)
+            if v > imax:
+                raise OverflowError("pmi_ppm exceeds int64 — rescale the unit")
+            out.append(v)
+        return pa.table(
+            {
+                "bigram": b["bigram"].combine_chunks(),
+                "c12": b["c12"].combine_chunks().cast(pa.int64()),
+                "pmi_ppm": pa.array(out, pa.int64()),
+            }
+        )
+
+    return jb.map_batches(score, batch_format="pyarrow")
+
+
 _USER_ACTIVE_TIME_SQL = """
     WITH e AS (
       SELECT user_id, ts,
@@ -6842,6 +6993,68 @@ _OUTLINK_EDGES_CTE = f"""
            {_ESC_TOK_SQL} || '.example.org' AS dst_domain
     FROM link_tok
   )"""
+
+
+_WARC_SQL = """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_pages,
+           CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+           CAST(epoch_us(TIMESTAMP '2024-01-01') + min(doc_id) * 1000000 AS BIGINT) AS min_ts_us,
+           CAST(epoch_us(TIMESTAMP '2024-01-01') + max(doc_id) * 1000000 AS BIGINT) AS max_ts_us
+    FROM documents GROUP BY lang
+"""
+
+
+@_register("q_warclite_roundtrip", _WARC_SQL)
+def q_warclite_roundtrip(sf_dir: str):
+    """Crawl-archive record-format round trip: the pages table is written
+    as concatenated WARC-lite records (header block + length-framed body,
+    many records per shard file — the real crawl interchange shape) and
+    read back with one reader task per shard + a vectorized in-batch
+    record parse (sources/warclite.py), then reduced to per-lang page
+    counts, byte totals and crawl-time bounds.  The oracle replays the
+    deterministic url/warc_ts derivation from the documents table, so a
+    value mismatch means the FORMAT lost or corrupted a record."""
+    import hashlib
+    import os
+
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+    from ontoea_ray.sources.pages import pages_from_documents
+    from ontoea_ray.sources.warclite import read_warclite, write_warclite
+
+    out_dir = os.path.join(
+        "/tmp/ontoea_warclite", hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    )
+    # shard names derive from block splits, and the split can differ
+    # between sessions (cpu count) — clear the dir so the read sees
+    # exactly this write, never a stale shard from a previous layout
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    pages = pages_from_documents(sf_dir).drop_columns(["html"])
+    write_warclite(pages, out_dir)
+
+    back = read_warclite(out_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b["warc_ts"].combine_chunks().cast(pa.int64())
+        return pa.table(
+            {
+                "lang": b["lang"].combine_chunks(),
+                "n_pages": pa.array(np.ones(len(b), np.int64)),
+                "sum_chars": pc.binary_length(b["text"].combine_chunks()).cast(pa.int64()),
+                "min_ts_us": ts,
+                "max_ts_us": ts,
+            }
+        )
+
+    return keyed_aggregate(
+        back.map_batches(partial, batch_format="pyarrow"),
+        ["lang"],
+        sums=["n_pages", "sum_chars"],
+        mins=["min_ts_us"],
+        maxs=["max_ts_us"],
+    )
 
 
 @_register(

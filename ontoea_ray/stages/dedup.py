@@ -25,6 +25,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from ontoea_ray.functions.tables import from_pandas as _from_pandas_clean
@@ -876,6 +877,146 @@ def cross_doc_dup_spans(
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
+def _tile_rows(text, n: int):
+    """Vectorized non-overlapping n-token tile cut over a string column:
+    returns ``(row_positions, tile_idx, tile_strings)`` as numpy arrays,
+    where ``row_positions`` index back into the batch (callers gather
+    whatever per-row columns they carry).  Full tiles are cut from the
+    same windowed join the shingle kernel uses (no per-token Python);
+    each row's trailing ``len % n`` tokens form one short tile (the whole
+    row when it has fewer than n tokens)."""
+    import pyarrow.compute as pc
+
+    from ontoea_ray.functions.text import tokenize
+
+    toks = tokenize(text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text)
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    counts = np.diff(offs)
+    flat = toks.flatten()
+    nf = len(flat)
+    row_id = np.repeat(np.arange(len(counts)), counts)
+    out_row, out_idx, out_tile = [], [], []
+    if nf >= n:
+        parts = [flat.slice(j, nf - n + 1) for j in range(n)]
+        joined = pc.binary_join_element_wise(*parts, " ")
+        starts = np.arange(nf - n + 1)
+        srow = row_id[: nf - n + 1]
+        rel = starts - offs[srow]
+        pick = (srow == row_id[n - 1 :]) & (rel % n == 0)
+        out_row.append(srow[pick])
+        out_idx.append(rel[pick] // n)
+        out_tile.append(joined.to_pandas()[pick].to_numpy())
+    rem = counts % n
+    if rem.any():
+        pos = np.arange(nf) - offs[row_id]
+        sel = (pos >= (counts[row_id] // n) * n) & (rem[row_id] != 0)
+        part = pd.DataFrame({"r": row_id[sel], "tok": flat.to_pandas()[sel]})
+        joined_part = part.groupby("r", sort=True)["tok"].agg(" ".join)
+        rows = joined_part.index.to_numpy()
+        out_row.append(rows)
+        out_idx.append(counts[rows] // n)
+        out_tile.append(joined_part.to_numpy())
+    if not out_row:
+        return (
+            np.array([], np.int64),
+            np.array([], np.int64),
+            np.array([], object),
+        )
+    return (
+        np.concatenate(out_row).astype(np.int64),
+        np.concatenate(out_idx).astype(np.int64),
+        np.concatenate(out_tile),
+    )
+
+
+def boilerplate_tiles(
+    docs: ray.data.Dataset,
+    *,
+    n: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    width: int | None = None,
+) -> ray.data.Dataset:
+    """Per-group (domain / crawl-source) template-tile detection — the
+    boilerplate-discovery half of CCNet-style cleaning: an n-token tile
+    that appears in >= ``min_docs`` DISTINCT documents of the same group
+    is template text (nav bars, footers, legal blurbs), not content.
+    Returns ``(group, tile, n_docs, share_milli)`` with
+    ``share_milli = 1000 * n_docs // group_doc_total`` (integer-exact).
+
+    Distinct from :func:`dedup_tiles` (which REMOVES global duplicates at
+    all but the first occurrence): this builds the per-domain boilerplate
+    TABLE — the artifact a cleaning pass broadcasts to strip template
+    lines, and a per-site quality signal in its own right.
+
+    Plan (combiner-first): in-batch distinct (group, tile, doc) explode
+    collapses straight to per-batch (group, tile) partial doc-counts (a
+    doc's text lives in one row, so in-batch distinct is globally
+    distinct); one keyed exchange sums them; the ``min_docs`` filter
+    applies BEFORE the totals join so only repeated tiles (usually a
+    vanishing fraction) ride it; per-group doc totals reduce combiner-
+    first to a domain-vocabulary-sized table routed through the join
+    planner (auto-broadcast under budget)."""
+    from ontoea_ray.functions.join import hash_join
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].combine_chunks(), np.int64)
+        grp = batch[group_col].combine_chunks().to_pandas().to_numpy()
+        rows, _, tiles = _tile_rows(batch[text_col], n)
+        df = pd.DataFrame({group_col: grp[rows], "tile": tiles, "_d": ids[rows]})
+        df = df.drop_duplicates([group_col, "tile", "_d"])
+        partial = (
+            df.groupby([group_col, "tile"], sort=False)
+            .size()
+            .reset_index(name="n_docs")
+        )
+        partial["n_docs"] = partial["n_docs"].astype(np.int64)
+        return _from_pandas_clean(partial)
+
+    partials = docs.map_batches(explode, batch_format="pyarrow")
+    cnt = keyed_aggregate(partials, [group_col, "tile"], sums=["n_docs"], width=width)
+    rep = cnt.map_batches(
+        lambda b: b.filter(
+            pc.greater_equal(b["n_docs"].combine_chunks(), pa.scalar(min_docs, pa.int64()))
+        ),
+        batch_format="pyarrow",
+    )
+
+    def per_group(batch: pa.Table) -> pa.Table:
+        vc = batch[group_col].combine_chunks().value_counts()
+        return pa.table(
+            {
+                group_col: vc.field("values"),
+                "n_total": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    tot = keyed_aggregate(
+        docs.select_columns([group_col]).map_batches(per_group, batch_format="pyarrow"),
+        [group_col],
+        sums=["n_total"],
+        width=width,
+    )
+    joined = hash_join(rep, tot, on=[group_col], width=width)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        nd = np.asarray(b["n_docs"].combine_chunks(), np.int64)
+        ntot = np.asarray(b["n_total"].combine_chunks(), np.int64)
+        return pa.table(
+            {
+                group_col: b[group_col].combine_chunks(),
+                "tile": b["tile"].combine_chunks(),
+                "n_docs": pa.array(nd),
+                "share_milli": pa.array((1000 * nd) // ntot),
+            }
+        )
+
+    return joined.map_batches(finalize, batch_format="pyarrow")
+
+
 def dedup_tiles(
     docs: ray.data.Dataset,
     *,
@@ -900,46 +1041,16 @@ def dedup_tiles(
     tile-keyed exchange flags first occurrences -> doc-keyed exchange
     reassembles.  The exchanges carry each doc's text ~once (tiles do not
     overlap, unlike shingles) and nothing lands on the driver."""
-    import pyarrow.compute as pc
-
     from ontoea_ray.functions.shuffle import with_partition_key
-    from ontoea_ray.functions.text import tokenize
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch[id_col].combine_chunks(), np.int64)
-        toks = tokenize(batch[text_col].combine_chunks())
-        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        counts = np.diff(offs)
-        flat = toks.flatten()
-        nf = len(flat)
-        row_id = np.repeat(np.arange(len(counts)), counts)
-        out_doc, out_idx, out_tile = [], [], []
-        if nf >= n:
-            parts = [flat.slice(j, nf - n + 1) for j in range(n)]
-            joined = pc.binary_join_element_wise(*parts, " ")
-            starts = np.arange(nf - n + 1)
-            srow = row_id[: nf - n + 1]
-            rel = starts - offs[srow]
-            pick = (srow == row_id[n - 1 :]) & (rel % n == 0)
-            out_doc.append(ids[srow[pick]])
-            out_idx.append(rel[pick] // n)
-            out_tile.append(joined.to_pandas()[pick].to_numpy())
-        rem = counts % n
-        if rem.any():
-            # trailing short tile per doc (the whole doc when counts < n)
-            pos = np.arange(nf) - offs[row_id]
-            sel = (pos >= (counts[row_id] // n) * n) & (rem[row_id] != 0)
-            part = pd.DataFrame({"r": row_id[sel], "tok": flat.to_pandas()[sel]})
-            joined_part = part.groupby("r", sort=True)["tok"].agg(" ".join)
-            rows = joined_part.index.to_numpy()
-            out_doc.append(ids[rows])
-            out_idx.append(counts[rows] // n)
-            out_tile.append(joined_part.to_numpy())
+        rows, idx, tiles = _tile_rows(batch[text_col], n)
         return pa.table(
             {
-                id_col: pa.array(np.concatenate(out_doc) if out_doc else [], pa.int64()),
-                "tile_idx": pa.array(np.concatenate(out_idx) if out_idx else [], pa.int64()),
-                "tile": pa.array(np.concatenate(out_tile) if out_tile else [], pa.string()),
+                id_col: pa.array(ids[rows], pa.int64()),
+                "tile_idx": pa.array(idx, pa.int64()),
+                "tile": pa.array(tiles, pa.string()),
             }
         )
 

@@ -201,6 +201,32 @@ def test_dedup_tiles_first_occurrence_semantics(ray_session):
     assert out[3]["clean_text"] == "z" and out[3]["n_dropped"] == 0
 
 
+def test_boilerplate_tiles_semantics(ray_session):
+    """Per-group template tiles: within-doc repeats count ONCE toward the
+    doc frequency, groups are isolated, min_docs filters, and share_milli
+    is the integer-milli fraction of the GROUP's doc total."""
+    import ray.data
+
+    from ontoea_ray.stages.dedup import boilerplate_tiles
+
+    docs = ray.data.from_items(
+        [
+            # 'a b' in docs 1 and 2 of src A (doc 1 repeats it -> counts once)
+            {"doc_id": 1, "text": "a b a b", "source": "A"},
+            {"doc_id": 2, "text": "a b x y", "source": "A"},
+            {"doc_id": 3, "text": "q r s t", "source": "A"},
+            # same tile in src B only once -> no cross-group pooling
+            {"doc_id": 4, "text": "a b z z", "source": "B"},
+            {"doc_id": 5, "text": "m n o p", "source": "B"},
+        ]
+    )
+    out = boilerplate_tiles(docs, n=2, min_docs=2).take_all()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["source"], r["tile"], r["n_docs"]) == ("A", "a b", 2)
+    assert r["share_milli"] == 1000 * 2 // 3
+
+
 def test_containment_catches_doc_inside_doc(ray_session):
     """A short doc fully contained in a long one: containment fires where
     Jaccard (union-normalized) stays below threshold."""
