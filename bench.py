@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "q_assortativity",
     "q_outlinks",
     "q_warclite_roundtrip",
+    "q_robots_filter",
     "q_domain_indegree",
     "q_anchor_text",
     "q_random_walks",

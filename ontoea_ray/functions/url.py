@@ -57,3 +57,25 @@ def normalize_url_ctes(source: str, col: str = "url", out: str = "canon_url") ->
                                   '\\?utm_[^&#]*$', '') AS _nu5 FROM u4),
   u6 AS (SELECT *, regexp_replace(_nu5, '/$', '') AS {out} FROM u5)
 """
+
+
+def disallowed_mask(urls, rules: list[tuple[str, str]]) -> pa.Array:
+    """Boolean mask: url blocked by a robots-style disallow rule list.
+
+    ``rules`` is a small list of ``(domain, path_prefix)`` — the parsed
+    form of per-host ``robots.txt`` ``Disallow:`` lines.  A url is blocked
+    when it starts with ``https://{domain}{path_prefix}`` for any rule
+    (prefix semantics, exactly the original robots exclusion rule).
+
+    Vectorized as one ``starts_with`` pass per rule — right for the small
+    per-pipeline rule sets a crawler actually honors; a registry-scale rule
+    table (millions of hosts) should instead hash-join urls to rules on the
+    domain key and prefix-test inside the co-located group."""
+    u = urls.combine_chunks() if isinstance(urls, pa.ChunkedArray) else urls
+    blocked = None
+    for domain, prefix in rules:
+        m = pc.starts_with(u, pattern=f"https://{domain}{prefix}")
+        blocked = m if blocked is None else pc.or_(blocked, m)
+    if blocked is None:
+        return pa.array([False] * len(u), pa.bool_())
+    return blocked

@@ -2420,6 +2420,75 @@ def _url_query_part(d: np.ndarray) -> pd.Series:
     return q
 
 
+_ROBOTS_RULES = [
+    ("src0.example.org", "/doc/1"),
+    ("src1.example.org", "/doc/"),
+    ("src2.example.org", "/doc/2"),
+]
+
+_ROBOTS_SQL = """
+    WITH p AS (
+      SELECT source || '.example.org' AS domain,
+             'https://' || source || '.example.org/doc/' || CAST(doc_id AS VARCHAR) AS url
+      FROM documents),
+    b AS (SELECT domain,
+                 CASE WHEN (url LIKE 'https://src0.example.org/doc/1%')
+                        OR (url LIKE 'https://src1.example.org/doc/%')
+                        OR (url LIKE 'https://src2.example.org/doc/2%')
+                      THEN 1 ELSE 0 END AS blocked
+          FROM p)
+    SELECT domain,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(blocked) AS BIGINT) AS n_blocked
+    FROM b GROUP BY 1
+"""
+
+
+@_register("q_robots_filter", _ROBOTS_SQL)
+def q_robots_filter(sf_dir: str):
+    """Robots-exclusion URL filtering (crawl politeness): a small parsed
+    disallow-rule table — (domain, path_prefix) pairs, the content of
+    per-host robots.txt Disallow lines — is applied to the pages table
+    with prefix semantics (functions/url.disallowed_mask, one vectorized
+    starts_with pass per rule), reporting per-domain total vs blocked
+    page counts.  The rule list ships inside the task closure (bytes ~
+    rule count, not corpus size); registry-scale rule tables take the
+    domain-keyed join path the function documents."""
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+    from ontoea_ray.functions.url import disallowed_mask
+    from ontoea_ray.sources.pages import pages_from_documents
+
+    pages = pages_from_documents(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        url = b["url"].combine_chunks()
+        blocked = disallowed_mask(url, _ROBOTS_RULES)
+        # domain = the url head between scheme and first path slash
+        dom = pc.list_element(
+            pc.split_pattern(
+                pc.utf8_slice_codeunits(url, start=len("https://")), pattern="/", max_splits=1
+            ),
+            0,
+        )
+        df = pd.DataFrame(
+            {
+                "domain": dom.to_pandas(),
+                "n_blocked": blocked.cast(pa.int64()).to_numpy(zero_copy_only=False),
+            }
+        )
+        g = (
+            df.groupby("domain", sort=False)["n_blocked"]
+            .agg(n_total="size", n_blocked="sum")
+            .reset_index()
+        )
+        g["n_total"] = g["n_total"].astype(np.int64)
+        g["n_blocked"] = g["n_blocked"].astype(np.int64)
+        return _from_pandas_clean(g)
+
+    parts = compact(pages.map_batches(partial, batch_format="pyarrow"))
+    return keyed_aggregate(parts, ["domain"], sums=["n_total", "n_blocked"])
+
+
 @_register("q_url_dedup", _URL_DEDUP_SQL)
 def q_url_dedup(sf_dir: str):
     """Canonical-URL dedup: messy crawl URLs (deterministically derived —

@@ -63,3 +63,23 @@ def test_warclite_corrupt_shard_fails_loudly(ray_session, tmp_path):
     shard.write_bytes(data.replace(b"twelve bytes", b"ten bytes!"))
     with pytest.raises(Exception, match="length mismatch"):
         read_warclite(str(d)).take_all()
+
+
+def test_disallowed_mask_prefix_semantics(ray_session):
+    """Robots prefix rule: blocks own-domain urls under the prefix only —
+    never another domain, never a non-prefix path."""
+    import pyarrow as pa
+
+    from ontoea_ray.functions.url import disallowed_mask
+
+    urls = pa.array(
+        [
+            "https://a.org/doc/10",   # blocked: prefix /doc/1
+            "https://a.org/doc/20",   # kept: /doc/2 not a rule for a.org
+            "https://b.org/doc/10",   # kept: rule is a.org-scoped
+            "https://a.org/img/1",    # kept: path prefix differs
+        ]
+    )
+    m = disallowed_mask(urls, [("a.org", "/doc/1")]).to_pylist()
+    assert m == [True, False, False, False]
+    assert disallowed_mask(urls, []).to_pylist() == [False] * 4
