@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "q_domain_indegree",
     "q_anchor_text",
     "q_random_walks",
+    "q_walk_pairs",
     "q_dsir_weights",
     "q_bm25",
     "q_domain_pagerank",

@@ -6230,6 +6230,11 @@ def q_trade_volume(sf_dir: str):
             }
         )
 
+    # NOTE: materializing the projected orders side to trigger the
+    # broadcast plan was MEASURED SLOWER here (3.1 s vs 2.4 s at sf0.1):
+    # the blocking materialize serializes the two scans that the exchange
+    # plan overlaps, and the map-side pandas merge costs more than the
+    # o_orderkey exchange of already-combiner-reduced rows
     joined = hash_join(li_red, orders.map_batches(o_proj, batch_format="pyarrow"), on=["o_orderkey"])
     return keyed_aggregate(
         joined, ["supp_nation", "cust_nation"], sums=["revenue_cents", "n_items"]
@@ -7195,10 +7200,14 @@ def q_anchor_text(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
-def _random_walks_sql(steps: int = 3, pct: int = 7, salt: int = 1_000_003) -> str:
+def _random_walks_sql(
+    steps: int = 3, pct: int = 7, salt: int = 1_000_003, *, as_cte: bool = False
+) -> str:
     """Unrolled walk oracle over the splitmix64-sampled co-purchase graph:
     replays the indexed adjacency (ROW_NUMBER over sorted neighbours) and
-    every hash-indexed hop bit-for-bit."""
+    every hash-indexed hop bit-for-bit.  ``as_cte=True`` closes the chain
+    with a ``walks(walk_id, step, node)`` CTE instead of the final SELECT,
+    so derived oracles (skip-gram pairs) build on the identical corpus."""
     from ontoea_ray.functions.lsh_sql import TWO64
 
     p = [
@@ -7227,7 +7236,10 @@ def _random_walks_sql(steps: int = 3, pct: int = 7, salt: int = 1_000_003) -> st
         f" CAST(cur AS BIGINT) AS node FROM w{s}"
         for s in range(steps + 1)
     ]
-    p.append("\n" + "\nUNION ALL ".join(selects))
+    if as_cte:
+        p.append(", walks AS (" + " UNION ALL ".join(selects) + ")")
+    else:
+        p.append("\n" + "\nUNION ALL ".join(selects))
     return "\n".join(p)
 
 
@@ -7256,6 +7268,83 @@ def q_random_walks(sf_dir: str):
 
     sampled = edges.map_batches(sample, batch_format="pyarrow")
     return random_walks(sampled, steps=3)
+
+
+_WALK_WINDOW = 2
+
+_WALK_PAIRS_SQL = (
+    _random_walks_sql(as_cte=True)
+    + f"""
+    SELECT w1.node AS center, w2.node AS context,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM walks w1 JOIN walks w2
+      ON w1.walk_id = w2.walk_id
+     AND abs(w1.step - w2.step) BETWEEN 1 AND {_WALK_WINDOW}
+    GROUP BY 1, 2
+"""
+)
+
+
+@_register("q_walk_pairs", _WALK_PAIRS_SQL)
+def q_walk_pairs(sf_dir: str):
+    """Skip-gram training pairs from the deterministic walk corpus — the
+    DeepWalk -> word2vec step (Perozzi et al. KDD 2014): every (center,
+    context) node pair within a +-{window}-step window of the same walk,
+    with its corpus count.  One walk_id-keyed exchange co-locates each
+    walk's steps; pair emission inside the group is a vectorized
+    shift-and-compare over the step-sorted frame (both directions, as the
+    skip-gram objective consumes them); counts reduce combiner-first
+    through a (center, context) vocabulary exchange.  The oracle derives
+    pairs from the SAME unrolled walk CTE as q_random_walks, so a mismatch
+    isolates the pairing, not the walk."""
+    from ontoea_ray.functions.shuffle import keyed_aggregate, with_partition_key
+    from ontoea_ray.stages.sampling import splitmix64
+    from ontoea_ray.stages.walks import random_walks
+
+    edges = _copurchase_cached(sf_dir)
+
+    def sample(b: pa.Table) -> pa.Table:
+        a = np.asarray(b["id_a"].combine_chunks(), np.int64)
+        c = np.asarray(b["id_b"].combine_chunks(), np.int64)
+        h = splitmix64((a * 100000 + c).astype(np.uint64))
+        return b.filter(pa.array(h % np.uint64(100) < np.uint64(7)))
+
+    walks = random_walks(edges.map_batches(sample, batch_format="pyarrow"), steps=3)
+    parted = with_partition_key(walks, ["walk_id"])
+
+    def emit(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["walk_id", "step"], kind="mergesort")
+        wid = df["walk_id"].to_numpy(np.int64)
+        node = df["node"].to_numpy(np.int64)
+        cs, xs = [], []
+        for d in range(1, _WALK_WINDOW + 1):
+            if len(wid) <= d:
+                break
+            same = wid[:-d] == wid[d:]
+            a, b_ = node[:-d][same], node[d:][same]
+            cs.append(np.concatenate([a, b_]))  # both directions
+            xs.append(np.concatenate([b_, a]))
+        if not cs:
+            return _from_pandas_clean(
+                pd.DataFrame(
+                    {
+                        "center": pd.Series([], dtype=np.int64),
+                        "context": pd.Series([], dtype=np.int64),
+                        "n": pd.Series([], dtype=np.int64),
+                    }
+                )
+            )
+        g = (
+            pd.DataFrame({"center": np.concatenate(cs), "context": np.concatenate(xs)})
+            .groupby(["center", "context"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return _from_pandas_clean(g)
+
+    pairs = parted.groupby("pkey").map_groups(emit, batch_format="pandas")
+    return keyed_aggregate(pairs, ["center", "context"], sums=["n"])
 
 
 # ---------------------------------------------------------------------------
