@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "q_boilerplate_tiles",
     "q_tile_dedup",
     "q_kcore",
+    "q_mis",
     "q_ktruss",
     "q_link_predict",
     "q_hyperball",

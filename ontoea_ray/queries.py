@@ -3117,6 +3117,85 @@ def q_kcore(sf_dir: str):
     )
 
 
+def _mis_sql(rounds: int = 4, *, pct: int = 7) -> str:
+    """Unrolled R-round deterministic Luby MIS over the splitmix64-sampled
+    co-purchase graph: per round a fresh splitmix chain assigns node
+    priorities (key = node * salt + round, the engine's convention), each
+    surviving edge marks its worse (priority, id) endpoint as a loser,
+    winners = survivors with no losing edge (isolated survivors win
+    vacuously), and winners + their neighbours leave.  Round CTEs are
+    MATERIALIZED — each feeds several downstream scans."""
+    from ontoea_ray.functions.lsh_sql import TWO64
+    from ontoea_ray.stages.graph import _MIS_SALT
+
+    p = [
+        "WITH",
+        _COPURCHASE_E_CTE.replace(" e AS ", " eall0 AS "),
+        ", eall AS MATERIALIZED (SELECT a, b FROM eall0),",
+        splitmix64_ctes("eall", "(a * 100000 + b)"),
+        f", e0 AS MATERIALIZED (SELECT a, b FROM sm3 WHERE _h % 100 < {pct})",
+        ", s0 AS MATERIALIZED (SELECT a AS node FROM e0 UNION SELECT b AS node FROM e0)",
+    ]
+    for r in range(rounds):
+        key = f"((CAST(node AS HUGEINT) * {_MIS_SALT} + {r}) % {TWO64})"
+        p.append(f", pr{r} AS (SELECT node FROM s{r}),")
+        p.append(splitmix64_ctes(f"pr{r}", key, sfx=f"_m{r}"))
+        p.append(
+            f", l{r} AS MATERIALIZED (SELECT CASE WHEN (pa._h > pb._h)"
+            f" OR (pa._h = pb._h AND e{r}.a > e{r}.b)"
+            f" THEN e{r}.a ELSE e{r}.b END AS node"
+            f" FROM e{r} JOIN sm3_m{r} pa ON pa.node = e{r}.a"
+            f" JOIN sm3_m{r} pb ON pb.node = e{r}.b)"
+        )
+        p.append(
+            f", w{r} AS MATERIALIZED (SELECT node FROM s{r}"
+            f" WHERE node NOT IN (SELECT node FROM l{r}))"
+        )
+        p.append(
+            f", nb{r} AS (SELECT e{r}.b AS node FROM e{r} JOIN w{r} ON e{r}.a = w{r}.node"
+            f" UNION SELECT e{r}.a AS node FROM e{r} JOIN w{r} ON e{r}.b = w{r}.node)"
+        )
+        p.append(
+            f", s{r + 1} AS MATERIALIZED (SELECT node FROM s{r} WHERE node NOT IN"
+            f" (SELECT node FROM w{r} UNION ALL SELECT node FROM nb{r}))"
+        )
+        p.append(
+            f", e{r + 1} AS MATERIALIZED (SELECT e{r}.a, e{r}.b FROM e{r}"
+            f" JOIN s{r + 1} sa ON e{r}.a = sa.node JOIN s{r + 1} sb ON e{r}.b = sb.node)"
+        )
+    selects = [
+        f"SELECT CAST(node AS BIGINT) AS node, CAST({r} AS BIGINT) AS round FROM w{r}"
+        for r in range(rounds)
+    ]
+    p.append("\n" + "\nUNION ALL ".join(selects))
+    return "\n".join(p)
+
+
+@_register("q_mis", _mis_sql(4))
+def q_mis(sf_dir: str):
+    """4-round deterministic Luby maximal independent set over the
+    splitmix64-sampled (7%) co-purchase graph — the parallel-MIS primitive
+    (Luby 1986) behind distributed graph coloring / conflict-free
+    scheduling, with per-round priorities splitmix64(node * salt + round)
+    so the set is a pure function of the graph.  `stages/graph.mis_rounds`:
+    single-task numpy scatter-or plan under the broadcast budget; in-batch
+    loser emission + exact node anti-joins + frontier neighbourhoods above
+    it (budget=1 test pins the plans equal)."""
+    from ontoea_ray.stages.graph import mis_rounds
+    from ontoea_ray.stages.sampling import splitmix64
+
+    edges = _copurchase_cached(sf_dir)
+
+    def sample(b: pa.Table) -> pa.Table:
+        a = np.asarray(b["id_a"].combine_chunks(), np.int64)
+        c = np.asarray(b["id_b"].combine_chunks(), np.int64)
+        h = splitmix64((a * 100000 + c).astype(np.uint64))
+        return b.filter(pa.array(h % np.uint64(100) < np.uint64(7)))
+
+    sampled = edges.map_batches(sample, batch_format="pyarrow")
+    return mis_rounds(sampled, rounds=4, src="id_a", dst="id_b")
+
+
 def _ktruss_sql(k: int, rounds: int) -> str:
     """Unrolled R-round k-truss peel over the FULL co-purchase graph (no
     sampling — co-purchase orders form cliques, so truss support is high

@@ -1107,6 +1107,204 @@ def kcore_rounds(
     return final.filter(expr=f"deg >= {int(k)}")
 
 
+def _nodes_minus(
+    nodes: ray.data.Dataset, rm: ray.data.Dataset
+) -> ray.data.Dataset:
+    """Exact node-set difference ``nodes \\ rm`` (both single-column
+    ``node`` tables): ``is_in`` inverse over a value set assembled inside
+    a Ray task under the broadcast budget; above it a keyed co-location
+    anti-join (Bloom cannot serve an ANTI — a false positive would drop a
+    surviving node)."""
+    import numpy as np
+    import pandas as pd
+
+    from ontoea_ray.functions.broadcast import assemble_value_set_ref
+
+    rm, vs_ref = assemble_value_set_ref(rm, "node")
+    if vs_ref is not None:
+
+        def sel(b: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            vals = _ray.get(vs_ref)
+            if len(vals) == 0:
+                return b
+            return b.filter(
+                pc.invert(pc.is_in(b["node"].combine_chunks(), value_set=vals))
+            )
+
+        return nodes.map_batches(sel, batch_format="pyarrow")
+
+    from ontoea_ray.functions.shuffle import with_partition_key
+
+    tag = nodes.map_batches(
+        lambda b: pa.table(
+            {"node": b["node"].combine_chunks(), "_rm": pa.array(np.zeros(len(b), np.int64))}
+        ),
+        batch_format="pyarrow",
+    ).union(
+        rm.map_batches(
+            lambda b: pa.table(
+                {"node": b["node"].combine_chunks(), "_rm": pa.array(np.ones(len(b), np.int64))}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    parted = with_partition_key(tag, ["node"])
+
+    def anti_typed(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("node", sort=False)["_rm"].max().reset_index()
+        keep = g.loc[g["_rm"] == 0, ["node"]]
+        from ontoea_ray.functions.tables import from_pandas as _fp
+
+        return _fp(keep)
+
+    return parted.groupby("pkey").map_groups(anti_typed, batch_format="pandas")
+
+
+_MIS_SALT = 1_000_033
+
+
+def mis_rounds(
+    edges: ray.data.Dataset,
+    *,
+    rounds: int,
+    src: str = "a",
+    dst: str = "b",
+) -> ray.data.Dataset:
+    """R-round deterministic Luby maximal-independent-set over a DISTINCT
+    undirected edge table — the parallel-MIS primitive (Luby 1986), with
+    the per-round random priorities replaced by the engine-wide
+    ``splitmix64(node * salt + round)`` convention so the set is a pure
+    function of the graph and the unrolled SQL oracle replays every
+    decision.  Returns ``(node, round)`` — MIS members with the round they
+    joined.
+
+    Round semantics (identical in both engines): a surviving node joins
+    when NO surviving neighbour has a strictly smaller ``(priority, id)``
+    pair (ties broken by node id; a node with no surviving edges joins
+    vacuously — that is what makes the R-round output a maximal set once
+    converged); winners and their neighbours leave the graph.  The global
+    minimum always wins, so every round makes progress.
+
+    Two value-equal plans (pinned by a budget=1 test): under the broadcast
+    byte budget the whole peel runs inside one Ray task (numpy scatter-or
+    loser flags per round — MIS is a node-iterator problem like the k-core
+    peel); above it each round is an in-batch loser emission + distinct,
+    an exact node-set anti-join (:func:`_nodes_minus`), the BFS frontier
+    machinery for winner neighbourhoods, and the `_edges_within` exact
+    semi-join — no node or edge set ever lands on the driver."""
+    import numpy as np
+
+    from ontoea_ray.functions.broadcast import assemble_table_ref
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+    from ontoea_ray.stages.sampling import splitmix64
+
+    edges2, tbl_ref = assemble_table_ref(
+        edges.select_columns([src, dst]), columns=[src, dst]
+    )
+    int_nodes = all(
+        pa.types.is_integer(f.type) for f in edges2.schema().base_schema
+    )
+    if tbl_ref is not None and int_nodes:
+
+        @ray.remote
+        def _mis(t) -> pa.Table:
+            import numpy as np
+
+            a = t[src].to_pandas().to_numpy(np.int64)
+            b = t[dst].to_pandas().to_numpy(np.int64)
+            nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+            ea, eb = inv[: len(a)], inv[len(a) :]
+            alive = np.ones(len(nodes), bool)
+            out_n, out_r = [], []
+            for r in range(max(rounds, 0)):
+                if not alive.any():
+                    break
+                m = alive[ea] & alive[eb]
+                ca, cb = ea[m], eb[m]
+                p = splitmix64(
+                    nodes.astype(np.uint64) * np.uint64(_MIS_SALT) + np.uint64(r)
+                )
+                loser = np.zeros(len(nodes), bool)
+                pa_, pb_ = p[ca], p[cb]
+                a_worse = (pa_ > pb_) | ((pa_ == pb_) & (nodes[ca] > nodes[cb]))
+                loser[ca[a_worse]] = True
+                loser[cb[~a_worse]] = True
+                win = alive & ~loser
+                out_n.append(nodes[win])
+                out_r.append(np.full(int(win.sum()), r, np.int64))
+                nb = np.zeros(len(nodes), bool)
+                nb[cb[win[ca]]] = True
+                nb[ca[win[cb]]] = True
+                alive &= ~(win | nb)
+            n_out = np.concatenate(out_n) if out_n else np.array([], np.int64)
+            r_out = np.concatenate(out_r) if out_r else np.array([], np.int64)
+            return pa.table(
+                {"node": pa.array(n_out, pa.int64()), "round": pa.array(r_out)}
+            )
+
+        return ray.data.from_arrow_refs([_mis.remote(tbl_ref)])
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        x = b[src].combine_chunks().cast(pa.int64())
+        return pa.table(
+            {"node": pa.concat_arrays([x, b[dst].combine_chunks().cast(x.type)])}
+        )
+
+    nodes = keyed_aggregate(
+        edges2.map_batches(endpoints, batch_format="pyarrow"), ["node"], count_alias="_c"
+    ).drop_columns(["_c"]).materialize()
+    e = edges2.materialize()
+    tagged = []
+    for r in range(max(rounds, 0)):
+        if nodes.count() == 0:
+            break
+
+        def losers_fn(b: pa.Table, _r=r) -> pa.Table:
+            av = np.asarray(b[src].combine_chunks(), np.int64)
+            bv = np.asarray(b[dst].combine_chunks(), np.int64)
+            pa_ = splitmix64(av.astype(np.uint64) * np.uint64(_MIS_SALT) + np.uint64(_r))
+            pb_ = splitmix64(bv.astype(np.uint64) * np.uint64(_MIS_SALT) + np.uint64(_r))
+            a_worse = (pa_ > pb_) | ((pa_ == pb_) & (av > bv))
+            return pa.table(
+                {"node": pa.array(np.where(a_worse, av, bv), pa.int64())}
+            )
+
+        losers = keyed_aggregate(
+            e.map_batches(losers_fn, batch_format="pyarrow"), ["node"], count_alias="_c"
+        ).drop_columns(["_c"])
+        winners = _nodes_minus(nodes, losers).materialize()
+
+        def tag_round(b: pa.Table, _r=r) -> pa.Table:
+            return pa.table(
+                {
+                    "node": b["node"].combine_chunks().cast(pa.int64()),
+                    "round": pa.array(np.full(len(b), _r, np.int64)),
+                }
+            )
+
+        tagged.append(winners.map_batches(tag_round, batch_format="pyarrow"))
+        nb1 = _frontier_successors(e, winners, subj_col=src, obj_col=dst)
+        nb2 = _frontier_successors(e, winners, subj_col=dst, obj_col=src)
+        rm = keyed_aggregate(
+            winners.select_columns(["node"]).union(nb1).union(nb2),
+            ["node"],
+            count_alias="_c",
+        ).drop_columns(["_c"])
+        nodes = _nodes_minus(nodes, rm).materialize()
+        e = _edges_within(e, nodes, src, dst).materialize()
+
+    if not tagged:
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()), "round": pa.array([], pa.int64())})
+        )
+    out = tagged[0]
+    for t in tagged[1:]:
+        out = out.union(t)
+    return out
+
+
 def common_neighbor_pairs(
     edges: ray.data.Dataset,
     *,

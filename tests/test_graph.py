@@ -538,3 +538,67 @@ def test_hits_hand_graph_and_budget_plans_equal(ray_session, monkeypatch):
         for r in hits_rounds(ds, src="s", dst="d", rounds=rounds).take_all()
     }
     assert dist == exp
+
+
+def test_mis_hand_graph_scalar_replay(ray_session):
+    """MIS on a path graph replayed scalar: independence (no two adjacent
+    members), maximality (every non-member has a member neighbour), and
+    the per-round membership matches a direct priority replay."""
+    import numpy as np
+    import ray.data
+
+    from ontoea_ray.stages.graph import _MIS_SALT, mis_rounds
+    from ontoea_ray.stages.sampling import splitmix64
+
+    # path 0-1-2-3-4-5 plus an isolated edge 10-11
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (10, 11)]
+    edges = ray.data.from_items([{"a": a, "b": b} for a, b in pairs])
+    out = mis_rounds(edges, rounds=6).take_all()
+    mis = {r["node"] for r in out}
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    # independence
+    for a, b in pairs:
+        assert not (a in mis and b in mis)
+    # maximality after convergence: every non-member has a member neighbour
+    for v in adj:
+        assert v in mis or (adj[v] & mis), v
+
+    # round-0 winners replayed directly from priorities
+    def prio(v, r):
+        return int(splitmix64(np.array([v], np.uint64) * np.uint64(_MIS_SALT) + np.uint64(r))[0])
+
+    expect_r0 = {
+        v for v in adj
+        if all((prio(v, 0), v) < (prio(u, 0), u) for u in adj[v])
+    }
+    got_r0 = {r["node"] for r in out if r["round"] == 0}
+    assert got_r0 == expect_r0
+
+
+def test_mis_budget_plans_equal(ray_session, monkeypatch):
+    """Budget=1 forces the per-round distributed plan (loser emission +
+    exact node anti-joins + frontier neighbourhoods); results must equal
+    the single-task numpy plan exactly."""
+    import ray.data
+
+    from ontoea_ray.stages.graph import mis_rounds
+
+    rng = __import__("numpy").random.default_rng(11)
+    rows = [
+        {"a": int(min(x, y)), "b": int(max(x, y))}
+        for x, y in rng.integers(0, 60, (200, 2)) if x != y
+    ]
+    dedup = {(r["a"], r["b"]): r for r in rows}
+    edges = ray.data.from_items(list(dedup.values()))
+
+    def run():
+        out = mis_rounds(edges, rounds=4).take_all()
+        return sorted((r["node"], r["round"]) for r in out)
+
+    broadcast = run()
+    monkeypatch.setenv("ONTOEA_BROADCAST_BUDGET_BYTES", "1")
+    forced = run()
+    assert broadcast == forced and len(broadcast) > 0
