@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "q_shipping_priority",
     "q_hash_split",
     "q_split_labels",
+    "q_rendezvous_shards",
     "q_kmeans_update",
     "q_profile",
     "q_outlier_filter",

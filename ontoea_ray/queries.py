@@ -1304,6 +1304,78 @@ def q_split_labels(sf_dir: str):
     return hash_split(ds, key_col="doc_id")
 
 
+_RV_SALT = 7_777_777
+
+
+def _rendezvous_sql(k_old: int = 8, k_new: int = 9) -> str:
+    from ontoea_ray.functions.lsh_sql import TWO64
+
+    key = f"((CAST(doc_id AS HUGEINT) * {_RV_SALT} + shard) % {TWO64})"
+    parts = ["WITH"]
+    for tag, k in (("o", k_old), ("n", k_new)):
+        parts.append(
+            f"x_{tag} AS (SELECT doc_id, unnest(range({k})) AS shard FROM documents),"
+        )
+        parts.append(splitmix64_ctes(f"x_{tag}", key, sfx=f"_{tag}") + ",")
+        parts.append(
+            f"a_{tag} AS (SELECT doc_id, shard FROM"
+            f" (SELECT doc_id, shard, ROW_NUMBER() OVER"
+            f" (PARTITION BY doc_id ORDER BY _h DESC, shard ASC) AS rn FROM sm3_{tag})"
+            f" WHERE rn = 1),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        """
+    SELECT a_o.shard AS shard,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(CASE WHEN a_n.shard <> a_o.shard THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+    FROM a_o JOIN a_n USING (doc_id) GROUP BY 1
+    """
+    )
+    return "\n".join(parts)
+
+
+@_register("q_rendezvous_shards", _rendezvous_sql())
+def q_rendezvous_shards(sf_dir: str):
+    """Rendezvous-hashing shard stability audit: every doc assigned under
+    K=8 and K=9 shards (stages/sampling.rendezvous_assign — highest-
+    random-weight, the stable-partitioning scheme crawl frontiers and
+    shard stores use), reduced to per-old-shard key counts and moved-key
+    counts.  The HRW property under test: adding a shard moves ONLY the
+    keys won by the new shard (~1/9 of each old shard), never a global
+    reshuffle.  Assignment is a pure row function (one splitmix pass per
+    shard, zero shuffle); the reduction is one combiner-first keyed
+    exchange.  The oracle replays both assignments via an exploded
+    (doc, shard) splitmix chain + per-doc argmax."""
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+    from ontoea_ray.stages.sampling import rendezvous_assign
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    a8 = rendezvous_assign(ds, key_col="doc_id", n_shards=8, salt=_RV_SALT)
+    both = rendezvous_assign(
+        a8, key_col="doc_id", n_shards=9, salt=_RV_SALT, out_col="shard9"
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        s8 = np.asarray(b["shard"].combine_chunks(), np.int64)
+        s9 = np.asarray(b["shard9"].combine_chunks(), np.int64)
+        df = pd.DataFrame({"shard": s8, "n_moved": (s9 != s8).astype(np.int64)})
+        g = (
+            df.groupby("shard", sort=False)["n_moved"]
+            .agg(n_keys="size", n_moved="sum")
+            .reset_index()
+        )
+        g["n_keys"] = g["n_keys"].astype(np.int64)
+        g["n_moved"] = g["n_moved"].astype(np.int64)
+        return _from_pandas_clean(g)
+
+    return keyed_aggregate(
+        both.map_batches(partial, batch_format="pyarrow"),
+        ["shard"],
+        sums=["n_keys", "n_moved"],
+    )
+
+
 @_register(
     "q_pack_sequences",
     """

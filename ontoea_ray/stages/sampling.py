@@ -244,3 +244,34 @@ def chunk_token_windows(
     return docs.select_columns([id_col, text_col]).map_batches(
         explode, batch_format="pyarrow"
     )
+
+
+def rendezvous_assign(
+    ds: ray.data.Dataset,
+    *,
+    key_col: str,
+    n_shards: int,
+    salt: int = 7_777_777,
+    out_col: str = "shard",
+) -> ray.data.Dataset:
+    """Rendezvous (highest-random-weight) shard assignment: each key goes
+    to ``argmax_s splitmix64(key * salt + s)`` over shards ``0..n_shards-1``
+    (ties, astronomically rare, to the smallest shard).  The stable-
+    partitioning primitive (Thaler & Ravishankar 1998) crawl frontiers and
+    shard stores use: adding shard K+1 moves ONLY the ~1/(K+1) of keys
+    whose new-shard hash wins — no global reshuffle, unlike modulo
+    hashing.  One vectorized splitmix pass per shard, no shuffle at all
+    (assignment is a pure row function)."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        k = np.asarray(b[key_col].combine_chunks(), np.int64).astype(np.uint64)
+        best = np.zeros(len(k), np.int64)
+        besth = splitmix64(k * np.uint64(salt))
+        for s in range(1, n_shards):
+            h = splitmix64(k * np.uint64(salt) + np.uint64(s))
+            m = h > besth
+            best[m] = s
+            besth[m] = h[m]
+        return b.append_column(out_col, pa.array(best, pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

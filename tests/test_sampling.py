@@ -88,3 +88,26 @@ def test_chunk_token_windows_overlap(ray_session):
         (3, 1, "t9"),
     ]
     assert by_doc[2] == [(0, 1, "solo")]
+
+
+def test_rendezvous_assign_hrw_stability(ray_session):
+    """HRW property: growing 8 -> 9 shards moves ONLY keys won by the new
+    shard (every mover lands on shard 8), and assignment is balanced-ish."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from ontoea_ray.stages.sampling import rendezvous_assign
+
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array(np.arange(2000, dtype=np.int64))})
+    )
+    a = rendezvous_assign(ds, key_col="k", n_shards=8)
+    b = rendezvous_assign(a, key_col="k", n_shards=9, out_col="shard9")
+    rows = b.take_all()
+    moved = [r for r in rows if r["shard"] != r["shard9"]]
+    assert all(r["shard9"] == 8 for r in moved)          # only the new shard wins
+    frac = len(moved) / len(rows)
+    assert 0.05 < frac < 0.18                             # ~1/9 of keys move
+    counts = np.bincount([r["shard"] for r in rows], minlength=8)
+    assert counts.min() > 0.5 * counts.mean()             # no starved shard
