@@ -248,24 +248,33 @@ def q_events_hourly(sf_dir: str):
     """,
 )
 def q_sessionize(sf_dir: str):
-    """Session windows (30-min gap) per user: groupby(user).map_groups over
-    the ts-sorted group — the Ray Data pattern for sessionization."""
+    """Session windows (30-min gap) per user via `stages/sessions.
+    session_table`: ONE width-bounded keyed exchange, vectorized label +
+    aggregate in the same partition pass.  The earlier plan here grouped
+    by user_id directly — one map_groups CALL per user, i.e. millions of
+    calls at corpus scale; the stage pays one per partition."""
+    from ontoea_ray.stages.sessions import session_table
+
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    sess = session_table(
+        ds,
+        key_col="user_id",
+        ts_col="ts",
+        gap_us=30 * 60 * 1_000_000,
+        tie_cols=["event_id"],
+    )
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
-        sid = gap.cumsum().fillna(0).astype(np.int64) + 1
-        out = (
-            g.assign(session_id=sid)
-            .groupby("session_id", sort=True)
-            .agg(user_id=("user_id", "first"), n_events=("ts", "size"), start=("ts", "min"))
-            .reset_index()
+    def shape(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "session_id": pc.add(b["session_idx"], 1),
+                "n_events": b["n_events"],
+                "start_epoch": pc.divide(b["start_us"], 1_000_000),
+            }
         )
-        out["start_epoch"] = ((out["start"] - pd.Timestamp(0)) // pd.Timedelta(seconds=1)).astype(np.int64)
-        return out[["user_id", "session_id", "n_events", "start_epoch"]]
 
-    return compact(ds).groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return sess.map_batches(shape, batch_format="pyarrow")
 
 
 @_register(
