@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "q_ktruss",
     "q_link_predict",
     "q_hyperball",
+    "q_ppr",
     "q_communities",
     "q_assortativity",
     "q_outlinks",

@@ -3277,6 +3277,82 @@ def q_mis(sf_dir: str):
     return mis_rounds(sampled, rounds=4, src="id_a", dst="id_b")
 
 
+_PPR_SALT = 424_242
+_PPR_MOD = 8
+
+
+def _ppr_sql(iters: int = 4, scale: int = 10**9, damping_pct: int = 85) -> str:
+    """Unrolled integer personalized-PageRank oracle over the co-purchase
+    graph, replaying `stages/graph.personalized_pagerank` exactly: seeds
+    are nodes with splitmix64(node * salt) % mod == 0, initial mass
+    ``scale`` on seeds / 0 elsewhere, restart base only at seeds."""
+    from ontoea_ray.functions.lsh_sql import TWO64, splitmix64_ctes
+
+    base = (100 - damping_pct) * scale // 100
+    ctes = [
+        _COPURCHASE_E_CTE.strip(),
+        "nodes AS (SELECT DISTINCT n FROM (SELECT a AS n FROM e UNION SELECT b FROM e))",
+        splitmix64_ctes(
+            "nodes", f"((CAST(n AS HUGEINT) * {_PPR_SALT}) % {TWO64})", sfx="_sd"
+        ).strip(),
+        f"seeds AS (SELECT n FROM sm3_sd WHERE _h % {_PPR_MOD} = 0)",
+        "deg AS (SELECT a AS s, COUNT(*) AS dg FROM e GROUP BY 1)",
+        f"""m0 AS (SELECT nodes.n,
+             CAST(CASE WHEN seeds.n IS NOT NULL THEN {scale} ELSE 0 END AS HUGEINT) AS m
+             FROM nodes LEFT JOIN seeds ON seeds.n = nodes.n)""",
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"r{i + 1} AS (SELECT e.b AS n, SUM(m{i}.m // deg.dg) AS recv"
+            f" FROM e JOIN m{i} ON m{i}.n = e.a JOIN deg ON deg.s = e.a GROUP BY 1)"
+        )
+        ctes.append(
+            f"m{i + 1} AS (SELECT nodes.n,"
+            f" (CASE WHEN sd.n IS NOT NULL THEN {base} ELSE 0 END)"
+            f" + ({damping_pct} * COALESCE(r{i + 1}.recv, 0)) // 100 AS m"
+            f" FROM nodes LEFT JOIN seeds sd ON sd.n = nodes.n"
+            f" LEFT JOIN r{i + 1} ON r{i + 1}.n = nodes.n)"
+        )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT CAST(n AS VARCHAR) AS node, CAST(m AS BIGINT) AS rank_units FROM m{iters}
+"""
+
+
+@_register("q_ppr", _ppr_sql())
+def q_ppr(sf_dir: str):
+    """Personalized PageRank over the co-purchase graph (`stages/graph.
+    personalized_pagerank`): random walk with restart to a deterministic
+    seed set (splitmix64(node * salt) % 8 == 0 — ~1/8 of nodes), the
+    entity-relatedness primitive (Jeh & Widom 2003) a KG linker uses to
+    rank candidates near known-good anchors.  Integer mass units keep the
+    iteration bit-deterministic under any execution order; two value-equal
+    plans (single-task numpy under the broadcast budget, per-round hash
+    joins + keyed sums above it, seed flag carried as a node column)."""
+    from ontoea_ray.stages.graph import personalized_pagerank
+    from ontoea_ray.stages.sampling import splitmix64
+
+    edges = _copurchase_cached(sf_dir)
+
+    def seed_rows(b: pa.Table) -> pa.Table:
+        ids = np.concatenate(
+            [
+                np.asarray(b["id_a"].combine_chunks(), np.int64),
+                np.asarray(b["id_b"].combine_chunks(), np.int64),
+            ]
+        )
+        h = splitmix64(ids.astype(np.uint64) * np.uint64(_PPR_SALT))
+        return pa.table(
+            {"node": pa.array(ids[h % np.uint64(_PPR_MOD) == 0], pa.int64())}
+        )
+
+    seeds = edges.map_batches(seed_rows, batch_format="pyarrow")
+    return personalized_pagerank(
+        edges, seeds, src="id_a", dst="id_b", iters=4
+    )
+
+
 def _ktruss_sql(k: int, rounds: int) -> str:
     """Unrolled R-round k-truss peel over the FULL co-purchase graph (no
     sampling — co-purchase orders form cliques, so truss support is high

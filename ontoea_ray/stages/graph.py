@@ -397,6 +397,192 @@ def pagerank(
     )
 
 
+def personalized_pagerank(
+    edges: ray.data.Dataset,
+    seeds: ray.data.Dataset,
+    *,
+    src: str = "subj",
+    dst: str = "obj",
+    seed_col: str = "node",
+    iters: int = 5,
+    scale: int = 10**9,
+    damping_pct: int = 85,
+) -> ray.data.Dataset:
+    """Integer-arithmetic personalized PageRank (random walk with restart
+    to a SEED set) — the entity-relatedness / local-relevance primitive
+    (Jeh & Widom 2003): mass restarts only at seed nodes, so rank measures
+    proximity TO THE SEEDS rather than global hubness.
+
+    Same bit-deterministic integer conventions as :func:`pagerank` (per-
+    edge ``floor(m/deg)`` sends, dropped flooring/dangling mass), with two
+    deliberate restart conventions the oracle replays: every seed receives
+    the FULL restart base ``(100-damping_pct)*scale//100`` (not a split of
+    it — keeps mass integral per seed), and initial mass is ``scale`` on
+    seeds / 0 elsewhere.  Non-seed nodes therefore hold exactly the mass
+    that flowed to them from seeds.
+
+    Two value-equal plans: under the broadcast budget the whole iteration
+    runs in one Ray task (np.unique factorize + scatter-add, seed mask via
+    ``np.isin``); above it each round is the same two hash joins + keyed
+    sum as :func:`pagerank`, with the node vocabulary carrying a persistent
+    ``seed`` flag column from ONE left join — no driver state either way.
+    Returns ``(node:string, rank_units:int64)``.
+    """
+    import numpy as np
+    from ray.data.aggregate import Count, Sum
+
+    from ontoea_ray.functions.broadcast import (
+        assemble_table_ref,
+        assemble_value_set_ref,
+    )
+
+    def _proj(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "s": b[src].combine_chunks().cast(pa.string()),
+                "d": b[dst].combine_chunks().cast(pa.string()),
+            }
+        )
+
+    sd = seeds.map_batches(
+        lambda b: pa.table({"node": b[seed_col].combine_chunks().cast(pa.string())}),
+        batch_format="pyarrow",
+    )
+    e, tbl_ref = assemble_table_ref(
+        compact(edges.map_batches(_proj, batch_format="pyarrow")), columns=["s", "d"]
+    )
+    sd, seed_ref = assemble_value_set_ref(sd, "node")
+    if tbl_ref is not None and seed_ref is not None:
+        _iters, _scale, _damp = iters, scale, damping_pct
+
+        @ray.remote
+        def _ppr(tref, sref) -> pa.Table:
+            import numpy as np
+
+            s = tref["s"].to_pandas().to_numpy(object)
+            d = tref["d"].to_pandas().to_numpy(object)
+            nodes, inv = np.unique(np.concatenate([s, d]), return_inverse=True)
+            si, di = inv[: len(s)], inv[len(s):]
+            deg = np.bincount(si, minlength=len(nodes))
+            seedvals = np.asarray(pa.chunked_array([sref]).to_pandas().to_numpy(object))
+            is_seed = np.isin(nodes, seedvals)
+            b = (100 - _damp) * _scale // 100
+            m = np.where(is_seed, _scale, 0).astype(np.int64)
+            for _ in range(_iters):
+                q = np.zeros(len(si), np.int64)
+                has = deg[si] > 0
+                q[has] = m[si][has] // deg[si][has]
+                recv = np.zeros(len(nodes), np.int64)
+                np.add.at(recv, di, q)
+                m = is_seed.astype(np.int64) * b + _damp * recv // 100
+            return pa.table(
+                {
+                    "node": pa.array(nodes.astype(str), pa.string()),
+                    "rank_units": pa.array(m, pa.int64()),
+                }
+            )
+
+        return ray.data.from_arrow_refs([_ppr.remote(tbl_ref, seed_ref)])
+
+    width = sized_width(e.size_bytes())
+
+    def _nodes_part(b: pa.Table) -> pa.Table:
+        u = pc.unique(
+            pa.chunked_array([b["s"].combine_chunks(), b["d"].combine_chunks()])
+        )
+        return pa.table({"node": u})
+
+    sflag = (
+        sd.groupby("node")
+        .aggregate(Count(alias_name="_c"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["node"],
+                    "seed": pa.array(np.ones(len(b), np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    nodes = (
+        hash_join(
+            e.map_batches(_nodes_part, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Count(alias_name="_c"))
+            .drop_columns(["_c"]),
+            sflag,
+            on=["node"],
+            how="left",
+            width=width,
+        )
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["node"],
+                    "seed": pc.coalesce(b["seed"], pa.scalar(0, pa.int64())),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    deg = e.groupby("s").aggregate(Count(alias_name="deg")).materialize()
+
+    base = (100 - damping_pct) * scale // 100
+    mass = nodes.map_batches(
+        lambda b: pa.table(
+            {
+                "node": b["node"],
+                "m": pc.multiply(b["seed"], pa.scalar(scale, pa.int64())),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    for _ in range(iters):
+        quot = hash_join(deg, mass, on=["s"], right_on=["node"], width=width).map_batches(
+            lambda b: pa.table(
+                {
+                    "s": b["s"],
+                    "q": pa.array(
+                        np.asarray(b["m"].combine_chunks(), np.int64)
+                        // np.asarray(b["deg"].combine_chunks(), np.int64)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        sent = hash_join(e, quot, on=["s"], width=width).map_batches(
+            lambda b: pa.table({"d": b["d"], "q": b["q"]}), batch_format="pyarrow"
+        )
+        recv = compact(sent).groupby("d").aggregate(Sum("q", alias_name="recv"))
+        mass = (
+            hash_join(nodes, recv, on=["node"], right_on=["d"], how="left", width=width)
+            .map_batches(
+                lambda b: pa.table(
+                    {
+                        "node": b["node"],
+                        "m": pa.array(
+                            np.asarray(b["seed"].combine_chunks(), np.int64) * base
+                            + damping_pct
+                            * np.asarray(
+                                pc.coalesce(b["recv"], pa.scalar(0, pa.int64())),
+                                np.int64,
+                            )
+                            // 100
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+    return mass.map_batches(
+        lambda b: pa.table({"node": b["node"], "rank_units": b["m"]}),
+        batch_format="pyarrow",
+    )
+
+
 def hits_rounds(
     edges: ray.data.Dataset,
     *,

@@ -602,3 +602,68 @@ def test_mis_budget_plans_equal(ray_session, monkeypatch):
     monkeypatch.setenv("ONTOEA_BROADCAST_BUDGET_BYTES", "1")
     forced = run()
     assert broadcast == forced and len(broadcast) > 0
+
+
+def _ppr_scalar(edges, seeds, iters, scale=10**9, damp=85):
+    nodes = sorted({n for e in edges for n in e})
+    deg = {n: 0 for n in nodes}
+    for s, _ in edges:
+        deg[s] += 1
+    base = (100 - damp) * scale // 100
+    m = {n: (scale if n in seeds else 0) for n in nodes}
+    for _ in range(iters):
+        recv = {n: 0 for n in nodes}
+        for s, d in edges:
+            recv[d] += m[s] // deg[s]
+        m = {n: (base if n in seeds else 0) + damp * recv[n] // 100 for n in nodes}
+    return m
+
+
+def test_ppr_hand_oracle(ray_session):
+    from ontoea_ray.stages.graph import personalized_pagerank
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "a")]
+    e = ray.data.from_arrow(
+        pa.table(
+            {
+                "subj": pa.array([s for s, _ in edges], pa.string()),
+                "obj": pa.array([d for _, d in edges], pa.string()),
+            }
+        )
+    )
+    seeds = ray.data.from_arrow(pa.table({"node": pa.array(["a"], pa.string())}))
+    got = {
+        r["node"]: r["rank_units"]
+        for r in personalized_pagerank(e, seeds, iters=3).take_all()
+    }
+    assert got == _ppr_scalar(edges, {"a"}, 3)
+    # restart mass only at the seed: d has no in-edges and is not a seed
+    assert got["d"] == 0
+
+
+def test_ppr_budget_plans_equal(ray_session, monkeypatch):
+    from ontoea_ray.stages.graph import personalized_pagerank
+
+    tbl = pa.table(
+        {
+            "subj": [f"n{i}" for i in range(40)],
+            "obj": [f"n{(i * 11 + 5) % 40}" for i in range(40)],
+        }
+    )
+    seeds = pa.table({"node": pa.array([f"n{i}" for i in range(0, 40, 7)])})
+    bcast = {
+        (r["node"], r["rank_units"])
+        for r in personalized_pagerank(
+            ray.data.from_arrow(tbl), ray.data.from_arrow(seeds), iters=3
+        ).take_all()
+    }
+    monkeypatch.setenv("ONTOEA_BROADCAST_BUDGET_BYTES", "1")
+    dist = {
+        (r["node"], r["rank_units"])
+        for r in personalized_pagerank(
+            ray.data.from_arrow(tbl).repartition(9),
+            ray.data.from_arrow(seeds),
+            iters=3,
+        ).take_all()
+    }
+    assert bcast == dist
