@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "q_simhash",
     "q_ann_topk",
     "q_semdedup",
+    "q_csls_mutual",
     "q_ann_pq",
     "q_langid",
     "q_asof_join",

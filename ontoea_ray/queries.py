@@ -1430,6 +1430,69 @@ def q_embed_neardup(sf_dir: str):
     return cosine_neardup_pairs(ds, threshold=0.35)
 
 
+_CSLS_K = 4
+
+_CSLS_MUTUAL_SQL = f"""
+    WITH av AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE vec_id % 2 = 0),
+    bv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id % 2 = 1),
+    sim AS MATERIALIZED (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             list_cosine_similarity(a.v, b.v) AS s
+      FROM av a, bv b),
+    ra AS (SELECT ia, AVG(s) AS r FROM (
+             SELECT ia, s, ROW_NUMBER() OVER
+               (PARTITION BY ia ORDER BY s DESC, ib ASC) AS rn FROM sim)
+           WHERE rn <= {_CSLS_K} GROUP BY ia),
+    cb AS (SELECT ib, AVG(s) AS c FROM (
+             SELECT ib, s, ROW_NUMBER() OVER
+               (PARTITION BY ib ORDER BY s DESC, ia ASC) AS rn FROM sim)
+           WHERE rn <= {_CSLS_K} GROUP BY ib),
+    sc AS (SELECT sim.ia, sim.ib, 2 * sim.s - ra.r - cb.c AS csls
+           FROM sim JOIN ra ON ra.ia = sim.ia JOIN cb ON cb.ib = sim.ib),
+    best_a AS (SELECT ia, ib FROM (
+                 SELECT ia, ib, ROW_NUMBER() OVER
+                   (PARTITION BY ia ORDER BY csls DESC, ib ASC) AS rn FROM sc)
+               WHERE rn = 1),
+    best_b AS (SELECT ia, ib FROM (
+                 SELECT ia, ib, ROW_NUMBER() OVER
+                   (PARTITION BY ib ORDER BY csls DESC, ia ASC) AS rn FROM sc)
+               WHERE rn = 1)
+    SELECT best_a.ia AS id_a, best_a.ib AS id_b
+    FROM best_a JOIN best_b ON best_a.ia = best_b.ia AND best_a.ib = best_b.ib
+"""
+
+
+@_register("q_csls_mutual", _CSLS_MUTUAL_SQL)
+def q_csls_mutual(sf_dir: str):
+    """Mutual CSLS-top-1 pairs between the even- and odd-id embedding sets
+    (`stages/mining.csls_mutual_pairs`) — the bitext-mining / cross-corpus
+    alignment primitive: a pair is kept iff each side is the other's best
+    candidate under the hubness-corrected score 2·cos − r_k(x) − c_k(y)
+    (exact k-NN means, k=4).  Exact all-pairs with NO n×m matrix and NO
+    full-side broadcast: per-block tasks stream the other side's blocks
+    one at a time (running top-k / argmax state), then one small hash join
+    checks mutuality.  The row constant r_k(x) never ships — it cannot
+    change its own row's argmax.  The oracle replays the same ranking with
+    window functions over the n×m cosine table; ids-only output keeps the
+    comparison float-drift-proof."""
+    from ontoea_ray.stages.mining import csls_mutual_pairs
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def side(parity: int):
+        def fn(b: pa.Table) -> pa.Table:
+            ids = np.asarray(b["vec_id"].combine_chunks(), np.int64)
+            return b.filter(pa.array(ids % 2 == parity))
+
+        return fn
+
+    a = emb.map_batches(side(0), batch_format="pyarrow")
+    b = emb.map_batches(side(1), batch_format="pyarrow")
+    return csls_mutual_pairs(a, b, k=_CSLS_K)
+
+
 @_register(
     "q_simhash",
     # full bit-level oracle: the engine's token hash is md5[:8] (big-endian)
