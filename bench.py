@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "q_hash_split",
     "q_split_labels",
     "q_rendezvous_shards",
+    "q_zorder_tiles",
     "q_kmeans_update",
     "q_profile",
     "q_outlier_filter",

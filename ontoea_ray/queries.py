@@ -1313,6 +1313,71 @@ def q_split_labels(sf_dir: str):
     return hash_split(ds, key_col="doc_id")
 
 
+_ZORDER_SQL = """
+    WITH st AS (SELECT min(l_partkey) AS mnx, max(l_partkey) AS mxx,
+                       min(l_suppkey) AS mny, max(l_suppkey) AS mxy
+                FROM lineitem),
+    b AS (SELECT l_partkey AS x, l_suppkey AS y,
+                 ((l_partkey - mnx) * 256) // (mxx - mnx + 1) AS bx,
+                 ((l_suppkey - mny) * 256) // (mxy - mny + 1) AS by
+          FROM lineitem, st),
+    z AS (SELECT x, y,
+                 (SELECT SUM(((bx // (1 << i.i)) % 2) * (1 << (2 * i.i))
+                           + ((by // (1 << i.i)) % 2) * (1 << (2 * i.i + 1)))
+                  FROM (SELECT unnest(range(8)) AS i) i) AS zv
+          FROM b)
+    SELECT CAST(zv // 256 AS BIGINT) AS tile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(x) AS BIGINT) AS min_x, CAST(MAX(x) AS BIGINT) AS max_x,
+           CAST(MIN(y) AS BIGINT) AS min_y, CAST(MAX(y) AS BIGINT) AS max_y
+    FROM z GROUP BY 1
+"""
+
+
+@_register("q_zorder_tiles", _ZORDER_SQL)
+def q_zorder_tiles(sf_dir: str):
+    """Z-order layout audit (`stages/layout.zorder_value`): Morton-code
+    every lineitem row on (l_partkey, l_suppkey) bucketed to 8 bits each,
+    then reduce to per-TILE (top 8 z bits = a 16x16 grid cell) row counts
+    and 2-D bounding boxes — exactly the per-file min-max stats a reader
+    would prune with after an `OPTIMIZE ZORDER BY` re-layout (each tile's
+    box covers ~1/256 of the key plane, vs a full-width box per file under
+    a 1-D sort).  Bucketing is integer equi-width from two scalar
+    aggregates (O(1) driver state); the z computation is a pure vectorized
+    row function with zero shuffle; the reduction is one combiner-first
+    keyed exchange.  The oracle replays bucket, interleave and tile bit
+    for bit."""
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+    from ontoea_ray.stages.layout import column_ranges, zorder_value
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    ranges = column_ranges(li, ["l_partkey", "l_suppkey"])
+    z = zorder_value(
+        li, x_col="l_partkey", y_col="l_suppkey", ranges=ranges, bits=8
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = np.asarray(b["l_partkey"].combine_chunks(), np.int64)
+        y = np.asarray(b["l_suppkey"].combine_chunks(), np.int64)
+        t = np.asarray(b["zv"].combine_chunks(), np.int64) >> 8
+        df = pd.DataFrame({"tile": t, "x": x, "y": y})
+        g = df.groupby("tile", sort=False).agg(
+            n=("x", "size"),
+            min_x=("x", "min"), max_x=("x", "max"),
+            min_y=("y", "min"), max_y=("y", "max"),
+        ).reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        return _from_pandas_clean(g)
+
+    return keyed_aggregate(
+        z.map_batches(partial, batch_format="pyarrow"),
+        ["tile"],
+        sums=["n"],
+        mins=["min_x", "min_y"],
+        maxs=["max_x", "max_y"],
+    )
+
+
 _RV_SALT = 7_777_777
 
 

@@ -1,0 +1,73 @@
+"""Z-order (Morton) data layout — the multi-dimensional clustering
+primitive behind scan pruning on huge tables (Delta/Iceberg `OPTIMIZE
+ZORDER BY`): rows sorted by the bit-interleaving of two bucketed key
+columns land so that any 2-D key-range predicate touches a small, bounded
+set of contiguous tiles, letting a reader prune by per-file/ per-tile
+min-max stats on BOTH columns at once (a 1-D sort can only prune one).
+
+Everything is integer arithmetic, so layout decisions are bit-replayable:
+
+- bucket: ``(v - mn) * 2^bits // (mx - mn + 1)`` maps each column onto
+  ``[0, 2^bits)`` (equi-width; mn/mx are two scalar aggregates — O(1)
+  driver state, the same footprint as a parquet footer read);
+- z-value: bit interleave ``x0 y0 x1 y1 ...`` (x in even positions);
+- tile: the top ``2*tile_bits`` z bits = a 2^tile_bits × 2^tile_bits grid
+  cell; sorting by z makes tiles contiguous runs, so "write one file per
+  tile" gives each file a tight 2-D bounding box.
+
+``zorder_value`` is a pure vectorized row function (zero shuffle);
+the one wide op a real re-layout needs is the final ``sort(zv)`` /
+partitioned write, which callers own.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+
+def interleave_bits(x: np.ndarray, y: np.ndarray, bits: int) -> np.ndarray:
+    """Morton code of two ``[0, 2^bits)`` int arrays (x in even bits)."""
+    z = np.zeros(len(x), np.int64)
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def column_ranges(
+    ds: ray.data.Dataset, cols: list[str]
+) -> dict[str, tuple[int, int]]:
+    """(min, max) per column — two scalars each, via one distributed
+    aggregate (O(1) driver state)."""
+    from ray.data.aggregate import Max, Min
+
+    aggs = []
+    for c in cols:
+        aggs += [Min(c, alias_name=f"_mn_{c}"), Max(c, alias_name=f"_mx_{c}")]
+    row = ds.aggregate(*aggs)
+    return {c: (int(row[f"_mn_{c}"]), int(row[f"_mx_{c}"])) for c in cols}
+
+
+def zorder_value(
+    ds: ray.data.Dataset,
+    *,
+    x_col: str,
+    y_col: str,
+    ranges: dict[str, tuple[int, int]],
+    bits: int = 8,
+    out_col: str = "zv",
+) -> ray.data.Dataset:
+    """Append the Morton code of the two bucketed key columns."""
+    mnx, mxx = ranges[x_col]
+    mny, mxy = ranges[y_col]
+    width = 1 << bits
+
+    def fn(b: pa.Table) -> pa.Table:
+        x = np.asarray(b[x_col].combine_chunks(), np.int64)
+        y = np.asarray(b[y_col].combine_chunks(), np.int64)
+        bx = (x - mnx) * width // (mxx - mnx + 1)
+        by = (y - mny) * width // (mxy - mny + 1)
+        return b.append_column(out_col, pa.array(interleave_bits(bx, by, bits)))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

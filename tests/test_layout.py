@@ -1,0 +1,46 @@
+"""stages/layout.py — Morton interleave + locality property."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ontoea_ray.stages.layout import column_ranges, interleave_bits, zorder_value
+
+
+def test_interleave_bits_known_values():
+    x = np.array([0, 1, 0, 1, 3, 255], np.int64)
+    y = np.array([0, 0, 1, 1, 5, 255], np.int64)
+    z = interleave_bits(x, y, 8)
+    # x bits land even, y bits odd: (1,0)->1, (0,1)->2, (1,1)->3,
+    # (3,5)=(011,101)b -> z=100111b=39, (255,255)->65535
+    assert z.tolist() == [0, 1, 2, 3, 39, 65535]
+
+
+def test_zorder_tile_locality(ray_session):
+    # after sorting by zv, each 16x16-grid tile is one contiguous run and
+    # its 2-D bounding box is tight (<= 1/16 of each axis range)
+    rng = np.random.default_rng(5)
+    n = 4096
+    tbl = pa.table(
+        {
+            "x": pa.array(rng.integers(0, 100_000, n), pa.int64()),
+            "y": pa.array(rng.integers(50, 777, n), pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    ranges = column_ranges(ds, ["x", "y"])
+    z = zorder_value(ds, x_col="x", y_col="y", ranges=ranges, bits=8)
+    rows = z.sort("zv").take_all()
+    tiles = [r["zv"] >> 8 for r in rows]
+    assert tiles == sorted(tiles)  # contiguous runs after the z sort
+    spanx = ranges["x"][1] - ranges["x"][0] + 1
+    spany = ranges["y"][1] - ranges["y"][0] + 1
+    by_tile: dict[int, list] = {}
+    for r, t in zip(rows, tiles):
+        by_tile.setdefault(t, []).append((r["x"], r["y"]))
+    for t, pts in by_tile.items():
+        xs = [p[0] for p in pts]
+        ys = [p[1] for p in pts]
+        # a tile is a 16x16 grid cell -> each axis box <= ceil(span/16)
+        assert max(xs) - min(xs) <= (spanx + 15) // 16
+        assert max(ys) - min(ys) <= (spany + 15) // 16
