@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "q_ntile",
     "q_dup_spans",
     "q_triangles",
+    "q_clustering_coef",
     "q_two_hop",
     "q_pivot",
     "q_rollup",

@@ -3657,6 +3657,37 @@ def q_triangles(sf_dir: str):
     return pa.table({"n_triangles": pa.array([n], pa.int64())})
 
 
+_CLUSTERING_SQL = f"""
+    WITH {_COPURCHASE_E_CTE},
+    t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM e e1 JOIN e e2 ON e1.b = e2.a
+          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+    cr AS (SELECT x AS n FROM t UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t),
+    tc AS (SELECT n, COUNT(*) AS tri FROM cr GROUP BY n),
+    d AS (SELECT n, COUNT(*) AS deg
+          FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY n)
+    SELECT d.n AS node, CAST(COALESCE(tc.tri, 0) AS BIGINT) AS tri,
+           CAST(d.deg AS BIGINT) AS deg
+    FROM d LEFT JOIN tc ON tc.n = d.n
+"""
+
+
+@_register("q_clustering_coef", _CLUSTERING_SQL)
+def q_clustering_coef(sf_dir: str):
+    """Per-node local clustering counts over the co-purchase graph
+    (`stages/graph.clustering_counts`): (node, tri, deg) — the clustering
+    coefficient tri/(deg*(deg-1)/2) left as a ratio of exact integers so
+    the value hash is drift-proof.  Under the broadcast budget the k-truss
+    per-edge support kernel runs once and folds to nodes (tri(v) =
+    sum of incident-edge supports / 2); above it the wedge-join fallback
+    carries the wedge center so each closed wedge explodes to its three
+    node credits.  The oracle enumerates every oriented triangle once and
+    credits all three corners."""
+    from ontoea_ray.stages.graph import clustering_counts
+
+    return clustering_counts(_copurchase_cached(sf_dir))
+
+
 _TWO_HOP_SQL = f"""
     WITH {_COPURCHASE_E_CTE}
     SELECT e1.a AS node, CAST(COUNT(DISTINCT e2.b) AS BIGINT) AS n_two_hop

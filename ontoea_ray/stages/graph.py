@@ -1746,6 +1746,165 @@ def _truss_support(enc: "np.ndarray", m: int) -> "np.ndarray":
     return sup
 
 
+def clustering_counts(
+    edges: ray.data.Dataset,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> ray.data.Dataset:
+    """Per-node local-clustering numerator/denominator over an oriented
+    (src < dst) DISTINCT undirected edge table: ``(node, tri, deg)`` with
+    ``tri`` = triangles containing the node and ``deg`` its degree — the
+    local clustering coefficient is ``tri / (deg*(deg-1)/2)``, left as a
+    ratio of exact integers so the result is bit-replayable.
+
+    Two value-equal plans:
+
+    - under the broadcast budget: one Ray task assembles the edge blocks,
+      relabels via ``np.unique``, runs the k-truss per-EDGE support kernel
+      (`_truss_support` — each triangle credits all three edges), and
+      folds edges to nodes: ``tri(v) = Σ_{e∋v} support(e) / 2`` (a
+      triangle through v covers exactly two of v's incident edges);
+    - above it: wedge emission from src-co-located partitions WITH the
+      wedge center carried, ONE hash join against the edge set closes the
+      wedges, each closed wedge explodes to its three node credits, and a
+      keyed sum + left join onto the degree table finishes — the same
+      wedge-join shape as the global triangle fallback, shuffling only
+      wedges (the documented cost of the exchange regime).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ontoea_ray.functions.broadcast import assemble_table_ref
+    from ontoea_ray.functions.shuffle import keyed_aggregate, with_partition_key
+    from ontoea_ray.functions.tables import from_pandas as _fp
+
+    edges2, tbl_ref = assemble_table_ref(
+        edges.select_columns([src, dst]), columns=[src, dst]
+    )
+    if tbl_ref is not None:
+
+        @ray.remote
+        def _cc(tref) -> pa.Table:
+            import numpy as np
+
+            t = tref if not isinstance(tref, ray.ObjectRef) else ray.get(tref)
+            a_raw = t[src].to_pandas().to_numpy()
+            b_raw = t[dst].to_pandas().to_numpy()
+            nodes, inv = np.unique(np.concatenate([a_raw, b_raw]), return_inverse=True)
+            ai, bi = inv[: len(a_raw)], inv[len(a_raw):]
+            lo, hi = np.minimum(ai, bi), np.maximum(ai, bi)
+            m = len(nodes)
+            enc = np.unique(lo.astype(np.int64) * m + hi.astype(np.int64))
+            sup = _truss_support(enc, m)
+            ea, eb = enc // m, enc % m
+            tri = (
+                np.bincount(ea, weights=sup, minlength=m)
+                + np.bincount(eb, weights=sup, minlength=m)
+            ).astype(np.int64) // 2
+            deg = (
+                np.bincount(ea, minlength=m) + np.bincount(eb, minlength=m)
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "node": pa.array(nodes),
+                    "tri": pa.array(tri, pa.int64()),
+                    "deg": pa.array(deg, pa.int64()),
+                }
+            )
+
+        return ray.data.from_arrow_refs([_cc.remote(tbl_ref)])
+
+    width = sized_width(edges2.size_bytes())
+
+    def _wedges(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values([src, dst], kind="mergesort")
+        a = df[src].to_numpy()
+        b = df[dst].to_numpy()
+        n = len(a)
+        if n == 0:
+            return _fp(
+                pd.DataFrame(
+                    {
+                        "center": pd.Series([], dtype=df[src].dtype),
+                        src: pd.Series([], dtype=df[dst].dtype),
+                        dst: pd.Series([], dtype=df[dst].dtype),
+                    }
+                )
+            )
+        starts = np.flatnonzero(np.r_[True, a[1:] != a[:-1]])
+        counts = np.diff(np.r_[starts, n])
+        seg = np.repeat(np.arange(len(starts)), counts)
+        local_i = np.arange(n) - starts[seg]
+        rep = counts[seg] - 1 - local_i
+        total = int(rep.sum())
+        if total == 0:
+            return _fp(pd.DataFrame({"center": a[:0], src: b[:0], dst: b[:0]}))
+        row = np.repeat(np.arange(n), rep)
+        off = np.zeros(n, np.int64)
+        off[1:] = np.cumsum(rep[:-1])
+        k = np.arange(total) - off[row]
+        return _fp(
+            pd.DataFrame(
+                {"center": a[row], src: b[row], dst: b[row + 1 + k]}
+            )
+        )
+
+    wedges = with_partition_key(edges2, [src], width=width).groupby("pkey").map_groups(
+        _wedges, batch_format="pandas"
+    )
+    closed = hash_join(
+        edges2.select_columns([src, dst]), wedges, on=[src, dst], width=width
+    )
+
+    def _credits(b: pa.Table) -> pa.Table:
+        ns = pa.chunked_array(
+            [
+                b["center"].combine_chunks(),
+                b[src].combine_chunks(),
+                b[dst].combine_chunks(),
+            ]
+        ).combine_chunks()
+        return pa.table(
+            {
+                "node": ns,
+                "tri": pa.array(np.ones(len(ns), np.int64)),
+            }
+        )
+
+    tric = keyed_aggregate(
+        closed.map_batches(_credits, batch_format="pyarrow"),
+        ["node"],
+        sums=["tri"],
+        width=width,
+    )
+
+    def _ends(b: pa.Table) -> pa.Table:
+        ns = pa.chunked_array(
+            [b[src].combine_chunks(), b[dst].combine_chunks()]
+        ).combine_chunks()
+        return pa.table(
+            {"node": ns, "deg": pa.array(np.ones(len(ns), np.int64))}
+        )
+
+    degt = keyed_aggregate(
+        edges2.map_batches(_ends, batch_format="pyarrow"),
+        ["node"],
+        sums=["deg"],
+        width=width,
+    )
+    return hash_join(degt, tric, on=["node"], how="left", width=width).map_batches(
+        lambda b: pa.table(
+            {
+                "node": b["node"],
+                "tri": pc.coalesce(b["tri"], pa.scalar(0, pa.int64())),
+                "deg": b["deg"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def ktruss_rounds(
     edges: ray.data.Dataset,
     *,

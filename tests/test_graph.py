@@ -667,3 +667,82 @@ def test_ppr_budget_plans_equal(ray_session, monkeypatch):
         ).take_all()
     }
     assert bcast == dist
+
+
+def _cc_scalar(edges):
+    """Brute per-node triangle + degree counts on an oriented edge list."""
+    es = {tuple(e) for e in edges}
+    nodes = sorted({n for e in es for n in e})
+    adj = {n: set() for n in nodes}
+    for a, b in es:
+        adj[a].add(b)
+        adj[b].add(a)
+    tri = {n: 0 for n in nodes}
+    for a, b in es:
+        for c in adj[a] & adj[b]:
+            tri[a] += 1  # each unordered triangle visits each corner twice
+            tri[b] += 1  # (once per incident in-triangle edge)
+    tri = {n: v // 2 for n, v in tri.items()}
+    return {n: (tri[n], len(adj[n])) for n in nodes}
+
+
+def test_clustering_counts_hand_and_budget(ray_session, monkeypatch):
+    from ontoea_ray.stages.graph import clustering_counts
+
+    # two triangles sharing an edge + a pendant
+    edges = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (4, 5)]
+    e = ray.data.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array([a for a, _ in edges], pa.int64()),
+                "id_b": pa.array([b for _, b in edges], pa.int64()),
+            }
+        )
+    )
+    want = _cc_scalar(edges)
+    got = {
+        r["node"]: (r["tri"], r["deg"]) for r in clustering_counts(e).take_all()
+    }
+    assert got == want == {1: (1, 2), 2: (2, 3), 3: (2, 3), 4: (1, 3), 5: (0, 1)}
+
+    monkeypatch.setenv("ONTOEA_BROADCAST_BUDGET_BYTES", "1")
+    dist = {
+        r["node"]: (r["tri"], r["deg"])
+        for r in clustering_counts(e.repartition(3)).take_all()
+    }
+    assert dist == want
+
+
+def test_clustering_counts_random_graph_plans_equal(ray_session, monkeypatch):
+    import numpy as np
+
+    from ontoea_ray.stages.graph import clustering_counts
+
+    rng = np.random.default_rng(9)
+    raw = rng.integers(0, 30, size=(200, 2))
+    raw = raw[raw[:, 0] != raw[:, 1]]
+    lo, hi = raw.min(1), raw.max(1)
+    e = ray.data.from_arrow(
+        pa.table({"id_a": pa.array(lo, pa.int64()), "id_b": pa.array(hi, pa.int64())})
+    )
+    edges = sorted({(int(a), int(b)) for a, b in zip(lo, hi)})
+    want = _cc_scalar(edges)
+    got = {r["node"]: (r["tri"], r["deg"]) for r in clustering_counts(e).take_all()}
+    # NOTE: clustering_counts expects a DISTINCT edge table (like the
+    # cached co-purchase edges); dedupe first for the scalar comparison
+    e_d = ray.data.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array([a for a, _ in edges], pa.int64()),
+                "id_b": pa.array([b for _, b in edges], pa.int64()),
+            }
+        )
+    )
+    got = {r["node"]: (r["tri"], r["deg"]) for r in clustering_counts(e_d).take_all()}
+    assert got == want
+    monkeypatch.setenv("ONTOEA_BROADCAST_BUDGET_BYTES", "1")
+    dist = {
+        r["node"]: (r["tri"], r["deg"])
+        for r in clustering_counts(e_d.repartition(7)).take_all()
+    }
+    assert dist == want
