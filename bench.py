@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "q_ktruss",
     "q_link_predict",
     "q_hyperball",
+    "q_harmonic",
     "q_ppr",
     "q_communities",
     "q_assortativity",

@@ -7378,7 +7378,9 @@ def q_link_predict(sf_dir: str):
     return common_neighbor_pairs(sampled, min_common=2)
 
 
-def _hyperball_sql(p: int = 4, rounds: int = 3, pct: int = 7) -> str:
+def _hyperball_sql(
+    p: int = 4, rounds: int = 3, pct: int = 7, tail: str | None = None
+) -> str:
     from ontoea_ray.functions.lsh_sql import splitmix64_ctes
 
     nbits = 64 - p
@@ -7410,8 +7412,34 @@ def _hyperball_sql(p: int = 4, rounds: int = 3, pct: int = 7) -> str:
      UNION ALL SELECT node, slot, rho FROM r{r}
    ) GROUP BY node, slot)"""
         )
-    parts.append(f"SELECT node, slot, rho FROM r{rounds}")
+    parts.append(tail or f"SELECT node, slot, rho FROM r{rounds}")
     return "\n".join(parts)
+
+
+def _harmonic_sql(p: int = 4, rounds: int = 3, pct: int = 7) -> str:
+    """q_harmonic oracle: the hyperball register rounds + the integer HLL
+    estimate per round + the telescoping harmonic sum — replays
+    `stages/graph.harmonic_milli` division for division."""
+    from ontoea_ray.stages.graph import _HLL_E_NUM, _HLL_RHO_CAP
+
+    m = 1 << p
+    cap = _HLL_RHO_CAP
+    e_ctes = "".join(
+        f""", e{r} AS (
+   SELECT node, CAST({_HLL_E_NUM} // ((({m} - COUNT(*)) * ({1 << cap}::BIGINT))
+        + SUM(1::BIGINT << ({cap} - LEAST(rho, {cap})))) AS BIGINT) AS e
+   FROM r{r} GROUP BY node)"""
+        for r in range(rounds + 1)
+    )
+    terms = " + ".join(
+        f"(e{r}.e - e{r - 1}.e) // {r}" for r in range(1, rounds + 1)
+    )
+    joins = " ".join(f"JOIN e{r} USING (node)" for r in range(1, rounds + 1))
+    tail = (
+        e_ctes
+        + f"\nSELECT e0.node AS node, CAST({terms} AS BIGINT) AS h_milli FROM e0 {joins}"
+    )
+    return _hyperball_sql(p=p, rounds=rounds, pct=pct, tail=tail)
 
 
 @_register("q_hyperball", _hyperball_sql())
@@ -7439,6 +7467,31 @@ def q_hyperball(sf_dir: str):
 
     sampled = edges.map_batches(sample, batch_format="pyarrow")
     return hyperball_registers(sampled, p=4, rounds=3)
+
+
+@_register("q_harmonic", _harmonic_sql())
+def q_harmonic(sf_dir: str):
+    """Harmonic centrality estimated from HyperBall sketches over the
+    splitmix64-sampled (7%) co-purchase graph (`stages/graph.
+    harmonic_milli`): H(v) = sum_r (|ball_r| - |ball_{r-1}|)/r with ball
+    sizes from each round's HLL registers — the distance-based centrality
+    per-node BFS cannot afford at graph scale, here as a pure integer
+    function of the graph (the 673/1000-alpha HLL estimate computed as one
+    int64 floor division, rho capped at 44 bits) so the unrolled oracle
+    replays every register, estimate and telescoping term exactly."""
+    from ontoea_ray.stages.graph import harmonic_milli
+    from ontoea_ray.stages.sampling import splitmix64
+
+    edges = _copurchase_cached(sf_dir)
+
+    def sample(b: pa.Table) -> pa.Table:
+        a = np.asarray(b["id_a"].combine_chunks(), np.int64)
+        c = np.asarray(b["id_b"].combine_chunks(), np.int64)
+        h = splitmix64((a * 100000 + c).astype(np.uint64))
+        return b.filter(pa.array(h % np.uint64(100) < np.uint64(7)))
+
+    sampled = edges.map_batches(sample, batch_format="pyarrow")
+    return harmonic_milli(sampled, p=4, rounds=3)
 
 
 # ---------------------------------------------------------------------------

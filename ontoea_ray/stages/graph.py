@@ -1613,6 +1613,7 @@ def hyperball_registers(
     dst: str = "id_b",
     p: int = 4,
     rounds: int = 3,
+    keep_rounds: bool = False,
 ) -> ray.data.Dataset:
     """HyperBall (Boldi & Vigna 2013): per-node HyperLogLog registers of
     the radius-``rounds`` ball, via R max-merge rounds over the edge table
@@ -1658,8 +1659,10 @@ def hyperball_registers(
         )
 
     regs = nodes.map_batches(seed, batch_format="pyarrow")
+    per_round = [regs]
     for _ in range(rounds):
         regs = regs.materialize()  # two consumers: neighbour move + self union
+        per_round[-1] = regs
         moved = hash_join(nbr, regs, on=["nb"], right_on=["node"]).map_batches(
             lambda b: pa.table(
                 {"node": b["node"], "slot": b["slot"], "rho": b["rho"]}
@@ -1667,7 +1670,105 @@ def hyperball_registers(
             batch_format="pyarrow",
         )
         regs = keyed_aggregate(moved.union(regs), ["node", "slot"], maxs=["rho"])
-    return regs
+        per_round.append(regs)
+    return per_round if keep_rounds else regs
+
+
+_HLL_RHO_CAP = 44  # keeps S = Σ 2^(cap - min(rho, cap)) and the estimate
+_HLL_E_NUM = 673 * 256 * (1 << _HLL_RHO_CAP)  # numerator inside int64
+
+
+def harmonic_milli(
+    edges: ray.data.Dataset,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    p: int = 4,
+    rounds: int = 3,
+) -> ray.data.Dataset:
+    """Harmonic-centrality estimates from HyperBall sketches (Boldi &
+    Vigna 2013 §5): ``H(v) = Σ_{r=1..R} (|ball_r(v)| − |ball_{r−1}(v)|)/r``
+    with ball sizes estimated per round from the node's HLL registers —
+    the centrality that per-node BFS cannot afford at graph scale.
+
+    INTEGER-EXACT estimator so the result is bit-replayable: with m=2^p=16
+    registers, the raw HLL estimate ``α_16·m²/Σ_j 2^(−M_j)`` becomes
+    ``E_milli = (673·256·2^44) // S`` where ``S = Σ_j 2^(44 − min(M_j,44))``
+    (absent slots contribute 2^44; α_16 = 0.673 = 673/1000 exactly; the
+    rho cap at 44 keeps the numerator inside int64 and costs < 2^-44 of
+    relative mass).  Registers only grow, so E_milli is nondecreasing and
+    each per-round term ``(E_r − E_{r−1}) // r`` is a nonnegative floor —
+    the oracle replays every division.  Returns ``(node, h_milli)``.
+
+    Plan: the R hyperball rounds (one hash join + keyed max-merge each),
+    then per round a combiner-first keyed sum folds each node's ≤16
+    register rows to (term_sum, slot_count) and one vectorized map yields
+    E_milli; the R+1 round tables union with a round tag through ONE
+    node-keyed exchange where the telescoping sum reduces in-partition.
+    """
+    import numpy as np
+
+    from ontoea_ray.functions.shuffle import keyed_aggregate, with_partition_key
+    from ontoea_ray.functions.tables import from_pandas as _fp
+
+    per_round = hyperball_registers(
+        edges, src=src, dst=dst, p=p, rounds=rounds, keep_rounds=True
+    )
+    m = 1 << p
+    cap = _HLL_RHO_CAP
+
+    tagged = []
+    for r, regs in enumerate(per_round):
+
+        def partial(b: pa.Table, _r=r) -> pa.Table:
+            import pandas as pd
+
+            n = np.asarray(b["node"].combine_chunks(), np.int64)
+            rho = np.asarray(b["rho"].combine_chunks(), np.int64)
+            term = np.int64(1) << (cap - np.minimum(rho, cap))
+            df = pd.DataFrame({"node": n, "term": term})
+            g = df.groupby("node", sort=False)["term"].agg(
+                term_sum="sum", cnt="size"
+            ).reset_index()
+            g["cnt"] = g["cnt"].astype(np.int64)
+            return _fp(g)
+
+        folded = keyed_aggregate(
+            regs.map_batches(partial, batch_format="pyarrow"),
+            ["node"],
+            sums=["term_sum", "cnt"],
+        )
+
+        def e_milli(b: pa.Table, _r=r) -> pa.Table:
+            s = np.asarray(b["term_sum"].combine_chunks(), np.int64) + (
+                m - np.asarray(b["cnt"].combine_chunks(), np.int64)
+            ) * (np.int64(1) << cap)
+            return pa.table(
+                {
+                    "node": b["node"],
+                    "round": pa.array(np.full(len(b), _r, np.int64)),
+                    "e_milli": pa.array(_HLL_E_NUM // s, pa.int64()),
+                }
+            )
+
+        tagged.append(folded.map_batches(e_milli, batch_format="pyarrow"))
+
+    allr = tagged[0]
+    for t in tagged[1:]:
+        allr = allr.union(t)
+    parted = with_partition_key(allr, ["node"])
+
+    def fold(df) -> pa.Table:
+        import pandas as pd
+
+        df = df.sort_values(["node", "round"], kind="mergesort")
+        e = df["e_milli"].to_numpy(np.int64).reshape(-1, rounds + 1)
+        nodes_col = df["node"].to_numpy()[:: rounds + 1]
+        diffs = e[:, 1:] - e[:, :-1]
+        h = (diffs // np.arange(1, rounds + 1)).sum(axis=1)
+        return _fp(pd.DataFrame({"node": nodes_col, "h_milli": h.astype(np.int64)}))
+
+    return parted.groupby("pkey").map_groups(fold, batch_format="pandas")
 
 
 def _truss_support(enc: "np.ndarray", m: int) -> "np.ndarray":

@@ -70,3 +70,37 @@ def test_partitioning_invariance():
         )
     )
     assert one == many
+
+
+def _scalar_harmonic(pairs, rounds, p=4):
+    """Independent integer replay of harmonic_milli from exact ball regs."""
+    from ontoea_ray.stages.graph import _HLL_E_NUM, _HLL_RHO_CAP
+
+    m = 1 << p
+    cap = _HLL_RHO_CAP
+    nodes = {n for e in pairs for n in e}
+    es = {}
+    for r in range(rounds + 1):
+        regs = _exact_ball_registers(pairs, r, p)
+        for n in nodes:
+            slots = {s: v for (nn, s), v in regs.items() if nn == n}
+            S = sum(1 << (cap - min(v, cap)) for v in slots.values())
+            S += (m - len(slots)) * (1 << cap)
+            es.setdefault(n, []).append(_HLL_E_NUM // S)
+    return {
+        n: sum((e[r] - e[r - 1]) // r for r in range(1, rounds + 1))
+        for n, e in es.items()
+    }
+
+
+def test_harmonic_matches_scalar_replay():
+    from ontoea_ray.stages.graph import harmonic_milli
+
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (1, 7), (7, 8), (3, 9), (2, 9)]
+    got = {
+        r["node"]: r["h_milli"]
+        for r in harmonic_milli(_edges(pairs).repartition(3), p=4, rounds=3).take_all()
+    }
+    assert got == _scalar_harmonic(pairs, 3)
+    # a hub (node 3: degree 4) should outrank a leaf (node 8)
+    assert got[3] > got[8]
