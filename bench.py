@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "q_domain_cap",
     "q_bigram_freq",
     "q_tfidf",
+    "q_phrase_search",
     "q_quantiles",
     "q_dup_clusters",
     "q_decontaminate",

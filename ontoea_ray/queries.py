@@ -1231,6 +1231,69 @@ def q_inverted_postings(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+_PHRASE = ("hash", "join")
+
+_PHRASE_SQL = f"""
+    WITH p AS (SELECT doc_id, unnest(t) AS token,
+                      CAST(unnest(range(1, len(t) + 1)) - 1 AS BIGINT) AS pos
+               FROM (SELECT doc_id, str_split(text, ' ') AS t FROM documents)),
+    a AS (SELECT doc_id, pos FROM p WHERE token = '{_PHRASE[0]}'),
+    b AS (SELECT doc_id, pos FROM p WHERE token = '{_PHRASE[1]}')
+    SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_phrase
+    FROM a JOIN b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    GROUP BY 1
+"""
+
+
+@_register("q_phrase_search", _PHRASE_SQL)
+def q_phrase_search(sf_dir: str):
+    """Phrase query over POSITIONAL postings — the search-engine primitive
+    an inverted index exists for: find every document containing the exact
+    token sequence 'hash join' with its occurrence count.  The plan mirrors
+    a real token-partitioned index read: postings explode, PRUNE to the two
+    query terms inside the scan (in an indexed store this is a two-term
+    read — nothing else leaves storage), ONE doc_id-keyed exchange
+    co-locates each doc's surviving positions, and the adjacency intersect
+    is one vectorized int64-key isin per partition (key = doc·2^32 + pos,
+    collision-free).  Corpus bytes shuffled: only the two terms' postings,
+    never the text."""
+    from ontoea_ray.functions.shuffle import with_partition_key
+    from ontoea_ray.functions.text import postings
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    t1, t2 = _PHRASE
+
+    def pruned(b: pa.Table) -> pa.Table:
+        p = postings(
+            b["text"].combine_chunks(),
+            np.asarray(b["doc_id"].to_numpy(zero_copy_only=False), np.int64),
+        )
+        keep = pc.is_in(p["token"], value_set=pa.array([t1, t2]))
+        return p.filter(keep)
+
+    parted = with_partition_key(
+        ds.map_batches(pruned, batch_format="pyarrow"), ["doc_id"]
+    )
+
+    def intersect(df: pd.DataFrame) -> pa.Table:
+        doc = df["doc_id"].to_numpy(np.int64)
+        pos = df["pos"].to_numpy(np.int64)
+        tok = df["token"].to_numpy(object)
+        k1 = (doc[tok == t1] << np.int64(32)) | (pos[tok == t1] + 1)
+        k2 = (doc[tok == t2] << np.int64(32)) | pos[tok == t2]
+        hit = k2[np.isin(k2, k1)]
+        d = hit >> np.int64(32)
+        u, n = np.unique(d, return_counts=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(u, pa.int64()),
+                "n_phrase": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return parted.groupby("pkey").map_groups(intersect, batch_format="pandas")
+
+
 def _corpus_prep_sql():
     from ontoea_ray.pipelines.corpus_prep import corpus_prep_sql
 
