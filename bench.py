@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "q_group_quantiles",
     "q_stratified_sample",
     "q_latest_event",
+    "q_debounce",
+    "q_compaction_plan",
     "q_kmeans_assign",
     "q_outer_join",
     "q_det_shuffle",

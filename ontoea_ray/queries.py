@@ -1441,6 +1441,54 @@ def q_zorder_tiles(sf_dir: str):
     )
 
 
+_COMPACT_TARGET = 8192
+
+_COMPACTION_SQL = f"""
+    WITH g AS (SELECT source, lang, CAST(SUM(n_chars) AS BIGINT) AS bytes
+               FROM documents GROUP BY 1, 2),
+    c AS (SELECT source, lang, bytes,
+                 COALESCE(SUM(bytes) OVER (ORDER BY source, lang
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+          FROM g)
+    SELECT source, lang, bytes,
+           CAST(cb // {_COMPACT_TARGET} AS BIGINT) AS bucket
+    FROM c
+"""
+
+
+@_register("q_compaction_plan", _COMPACTION_SQL)
+def q_compaction_plan(sf_dir: str):
+    """Small-file compaction plan (`stages/layout.compaction_plan`): treat
+    each (source, lang) slice as a 'file' of SUM(n_chars) bytes and assign
+    key-ordered output buckets of >= 8 KiB by cumulative start offset —
+    the Iceberg/Delta rewrite_data_files planning step.  Sizes reduce
+    combiner-first through one keyed exchange (data-scale work); the
+    ordered prefix sum then runs in ONE Ray task over the assembled
+    manifest, which is O(#files) metadata by construction.  Key order is
+    preserved so range reads stay contiguous; the oracle replays the
+    window sum."""
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+    from ontoea_ray.stages.layout import compaction_plan
+
+    docs = _read(sf_dir, "documents", ["source", "lang", "n_chars"])
+    sizes = keyed_aggregate(
+        docs.map_batches(
+            lambda b: pa.table(
+                {"source": b["source"], "lang": b["lang"], "bytes": b["n_chars"]}
+            ),
+            batch_format="pyarrow",
+        ),
+        ["source", "lang"],
+        sums=["bytes"],
+    )
+    return compaction_plan(
+        sizes,
+        key_cols=["source", "lang"],
+        bytes_col="bytes",
+        target_bytes=_COMPACT_TARGET,
+    )
+
+
 _RV_SALT = 7_777_777
 
 
@@ -2422,6 +2470,67 @@ def q_salted_agg(sf_dir: str):
         ["event_type"],
         sums=["sum_value_milli"],
         count_alias="n",
+    )
+
+
+_DEBOUNCE_US = 30 * 60 * 1_000_000
+
+_DEBOUNCE_SQL = f"""
+    WITH l AS (
+      SELECT event_type,
+             CASE WHEN LAG(ts) OVER w IS NOT NULL
+                   AND date_diff('microsecond', LAG(ts) OVER w, ts)
+                       <= {_DEBOUNCE_US}
+                  THEN 1 ELSE 0 END AS sup
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+    )
+    SELECT event_type,
+           CAST(SUM(1 - sup) AS BIGINT) AS n_kept,
+           CAST(SUM(sup) AS BIGINT) AS n_suppressed
+    FROM l GROUP BY 1
+"""
+
+
+@_register("q_debounce", _DEBOUNCE_SQL)
+def q_debounce(sf_dir: str):
+    """TTL-window temporal dedup (the re-crawl suppressor: skip a fetch if
+    the SAME key was fetched within the previous 30 minutes): an event is
+    suppressed when its immediate (user, type) predecessor lies within the
+    window — predecessor means previous RAW event (the LAG semantic, which
+    one SQL window replays exactly), not previous kept one (that chained
+    variant is a sequential scan per key; same exchange, different kernel).
+    ONE (user, type)-keyed co-location, in-partition sort + vectorized
+    diff, per-type counts combine in the same pass before a small keyed
+    sum."""
+    from ontoea_ray.functions.shuffle import keyed_aggregate, with_partition_key
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+    parted = with_partition_key(ev, ["user_id", "event_type"])
+
+    def flags(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["user_id", "event_type", "ts", "event_id"], kind="mergesort")
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        uid = df["user_id"].to_numpy(np.int64)
+        typ = df["event_type"].to_numpy(object)
+        same = np.zeros(len(df), bool)
+        if len(df) > 1:
+            same[1:] = (uid[1:] == uid[:-1]) & (typ[1:] == typ[:-1])
+        sup = same & np.r_[False, (ts[1:] - ts[:-1]) <= _DEBOUNCE_US]
+        g = (
+            pd.DataFrame({"event_type": typ, "sup": sup.astype(np.int64)})
+            .groupby("event_type", sort=False)["sup"]
+            .agg(n_suppressed="sum", n="size")
+            .reset_index()
+        )
+        g["n_kept"] = (g["n"] - g["n_suppressed"]).astype(np.int64)
+        g["n_suppressed"] = g["n_suppressed"].astype(np.int64)
+        return _from_pandas_clean(g[["event_type", "n_kept", "n_suppressed"]])
+
+    return keyed_aggregate(
+        parted.groupby("pkey").map_groups(flags, batch_format="pandas"),
+        ["event_type"],
+        sums=["n_kept", "n_suppressed"],
     )
 
 

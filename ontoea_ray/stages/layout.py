@@ -27,6 +27,57 @@ import pyarrow as pa
 import ray.data
 
 
+def compaction_plan(
+    sizes: ray.data.Dataset,
+    *,
+    key_cols: list[str],
+    bytes_col: str,
+    target_bytes: int,
+    out_col: str = "bucket",
+) -> ray.data.Dataset:
+    """Small-file compaction planner — the table-maintenance op every
+    partitioned 100 TB store needs (Iceberg/Delta `rewrite_data_files`):
+    given a manifest of (partition keys, bytes), assign each partition to
+    an output bucket by key-ordered cumulative START offset,
+    ``bucket = cum_bytes_before // target_bytes`` — key order is preserved
+    (range reads stay contiguous), no bucket splits a partition, and the
+    bucket count is bounded by ``total_bytes // target + 1`` (an individual
+    bucket can fall under target when a large neighbour spills past a
+    boundary; the COUNT bound is what compaction is for).
+
+    The ORDERED prefix sum runs inside ONE Ray task over the assembled
+    manifest: the planner's input is file-manifest-scale (O(#files), like
+    an Iceberg manifest list), never data-scale — callers aggregate sizes
+    from the data FIRST (combiner + one keyed exchange), so what reaches
+    this step is metadata.  Raises if the manifest itself exceeds the
+    broadcast budget (at that point the store needs manifest sharding, a
+    different design).
+    """
+    from ontoea_ray.functions.broadcast import assemble_table_ref
+
+    _, tbl_ref = assemble_table_ref(sizes, columns=[*key_cols, bytes_col])
+    if tbl_ref is None:
+        raise NotImplementedError(
+            "compaction_plan: manifest exceeds the broadcast budget — shard "
+            "the manifest (per top-level key) before planning"
+        )
+
+    @ray.remote
+    def _plan(tref) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = tref if not isinstance(tref, ray.ObjectRef) else ray.get(tref)
+        idx = pc.sort_indices(t, sort_keys=[(c, "ascending") for c in key_cols])
+        t = t.take(idx)
+        b = np.asarray(t[bytes_col].combine_chunks(), np.int64)
+        cum_before = np.concatenate([[0], np.cumsum(b)[:-1]])
+        return t.append_column(
+            out_col, pa.array(cum_before // target_bytes, pa.int64())
+        )
+
+    return ray.data.from_arrow_refs([_plan.remote(tbl_ref)])
+
+
 def interleave_bits(x: np.ndarray, y: np.ndarray, bits: int) -> np.ndarray:
     """Morton code of two ``[0, 2^bits)`` int arrays (x in even bits)."""
     z = np.zeros(len(x), np.int64)

@@ -44,3 +44,29 @@ def test_zorder_tile_locality(ray_session):
         # a tile is a 16x16 grid cell -> each axis box <= ceil(span/16)
         assert max(xs) - min(xs) <= (spanx + 15) // 16
         assert max(ys) - min(ys) <= (spany + 15) // 16
+
+
+def test_compaction_plan_properties(ray_session):
+    from ontoea_ray.stages.layout import compaction_plan
+
+    rng = np.random.default_rng(2)
+    keys = [f"k{i:03d}" for i in range(40)]
+    sizes = rng.integers(100, 5000, 40)
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array(keys), "bytes": pa.array(sizes, pa.int64())})
+    ).repartition(5)
+    plan = compaction_plan(ds, key_cols=["k"], bytes_col="bytes", target_bytes=6000)
+    rows = sorted(
+        ((r["k"], r["bytes"], r["bucket"]) for r in plan.take_all())
+    )
+    # buckets are nondecreasing in key order (contiguous ranges)
+    bks = [b for _, _, b in rows]
+    assert bks == sorted(bks)
+    # bucket count bounded by total/target + 1 (the point of compaction)
+    total = sum(by for _, by, _ in rows)
+    assert len({b for _, _, b in rows}) <= total // 6000 + 1
+    # replay: bucket = cumulative start offset // target
+    cum = 0
+    for _, by, b in rows:
+        assert b == cum // 6000
+        cum += by
