@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "q_vocab_overlap",
     "q_dod_change",
     "q_bfs_depth",
+    "q_kge_negatives",
     "q_text_normalize",
     "q_type_runs",
     "q_multimodal_video",

@@ -2364,6 +2364,127 @@ def q_pagerank(sf_dir: str):
     return pagerank(kg, iters=5)
 
 
+def _kge_negatives_sql(n_neg: int = 2) -> str:
+    from ontoea_ray.functions.lsh_sql import TWO64, _h, splitmix64_ctes
+
+    key = (
+        f"((2 * {_h('subj')} + 3 * {_h('pred')} + 5 * {_h('obj')} + k) % {TWO64})"
+    )
+    return f"""
+    WITH kg AS ({_FLAGSHIP_SQL}),
+    nodes AS (SELECT DISTINCT n FROM (SELECT subj AS n FROM kg UNION SELECT obj FROM kg)),
+    v AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n) - 1 AS rank FROM nodes),
+    cnt AS (SELECT COUNT(*) AS c FROM v),
+    cand0 AS (SELECT subj, pred, obj, kk.k AS k
+              FROM kg, (SELECT unnest(range({n_neg})) AS k) kk),
+    {splitmix64_ctes("cand0", key)},
+    cand AS (SELECT subj, pred, CAST(k AS BIGINT) AS k,
+                    (_h % (SELECT c FROM cnt)) AS idx FROM sm3),
+    neg AS (SELECT c.subj, c.pred, v.n AS obj_neg, c.k
+            FROM cand c JOIN v ON v.rank = c.idx)
+    SELECT subj, pred, obj_neg, k FROM neg
+    WHERE NOT EXISTS (SELECT 1 FROM kg t
+                      WHERE t.subj = neg.subj AND t.pred = neg.pred
+                        AND t.obj = neg.obj_neg)
+"""
+
+
+@_register("q_kge_negatives", _kge_negatives_sql())
+def q_kge_negatives(sf_dir: str):
+    """Negative sampling for KG-embedding training (the corrupt-triple
+    generator behind TransE/RotatE-style losses, reference eval's implicit
+    counterpart): for every flagship edge, corrupt the object with 2
+    deterministic draws from the node vocabulary — draw = splitmix64 over
+    the triple's md5 hashes — then drop accidental TRUE triples with an
+    exact anti-join (left join + null filter) against the edge table, so
+    no negative is secretly positive.  The vocabulary index is a sorted
+    global rank (state/ids.zip_with_index: per-block offsets from
+    metadata, order-safe, no driver rows); the draw joins back by rank
+    through the planner-routed hash join.  Every step (md5, splitmix,
+    rank, modulo) is the engine-wide convention, so the oracle replays
+    each sampled id exactly."""
+    from ontoea_ray.functions.join import hash_join
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+    from ontoea_ray.stages.dedup import _token_hashes
+    from ontoea_ray.stages.sampling import splitmix64
+    from ontoea_ray.state.ids import zip_with_index
+
+    n_neg = 2
+    kg = _kg_cached(sf_dir)
+
+    def ends(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n": pa.chunked_array(
+                    [b["subj"].combine_chunks(), b["obj"].combine_chunks()]
+                ).combine_chunks()
+            }
+        )
+
+    vocab = zip_with_index(
+        keyed_aggregate(
+            kg.map_batches(ends, batch_format="pyarrow"), ["n"], count_alias="_c"
+        )
+        .drop_columns(["_c"])
+        .sort("n"),
+        col="rank",
+    )
+    n_vocab = vocab.count()
+
+    def draws(b: pa.Table) -> pa.Table:
+        hs = _token_hashes(b["subj"].combine_chunks(), backend="md5")
+        hp = _token_hashes(b["pred"].combine_chunks(), backend="md5")
+        ho = _token_hashes(b["obj"].combine_chunks(), backend="md5")
+        base = (
+            np.uint64(2) * hs + np.uint64(3) * hp + np.uint64(5) * ho
+        )  # wraps mod 2^64
+        parts = []
+        for k in range(n_neg):
+            idx = splitmix64(base + np.uint64(k)) % np.uint64(n_vocab)
+            parts.append(
+                pa.table(
+                    {
+                        "subj": b["subj"],
+                        "pred": b["pred"],
+                        "k": pa.array(np.full(len(b), k, np.int64)),
+                        "idx": pa.array(idx.astype(np.int64), pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    cand = kg.map_batches(draws, batch_format="pyarrow")
+    neg = hash_join(cand, vocab, on=["idx"], right_on=["rank"]).map_batches(
+        lambda b: pa.table(
+            {
+                "subj": b["subj"],
+                "pred": b["pred"],
+                "obj_neg": b["n"],
+                "k": b["k"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    truth = kg.map_batches(
+        lambda b: pa.table(
+            {
+                "subj": b["subj"],
+                "pred": b["pred"],
+                "obj_neg": b["obj"],
+                "is_true": pa.array(np.ones(len(b), np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(neg, truth, on=["subj", "pred", "obj_neg"], how="left")
+    return joined.map_batches(
+        lambda b: b.filter(pc.is_null(b["is_true"])).select(
+            ["subj", "pred", "obj_neg", "k"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
 _KG_UPSERT_SQL = f"""
     WITH kg AS ({_FLAGSHIP_SQL}),
     delta AS (SELECT * FROM kg WHERE pred = 'batch'),
