@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "q_event_trigrams",
     "q_regex_tokens",
     "q_daily_uniques_hll",
+    "q_join_cardinality",
     "q_fuzzy_pairs",
     "q_weighted_sample",
     "q_zscore_outliers",

@@ -197,6 +197,33 @@ def hyperloglog_registers(
     return compact(parts).groupby("bucket").aggregate(Max("rho", alias_name="rho"))
 
 
+HLL_ALPHA_MILLI = {16: 673, 32: 697, 64: 709}  # exact alpha_m * 1000
+
+
+def hll_int_params(p: int) -> tuple[int, int, int]:
+    """(m, numerator, rho_cap) of the INTEGER HLL estimator
+    ``E_milli = numerator // S`` with ``S = Σ_j 2^(cap − min(M_j, cap))``
+    (absent registers contribute 2^cap): numerator = α_m·1000·m²·2^cap,
+    exact because the published α for m ≤ 64 is a 3-decimal rational; the
+    rho cap is the largest keeping the numerator inside int64 (< 2^-cap
+    relative error).  Shared by harmonic centrality and the join-
+    cardinality estimator so every consumer is bit-replayable in SQL."""
+    m = 1 << p
+    num = HLL_ALPHA_MILLI[m] * m * m
+    cap = 62 - num.bit_length()
+    return m, num << cap, cap
+
+
+def hll_estimate_milli(term_sum: "np.ndarray", cnt: "np.ndarray", p: int) -> "np.ndarray":
+    """Vectorized integer estimate from per-set (Σ capped terms, #present
+    registers) folds — see :func:`hll_int_params`."""
+    m, num, cap = hll_int_params(p)
+    s = np.asarray(term_sum, np.int64) + (m - np.asarray(cnt, np.int64)) * (
+        np.int64(1) << cap
+    )
+    return num // s
+
+
 def hll_estimate(registers: pa.Table | pd.DataFrame, *, p: int = 10) -> float:
     """Cardinality estimate from a register table (absent buckets = 0).
 

@@ -113,3 +113,26 @@ def test_with_global_rank_exact_and_deterministic(ray_session):
     a = out.sort_values("id").reset_index(drop=True)
     b = out2.sort_values("id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_hll_int_estimate_accuracy(ray_session):
+    """Integer estimator within the documented sigma on a known set."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from ontoea_ray.stages.sketch import (
+        hll_estimate_milli,
+        hll_int_params,
+        hyperloglog_registers,
+    )
+
+    n = 5000
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array(np.arange(n), pa.int64())})
+    ).repartition(4)
+    regs = hyperloglog_registers(ds, col="k", p=6).take_all()
+    _, _, cap = hll_int_params(6)
+    term = sum(1 << (cap - min(r["rho"], cap)) for r in regs)
+    e = hll_estimate_milli(np.array([term]), np.array([len(regs)]), 6)[0]
+    assert abs(e / 1000 - n) < 0.35 * n  # sigma ~13%; 2.7 sigma headroom
