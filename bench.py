@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "q_cmin_topk",
     "q_pack_sequences",
     "q_quality_filter",
+    "q_adaptive_filter",
     "q_pii_scrub",
     "q_domain_cap",
     "q_bigram_freq",

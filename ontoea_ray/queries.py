@@ -2820,6 +2820,71 @@ def q_group_quantiles(sf_dir: str):
     return compact(docs).groupby("lang").map_groups(grp, batch_format="pandas")
 
 
+_ADAPTIVE_Q_SQL = """
+    WITH th AS (SELECT lang, CAST(quantile_disc(n_chars, 0.10) AS BIGINT) AS p10
+                FROM documents GROUP BY 1)
+    SELECT d.lang, th.p10,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN d.n_chars >= th.p10 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept
+    FROM documents d JOIN th ON th.lang = d.lang
+    GROUP BY 1, 2
+"""
+
+
+@_register("q_adaptive_filter", _ADAPTIVE_Q_SQL)
+def q_adaptive_filter(sf_dir: str):
+    """Adaptive per-group quality threshold — the curation pattern that
+    replaces one global cutoff with a per-language percentile (a fixed
+    length floor over-filters terse languages and under-filters verbose
+    ones): pass 1 computes each lang's exact p10 document length
+    (key-co-located sort + discrete-quantile index, DuckDB quantile_disc
+    convention); the tiny thresholds table then rides to every filter
+    task (hash_join auto-broadcasts under budget), and pass 2 counts
+    kept-vs-total per lang combiner-first.  Two passes over the corpus is
+    the honest price of a data-dependent threshold — no driver state
+    beyond Dataset handles."""
+    from ontoea_ray.functions.join import hash_join
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+
+    docs = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def grp(df: pd.DataFrame) -> pa.Table:
+        v = np.sort(df["n_chars"].to_numpy(np.int64))
+        return pa.table(
+            {
+                "lang": pa.array([df["lang"].iloc[0]], pa.string()),
+                "p10": pa.array([v[max(0, int(np.ceil(0.10 * len(v))) - 1)]], pa.int64()),
+            }
+        )
+
+    th = compact(docs).groupby("lang").map_groups(grp, batch_format="pandas")
+    joined = hash_join(docs, th, on=["lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        n = np.asarray(b["n_chars"].combine_chunks(), np.int64)
+        p = np.asarray(b["p10"].combine_chunks(), np.int64)
+        df = pd.DataFrame(
+            {
+                "lang": b["lang"].to_pandas(),
+                "p10": p,
+                "n_kept": (n >= p).astype(np.int64),
+            }
+        )
+        g = df.groupby(["lang", "p10"], sort=False)["n_kept"].agg(
+            n_total="size", n_kept="sum"
+        ).reset_index()
+        g["n_total"] = g["n_total"].astype(np.int64)
+        g["n_kept"] = g["n_kept"].astype(np.int64)
+        return _from_pandas_clean(g)
+
+    return keyed_aggregate(
+        joined.map_batches(partial, batch_format="pyarrow"),
+        ["lang", "p10"],
+        sums=["n_total", "n_kept"],
+    )
+
+
 _STRAT_RATES = {"en": 40, "de": 80, "fr": 65}
 
 _STRAT_CASE = " ".join(f"WHEN '{g}' THEN {p}" for g, p in _STRAT_RATES.items())
