@@ -256,6 +256,8 @@ def pagerank(
     iters: int = 5,
     scale: int = 10**9,
     damping_pct: int = 85,
+    checkpoint_dir: str | None = None,
+    stats: dict | None = None,
 ) -> ray.data.Dataset:
     """Integer-arithmetic PageRank over an edge table — hub scoring for the
     KG (which entities dominate the canonicalization shuffle; the salting
@@ -277,6 +279,15 @@ def pagerank(
     vocabulary — all O(|edges|+|nodes|) movement, no driver state.  Mass is
     materialized per round so lineage stays O(1) deep.  Returns
     ``(node:string, rank_units:int64)``.
+
+    ``checkpoint_dir`` (exchange plan only — a checkpointing caller is in
+    the huge-graph regime, so the broadcast fast path is disabled):
+    persists each round's mass table as partitioned parquet plus a
+    ``_ROUND_COMPLETE`` marker; a restarted run resumes from the highest
+    complete round (the integer iteration is a pure function of the graph
+    + round, so a resumed run is bit-identical to an uninterrupted one —
+    pinned by test).  ``stats['rounds_run']`` reports how many rounds
+    actually executed.
     """
     import numpy as np
     from ray.data.aggregate import Count, Sum
@@ -292,7 +303,9 @@ def pagerank(
     from ontoea_ray.functions.broadcast import assemble_table_ref
 
     e, tbl_ref = assemble_table_ref(
-        compact(edges.map_batches(_proj, batch_format="pyarrow")), columns=["s", "d"]
+        compact(edges.map_batches(_proj, batch_format="pyarrow")),
+        columns=["s", "d"],
+        budget=0 if checkpoint_dir else None,
     )
     if tbl_ref is not None:
         # under the broadcast budget the WHOLE power iteration runs inside
@@ -353,7 +366,19 @@ def pagerank(
 
     base = (100 - damping_pct) * scale // 100
     mass = nodes  # (node, m)
-    for _ in range(iters):
+    start_round = 0
+    if checkpoint_dir:
+        import os
+
+        for r in range(iters, 0, -1):
+            rdir = os.path.join(checkpoint_dir, f"round_{r}")
+            if os.path.exists(os.path.join(rdir, "_ROUND_COMPLETE")):
+                mass = ray.data.read_parquet(rdir).materialize()
+                start_round = r
+                break
+    if stats is not None:
+        stats["rounds_run"] = iters - start_round
+    for _round in range(start_round, iters):
         quot = hash_join(deg, mass, on=["s"], right_on=["node"], width=width).map_batches(
             lambda b: pa.table(
                 {
@@ -391,6 +416,16 @@ def pagerank(
             )
             .materialize()
         )
+        if checkpoint_dir:
+            import os
+
+            rdir = os.path.join(checkpoint_dir, f"round_{_round + 1}")
+            os.makedirs(rdir, exist_ok=True)
+            mass.write_parquet(rdir)
+            # marker AFTER the (synchronous) write: a crash mid-write
+            # leaves an incomplete round that resume ignores
+            with open(os.path.join(rdir, "_ROUND_COMPLETE"), "w") as f:
+                f.write("ok")
     return mass.map_batches(
         lambda b: pa.table({"node": b["node"], "rank_units": b["m"]}),
         batch_format="pyarrow",
