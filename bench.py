@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "q_link_predict",
     "q_hyperball",
     "q_harmonic",
+    "q_eff_diameter",
     "q_ppr",
     "q_communities",
     "q_assortativity",

@@ -7873,21 +7873,27 @@ def _hyperball_sql(
     return "\n".join(parts)
 
 
-def _harmonic_sql(p: int = 4, rounds: int = 3, pct: int = 7) -> str:
-    """q_harmonic oracle: the hyperball register rounds + the integer HLL
-    estimate per round + the telescoping harmonic sum — replays
-    `stages/graph.harmonic_milli` division for division."""
+def _hll_e_ctes(p: int, rounds: int) -> str:
+    """CTEs e0..eR: per-node integer HLL ball estimates from the hyperball
+    register CTEs r0..rR (shared by q_harmonic and q_eff_diameter)."""
     from ontoea_ray.stages.graph import _HLL_E_NUM, _HLL_RHO_CAP
 
     m = 1 << p
     cap = _HLL_RHO_CAP
-    e_ctes = "".join(
+    return "".join(
         f""", e{r} AS (
    SELECT node, CAST({_HLL_E_NUM} // ((({m} - COUNT(*)) * ({1 << cap}::BIGINT))
         + SUM(1::BIGINT << ({cap} - LEAST(rho, {cap})))) AS BIGINT) AS e
    FROM r{r} GROUP BY node)"""
         for r in range(rounds + 1)
     )
+
+
+def _harmonic_sql(p: int = 4, rounds: int = 3, pct: int = 7) -> str:
+    """q_harmonic oracle: the hyperball register rounds + the integer HLL
+    estimate per round + the telescoping harmonic sum — replays
+    `stages/graph.harmonic_milli` division for division."""
+    e_ctes = _hll_e_ctes(p, rounds)
     terms = " + ".join(
         f"(e{r}.e - e{r - 1}.e) // {r}" for r in range(1, rounds + 1)
     )
@@ -7897,6 +7903,43 @@ def _harmonic_sql(p: int = 4, rounds: int = 3, pct: int = 7) -> str:
         + f"\nSELECT e0.node AS node, CAST({terms} AS BIGINT) AS h_milli FROM e0 {joins}"
     )
     return _hyperball_sql(p=p, rounds=rounds, pct=pct, tail=tail)
+
+
+def _sampled_copurchase(sf_dir: str) -> ray.data.Dataset:
+    """The splitmix64-sampled (7%) co-purchase graph shared by the sketch
+    queries (hyperball / harmonic / effective diameter / mis / walks use
+    the same sampling rule)."""
+    from ontoea_ray.stages.sampling import splitmix64
+
+    edges = _copurchase_cached(sf_dir)
+
+    def sample(b: pa.Table) -> pa.Table:
+        a = np.asarray(b["id_a"].combine_chunks(), np.int64)
+        c = np.asarray(b["id_b"].combine_chunks(), np.int64)
+        h = splitmix64((a * 100000 + c).astype(np.uint64))
+        return b.filter(pa.array(h % np.uint64(100) < np.uint64(7)))
+
+    return edges.map_batches(sample, batch_format="pyarrow")
+
+
+_HYPERBALL_ROUNDS_CACHE: dict = {}
+
+
+def _hyperball_rounds_cached(sf_dir: str) -> list:
+    """Materialized per-round hyperball registers (p=4, rounds=3, sampled
+    graph) — the same materialized-VIEW contract as `_kg_cached`: harmonic
+    centrality and the neighbourhood function both derive from the rounds
+    q_hyperball measures, and re-running the R max-merge rounds inside
+    each one measures the rounds, not the operator."""
+    rounds = _HYPERBALL_ROUNDS_CACHE.get(sf_dir)
+    if rounds is None:
+        from ontoea_ray.stages.graph import hyperball_registers
+
+        per_round = hyperball_registers(
+            _sampled_copurchase(sf_dir), p=4, rounds=3, keep_rounds=True
+        )
+        rounds = _HYPERBALL_ROUNDS_CACHE[sf_dir] = [d.materialize() for d in per_round]
+    return rounds
 
 
 @_register("q_hyperball", _hyperball_sql())
@@ -7935,20 +7978,48 @@ def q_harmonic(sf_dir: str):
     per-node BFS cannot afford at graph scale, here as a pure integer
     function of the graph (the 673/1000-alpha HLL estimate computed as one
     int64 floor division, rho capped at 44 bits) so the unrolled oracle
-    replays every register, estimate and telescoping term exactly."""
+    replays every register, estimate and telescoping term exactly.
+    Register rounds come from the `_hyperball_rounds_cached` materialized
+    view (q_hyperball measures them; this operator is the estimate +
+    telescoping sum)."""
     from ontoea_ray.stages.graph import harmonic_milli
-    from ontoea_ray.stages.sampling import splitmix64
 
-    edges = _copurchase_cached(sf_dir)
+    return harmonic_milli(
+        None, p=4, rounds=3, registers=_hyperball_rounds_cached(sf_dir)
+    )
 
-    def sample(b: pa.Table) -> pa.Table:
-        a = np.asarray(b["id_a"].combine_chunks(), np.int64)
-        c = np.asarray(b["id_b"].combine_chunks(), np.int64)
-        h = splitmix64((a * 100000 + c).astype(np.uint64))
-        return b.filter(pa.array(h % np.uint64(100) < np.uint64(7)))
 
-    sampled = edges.map_batches(sample, batch_format="pyarrow")
-    return harmonic_milli(sampled, p=4, rounds=3)
+def _eff_diameter_sql(p: int = 4, rounds: int = 3, pct: int = 90, sample_pct: int = 7) -> str:
+    e_ctes = _hll_e_ctes(p, rounds)
+    t_ctes = "".join(
+        f", t{r} AS (SELECT CAST(SUM(e) AS BIGINT) AS n FROM e{r})"
+        for r in range(rounds + 1)
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, tr.n AS n_milli,"
+        f" CAST(CASE WHEN 100 * tr.n >= {pct} * tf.n THEN 1 ELSE 0 END"
+        f" AS BIGINT) AS reaches_pct FROM t{r} tr, t{rounds} tf"
+        for r in range(rounds + 1)
+    )
+    return _hyperball_sql(p=p, rounds=rounds, pct=sample_pct, tail=e_ctes + t_ctes + "\n" + rows)
+
+
+@_register("q_eff_diameter", _eff_diameter_sql())
+def q_eff_diameter(sf_dir: str):
+    """Neighbourhood function + effective diameter from HyperBall
+    (`stages/graph.neighbourhood_function`) over the sampled co-purchase
+    graph: N(r) = sum of per-node integer ball estimates per round, one
+    row per round with the all-integer 100*N(r) >= 90*N(R) flag — the
+    first flagged round IS the 90% effective diameter, computed without a
+    single BFS.  Per round one combiner-first global sum; the <= R+1
+    totals compare in one tiny task.  Valid while the summed milli-mass
+    fits int64 (documented unit rescale beyond).  Register rounds come
+    from the `_hyperball_rounds_cached` materialized view."""
+    from ontoea_ray.stages.graph import neighbourhood_function
+
+    return neighbourhood_function(
+        None, p=4, rounds=3, pct=90, registers=_hyperball_rounds_cached(sf_dir)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1709,47 +1709,36 @@ def hyperball_registers(
     return per_round if keep_rounds else regs
 
 
-_HLL_RHO_CAP = 44  # keeps S = Σ 2^(cap - min(rho, cap)) and the estimate
+_HLL_RHO_CAP = 44  # rho cap of the p=4 integer HLL estimate (sketch.hll_int_params)
 _HLL_E_NUM = 673 * 256 * (1 << _HLL_RHO_CAP)  # numerator inside int64
 
 
-def harmonic_milli(
-    edges: ray.data.Dataset,
+def _hll_round_estimates(
+    edges: ray.data.Dataset | None,
     *,
-    src: str = "id_a",
-    dst: str = "id_b",
-    p: int = 4,
-    rounds: int = 3,
-) -> ray.data.Dataset:
-    """Harmonic-centrality estimates from HyperBall sketches (Boldi &
-    Vigna 2013 §5): ``H(v) = Σ_{r=1..R} (|ball_r(v)| − |ball_{r−1}(v)|)/r``
-    with ball sizes estimated per round from the node's HLL registers —
-    the centrality that per-node BFS cannot afford at graph scale.
+    src: str,
+    dst: str,
+    p: int,
+    rounds: int,
+    registers: list[ray.data.Dataset] | None = None,
+) -> list[ray.data.Dataset]:
+    """Per-round (node, round, e_milli) ball-size estimate tables from the
+    hyperball register rounds — the shared front half of harmonic
+    centrality and the neighbourhood function.  Each round folds a node's
+    ≤2^p register rows combiner-first, then one vectorized floor division
+    yields the integer HLL estimate (see `sketch.hll_int_params`).
 
-    INTEGER-EXACT estimator so the result is bit-replayable: with m=2^p=16
-    registers, the raw HLL estimate ``α_16·m²/Σ_j 2^(−M_j)`` becomes
-    ``E_milli = (673·256·2^44) // S`` where ``S = Σ_j 2^(44 − min(M_j,44))``
-    (absent slots contribute 2^44; α_16 = 0.673 = 673/1000 exactly; the
-    rho cap at 44 keeps the numerator inside int64 and costs < 2^-44 of
-    relative mass).  Registers only grow, so E_milli is nondecreasing and
-    each per-round term ``(E_r − E_{r−1}) // r`` is a nonnegative floor —
-    the oracle replays every division.  Returns ``(node, h_milli)``.
-
-    Plan: the R hyperball rounds (one hash join + keyed max-merge each),
-    then per round a combiner-first keyed sum folds each node's ≤16
-    register rows to (term_sum, slot_count) and one vectorized map yields
-    E_milli; the R+1 round tables union with a round tag through ONE
-    node-keyed exchange where the telescoping sum reduces in-partition.
-    """
+    ``registers`` lets callers supply precomputed (e.g. materialized-view
+    cached) register rounds; otherwise they are computed from ``edges``."""
     import numpy as np
 
-    from ontoea_ray.functions.shuffle import keyed_aggregate, with_partition_key
+    from ontoea_ray.functions.shuffle import keyed_aggregate
     from ontoea_ray.functions.tables import from_pandas as _fp
+    from ontoea_ray.stages.sketch import hll_estimate_milli
 
-    per_round = hyperball_registers(
+    per_round = registers if registers is not None else hyperball_registers(
         edges, src=src, dst=dst, p=p, rounds=rounds, keep_rounds=True
     )
-    m = 1 << p
     cap = _HLL_RHO_CAP
 
     tagged = []
@@ -1775,19 +1764,60 @@ def harmonic_milli(
         )
 
         def e_milli(b: pa.Table, _r=r) -> pa.Table:
-            s = np.asarray(b["term_sum"].combine_chunks(), np.int64) + (
-                m - np.asarray(b["cnt"].combine_chunks(), np.int64)
-            ) * (np.int64(1) << cap)
+            e = hll_estimate_milli(
+                np.asarray(b["term_sum"].combine_chunks(), np.int64),
+                np.asarray(b["cnt"].combine_chunks(), np.int64),
+                p,
+            )
             return pa.table(
                 {
                     "node": b["node"],
                     "round": pa.array(np.full(len(b), _r, np.int64)),
-                    "e_milli": pa.array(_HLL_E_NUM // s, pa.int64()),
+                    "e_milli": pa.array(e, pa.int64()),
                 }
             )
 
         tagged.append(folded.map_batches(e_milli, batch_format="pyarrow"))
+    return tagged
 
+
+def harmonic_milli(
+    edges: ray.data.Dataset | None,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    p: int = 4,
+    rounds: int = 3,
+    registers: list[ray.data.Dataset] | None = None,
+) -> ray.data.Dataset:
+    """Harmonic-centrality estimates from HyperBall sketches (Boldi &
+    Vigna 2013 §5): ``H(v) = Σ_{r=1..R} (|ball_r(v)| − |ball_{r−1}(v)|)/r``
+    with ball sizes estimated per round from the node's HLL registers —
+    the centrality that per-node BFS cannot afford at graph scale.
+
+    INTEGER-EXACT estimator so the result is bit-replayable: with m=2^p=16
+    registers, the raw HLL estimate ``α_16·m²/Σ_j 2^(−M_j)`` becomes
+    ``E_milli = (673·256·2^44) // S`` where ``S = Σ_j 2^(44 − min(M_j,44))``
+    (absent slots contribute 2^44; α_16 = 0.673 = 673/1000 exactly; the
+    rho cap at 44 keeps the numerator inside int64 and costs < 2^-44 of
+    relative mass).  Registers only grow, so E_milli is nondecreasing and
+    each per-round term ``(E_r − E_{r−1}) // r`` is a nonnegative floor —
+    the oracle replays every division.  Returns ``(node, h_milli)``.
+
+    Plan: the R hyperball rounds (one hash join + keyed max-merge each),
+    then per round a combiner-first keyed sum folds each node's ≤16
+    register rows to (term_sum, slot_count) and one vectorized map yields
+    E_milli; the R+1 round tables union with a round tag through ONE
+    node-keyed exchange where the telescoping sum reduces in-partition.
+    """
+    import numpy as np
+
+    from ontoea_ray.functions.shuffle import with_partition_key
+    from ontoea_ray.functions.tables import from_pandas as _fp
+
+    tagged = _hll_round_estimates(
+        edges, src=src, dst=dst, p=p, rounds=rounds, registers=registers
+    )
     allr = tagged[0]
     for t in tagged[1:]:
         allr = allr.union(t)
@@ -1804,6 +1834,73 @@ def harmonic_milli(
         return _fp(pd.DataFrame({"node": nodes_col, "h_milli": h.astype(np.int64)}))
 
     return parted.groupby("pkey").map_groups(fold, batch_format="pandas")
+
+
+def neighbourhood_function(
+    edges: ray.data.Dataset | None,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    p: int = 4,
+    rounds: int = 3,
+    pct: int = 90,
+    registers: list[ray.data.Dataset] | None = None,
+) -> ray.data.Dataset:
+    """Neighbourhood function + effective diameter from HyperBall (Boldi &
+    Vigna 2013): ``N(r) = Σ_v |ball_r(v)|`` estimated per round from the
+    integer HLL ball sketches, and the smallest radius reaching ``pct``%
+    of the converged mass — the graph's distance profile without a single
+    BFS.  Returns one row per round ``(round, n_milli, reaches_pct)``
+    where ``reaches_pct = 1`` iff ``100·N(r) ≥ pct·N(R)`` (all-integer, so
+    the oracle replays the comparison; the effective diameter is the
+    first round with the flag set).  Per round: one combiner-first global
+    sum of the per-node estimates; the ≤R+1 totals then compare in one
+    tiny task."""
+    import numpy as np
+
+    tagged = _hll_round_estimates(
+        edges, src=src, dst=dst, p=p, rounds=rounds, registers=registers
+    )
+
+    parts = None
+    for t in tagged:
+
+        def partial(b: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            df = pd.DataFrame(
+                {
+                    "round": np.asarray(b["round"].combine_chunks(), np.int64),
+                    "n_milli": np.asarray(b["e_milli"].combine_chunks(), np.int64),
+                }
+            )
+            g = df.groupby("round", sort=False)["n_milli"].sum().reset_index()
+            from ontoea_ray.functions.tables import from_pandas as _fp
+
+            return _fp(g)
+
+        d = t.map_batches(partial, batch_format="pyarrow")
+        parts = d if parts is None else parts.union(d)
+
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+
+    totals = keyed_aggregate(parts, ["round"], sums=["n_milli"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        r = np.asarray(b["round"].combine_chunks(), np.int64)
+        n = np.asarray(b["n_milli"].combine_chunks(), np.int64)
+        order = np.argsort(r)
+        r, n = r[order], n[order]
+        flag = (100 * n >= pct * n[-1]).astype(np.int64)
+        return pa.table(
+            {
+                "round": pa.array(r, pa.int64()),
+                "n_milli": pa.array(n, pa.int64()),
+                "reaches_pct": pa.array(flag, pa.int64()),
+            }
+        )
+
+    return totals.repartition(1).map_batches(finish, batch_format="pyarrow")
 
 
 def _truss_support(enc: "np.ndarray", m: int) -> "np.ndarray":

@@ -104,3 +104,34 @@ def test_harmonic_matches_scalar_replay():
     assert got == _scalar_harmonic(pairs, 3)
     # a hub (node 3: degree 4) should outrank a leaf (node 8)
     assert got[3] > got[8]
+
+
+def test_neighbourhood_function_scalar_replay():
+    from ontoea_ray.stages.graph import neighbourhood_function
+    from ontoea_ray.stages.graph import _HLL_E_NUM, _HLL_RHO_CAP
+
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (1, 7), (7, 8), (3, 9)]
+    rounds, p, cap, m = 3, 4, _HLL_RHO_CAP, 16
+    nodes = {n for e in pairs for n in e}
+    want = []
+    for r in range(rounds + 1):
+        regs = _exact_ball_registers(pairs, r, p)
+        tot = 0
+        for n in nodes:
+            slots = {s: v for (nn, s), v in regs.items() if nn == n}
+            S = sum(1 << (cap - min(v, cap)) for v in slots.values())
+            S += (m - len(slots)) * (1 << cap)
+            tot += _HLL_E_NUM // S
+        want.append(tot)
+    got = sorted(
+        (r["round"], r["n_milli"], r["reaches_pct"])
+        for r in neighbourhood_function(
+            _edges(pairs).repartition(3), p=4, rounds=rounds, pct=90
+        ).take_all()
+    )
+    assert [n for _, n, _ in got] == want
+    assert got[-1][2] == 1                       # final round always reaches
+    for r, n, f in got:
+        assert f == (1 if 100 * n >= 90 * want[-1] else 0)
+    # mass is nondecreasing with radius
+    assert all(got[i][1] <= got[i + 1][1] for i in range(rounds))
