@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "q_dsir_weights",
     "q_bm25",
     "q_domain_pagerank",
+    "q_scc_labels",
     "q_hits",
 ]
 

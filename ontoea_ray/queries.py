@@ -8501,6 +8501,54 @@ def q_hits(sf_dir: str):
     return hits_rounds(e, src="src_domain", dst="dst_domain", rounds=3)
 
 
+def _scc_sql(rounds: int = 4) -> str:
+    ctes = [
+        _OUTLINK_EDGES_CTE.strip(),
+        "e AS (SELECT src_domain AS s, dst_domain AS d FROM outlink_edges)",
+        "nodes AS (SELECT DISTINCT n FROM (SELECT s AS n FROM e UNION SELECT d FROM e))",
+        "f0 AS (SELECT n, n AS l FROM nodes)",
+        "b0 AS (SELECT n, n AS l FROM nodes)",
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"f{i + 1} AS (SELECT f{i}.n, LEAST(f{i}.l, COALESCE(m.ml, f{i}.l)) AS l"
+            f" FROM f{i} LEFT JOIN (SELECT e.s AS n, MIN(f{i}.l) AS ml"
+            f"   FROM e JOIN f{i} ON f{i}.n = e.d GROUP BY 1) m ON m.n = f{i}.n)"
+        )
+        ctes.append(
+            f"b{i + 1} AS (SELECT b{i}.n, LEAST(b{i}.l, COALESCE(m.ml, b{i}.l)) AS l"
+            f" FROM b{i} LEFT JOIN (SELECT e.d AS n, MIN(b{i}.l) AS ml"
+            f"   FROM e JOIN b{i} ON b{i}.n = e.s GROUP BY 1) m ON m.n = b{i}.n)"
+        )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT f{rounds}.n AS node, f{rounds}.l AS fmin, b{rounds}.l AS bmin,
+           CAST(CASE WHEN f{rounds}.l = b{rounds}.l THEN 1 ELSE 0 END AS BIGINT)
+             AS in_core
+    FROM f{rounds} JOIN b{rounds} ON b{rounds}.n = f{rounds}.n
+"""
+
+
+@_register("q_scc_labels", _scc_sql())
+def q_scc_labels(sf_dir: str):
+    """Forward-backward SCC coloring of the DIRECTED web domain graph
+    (`stages/graph.scc_labels`, 4 rounds): fmin/bmin = min domain
+    reachable from / reaching each node within R hops, and fmin == bmin
+    certifies membership in that minimum's strongly connected component —
+    the bowtie-structure primitive (Broder et al. 2000) behind web-graph
+    IN/OUT/CORE decomposition.  Min-label rounds are associative string
+    LEAST merges, so the unrolled oracle replays both chains; two
+    value-equal plans (single-task synchronous scatter-min under the
+    broadcast budget, per-round hash join + keyed min above)."""
+    from ontoea_ray.sources.pages import pages_from_documents
+    from ontoea_ray.stages.graph import scc_labels
+    from ontoea_ray.stages.weblinks import domain_edges
+
+    e = domain_edges(pages_from_documents(sf_dir))
+    return scc_labels(e, rounds=4)
+
+
 @_register(
     "q_domain_pagerank",
     _pagerank_sql(

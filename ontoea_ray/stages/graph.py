@@ -1836,6 +1836,132 @@ def harmonic_milli(
     return parted.groupby("pkey").map_groups(fold, batch_format="pandas")
 
 
+def scc_labels(
+    edges: ray.data.Dataset,
+    *,
+    src: str = "src_domain",
+    dst: str = "dst_domain",
+    rounds: int = 4,
+) -> ray.data.Dataset:
+    """R-round forward–backward SCC coloring of a DIRECTED edge table —
+    the bowtie-structure primitive for web graphs (Broder et al. 2000):
+    ``fmin(v)`` = min id reachable FROM v within R hops, ``bmin(v)`` = min
+    id that REACHES v within R hops, and ``fmin(v) = bmin(v) = c`` proves
+    v and c mutually reachable, i.e. v belongs to c's strongly connected
+    component (exact for every SCC of radius ≤ R; the classic FW-BW
+    algorithm recurses on the rest).  Returns ``(node, fmin, bmin,
+    in_core)`` with in_core = 1 iff fmin == bmin.
+
+    Synchronous integer/string min rounds (LEAST is associative and
+    execution-order free), so the oracle unrolls both label chains
+    exactly.  Two value-equal plans: single-task numpy scatter-min under
+    the broadcast budget (old-value pulls keep rounds synchronous); above
+    it each round is one hash join + keyed min per direction over
+    label-table-sized rows — no driver state.
+    """
+    import numpy as np
+    from ray.data.aggregate import Count, Min
+
+    from ontoea_ray.functions.broadcast import assemble_table_ref
+
+    def _proj(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "s": b[src].combine_chunks().cast(pa.string()),
+                "d": b[dst].combine_chunks().cast(pa.string()),
+            }
+        )
+
+    e, tbl_ref = assemble_table_ref(
+        compact(edges.map_batches(_proj, batch_format="pyarrow")), columns=["s", "d"]
+    )
+    if tbl_ref is not None:
+        _rounds = rounds
+
+        @ray.remote
+        def _scc(tref) -> pa.Table:
+            import numpy as np
+
+            s = tref["s"].to_pandas().to_numpy(object)
+            d = tref["d"].to_pandas().to_numpy(object)
+            nodes, inv = np.unique(np.concatenate([s, d]), return_inverse=True)
+            si, di = inv[: len(s)], inv[len(s):]
+            f = np.arange(len(nodes))
+            b = np.arange(len(nodes))
+            for _ in range(_rounds):
+                # pulls read OLD values so each round is synchronous
+                pf = f[di]
+                pb = b[si]
+                nf, nb = f.copy(), b.copy()
+                np.minimum.at(nf, si, pf)
+                np.minimum.at(nb, di, pb)
+                f, b = nf, nb
+            return pa.table(
+                {
+                    "node": pa.array(nodes.astype(str), pa.string()),
+                    "fmin": pa.array(nodes[f].astype(str), pa.string()),
+                    "bmin": pa.array(nodes[b].astype(str), pa.string()),
+                    "in_core": pa.array((f == b).astype(np.int64), pa.int64()),
+                }
+            )
+
+        return ray.data.from_arrow_refs([_scc.remote(tbl_ref)])
+
+    width = sized_width(e.size_bytes())
+
+    def _nodes_part(b: pa.Table) -> pa.Table:
+        u = pc.unique(
+            pa.chunked_array([b["s"].combine_chunks(), b["d"].combine_chunks()])
+        )
+        return pa.table({"node": u})
+
+    nodes = (
+        e.map_batches(_nodes_part, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"])
+        .materialize()
+    )
+
+    def seed(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b["node"], "lbl": b["node"]})
+
+    lbls = {"f": nodes.map_batches(seed, batch_format="pyarrow"),
+            "b": nodes.map_batches(seed, batch_format="pyarrow")}
+    pulls = {"f": ("d", "s"), "b": ("s", "d")}  # join labels at X, emit at Y
+    for _ in range(rounds):
+        for dirn, (at, out) in pulls.items():
+            cur = lbls[dirn].materialize()
+            moved = hash_join(e, cur, on=[at], right_on=["node"], width=width).map_batches(
+                lambda b, _o=out: pa.table({"node": b[_o], "lbl": b["lbl"]}),
+                batch_format="pyarrow",
+            )
+            lbls[dirn] = (
+                compact(moved.union(cur), width=width)
+                .groupby("node")
+                .aggregate(Min("lbl", alias_name="lbl"))
+            )
+    joined = hash_join(
+        lbls["f"].map_batches(
+            lambda b: pa.table({"node": b["node"], "fmin": b["lbl"]}),
+            batch_format="pyarrow",
+        ),
+        lbls["b"].map_batches(
+            lambda b: pa.table({"node": b["node"], "bmin": b["lbl"]}),
+            batch_format="pyarrow",
+        ),
+        on=["node"],
+        width=width,
+    )
+    return joined.map_batches(
+        lambda b: b.append_column(
+            "in_core",
+            pc.cast(pc.equal(b["fmin"], b["bmin"]), pa.int64()),
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def neighbourhood_function(
     edges: ray.data.Dataset | None,
     *,

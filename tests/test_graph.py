@@ -746,3 +746,57 @@ def test_clustering_counts_random_graph_plans_equal(ray_session, monkeypatch):
         for r in clustering_counts(e_d.repartition(7)).take_all()
     }
     assert dist == want
+
+
+def test_scc_labels_hand_digraph(ray_session):
+    from ontoea_ray.stages.graph import scc_labels
+
+    # cycle a->b->c->a (one SCC), chain c->d->e, back-edge e->d (SCC {d,e})
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"), ("e", "d")]
+    e = ray.data.from_arrow(
+        pa.table(
+            {
+                "src_domain": pa.array([s for s, _ in edges], pa.string()),
+                "dst_domain": pa.array([d for _, d in edges], pa.string()),
+            }
+        )
+    )
+    rows = {r["node"]: (r["fmin"], r["bmin"], r["in_core"])
+            for r in scc_labels(e, rounds=4).take_all()}
+    # SCC {a,b,c}: every member reaches and is reached by 'a'
+    for n in "abc":
+        assert rows[n] == ("a", "a", 1)
+    # SCC {d,e}: fmin = 'a' (reachable forward) but bmin differs for
+    # members whose min-reacher is 'a' too -> d,e are reached BY a but
+    # cannot reach back: fmin(d) = 'd'?  d reaches {d, e} -> fmin 'd';
+    # bmin(d) = 'a' (a reaches d) -> not in 'a' core.
+    assert rows["d"] == ("d", "a", 0)
+    assert rows["e"] == ("d", "a", 0)
+
+
+def test_scc_labels_plans_equal(ray_session, monkeypatch):
+    import numpy as np
+
+    from ontoea_ray.stages.graph import scc_labels
+
+    rng = np.random.default_rng(17)
+    raw = rng.integers(0, 25, size=(120, 2))
+    raw = raw[raw[:, 0] != raw[:, 1]]
+    e = ray.data.from_arrow(
+        pa.table(
+            {
+                "src_domain": pa.array([f"n{a:02d}" for a in raw[:, 0]]),
+                "dst_domain": pa.array([f"n{b:02d}" for b in raw[:, 1]]),
+            }
+        )
+    )
+    bcast = sorted(
+        (r["node"], r["fmin"], r["bmin"], r["in_core"])
+        for r in scc_labels(e, rounds=4).take_all()
+    )
+    monkeypatch.setenv("ONTOEA_BROADCAST_BUDGET_BYTES", "1")
+    dist = sorted(
+        (r["node"], r["fmin"], r["bmin"], r["in_core"])
+        for r in scc_labels(e.repartition(5), rounds=4).take_all()
+    )
+    assert dist == bcast
