@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "q_adaptive_filter",
     "q_pii_scrub",
     "q_domain_cap",
+    "q_temperature_mix",
     "q_bigram_freq",
     "q_tfidf",
     "q_phrase_search",

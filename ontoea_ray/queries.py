@@ -2820,6 +2820,103 @@ def q_group_quantiles(sf_dir: str):
     return compact(docs).groupby("lang").map_groups(grp, batch_format="pandas")
 
 
+_TEMP_MIX_SQL = f"""
+    WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+    mn AS (SELECT MIN(n) AS nmin FROM c),
+    q0 AS (SELECT source, n, (100000000 * mn.nmin) // n AS x,
+                  CAST(FLOOR(SQRT(CAST((100000000 * mn.nmin) // n AS DOUBLE)))
+                       AS BIGINT) AS s0
+           FROM c, mn),
+    q AS (SELECT source, n,
+                 CASE WHEN (s0 + 1) * (s0 + 1) <= x THEN s0 + 1
+                      WHEN s0 * s0 > x THEN s0 - 1 ELSE s0 END AS bps
+          FROM q0),
+    {splitmix64_ctes("documents", "doc_id")}
+    SELECT d.source, q.bps AS keep_bps, CAST(q.n AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN d._h % 10000 < q.bps THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept
+    FROM sm3 d JOIN q ON q.source = d.source
+    GROUP BY 1, 2, 3
+"""
+
+
+@_register("q_temperature_mix", _TEMP_MIX_SQL)
+def q_temperature_mix(sf_dir: str):
+    """Temperature-based source rebalancing (T=2, the multilingual-mix
+    downsampler: kept docs per source proportional to sqrt(n_s), so large
+    sources stop drowning small ones without discarding them entirely):
+    keep-probability bps(s) = isqrt(10^8 · n_min / n_s), EXACT integer
+    square root on both sides (the oracle corrects FLOOR(SQRT(double))
+    with a ±1 integer check, so the boundary is bit-stable), and the
+    per-doc keep decision is the engine-wide splitmix64(doc_id) % 10^4
+    threshold.  Pass 1 counts per source combiner-first; the per-source
+    probability table is manifest-scale and rides to the filter through
+    the planner-routed broadcast join; pass 2 counts kept docs.  Output:
+    (source, keep_bps, n_total, n_kept)."""
+    import math
+
+    from ontoea_ray.functions.join import hash_join
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+    from ontoea_ray.stages.sampling import splitmix64
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    counts = keyed_aggregate(docs, ["source"], count_alias="n")
+
+    from ontoea_ray.functions.broadcast import assemble_table_ref
+
+    _, cref = assemble_table_ref(counts, columns=["source", "n"])
+    assert cref is not None, "per-source count table is manifest-scale"
+
+    @ray.remote
+    def probs(tref) -> pa.Table:
+        t = tref if not isinstance(tref, ray.ObjectRef) else ray.get(tref)
+        n = np.asarray(t["n"].combine_chunks(), np.int64)
+        nmin = int(n.min())
+        bps = np.array(
+            [math.isqrt((100_000_000 * nmin) // int(v)) for v in n], np.int64
+        )
+        return pa.table(
+            {
+                "source": t["source"],
+                "n_total": pa.array(n, pa.int64()),
+                "keep_bps": pa.array(bps, pa.int64()),
+            }
+        )
+
+    ptab = ray.data.from_arrow_refs([probs.remote(cref)])
+    joined = hash_join(docs, ptab, on=["source"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = splitmix64(
+            np.asarray(b["doc_id"].combine_chunks(), np.int64).astype(np.uint64)
+        )
+        kept = (
+            (h % np.uint64(10_000)).astype(np.int64)
+            < np.asarray(b["keep_bps"].combine_chunks(), np.int64)
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "source": b["source"].to_pandas(),
+                "keep_bps": np.asarray(b["keep_bps"].combine_chunks(), np.int64),
+                "n_total": np.asarray(b["n_total"].combine_chunks(), np.int64),
+                "n_kept": kept,
+            }
+        )
+        g = (
+            df.groupby(["source", "keep_bps", "n_total"], sort=False)["n_kept"]
+            .sum()
+            .reset_index()
+        )
+        g["n_kept"] = g["n_kept"].astype(np.int64)
+        return _from_pandas_clean(g)
+
+    return keyed_aggregate(
+        joined.map_batches(partial, batch_format="pyarrow"),
+        ["source", "keep_bps", "n_total"],
+        sums=["n_kept"],
+    )
+
+
 _ADAPTIVE_Q_SQL = """
     WITH th AS (SELECT lang, CAST(quantile_disc(n_chars, 0.10) AS BIGINT) AS p10
                 FROM documents GROUP BY 1)
