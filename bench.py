@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "q_bigram_freq",
     "q_tfidf",
     "q_phrase_search",
+    "q_mention_contexts",
     "q_quantiles",
     "q_dup_clusters",
     "q_decontaminate",
@@ -152,6 +153,7 @@ BENCH_QUERIES = [
     "q_warclite_roundtrip",
     "q_robots_filter",
     "q_domain_indegree",
+    "q_reciprocity",
     "q_anchor_text",
     "q_random_walks",
     "q_walk_pairs",

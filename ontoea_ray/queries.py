@@ -1231,6 +1231,79 @@ def q_inverted_postings(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+_KWIC_TERMS = ("hash", "join", "sort")
+
+_KWIC_SQL = f"""
+    WITH p AS (SELECT doc_id, unnest(t) AS token,
+                      CAST(unnest(range(1, len(t) + 1)) - 1 AS BIGINT) AS pos
+               FROM (SELECT doc_id, str_split(text, ' ') AS t FROM documents)),
+    m AS (SELECT doc_id, pos, token FROM p
+          WHERE token IN {str(tuple(_KWIC_TERMS))})
+    SELECT m.token AS term,
+           COALESCE(l.token, '^') AS left_tok,
+           COALESCE(r.token, '$') AS right_tok,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM m
+    LEFT JOIN p l ON l.doc_id = m.doc_id AND l.pos = m.pos - 1
+    LEFT JOIN p r ON r.doc_id = m.doc_id AND r.pos = m.pos + 1
+    GROUP BY 1, 2, 3
+"""
+
+
+@_register("q_mention_contexts", _KWIC_SQL)
+def q_mention_contexts(sf_dir: str):
+    """KWIC mention-context table — the disambiguation-feature extractor
+    an entity linker trains its context priors from: for every corpus
+    occurrence of a gazetteer term, its (left, right) neighbour tokens
+    ('^'/'$' at document edges), reduced to (term, left, right) counts.
+    Context gathering is a pure per-batch vectorized index+-1 take over
+    the flattened token array (document boundaries masked from the list
+    offsets — no positional join, no shuffle of the corpus); only the
+    counted context triples reach the one keyed exchange.  The oracle
+    takes the positional-postings double self-join form; values must
+    agree."""
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+    from ontoea_ray.functions.text import tokenize
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    terms = set(_KWIC_TERMS)
+
+    def contexts(b: pa.Table) -> pa.Table:
+        toks = tokenize(b["text"].combine_chunks())
+        flat = toks.flatten().to_pandas().to_numpy(object)
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(flat) == 0:
+            return _from_pandas_clean(
+                pd.DataFrame(
+                    {
+                        "term": pd.Series([], dtype=object),
+                        "left_tok": pd.Series([], dtype=object),
+                        "right_tok": pd.Series([], dtype=object),
+                        "n": pd.Series([], dtype=np.int64),
+                    }
+                )
+            )
+        starts = np.zeros(len(flat), bool)
+        starts[offs[:-1][offs[:-1] < len(flat)]] = True
+        ends = np.zeros(len(flat), bool)
+        ends[offs[1:][offs[1:] <= len(flat)] - 1] = True
+        hit = np.flatnonzero(np.isin(flat, list(terms)))
+        left = np.where(starts[hit], "^", flat[np.maximum(hit - 1, 0)])
+        right = np.where(ends[hit], "$", flat[np.minimum(hit + 1, len(flat) - 1)])
+        df = pd.DataFrame(
+            {"term": flat[hit], "left_tok": left, "right_tok": right}
+        )
+        g = df.groupby(["term", "left_tok", "right_tok"], sort=False).size().reset_index(name="n")
+        g["n"] = g["n"].astype(np.int64)
+        return _from_pandas_clean(g)
+
+    return keyed_aggregate(
+        ds.map_batches(contexts, batch_format="pyarrow"),
+        ["term", "left_tok", "right_tok"],
+        sums=["n"],
+    )
+
+
 _PHRASE = ("hash", "join")
 
 _PHRASE_SQL = f"""
@@ -8596,6 +8669,86 @@ def q_hits(sf_dir: str):
 
     e = domain_edges(pages_from_documents(sf_dir))
     return hits_rounds(e, src="src_domain", dst="dst_domain", rounds=3)
+
+
+_RECIPROCITY_SQL = f"""
+    WITH {_OUTLINK_EDGES_CTE.strip()},
+    e AS (SELECT DISTINCT src_domain AS s, dst_domain AS d
+          FROM outlink_edges WHERE src_domain <> dst_domain)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+           CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM e r
+                                      WHERE r.s = e.d AND r.d = e.s)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_reciprocal
+    FROM e
+"""
+
+
+@_register("q_reciprocity", _RECIPROCITY_SQL)
+def q_reciprocity(sf_dir: str):
+    """Link reciprocity of the directed web domain graph (distinct
+    non-self edges with an existing reverse edge) — the classic directed-
+    graph statistic separating mutual-citation cores from one-way link
+    farms.  ONE canonical-pair exchange answers it without a self-join:
+    each distinct edge maps to key (min(s,d), max(s,d)) with a direction
+    bit, and a keyed sum of the two bits decides reciprocity per pair —
+    both directions of a pair always co-locate, so the count is a
+    combiner-first aggregate over pair keys.  The oracle takes the EXISTS
+    self-join form; values must agree."""
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+    from ontoea_ray.sources.pages import pages_from_documents
+    from ontoea_ray.stages.weblinks import domain_edges
+
+    e = domain_edges(pages_from_documents(sf_dir))
+
+    def canon(b: pa.Table) -> pa.Table:
+        s = b["src_domain"].to_pandas().to_numpy(object)
+        d = b["dst_domain"].to_pandas().to_numpy(object)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        fwd = s < d
+        lo = np.where(fwd, s, d)
+        hi = np.where(fwd, d, s)
+        df = pd.DataFrame(
+            {
+                "lo": lo,
+                "hi": hi,
+                "has_fwd": fwd.astype(np.int64),
+                "has_rev": (~fwd).astype(np.int64),
+            }
+        )
+        g = df.groupby(["lo", "hi"], sort=False)[["has_fwd", "has_rev"]].max().reset_index()
+        return _from_pandas_clean(g)
+
+    pairs = keyed_aggregate(
+        e.map_batches(canon, batch_format="pyarrow"),
+        ["lo", "hi"],
+        maxs=["has_fwd", "has_rev"],
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        f = np.asarray(b["has_fwd"].combine_chunks(), np.int64)
+        r = np.asarray(b["has_rev"].combine_chunks(), np.int64)
+        both = f & r
+        n_edges = int((f + r).sum())
+        n_recip = int((2 * both).sum())
+        return pa.table(
+            {
+                "n_edges": pa.array([n_edges], pa.int64()),
+                "n_reciprocal": pa.array([n_recip], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    partials = pairs.map_batches(finish, batch_format="pyarrow")
+    return (
+        compact(partials, width=1)
+        .groupby(None)
+        .aggregate(
+            Sum("n_edges", alias_name="n_edges"),
+            Sum("n_reciprocal", alias_name="n_reciprocal"),
+        )
+    )
 
 
 def _scc_sql(rounds: int = 4) -> str:
