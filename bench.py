@@ -30,6 +30,7 @@ BENCH_QUERIES = [
     "q_term_freq",
     "q_dedup_exact",
     "q_minhash_lsh",
+    "q_prefix_jaccard",
     "q_surface_blocking",
     "q_simhash",
     "q_ann_topk",

@@ -1231,6 +1231,35 @@ def q_inverted_postings(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+_PREFIX_JACCARD_SQL = """
+    WITH tok AS (SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS token
+                 FROM documents),
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM tok GROUP BY 1),
+    i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+          FROM tok a JOIN tok b ON b.token = a.token AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+    SELECT i.id_a, i.id_b
+    FROM i JOIN sz sa ON sa.doc_id = i.id_a JOIN sz sb ON sb.doc_id = i.id_b
+    WHERE 1500 * i.i >= 500 * (sa.sz + sb.sz)
+"""
+
+
+@_register("q_prefix_jaccard", _PREFIX_JACCARD_SQL)
+def q_prefix_jaccard(sf_dir: str):
+    """Exact unigram-set Jaccard >= 0.5 pairs by PREFIX FILTERING
+    (`stages/dedup.prefix_jaccard_pairs`, PPJoin family): candidates come
+    only from shared rarest-first prefix tokens (sz - ceil(t*sz) + 1 per
+    doc), which is provably lossless for J >= t while skipping the
+    stop-word buckets that dominate the naive token join; survivors are
+    verified exactly on the candidate set only.  The oracle is
+    deliberately the PLAIN all-pairs exact join, so the value hash checks
+    losslessness itself — a dropped true pair fails the gate."""
+    from ontoea_ray.stages.dedup import prefix_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return prefix_jaccard_pairs(ds, threshold_milli=500)
+
+
 _KWIC_TERMS = ("hash", "join", "sort")
 
 _KWIC_SQL = f"""

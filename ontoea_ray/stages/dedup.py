@@ -1117,3 +1117,148 @@ def dedup_tiles(
         )
 
     return by_doc.groupby("pkey").map_groups(rebuild, batch_format="pandas")
+
+
+def prefix_jaccard_pairs(
+    docs: ray.data.Dataset,
+    *,
+    threshold_milli: int = 500,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_group: int = 1000,
+) -> ray.data.Dataset:
+    """EXACT unigram-set Jaccard join by PREFIX FILTERING (Chaudhuri et
+    al. 2006 / PPJoin, Xiao et al. 2008) — the third set-similarity join
+    strategy next to all-pairs (`jaccard_pairs`) and approximate LSH:
+    order every document's distinct tokens by ascending global document
+    frequency (rarest first, ties by token), keep only the first
+    ``sz − ceil(t·sz) + 1`` as its PREFIX, and enumerate candidate pairs
+    only from shared PREFIX tokens — any pair with Jaccard ≥ t provably
+    shares one, so the filter is lossless while skipping the stop-word
+    buckets that dominate the naive token join.  Candidates are then
+    verified exactly against the two docs' full sorted token sets.
+
+    Integer threshold: keep iff ``(1000+thr)·|A∩B| ≥ thr·(|A|+|B|)``
+    (equivalent to J ≥ thr/1000), so the DuckDB oracle — the PLAIN exact
+    join, deliberately not the prefix plan — value-checks losslessness.
+
+    Shuffle shape: one token-df exchange, one doc co-location for the
+    prefix mark, one PREFIX-token exchange for candidates (the big win:
+    prefix tokens are the rare ones), then candidate-keyed joins shipping
+    the two token lists per surviving pair.  The per-pair verify is a
+    sorted-array intersect over the CANDIDATE set only — candidate-sized,
+    never corpus-sized.
+    """
+
+    from ontoea_ray.functions.join import hash_join
+    from ontoea_ray.functions.shuffle import keyed_aggregate, with_partition_key
+    from ontoea_ray.functions.text import tokenize
+
+    thr = threshold_milli
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].to_pylist(), np.int64)
+        toks = tokenize(batch[text_col].combine_chunks())
+        flat = toks.flatten().to_pandas().to_numpy(object)
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        rep = np.diff(offs)
+        df = pd.DataFrame(
+            {id_col: np.repeat(ids, rep), "token": flat}
+        ).drop_duplicates()
+        df["sz"] = df.groupby(id_col, sort=False)["token"].transform("size").astype(np.int64)
+        return _from_pandas_clean(df)
+
+    rows = docs.map_batches(explode, batch_format="pyarrow")
+    dfreq = keyed_aggregate(
+        rows.map_batches(
+            lambda b: pa.table({"token": b["token"]}), batch_format="pyarrow"
+        ),
+        ["token"],
+        count_alias="df",
+    )
+    joined = hash_join(rows, dfreq, on=["token"])
+
+    # prefix length: sz - ceil(thr/1000 * sz) + 1, integer:
+    # ceil(thr*sz/1000) = (thr*sz + 999) // 1000
+    def prefix_mark(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values([id_col, "df", "token"], kind="mergesort")
+        sz = g["sz"].to_numpy(np.int64)
+        ids = g[id_col].to_numpy(np.int64)
+        n = len(ids)
+        if n == 0:
+            return _from_pandas_clean(
+                pd.DataFrame(
+                    {
+                        id_col: pd.Series([], dtype=np.int64),
+                        "token": pd.Series([], dtype=object),
+                        "sz": pd.Series([], dtype=np.int64),
+                    }
+                )
+            )
+        starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        seg = np.repeat(np.arange(len(starts)), np.diff(np.r_[starts, n]))
+        rnk = np.arange(n) - starts[seg]
+        plen = sz - ((thr * sz + 999) // 1000) + 1
+        keep = rnk < plen
+        out = g.loc[keep, [id_col, "token", "sz"]]
+        return _from_pandas_clean(out)
+
+    parted = with_partition_key(joined, [id_col])
+    prefix = parted.groupby("pkey").map_groups(prefix_mark, batch_format="pandas")
+
+    cand_raw = with_partition_key(prefix, ["token"]).groupby("pkey").map_groups(
+        _pairs_from_bucket_block(
+            id_col, max_group, keys=("token",), distinct=True, size_col="sz"
+        ),
+        batch_format="pandas",
+    )
+    cand = keyed_aggregate(
+        cand_raw, ["id_a", "id_b"], maxs=["sz_a", "sz_b"]
+    )
+
+    def lists(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].to_pylist(), np.int64)
+        toks = tokenize(batch[text_col].combine_chunks())
+        flat = toks.flatten().to_pandas().to_numpy(object)
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        out_ids, out_lists = [], []
+        for i, did in enumerate(ids):
+            t = sorted(set(flat[offs[i]:offs[i + 1]].tolist()))
+            out_ids.append(did)
+            out_lists.append(t)
+        return pa.table(
+            {
+                "did": pa.array(out_ids, pa.int64()),
+                "toks": pa.array(out_lists, pa.list_(pa.string())),
+            }
+        )
+
+    tok_lists = docs.map_batches(lists, batch_format="pyarrow")
+    with_a = hash_join(cand, tok_lists, on=["id_a"], right_on=["did"]).map_batches(
+        lambda b: pa.table(
+            {
+                "id_a": b["id_a"], "id_b": b["id_b"],
+                "sz_a": b["sz_a"], "sz_b": b["sz_b"], "toks_a": b["toks"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    with_ab = hash_join(with_a, tok_lists, on=["id_b"], right_on=["did"])
+
+    def verify(b: pa.Table) -> pa.Table:
+        ta = b["toks_a"].to_pylist()
+        tb = b["toks"].to_pylist()
+        sa = np.asarray(b["sz_a"].combine_chunks(), np.int64)
+        sb = np.asarray(b["sz_b"].combine_chunks(), np.int64)
+        inter = np.array(
+            [len(np.intersect1d(x, y)) for x, y in zip(ta, tb)], np.int64
+        ) if len(ta) else np.zeros(0, np.int64)
+        keep = (1000 + thr) * inter >= thr * (sa + sb)
+        return pa.table(
+            {
+                "id_a": pc.array_filter(b["id_a"].combine_chunks(), pa.array(keep)),
+                "id_b": pc.array_filter(b["id_b"].combine_chunks(), pa.array(keep)),
+            }
+        )
+
+    return with_ab.map_batches(verify, batch_format="pyarrow")
