@@ -1232,11 +1232,15 @@ def q_inverted_postings(sf_dir: str):
 
 
 _PREFIX_JACCARD_SQL = """
-    WITH tok AS (SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS token
-                 FROM documents),
-    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM tok GROUP BY 1),
+    WITH toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+           unnest(CASE WHEN len(t) >= 3
+                  THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
+                  ELSE [array_to_string(t, ' ')] END) AS s
+           FROM toks),
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY 1),
     i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-          FROM tok a JOIN tok b ON b.token = a.token AND a.doc_id < b.doc_id
+          FROM sh a JOIN sh b ON b.s = a.s AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
     SELECT i.id_a, i.id_b
     FROM i JOIN sz sa ON sa.doc_id = i.id_a JOIN sz sb ON sb.doc_id = i.id_b
@@ -1246,18 +1250,20 @@ _PREFIX_JACCARD_SQL = """
 
 @_register("q_prefix_jaccard", _PREFIX_JACCARD_SQL)
 def q_prefix_jaccard(sf_dir: str):
-    """Exact unigram-set Jaccard >= 0.5 pairs by PREFIX FILTERING
+    """Exact 3-gram-shingle Jaccard >= 0.5 pairs by PREFIX FILTERING
     (`stages/dedup.prefix_jaccard_pairs`, PPJoin family): candidates come
-    only from shared rarest-first prefix tokens (sz - ceil(t*sz) + 1 per
-    doc), which is provably lossless for J >= t while skipping the
-    stop-word buckets that dominate the naive token join; survivors are
-    verified exactly on the candidate set only.  The oracle is
-    deliberately the PLAIN all-pairs exact join, so the value hash checks
-    losslessness itself — a dropped true pair fails the gate."""
+    only from shared rarest-first prefix shingles (sz - ceil(t*sz) + 1 per
+    doc), which is provably lossless for J >= t while skipping the hot
+    buckets that dominate the naive shingle join; survivors are verified
+    exactly on the candidate set only.  Same shingle space and threshold
+    as q_jaccard_pairs, so the two plans are directly comparable.  The
+    oracle is deliberately the PLAIN all-pairs exact join, so the value
+    hash checks losslessness itself — a dropped true pair fails the
+    gate."""
     from ontoea_ray.stages.dedup import prefix_jaccard_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return prefix_jaccard_pairs(ds, threshold_milli=500)
+    return prefix_jaccard_pairs(ds, threshold_milli=500, shingle_n=3)
 
 
 _KWIC_TERMS = ("hash", "join", "sort")

@@ -1123,14 +1123,15 @@ def prefix_jaccard_pairs(
     docs: ray.data.Dataset,
     *,
     threshold_milli: int = 500,
+    shingle_n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_group: int = 1000,
 ) -> ray.data.Dataset:
-    """EXACT unigram-set Jaccard join by PREFIX FILTERING (Chaudhuri et
+    """EXACT shingle-set Jaccard join by PREFIX FILTERING (Chaudhuri et
     al. 2006 / PPJoin, Xiao et al. 2008) — the third set-similarity join
     strategy next to all-pairs (`jaccard_pairs`) and approximate LSH:
-    order every document's distinct tokens by ascending global document
+    order every document's distinct n-gram shingles by ascending global document
     frequency (rarest first, ties by token), keep only the first
     ``sz − ceil(t·sz) + 1`` as its PREFIX, and enumerate candidate pairs
     only from shared PREFIX tokens — any pair with Jaccard ≥ t provably
@@ -1152,19 +1153,13 @@ def prefix_jaccard_pairs(
 
     from ontoea_ray.functions.join import hash_join
     from ontoea_ray.functions.shuffle import keyed_aggregate, with_partition_key
-    from ontoea_ray.functions.text import tokenize
 
     thr = threshold_milli
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch[id_col].to_pylist(), np.int64)
-        toks = tokenize(batch[text_col].combine_chunks())
-        flat = toks.flatten().to_pandas().to_numpy(object)
-        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        rep = np.diff(offs)
-        df = pd.DataFrame(
-            {id_col: np.repeat(ids, rep), "token": flat}
-        ).drop_duplicates()
+        df = shingle_strings(batch[text_col], ids, shingle_n)
+        df = df.rename(columns={"id": id_col, "shingle": "token"})
         df["sz"] = df.groupby(id_col, sort=False)["token"].transform("size").astype(np.int64)
         return _from_pandas_clean(df)
 
@@ -1217,20 +1212,24 @@ def prefix_jaccard_pairs(
     )
 
     def lists(batch: pa.Table) -> pa.Table:
+        # sorted-distinct shingle list per doc, fully vectorized: distinct
+        # (id, shingle) rows sort once, list offsets come from the id runs
         ids = np.asarray(batch[id_col].to_pylist(), np.int64)
-        toks = tokenize(batch[text_col].combine_chunks())
-        flat = toks.flatten().to_pandas().to_numpy(object)
-        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        out_ids, out_lists = [], []
-        for i, did in enumerate(ids):
-            t = sorted(set(flat[offs[i]:offs[i + 1]].tolist()))
-            out_ids.append(did)
-            out_lists.append(t)
+        df = (
+            shingle_strings(batch[text_col], ids, shingle_n)
+            .rename(columns={"shingle": "t"})
+            .sort_values(["id", "t"], kind="mergesort")
+        )
+        uid = df["id"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]]) if len(uid) else np.zeros(0, np.int64)
+        counts = np.diff(np.r_[starts, len(uid)])
+        loffs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+        arr = pa.ListArray.from_arrays(
+            pa.array(loffs, pa.int32()), pa.array(df["t"].to_numpy(object), pa.string())
+        )
+        present = uid[starts] if len(uid) else np.zeros(0, np.int64)
         return pa.table(
-            {
-                "did": pa.array(out_ids, pa.int64()),
-                "toks": pa.array(out_lists, pa.list_(pa.string())),
-            }
+            {"did": pa.array(present, pa.int64()), "toks": arr}
         )
 
     tok_lists = docs.map_batches(lists, batch_format="pyarrow")
@@ -1246,13 +1245,28 @@ def prefix_jaccard_pairs(
     with_ab = hash_join(with_a, tok_lists, on=["id_b"], right_on=["did"])
 
     def verify(b: pa.Table) -> pa.Table:
-        ta = b["toks_a"].to_pylist()
-        tb = b["toks"].to_pylist()
+        # vectorized per-pair set intersection: explode both token lists
+        # with their pair index and inner-merge on (pair, token) — one
+        # hash merge for the whole batch instead of a Python pair loop
+        n_pairs = len(b)
         sa = np.asarray(b["sz_a"].combine_chunks(), np.int64)
         sb = np.asarray(b["sz_b"].combine_chunks(), np.int64)
-        inter = np.array(
-            [len(np.intersect1d(x, y)) for x, y in zip(ta, tb)], np.int64
-        ) if len(ta) else np.zeros(0, np.int64)
+
+        def _explode(col):
+            arr = b[col].combine_chunks()
+            offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            return pd.DataFrame(
+                {
+                    "p": np.repeat(np.arange(n_pairs), np.diff(offs)),
+                    "t": arr.flatten().to_pandas().to_numpy(object),
+                }
+            )
+
+        if n_pairs:
+            m = _explode("toks_a").merge(_explode("toks"), on=["p", "t"])
+            inter = np.bincount(m["p"].to_numpy(np.int64), minlength=n_pairs).astype(np.int64)
+        else:
+            inter = np.zeros(0, np.int64)
         keep = (1000 + thr) * inter >= thr * (sa + sb)
         return pa.table(
             {
