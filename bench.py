@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "q_cmin_topk",
     "q_pack_sequences",
     "q_quality_filter",
+    "q_compress_ratio",
     "q_adaptive_filter",
     "q_pii_scrub",
     "q_domain_cap",

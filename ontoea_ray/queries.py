@@ -3025,6 +3025,39 @@ def q_temperature_mix(sf_dir: str):
     )
 
 
+@_register("q_compress_ratio")
+def q_compress_ratio(sf_dir: str):
+    """Compression-ratio quality signal (no SQL oracle — zlib is
+    deterministic but not SQL-expressible; pytest pins golden values):
+    ``ratio_milli = 1000 * deflate_len(text) / len(text)`` per document —
+    the RefinedWeb/Gopher-family heuristic where highly repetitive or
+    templated text compresses far below prose (low ratio → machine
+    boilerplate, high → random-like noise).  zlib level is pinned at 6 so
+    the value is a pure function of the bytes; the scan is embarrassingly
+    parallel (per-doc C-library call inside map_batches, no shuffle at
+    all), returning (doc_id, n_bytes, comp_bytes, ratio_milli)."""
+    import zlib
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def ratios(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"].combine_chunks(), np.int64)
+        texts = b["text"].to_pylist()
+        raw = [t.encode("utf-8") for t in texts]
+        nb = np.array([len(x) for x in raw], np.int64)
+        cb = np.array([len(zlib.compress(x, 6)) for x in raw], np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_bytes": pa.array(nb, pa.int64()),
+                "comp_bytes": pa.array(cb, pa.int64()),
+                "ratio_milli": pa.array(1000 * cb // np.maximum(nb, 1), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(ratios, batch_format="pyarrow")
+
+
 _ADAPTIVE_Q_SQL = """
     WITH th AS (SELECT lang, CAST(quantile_disc(n_chars, 0.10) AS BIGINT) AS p10
                 FROM documents GROUP BY 1)
