@@ -373,6 +373,42 @@ def build_lsh_index(
     return meta
 
 
+def lsh_index_upsert(
+    embeddings: ray.data.Dataset,
+    index_dir: str,
+) -> dict:
+    """Incremental INSERT into a :func:`build_lsh_index` directory — the
+    index-maintenance path a 10^12-row store needs (a nightly crawl
+    increment must not trigger a full rebuild): the increment is bucketed
+    with the PERSISTED plane matrix (never re-drawn — signatures stay
+    comparable across generations) and written as NEW parquet files inside
+    the same ``bucket=<sig>`` partitions; readers list every file per
+    bucket, so queries see old + new rows with no index rewrite and no
+    coordination beyond the filesystem append.
+
+    Append-only semantics: rows are INSERTS of new ids.  Re-inserting an
+    existing id duplicates it in its bucket (both rows would surface as
+    candidates); delete/update needs a tombstone generation scheme on top.
+
+    Returns the (unchanged) index meta plus ``n_added``."""
+    with open(os.path.join(index_dir, "_meta.json")) as f:
+        meta = json.load(f)
+    planes = np.load(os.path.join(index_dir, "_planes.npy"))
+    vec_col = meta["vec_col"]
+    planes_ref = ray.put(planes)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        pl = ray.get(planes_ref)
+        sigs = hyperplane_signatures(_batch_vectors(batch, vec_col), pl)
+        batch = batch.replace_schema_metadata(None)
+        return batch.append_column("bucket", pa.array(sigs, pa.int64()))
+
+    bucketed = embeddings.map_batches(add_bucket, batch_format="pyarrow")
+    bucketed.write_parquet(index_dir, partition_cols=["bucket"])
+    n_added = embeddings.count()
+    return {**meta, "n_added": n_added}
+
+
 def lsh_index_topk(
     index_dir: str,
     query_vectors: np.ndarray,

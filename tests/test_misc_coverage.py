@@ -358,3 +358,38 @@ def test_pq_codebooks_deterministic_and_subspace_shaped(tmp_path):
     )
     assert a.shape == (2, 4, 8)
     assert (a == b).all()
+
+
+def test_lsh_index_upsert_equals_full_build(tmp_path):
+    """Incremental insert: build on half, upsert the rest -> queries answer
+    identically to a from-scratch full build (same seed = same planes)."""
+    from ontoea_ray.stages.ann import build_lsh_index, lsh_index_topk, lsh_index_upsert
+
+    rng = np.random.default_rng(21)
+    centers = rng.standard_normal((4, 16)) * 3
+    vecs = [centers[i % 4] + 0.1 * rng.standard_normal(16) for i in range(300)]
+
+    def _ds(lo, hi):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(lo, hi), pa.int64()),
+                    "embedding": pa.array([list(map(float, v)) for v in vecs[lo:hi]]),
+                }
+            )
+        )
+
+    inc_dir = str(tmp_path / "inc")
+    full_dir = str(tmp_path / "full")
+    build_lsh_index(_ds(0, 150), inc_dir, n_planes=6)
+    meta = lsh_index_upsert(_ds(150, 300), inc_dir)
+    assert meta["n_added"] == 150
+    build_lsh_index(_ds(0, 300), full_dir, n_planes=6)
+
+    q = np.asarray(vecs[7])[None, :]
+    a = lsh_index_topk(inc_dir, q, k=8, hamming_radius=1)
+    b = lsh_index_topk(full_dir, q, k=8, hamming_radius=1)
+    assert a["vec_id"].to_pylist() == b["vec_id"].to_pylist()
+    assert a["rnk"].to_pylist() == b["rnk"].to_pylist()
+    # the upserted half is actually visible (some hit id >= 150)
+    assert any(v >= 150 for v in a["vec_id"].to_pylist())
