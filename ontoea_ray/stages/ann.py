@@ -848,6 +848,43 @@ def build_ivf_index(
     return meta
 
 
+def ivf_index_upsert(
+    embeddings: ray.data.Dataset,
+    index_dir: str,
+) -> dict:
+    """Incremental INSERT into a :func:`build_ivf_index` directory — the
+    IVF twin of :func:`lsh_index_upsert`: the increment is assigned with
+    the PERSISTED centroid matrix (never re-trained, so list membership
+    stays consistent across generations) and appended as new parquet files
+    inside the existing ``list_id=`` partitions.  Append-only; heavy
+    drift in the increment's distribution eventually unbalances the lists
+    — re-train + rebuild is the rebalance path, exactly as in FAISS-style
+    IVF maintenance.  Returns meta + ``n_added``."""
+    with open(os.path.join(index_dir, "_meta.json")) as f:
+        meta = json.load(f)
+    cent = np.load(os.path.join(index_dir, "_centroids.npy"))
+    vec_col, quantizer, scale = meta["vec_col"], meta["quantizer"], meta["scale"]
+    cent_ref = ray.put(cent)
+
+    def add_list(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        v = _batch_vectors(batch, vec_col)
+        if quantizer == "integer":
+            q = _quantize_int(v, scale)
+            dist = np.stack([((q - cc) ** 2).sum(axis=1) for cc in c], axis=1)
+            lists = np.argmin(dist, axis=1).astype(np.int64)
+        else:
+            vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-30)
+            lists = np.argmax(vn @ c.T, axis=1).astype(np.int64)
+        batch = batch.replace_schema_metadata(None)
+        return batch.append_column("list_id", pa.array(lists, pa.int64()))
+
+    embeddings.map_batches(add_list, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["list_id"]
+    )
+    return {**meta, "n_added": embeddings.count()}
+
+
 def ivf_index_topk(
     index_dir: str,
     query_vectors: np.ndarray,

