@@ -2609,7 +2609,13 @@ def q_kge_negatives(sf_dir: str):
     metadata, order-safe, no driver rows); the draw joins back by rank
     through the planner-routed hash join.  Every step (md5, splitmix,
     rank, modulo) is the engine-wide convention, so the oracle replays
-    each sampled id exactly."""
+    each sampled id exactly.
+
+    NOTE: the synthetic flagship KG has a 20x10x20 triple space that the
+    sf0.1 corpus SATURATES (all 4000 possible triples exist), so at that
+    scale the correct output is zero rows — every corruption is a true
+    triple.  At sf0.01 ~40% of draws survive; on a real KG (sparse by
+    many orders of magnitude) virtually all do."""
     from ontoea_ray.functions.join import hash_join
     from ontoea_ray.functions.shuffle import keyed_aggregate
     from ontoea_ray.stages.dedup import _token_hashes
