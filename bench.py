@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "q_tile_dedup",
     "q_kcore",
     "q_mis",
+    "q_mst",
     "q_ktruss",
     "q_link_predict",
     "q_hyperball",

@@ -4182,6 +4182,34 @@ def q_ppr(sf_dir: str):
     )
 
 
+@_register("q_mst")
+def q_mst(sf_dir: str):
+    """Minimum spanning forest of the splitmix64-weighted co-purchase
+    graph (`stages/graph.boruvka_mst`) — distributed Borůvka: every
+    component picks its min-weight outgoing edge each round, picked edges
+    merge through pointer-jumping CC, component count at least halves per
+    round.  Weights are splitmix64(a*1e5 + b) % 1e9, unique with
+    overwhelming probability, so the forest is a pure function of the
+    graph (ties break by (w, a, b) regardless).  No SQL oracle — MST is a
+    data-dependent fixpoint no unrolled CTE expresses; correctness is
+    pinned against a scalar Kruskal in pytest and the driver records the
+    rows-only check."""
+    from ontoea_ray.stages.graph import boruvka_mst
+    from ontoea_ray.stages.sampling import splitmix64
+
+    edges = _copurchase_cached(sf_dir)
+
+    def weigh(b: pa.Table) -> pa.Table:
+        a = np.asarray(b["id_a"].combine_chunks(), np.int64)
+        c = np.asarray(b["id_b"].combine_chunks(), np.int64)
+        w = (splitmix64((a * 100000 + c).astype(np.uint64)) % np.uint64(10**9)).astype(
+            np.int64
+        )
+        return b.append_column("w", pa.array(w, pa.int64()))
+
+    return boruvka_mst(edges.map_batches(weigh, batch_format="pyarrow"))
+
+
 def _ktruss_sql(k: int, rounds: int) -> str:
     """Unrolled R-round k-truss peel over the FULL co-purchase graph (no
     sampling — co-purchase orders form cliques, so truss support is high

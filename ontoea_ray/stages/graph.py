@@ -1836,6 +1836,223 @@ def harmonic_milli(
     return parted.groupby("pkey").map_groups(fold, batch_format="pandas")
 
 
+def boruvka_mst(
+    edges: ray.data.Dataset,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    weight: str = "w",
+    max_rounds: int = 12,
+) -> ray.data.Dataset:
+    """Minimum spanning forest by distributed Borůvka (1926; the parallel
+    MST algorithm — Kruskal's global sort is inherently sequential): each
+    round every component picks its minimum-weight outgoing edge, the
+    picked edges merge components via pointer-jumping connected
+    components, and the component count at least halves, so
+    ``O(log |V|)`` rounds suffice.  With UNIQUE weights the MSF is unique,
+    so the output is a pure function of the weighted graph (ties broken
+    by (weight, src, dst) otherwise) — pinned against a scalar Kruskal in
+    pytest; no SQL oracle (MST needs a fixpoint no unrolled CTE chain
+    expresses at data-dependent depth).
+
+    Per round: two hash joins label the edge endpoints, a combiner-first
+    per-component argmin (``argmax_by`` on negated order columns) picks
+    edges, `connected_components` on the COMPONENT graph (component-count
+    sized, not node sized) merges labels, and one left join relabels the
+    nodes.  Driver state: one ``count()`` scalar per round (the
+    convergence check) and the Dataset handles."""
+    import numpy as np
+
+    from ontoea_ray.functions.broadcast import assemble_table_ref
+    from ontoea_ray.functions.shuffle import argmax_by, keyed_aggregate
+
+    e, tbl_ref = assemble_table_ref(
+        edges.select_columns([src, dst, weight]), columns=[src, dst, weight]
+    )
+    if tbl_ref is not None:
+        # under the broadcast budget the whole Borůvka runs in ONE Ray
+        # task (vectorized per-round argmin + union-find merge) — picked
+        # edges per round are the same pure function of the labels as the
+        # exchange plan's, so the forests are identical (budget=1 test)
+        _rounds = max_rounds
+
+        @ray.remote
+        def _mst(tref) -> pa.Table:
+            import numpy as np
+
+            t = tref if not isinstance(tref, ray.ObjectRef) else ray.get(tref)
+            a = np.asarray(t[src].combine_chunks(), np.int64)
+            b = np.asarray(t[dst].combine_chunks(), np.int64)
+            w = np.asarray(t[weight].combine_chunks(), np.int64)
+            nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+            ai, bi = inv[: len(a)], inv[len(a):]
+            m = len(nodes)
+            parent = np.arange(m)
+
+            def roots():
+                p = parent
+                while (p[p] != p).any():
+                    p = p[p]
+                return p
+
+            picked_all: list[np.ndarray] = []
+            for _ in range(_rounds):
+                r = roots()
+                la, lb = r[ai], r[bi]
+                live = la != lb
+                if not live.any():
+                    break
+                eidx = np.flatnonzero(live)
+                comp = np.concatenate([la[eidx], lb[eidx]])
+                ei = np.concatenate([eidx, eidx])
+                order = np.lexsort((b[ei], a[ei], w[ei], comp))
+                comp_s = comp[order]
+                first = np.r_[True, comp_s[1:] != comp_s[:-1]]
+                picked = np.unique(ei[order[first]])
+                picked_all.append(picked)
+                for i in picked:
+                    ra, rb = int(r[ai[i]]), int(r[bi[i]])
+                    # union by direct parent write; roots() re-derives
+                    pa_, pb_ = ra, rb
+                    while parent[pa_] != pa_:
+                        pa_ = parent[pa_]
+                    while parent[pb_] != pb_:
+                        pb_ = parent[pb_]
+                    if pa_ != pb_:
+                        parent[max(pa_, pb_)] = min(pa_, pb_)
+            if picked_all:
+                idx = np.unique(np.concatenate(picked_all))
+            else:
+                idx = np.zeros(0, np.int64)
+            return pa.table(
+                {
+                    src: pa.array(a[idx], pa.int64()),
+                    dst: pa.array(b[idx], pa.int64()),
+                    weight: pa.array(w[idx], pa.int64()),
+                }
+            )
+
+        return ray.data.from_arrow_refs([_mst.remote(tbl_ref)])
+    nodes = keyed_aggregate(
+        e.map_batches(
+            lambda b: pa.table(
+                {
+                    "node": pa.chunked_array(
+                        [b[src].combine_chunks(), b[dst].combine_chunks()]
+                    ).combine_chunks()
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["node"],
+        count_alias="_c",
+    ).drop_columns(["_c"])
+    labels = nodes.map_batches(
+        lambda b: pa.table({"node": b["node"], "lab": b["node"]}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    forest = None
+    for _ in range(max_rounds):
+        la = hash_join(e, labels, on=[src], right_on=["node"]).map_batches(
+            lambda b: pa.table(
+                {src: b[src], dst: b[dst], weight: b[weight], "la": b["lab"]}
+            ),
+            batch_format="pyarrow",
+        )
+        lab2 = hash_join(la, labels, on=[dst], right_on=["node"]).map_batches(
+            lambda b: pa.table(
+                {
+                    src: b[src], dst: b[dst], weight: b[weight],
+                    "la": b["la"], "lb": b["lab"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        inter = lab2.map_batches(
+            lambda b: b.filter(pc.invert(pc.equal(b["la"], b["lb"]))),
+            batch_format="pyarrow",
+        ).materialize()
+        if inter.count() == 0:
+            break
+
+        def explode_comp(b: pa.Table) -> pa.Table:
+            both = pa.concat_tables(
+                [
+                    pa.table(
+                        {
+                            "comp": b["la"], src: b[src], dst: b[dst],
+                            weight: b[weight],
+                        }
+                    ),
+                    pa.table(
+                        {
+                            "comp": b["lb"], src: b[src], dst: b[dst],
+                            weight: b[weight],
+                        }
+                    ),
+                ]
+            )
+            neg = {
+                "_nw": pc.negate(both[weight]),
+                "_na": pc.negate(both[src]),
+                "_nb": pc.negate(both[dst]),
+            }
+            for k, v in neg.items():
+                both = both.append_column(k, v)
+            return both
+
+        chosen = argmax_by(
+            inter.map_batches(explode_comp, batch_format="pyarrow"),
+            ["comp"],
+            ["_nw", "_na", "_nb"],
+        )
+        picked = keyed_aggregate(
+            chosen.map_batches(
+                lambda b: pa.table(
+                    {src: b[src], dst: b[dst], weight: b[weight]}
+                ),
+                batch_format="pyarrow",
+            ),
+            [src, dst],
+            maxs=[weight],
+        ).materialize()
+        forest = picked if forest is None else forest.union(picked).materialize()
+
+        comp_edges = hash_join(
+            hash_join(picked, labels, on=[src], right_on=["node"]).map_batches(
+                lambda b: pa.table({"ca": b["lab"], dst: b[dst]}),
+                batch_format="pyarrow",
+            ),
+            labels,
+            on=[dst],
+            right_on=["node"],
+        ).map_batches(
+            lambda b: pa.table({"id_a": b["ca"], "id_b": b["lab"]}),
+            batch_format="pyarrow",
+        )
+        compmap = connected_components(comp_edges)
+        labels = (
+            hash_join(labels, compmap, on=["lab"], right_on=["node"], how="left")
+            .map_batches(
+                lambda b: pa.table(
+                    {
+                        "node": b["node"],
+                        "lab": pc.coalesce(b["component"], b["lab"]),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+
+    if forest is None:
+        return e.limit(0)
+    # dedupe across rounds (an edge can only be picked in one round, but
+    # keep the output contract explicit)
+    return keyed_aggregate(forest, [src, dst], maxs=[weight])
+
+
 def scc_labels(
     edges: ray.data.Dataset,
     *,

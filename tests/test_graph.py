@@ -800,3 +800,101 @@ def test_scc_labels_plans_equal(ray_session, monkeypatch):
         for r in scc_labels(e.repartition(5), rounds=4).take_all()
     )
     assert dist == bcast
+
+
+def _kruskal(edges):
+    """Scalar MST replay: unique weights -> unique MSF."""
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    out = set()
+    for a, b, w in sorted(edges, key=lambda e: (e[2], e[0], e[1])):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            out.add((a, b, w))
+    return out
+
+
+def test_boruvka_mst_matches_kruskal(ray_session):
+    import numpy as np
+
+    from ontoea_ray.stages.graph import boruvka_mst
+
+    rng = np.random.default_rng(23)
+    raw = rng.integers(0, 40, size=(250, 2))
+    raw = raw[raw[:, 0] != raw[:, 1]]
+    lo, hi = np.minimum(raw[:, 0], raw[:, 1]), np.maximum(raw[:, 0], raw[:, 1])
+    pairs = sorted(set(zip(lo.tolist(), hi.tolist())))
+    # unique weights via a deterministic bijection of the pair
+    edges = [(a, b, int(a * 1000 + b)) for a, b in pairs]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array([e[0] for e in edges], pa.int64()),
+                "id_b": pa.array([e[1] for e in edges], pa.int64()),
+                "w": pa.array([e[2] for e in edges], pa.int64()),
+            }
+        )
+    ).repartition(5)
+    got = {
+        (r["id_a"], r["id_b"], r["w"]) for r in boruvka_mst(ds).take_all()
+    }
+    want = _kruskal(edges)
+    assert got == want
+    # spanning: |MSF| = |V| - #components
+    nodes = {n for e in edges for n in e[:2]}
+    comps = len(nodes) - len(want)
+    assert len(got) == len(nodes) - comps
+
+
+def test_boruvka_mst_two_components_and_chain(ray_session):
+    from ontoea_ray.stages.graph import boruvka_mst
+
+    # triangle with a heavy edge (dropped) + disjoint pair
+    edges = [(1, 2, 5), (2, 3, 7), (1, 3, 90), (10, 11, 4)]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array([e[0] for e in edges], pa.int64()),
+                "id_b": pa.array([e[1] for e in edges], pa.int64()),
+                "w": pa.array([e[2] for e in edges], pa.int64()),
+            }
+        )
+    )
+    got = {(r["id_a"], r["id_b"], r["w"]) for r in boruvka_mst(ds).take_all()}
+    assert got == {(1, 2, 5), (2, 3, 7), (10, 11, 4)}
+
+
+def test_boruvka_budget_plans_equal(ray_session, monkeypatch):
+    import numpy as np
+
+    from ontoea_ray.stages.graph import boruvka_mst
+
+    rng = np.random.default_rng(29)
+    raw = rng.integers(0, 30, size=(150, 2))
+    raw = raw[raw[:, 0] != raw[:, 1]]
+    lo, hi = np.minimum(raw[:, 0], raw[:, 1]), np.maximum(raw[:, 0], raw[:, 1])
+    pairs = sorted(set(zip(lo.tolist(), hi.tolist())))
+    tbl = pa.table(
+        {
+            "id_a": pa.array([p[0] for p in pairs], pa.int64()),
+            "id_b": pa.array([p[1] for p in pairs], pa.int64()),
+            "w": pa.array([int(a * 977 + b) for a, b in pairs], pa.int64()),
+        }
+    )
+    bcast = {
+        (r["id_a"], r["id_b"], r["w"])
+        for r in boruvka_mst(ray.data.from_arrow(tbl)).take_all()
+    }
+    monkeypatch.setenv("ONTOEA_BROADCAST_BUDGET_BYTES", "1")
+    dist = {
+        (r["id_a"], r["id_b"], r["w"])
+        for r in boruvka_mst(ray.data.from_arrow(tbl).repartition(4)).take_all()
+    }
+    assert bcast == dist == _kruskal([(a, b, int(a * 977 + b)) for a, b in pairs])
