@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "q_containment_pairs",
     "q_vocab_coverage",
     "q_pred_profile",
+    "q_triple_confidence",
     "q_bpe_merges",
     "q_bpe_tokenize",
     "q_recent_window",

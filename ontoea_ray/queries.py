@@ -4182,6 +4182,56 @@ def q_ppr(sf_dir: str):
     )
 
 
+_CONFIDENCE_SQL = f"""
+    WITH kg AS ({_FLAGSHIP_SQL}),
+    tot AS (SELECT subj, SUM(n_mentions) AS t FROM kg GROUP BY 1)
+    SELECT kg.subj, kg.pred, kg.obj,
+           CAST((10000 * kg.n_mentions) // tot.t AS BIGINT) AS conf_bps
+    FROM kg JOIN tot ON tot.subj = kg.subj
+"""
+
+
+@_register("q_triple_confidence", _CONFIDENCE_SQL)
+def q_triple_confidence(sf_dir: str):
+    """Evidence-normalized triple confidence: each flagship edge's mention
+    count as basis points of its SUBJECT's total evidence — the relative-
+    support score a KG consumer thresholds on before trusting an assertion
+    (an edge seen twice under a subject mentioned 10,000 times is noise;
+    the same count under a rare subject is signal).  One combiner-first
+    per-subject sum, one subject-keyed join back (the planner broadcasts
+    the totals side when it fits), one integer floor division — all
+    replayed by the oracle."""
+    from ontoea_ray.functions.join import hash_join
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+
+    kg = _kg_cached(sf_dir)
+    tot = keyed_aggregate(
+        kg.map_batches(
+            lambda b: pa.table({"subj": b["subj"], "t": b["n_mentions"]}),
+            batch_format="pyarrow",
+        ),
+        ["subj"],
+        sums=["t"],
+    )
+    joined = hash_join(kg, tot, on=["subj"])
+    return joined.map_batches(
+        lambda b: pa.table(
+            {
+                "subj": b["subj"],
+                "pred": b["pred"],
+                "obj": b["obj"],
+                "conf_bps": pa.array(
+                    10000
+                    * np.asarray(b["n_mentions"].combine_chunks(), np.int64)
+                    // np.asarray(b["t"].combine_chunks(), np.int64),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 @_register("q_mst")
 def q_mst(sf_dir: str):
     """Minimum spanning forest of the splitmix64-weighted co-purchase
