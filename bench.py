@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "q_revenue_share",
     "q_mad",
     "q_event_gap_hist",
+    "q_event_lateness",
     "q_lang_centroid",
     "q_cube",
     "q_corr_stats",

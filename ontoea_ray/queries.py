@@ -2807,6 +2807,68 @@ def q_salted_agg(sf_dir: str):
     )
 
 
+_LATENESS_SQL = """
+    WITH l AS (
+      SELECT CASE WHEN MAX(ts) OVER w IS NULL THEN 0
+                  ELSE GREATEST(date_diff('microsecond', ts, MAX(ts) OVER w), 0)
+             END AS late_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT CASE WHEN late_us = 0 THEN -1
+                ELSE CAST(FLOOR(LOG2(late_us)) AS BIGINT) END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM l GROUP BY 1
+"""
+
+
+@_register("q_event_lateness", _LATENESS_SQL)
+def q_event_lateness(sf_dir: str):
+    """Out-of-orderness audit — the watermark-tuning statistic a streaming
+    ingester needs: for each event, its lateness = how far its event time
+    sits BEHIND the running maximum event time already seen in its user's
+    arrival sequence (arrival order = event_id), reduced to a log2-bucket
+    histogram (-1 = in order).  A watermark delayed by the p99 bucket
+    bound drops at most 1% of events.  ONE user-keyed co-location,
+    in-partition arrival sort + vectorized running max; bucket counts
+    combine in the same pass (floor(log2(int)) is IEEE-exact, the
+    q_event_gap_hist convention)."""
+    from ontoea_ray.functions.shuffle import keyed_aggregate, with_partition_key
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+    parted = with_partition_key(ev, ["user_id"])
+
+    def lateness(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["user_id", "event_id"], kind="mergesort")
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        uid = df["user_id"].to_numpy(np.int64)
+        # per-user running max over the arrival order (C cummax, no loop)
+        seg_max = pd.Series(ts).groupby(pd.Series(uid)).cummax().to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        prev = np.empty(len(ts), np.int64)
+        prev[1:] = seg_max[:-1]
+        prev[starts] = ts[starts]  # lateness 0 for each user's first event
+        late = np.maximum(prev - ts, 0)
+        bucket = np.full(len(late), -1, np.int64)
+        pos = late > 0
+        bucket[pos] = np.floor(np.log2(late[pos])).astype(np.int64)
+        g = (
+            pd.DataFrame({"bucket": bucket})
+            .groupby("bucket", sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return _from_pandas_clean(g)
+
+    return keyed_aggregate(
+        parted.groupby("pkey").map_groups(lateness, batch_format="pandas"),
+        ["bucket"],
+        sums=["n"],
+    )
+
+
 _DEBOUNCE_US = 30 * 60 * 1_000_000
 
 _DEBOUNCE_SQL = f"""
