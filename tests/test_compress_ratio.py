@@ -37,3 +37,36 @@ def test_compress_ratio_goldens(ray_session, tmp_path):
         assert rows[i]["ratio_milli"] == 1000 * comp // max(len(raw), 1)
     # repetitive text compresses harder than prose
     assert rows[0]["ratio_milli"] < rows[1]["ratio_milli"]
+
+
+def test_event_lateness_out_of_order_branch(ray_session, tmp_path):
+    """The synthetic events are fully in-order (bucket -1 only), so pin the
+    LATE branch on a hand sequence: arrival order (event_id) disagrees
+    with event time."""
+    import pyarrow.parquet as pq
+    import pandas as pd
+
+    # user 1 arrivals: t=100s, t=40s (60s late -> bucket log2(6e7us)=25),
+    #                  t=90s (10s late -> bucket log2(1e7us)=23), t=200s
+    # user 2: single event (in order)
+    us = [100_000_000, 40_000_000, 90_000_000, 200_000_000, 5]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 9], pa.int64()),
+            "ts": pa.array(pd.to_datetime(us, unit="us")),
+            "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+            "event_type": pa.array(["x"] * 5),
+            "value": pa.array([0.0] * 5),
+            "props": pa.array(["{}"] * 5),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    from ontoea_ray.queries import QUERIES
+
+    got = {r["bucket"]: r["n"] for r in QUERIES["q_event_lateness"](str(tmp_path)).take_all()}
+    import math
+
+    b60 = math.floor(math.log2(60_000_000))
+    b10 = math.floor(math.log2(10_000_000))
+    assert got == {-1: 3, b60: 1, b10: 1}
