@@ -89,6 +89,9 @@ BENCH_QUERIES = [
     "q_mad",
     "q_event_gap_hist",
     "q_event_lateness",
+    "q_attribution",
+    "q_politeness_schedule",
+    "q_disjoint_audit",
     "q_lang_centroid",
     "q_cube",
     "q_corr_stats",

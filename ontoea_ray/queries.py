@@ -9038,3 +9038,260 @@ def q_domain_pagerank(sf_dir: str):
 
     e = domain_edges(pages_from_documents(sf_dir))
     return pagerank(e, src="src_domain", dst="dst_domain", iters=3)
+
+
+# ---------------------------------------------------------------------------
+# ontology-constraint validation / crawl scheduling / attribution
+# ---------------------------------------------------------------------------
+
+def _disjoint_audit_sql() -> str:
+    from ontoea_ray.functions.lsh_sql import _h, splitmix64_ctes
+    from ontoea_ray.pipelines.kg_construct import bootstrap_ontology
+    from ontoea_ray.state.ontology import THING
+
+    onto = bootstrap_ontology()
+    non_root = [c for c in onto.classes() if c != THING]
+    tops = sorted({p for p in onto.subclass.values() if p != THING} |
+                  {c for c, p in onto.subclass.items() if p == THING})
+    top_idx = [tops.index(onto.path(c)[-2]) for c in non_root]
+    in_top0 = ", ".join(str(i) for i, t in enumerate(top_idx) if t == 0)
+    return f"""
+    WITH kg AS ({_FLAGSHIP_SQL}),
+    ent0 AS (SELECT DISTINCT e
+             FROM (SELECT subj AS e FROM kg UNION SELECT obj AS e FROM kg)),
+    {splitmix64_ctes("ent0", _h("e"))},
+    top AS (SELECT e, CASE WHEN (_h % {len(non_root)}) IN ({in_top0})
+                           THEN 0 ELSE 1 END AS topc FROM sm3),
+    j AS (SELECT kg.pred, kg.n_mentions,
+                 CASE WHEN ts.topc <> tt.topc THEN 1 ELSE 0 END AS viol
+          FROM kg JOIN top ts ON ts.e = kg.subj JOIN top tt ON tt.e = kg.obj)
+    SELECT pred,
+           CAST(COUNT(*) AS BIGINT) AS n_edges,
+           CAST(SUM(viol) AS BIGINT) AS n_viol,
+           CAST(SUM(viol * n_mentions) AS BIGINT) AS viol_mentions,
+           CAST(SUM(viol) * 1000 // COUNT(*) AS BIGINT) AS viol_milli
+    FROM j GROUP BY pred
+"""
+
+
+@_register("q_disjoint_audit", _disjoint_audit_sql())
+def q_disjoint_audit(sf_dir: str):
+    """Ontology-constraint validation of the constructed KG (the north-star
+    "ontology-guided" audit a KG consumer runs before publishing an edge
+    table): every flagship edge whose subject and object fall under
+    DISJOINT top-level classes of the bootstrap ontology is a type
+    violation, reported per predicate with edge- and evidence-weighted
+    counts plus an integer-milli violation rate — the per-predicate signal
+    that flags extraction rules emitting type-incoherent triples.
+
+    Class assignment here is the audit's own deterministic map — each
+    entity URI hashes to one of the non-root classes via the engine-wide
+    md5[:8] + splitmix64 convention (NOT the linker's blake2b gazetteer
+    classes, which no SQL engine can replay); the disjointness logic on
+    top of it is exactly `state/ontology.check_disjoint` on ancestor
+    paths, precomputed to a class->top lookup because the bootstrap
+    ontology's only disjoint axis is its top pair.  Scale shape: the
+    class map is a pure per-row hash (no broadcast, no join — at 10^12
+    edges the per-batch cost is two vectorized hash passes), and the
+    per-pred reduction is combiner-first over a dozen keys.  The DuckDB
+    oracle extends the flagship CTE chain with the same splitmix
+    assignment and replays every count bit-for-bit."""
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+    from ontoea_ray.pipelines.kg_construct import bootstrap_ontology
+    from ontoea_ray.stages.dedup import _token_hashes
+    from ontoea_ray.stages.sampling import splitmix64
+    from ontoea_ray.state.ontology import THING, check_disjoint
+
+    onto = bootstrap_ontology()
+    non_root = [c for c in onto.classes() if c != THING]
+    tops = sorted({c for c, p in onto.subclass.items() if p == THING})
+    top_idx = np.array([tops.index(onto.path(c)[-2]) for c in non_root], np.int64)
+    # Precondition for the class->top reduction: two classes violate iff
+    # their tops are the declared disjoint pair (true for any tree ontology
+    # whose only disjoint axis is between top-level classes).
+    paths = {c: onto.path(c) for c in non_root}
+    for i, a in enumerate(non_root):
+        for j, b in enumerate(non_root):
+            assert check_disjoint(onto.disjoint, paths[a], paths[b]) == (
+                top_idx[i] != top_idx[j]
+            )
+    n_cls = np.uint64(len(non_root))
+
+    kg = _kg_cached(sf_dir)
+
+    def flag(b: pa.Table) -> pa.Table:
+        def top_of(col: str) -> np.ndarray:
+            h = _token_hashes(b[col].combine_chunks(), backend="md5")
+            return top_idx[(splitmix64(h) % n_cls).astype(np.int64)]
+
+        viol = (top_of("subj") != top_of("obj")).astype(np.int64)
+        nm = np.asarray(b["n_mentions"].combine_chunks(), np.int64)
+        return pa.table(
+            {
+                "pred": b["pred"],
+                "n_viol": pa.array(viol),
+                "viol_mentions": pa.array(viol * nm),
+            }
+        )
+
+    agg = keyed_aggregate(
+        kg.map_batches(flag, batch_format="pyarrow"),
+        ["pred"],
+        sums=["n_viol", "viol_mentions"],
+        count_alias="n_edges",
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        nv = np.asarray(b["n_viol"].combine_chunks(), np.int64)
+        ne = np.asarray(b["n_edges"].combine_chunks(), np.int64)
+        return pa.table(
+            {
+                "pred": b["pred"],
+                "n_edges": b["n_edges"],
+                "n_viol": b["n_viol"],
+                "viol_mentions": b["viol_mentions"],
+                "viol_milli": pa.array(nv * 1000 // ne, pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+_ATTRIB_WIN_US = 7 * 24 * 3600 * 1_000_000
+
+_ATTRIBUTION_SQL = f"""
+    WITH w AS (
+      SELECT event_id, user_id, event_type, ts, value,
+             LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+               OVER win AS click_id,
+             LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+               OVER win AS click_ts
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id,
+           CAST(FLOOR(value * 100) AS BIGINT) AS purchase_cents,
+           CAST(CASE WHEN click_ts IS NOT NULL
+                      AND date_diff('microsecond', click_ts, ts) <= {_ATTRIB_WIN_US}
+                     THEN click_id ELSE -1 END AS BIGINT) AS click_event_id,
+           CAST(CASE WHEN click_ts IS NOT NULL
+                      AND date_diff('microsecond', click_ts, ts) <= {_ATTRIB_WIN_US}
+                     THEN date_diff('microsecond', click_ts, ts) ELSE -1 END AS BIGINT)
+             AS lag_us
+    FROM w WHERE event_type = 'purchase'
+"""
+
+
+@_register("q_attribution", _ATTRIBUTION_SQL)
+def q_attribution(sf_dir: str):
+    """Last-touch conversion attribution — the credit-assignment join ad
+    and growth pipelines run at clickstream scale: each purchase is
+    attributed to its user's most recent PRECEDING click within a 7-day
+    window (ties broken by event_id, so the order is total and the result
+    a pure function of the table), emitting one row per purchase with the
+    credited click id and the click->purchase lag (-1 = organic / outside
+    window).  The shape q_asof_join cannot express directly: the match key
+    is a FILTERED subset (clicks only) of the same stream being scanned,
+    so it is ONE user-keyed co-location with a per-partition vectorized
+    last-click forward-fill (segment-reset cummax over click row indices —
+    no per-user loop, no self-join, no second exchange), the streaming
+    sessionization skeleton reused for credit assignment.  At 10^12 events
+    the exchange is the only data movement and hot users salt like any
+    keyed stage.  The window-function oracle replays every credited id and
+    lag exactly (purchase cents via FLOOR(value*100), IEEE-identical)."""
+    from ontoea_ray.functions.shuffle import with_partition_key
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts", "value"])
+    parted = with_partition_key(ev, ["user_id"])
+
+    def attrib(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = df["user_id"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        etype = df["event_type"].to_numpy()
+        is_click = etype == "click"
+        # last click INDEX at or before each row, reset per user segment:
+        # click rows carry their own position, others -1; per-user cummax
+        # forward-fills the latest click position (C kernel, no row loop)
+        pos = np.where(is_click, np.arange(len(df)), -1)
+        idx = (
+            pd.Series(pos).groupby(pd.Series(uid), sort=False).cummax().to_numpy(np.int64)
+        )
+        pm = etype == "purchase"
+        pidx = idx[pm]
+        has = pidx >= 0
+        safe = np.maximum(pidx, 0)
+        lag = np.where(has, ts[pm] - ts[safe], -1)
+        ok = has & (lag <= _ATTRIB_WIN_US)
+        cents = np.floor(df["value"].to_numpy(np.float64)[pm] * 100).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": pa.array(eid[pm]),
+                "user_id": pa.array(uid[pm]),
+                "purchase_cents": pa.array(cents),
+                "click_event_id": pa.array(np.where(ok, eid[safe], -1)),
+                "lag_us": pa.array(np.where(ok, lag, -1)),
+            }
+        )
+
+    return parted.groupby("pkey").map_groups(attrib, batch_format="pandas")
+
+
+def _politeness_sql() -> str:
+    from ontoea_ray.functions.lsh_sql import _h, splitmix64_ctes
+
+    return f"""
+    WITH hosts0 AS (SELECT DISTINCT source FROM documents),
+    {splitmix64_ctes("hosts0", _h("source"))},
+    hosts AS (SELECT source, CAST(100 * (1 + _h % 9) AS BIGINT) AS delay_ms FROM sm3),
+    r AS (SELECT doc_id, source,
+                 ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS slot
+          FROM documents)
+    SELECT r.doc_id, r.source, CAST(r.slot AS BIGINT) AS slot, h.delay_ms,
+           CAST((r.slot - 1) * h.delay_ms AS BIGINT) AS start_ms
+    FROM r JOIN hosts h USING (source)
+"""
+
+
+@_register("q_politeness_schedule", _politeness_sql())
+def q_politeness_schedule(sf_dir: str):
+    """Per-host politeness scheduling — the fetch-slot assignment a
+    distributed crawler derives from robots crawl-delay before dispatching
+    a frontier (one fetch per host at a time, consecutive fetches spaced by
+    the host's delay): each document gets its host-local slot (rank by
+    doc_id within source) and an absolute start offset slot*delay, with the
+    per-host delay a deterministic function of the host name (100 ms x
+    (1 + splitmix64(md5(host)) % 9) — the engine-wide replayable hash
+    chain standing in for a parsed robots value, cf. q_robots_filter for
+    the actual parser).  ONE host-keyed co-location + in-partition
+    cumcount; the delay is a vectorized hash of the batch's UNIQUE hosts
+    (dictionary trick), so no broadcast and no join anywhere — at frontier
+    scale each host's queue ships once and hot hosts are exactly the rows
+    a real crawler must serialize anyway.  ROW_NUMBER + the splitmix CTE
+    chain replay every slot and start offset bit-for-bit."""
+    from ontoea_ray.functions.shuffle import with_partition_key
+    from ontoea_ray.stages.dedup import _token_hashes
+    from ontoea_ray.stages.sampling import splitmix64
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    parted = with_partition_key(ds, ["source"])
+
+    def schedule(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["source", "doc_id"], kind="mergesort")
+        slot = (df.groupby("source", sort=False).cumcount() + 1).to_numpy(np.int64)
+        src = pa.array(df["source"].to_numpy(object), pa.string())
+        h = splitmix64(_token_hashes(src, backend="md5"))
+        delay = (100 * (1 + (h % np.uint64(9)).astype(np.int64))).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+                "source": src,
+                "slot": pa.array(slot),
+                "delay_ms": pa.array(delay),
+                "start_ms": pa.array((slot - 1) * delay),
+            }
+        )
+
+    return parted.groupby("pkey").map_groups(schedule, batch_format="pandas")

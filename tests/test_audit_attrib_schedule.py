@@ -1,0 +1,136 @@
+"""Hand-input pins for the ontology disjointness audit, last-touch
+attribution, and politeness scheduling queries (the oracle gate checks
+them end-to-end at sf0.01; these pin the branch semantics a uniform
+synthetic table may not exercise)."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from ontoea_ray.queries import QUERIES, _ATTRIB_WIN_US
+
+
+def _to_df(res) -> pd.DataFrame:
+    if isinstance(res, ray.data.Dataset):
+        res = pa.Table.from_pylist(res.take_all())
+    return res.to_pandas() if isinstance(res, pa.Table) else res
+
+
+# -- attribution -----------------------------------------------------------
+
+T0 = pd.Timestamp("2024-01-10 12:00:00")
+_S = pd.Timedelta(seconds=1)
+_D = pd.Timedelta(days=1)
+
+
+def _events_parquet(tmp_path) -> str:
+    rows = [
+        # user 1: click then purchase 10 s later -> attributed, lag 10 s
+        (1, T0, 1, "click", 10.0),
+        (2, T0 + 10 * _S, 1, "purchase", 25.5),
+        # user 1: second purchase 8 days after that click -> outside window
+        (3, T0 + 8 * _D, 1, "purchase", 3.0),
+        # user 2: purchase before any click, then a late click -> organic
+        (4, T0, 2, "purchase", 7.0),
+        (5, T0 + _S, 2, "click", 0.0),
+        # user 3: two clicks -> the LATEST preceding click wins
+        (6, T0, 3, "click", 0.0),
+        (7, T0 + 5 * _S, 3, "click", 0.0),
+        (8, T0 + 9 * _S, 3, "purchase", 1.25),
+        # user 4: click and purchase at the SAME ts; click's event_id is
+        # smaller so it precedes in the (ts, event_id) total order -> lag 0
+        (9, T0, 4, "click", 0.0),
+        (10, T0, 4, "purchase", 2.0),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+        }
+    )
+    pq.write_table(t, f"{tmp_path}/events.parquet")
+    return str(tmp_path)
+
+
+def test_attribution_branches_on_hand_events(tmp_path):
+    got = (
+        _to_df(QUERIES["q_attribution"](_events_parquet(tmp_path)))
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    exp = pd.DataFrame(
+        {
+            "event_id": [2, 3, 4, 8, 10],
+            "user_id": [1, 1, 2, 3, 4],
+            "purchase_cents": [2550, 300, 700, 125, 200],
+            "click_event_id": [1, -1, -1, 7, 9],
+            "lag_us": [10_000_000, -1, -1, 4_000_000, 0],
+        }
+    )
+    for c in exp.columns:
+        assert got[c].tolist() == exp[c].tolist(), c
+    # the 8-day purchase really is outside the window, not a sign glitch
+    assert 8 * 24 * 3600 * 1_000_000 > _ATTRIB_WIN_US
+
+
+# -- politeness schedule ---------------------------------------------------
+
+def test_politeness_schedule_properties(sf_dir):
+    df = _to_df(QUERIES["q_politeness_schedule"](sf_dir))
+    g = df.sort_values(["source", "doc_id"]).groupby("source", sort=False)
+    for _, grp in g:
+        # slots are exactly 1..n in doc_id order; one delay per host
+        assert grp["slot"].tolist() == list(range(1, len(grp) + 1))
+        assert grp["delay_ms"].nunique() == 1
+        d = int(grp["delay_ms"].iloc[0])
+        assert 100 <= d <= 900 and d % 100 == 0
+        assert (grp["start_ms"] == (grp["slot"] - 1) * d).all()
+        # politeness invariant: consecutive fetches on one host are spaced
+        # by >= the host's crawl delay (exactly, in this deterministic plan)
+        assert (np.diff(grp["start_ms"].to_numpy()) == d).all()
+
+
+# -- disjointness audit ----------------------------------------------------
+
+def _scalar_splitmix64(x: int) -> int:
+    m = (1 << 64) - 1
+    z = (x + 0x9E3779B97F4A7C15) & m
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & m
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & m
+    return z ^ (z >> 31)
+
+
+def test_disjoint_audit_consistency_and_scalar_replay(sf_dir):
+    from ontoea_ray.queries import _kg_cached
+
+    audit = _to_df(QUERIES["q_disjoint_audit"](sf_dir))
+    kg = _to_df(_kg_cached(sf_dir))
+    # per-pred edge counts tie out against the flagship table itself
+    exp_edges = kg.groupby("pred").size()
+    got_edges = audit.set_index("pred")["n_edges"]
+    assert got_edges.sort_index().tolist() == exp_edges.sort_index().tolist()
+    assert (audit["viol_milli"] == audit["n_viol"] * 1000 // audit["n_edges"]).all()
+    assert (audit["n_viol"] <= audit["n_edges"]).all()
+
+    # independent scalar replay of the class assignment + violation flag
+    # (python-int splitmix, hashlib md5 — no engine kernels), then the
+    # per-pred violation counts must match the distributed audit
+    def top_of(uri: str) -> int:
+        h64 = int.from_bytes(hashlib.md5(uri.encode()).digest()[:8], "big")
+        # sorted non-root classes of the bootstrap ontology:
+        # [subtopic_0_0, subtopic_0_1, subtopic_1_0, topic_0, topic_1]
+        return [0, 0, 1, 0, 1][_scalar_splitmix64(h64) % 5]
+
+    viol = np.array(
+        [top_of(s) != top_of(o) for s, o in zip(kg["subj"], kg["obj"])], np.int64
+    )
+    exp_viol = pd.Series(viol).groupby(kg["pred"].to_numpy()).sum()
+    got_viol = audit.set_index("pred")["n_viol"]
+    assert got_viol.sort_index().tolist() == exp_viol.sort_index().tolist()
