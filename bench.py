@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "q_attribution",
     "q_politeness_schedule",
     "q_disjoint_audit",
+    "q_type_infer",
     "q_lang_centroid",
     "q_cube",
     "q_corr_stats",
@@ -148,6 +149,7 @@ BENCH_QUERIES = [
     "q_tile_dedup",
     "q_kcore",
     "q_mis",
+    "q_coloring",
     "q_mst",
     "q_ktruss",
     "q_link_predict",

@@ -9295,3 +9295,167 @@ def q_politeness_schedule(sf_dir: str):
         )
 
     return parted.groupby("pkey").map_groups(schedule, batch_format="pandas")
+
+
+def _type_infer_sql() -> str:
+    from ontoea_ray.functions.lsh_sql import _h, splitmix64_ctes
+    from ontoea_ray.pipelines.kg_construct import bootstrap_ontology
+    from ontoea_ray.state.ontology import THING
+
+    n_cls = len([c for c in bootstrap_ontology().classes() if c != THING])
+    return f"""
+    WITH kg AS ({_FLAGSHIP_SQL}),
+    obj0 AS (SELECT DISTINCT obj AS e FROM kg),
+    {splitmix64_ctes("obj0", _h("e"))},
+    ocls AS (SELECT e, CAST(_h % {n_cls} AS BIGINT) AS cls FROM sm3),
+    v AS (SELECT kg.subj AS entity, ocls.cls,
+                 SUM(kg.n_mentions) AS votes
+          FROM kg JOIN ocls ON ocls.e = kg.obj GROUP BY 1, 2),
+    t AS (SELECT entity, SUM(votes) AS total FROM v GROUP BY 1),
+    r AS (SELECT entity, cls, votes,
+                 ROW_NUMBER() OVER (PARTITION BY entity
+                                    ORDER BY votes DESC, cls ASC) AS rn
+          FROM v)
+    SELECT r.entity, r.cls, CAST(r.votes AS BIGINT) AS votes,
+           CAST(t.total AS BIGINT) AS total_votes,
+           CAST(r.votes * 1000 // t.total AS BIGINT) AS conf_milli
+    FROM r JOIN t USING (entity) WHERE rn = 1
+"""
+
+
+@_register("q_type_infer", _type_infer_sql())
+def q_type_infer(sf_dir: str):
+    """Neighbor-majority type inference (type completion): each SUBJECT's
+    class is inferred as the evidence-weighted modal class of the objects
+    it points at (votes = n_mentions, ties to the smaller class id), with
+    an integer-milli confidence — the relation-based typing step a KG
+    pipeline runs for entities the gazetteer could not type directly
+    (untyped subjects inherit what their neighborhood consistently points
+    at; a low confidence marks type-incoherent hubs for review, the same
+    signal q_disjoint_audit aggregates per predicate).  Object classes
+    reuse the audit's SQL-replayable md5+splitmix assignment.
+
+    Scale shape: the object class is a pure per-row hash (no class-map
+    join), per-batch partials collapse (entity, cls) votes in-block, and
+    ONE subject-keyed exchange computes votes, totals and the argmax in a
+    single co-located pass — no second shuffle, no window function over
+    the corpus.  The oracle replays votes, winner and confidence exactly."""
+    from ontoea_ray.functions.shuffle import with_partition_key
+    from ontoea_ray.pipelines.kg_construct import bootstrap_ontology
+    from ontoea_ray.stages.dedup import _token_hashes
+    from ontoea_ray.stages.sampling import splitmix64
+    from ontoea_ray.state.ontology import THING
+
+    n_cls = np.uint64(
+        len([c for c in bootstrap_ontology().classes() if c != THING])
+    )
+    kg = _kg_cached(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = splitmix64(_token_hashes(b["obj"].combine_chunks(), backend="md5"))
+        df = pd.DataFrame(
+            {
+                "entity": b["subj"].to_pandas(),
+                "cls": (h % n_cls).astype(np.int64),
+                "votes": np.asarray(b["n_mentions"].combine_chunks(), np.int64),
+            }
+        )
+        g = df.groupby(["entity", "cls"], sort=False)["votes"].sum().reset_index()
+        return _from_pandas_clean(g)
+
+    parted = with_partition_key(
+        kg.map_batches(partial, batch_format="pyarrow"), ["entity"]
+    )
+
+    def infer(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["entity", "cls"], sort=False)["votes"].sum().reset_index()
+        g["total_votes"] = g.groupby("entity", sort=False)["votes"].transform("sum")
+        g = g.sort_values(
+            ["entity", "votes", "cls"], ascending=[True, False, True], kind="mergesort"
+        ).drop_duplicates("entity", keep="first")
+        out = pd.DataFrame(
+            {
+                "entity": g["entity"],
+                "cls": g["cls"].astype(np.int64),
+                "votes": g["votes"].astype(np.int64),
+                "total_votes": g["total_votes"].astype(np.int64),
+            }
+        )
+        out["conf_milli"] = out["votes"] * 1000 // out["total_votes"]
+        return _from_pandas_clean(out)
+
+    return parted.groupby("pkey").map_groups(infer, batch_format="pandas")
+
+
+def _coloring_sql(rounds: int = 6, *, pct: int = 7) -> str:
+    """Unrolled R-round Jones–Plassmann coloring over the splitmix64-
+    sampled co-purchase graph: the q_mis round chain with the single
+    semantic difference replayed — winners leave, their neighbours STAY
+    (no nb{r} CTE; survivors are simply s{r} minus w{r})."""
+    from ontoea_ray.functions.lsh_sql import TWO64, splitmix64_ctes
+    from ontoea_ray.stages.graph import _JP_SALT
+
+    p = [
+        "WITH",
+        _COPURCHASE_E_CTE.replace(" e AS ", " eall0 AS "),
+        ", eall AS MATERIALIZED (SELECT a, b FROM eall0),",
+        splitmix64_ctes("eall", "(a * 100000 + b)"),
+        f", e0 AS MATERIALIZED (SELECT a, b FROM sm3 WHERE _h % 100 < {pct})",
+        ", s0 AS MATERIALIZED (SELECT a AS node FROM e0 UNION SELECT b AS node FROM e0)",
+    ]
+    for r in range(rounds):
+        key = f"((CAST(node AS HUGEINT) * {_JP_SALT} + {r}) % {TWO64})"
+        p.append(f", pr{r} AS (SELECT node FROM s{r}),")
+        p.append(splitmix64_ctes(f"pr{r}", key, sfx=f"_m{r}"))
+        p.append(
+            f", l{r} AS MATERIALIZED (SELECT CASE WHEN (pa._h > pb._h)"
+            f" OR (pa._h = pb._h AND e{r}.a > e{r}.b)"
+            f" THEN e{r}.a ELSE e{r}.b END AS node"
+            f" FROM e{r} JOIN sm3_m{r} pa ON pa.node = e{r}.a"
+            f" JOIN sm3_m{r} pb ON pb.node = e{r}.b)"
+        )
+        p.append(
+            f", w{r} AS MATERIALIZED (SELECT node FROM s{r}"
+            f" WHERE node NOT IN (SELECT node FROM l{r}))"
+        )
+        p.append(
+            f", s{r + 1} AS MATERIALIZED (SELECT node FROM s{r}"
+            f" WHERE node NOT IN (SELECT node FROM w{r}))"
+        )
+        p.append(
+            f", e{r + 1} AS MATERIALIZED (SELECT e{r}.a, e{r}.b FROM e{r}"
+            f" JOIN s{r + 1} sa ON e{r}.a = sa.node JOIN s{r + 1} sb ON e{r}.b = sb.node)"
+        )
+    selects = [
+        f"SELECT CAST(node AS BIGINT) AS node, CAST({r} AS BIGINT) AS color FROM w{r}"
+        for r in range(rounds)
+    ]
+    p.append("\n" + "\nUNION ALL ".join(selects))
+    return "\n".join(p)
+
+
+@_register("q_coloring", _coloring_sql(6))
+def q_coloring(sf_dir: str):
+    """6-round deterministic Jones–Plassmann greedy coloring over the
+    splitmix64-sampled (7%) co-purchase graph — the parallel coloring
+    primitive (Jones & Plassmann 1993) that turns a conflict graph into
+    conflict-free update batches (all nodes of one color mutate in
+    parallel): per round the surviving local priority minima take the
+    round index as their color and leave, losers stay for the next color.
+    Adjacent nodes can never win the same round, so the coloring is proper
+    by construction; the q_mis machinery with winners-only removal
+    (`stages/graph.jp_coloring`, same two budget-switched plans).  The
+    unrolled oracle replays every priority, win and residual bit-for-bit."""
+    from ontoea_ray.stages.graph import jp_coloring
+    from ontoea_ray.stages.sampling import splitmix64
+
+    edges = _copurchase_cached(sf_dir)
+
+    def sample(b: pa.Table) -> pa.Table:
+        a = np.asarray(b["id_a"].combine_chunks(), np.int64)
+        c = np.asarray(b["id_b"].combine_chunks(), np.int64)
+        h = splitmix64((a * 100000 + c).astype(np.uint64))
+        return b.filter(pa.array(h % np.uint64(100) < np.uint64(7)))
+
+    sampled = edges.map_batches(sample, batch_format="pyarrow")
+    return jp_coloring(sampled, rounds=6, src="id_a", dst="id_b")

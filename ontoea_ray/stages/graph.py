@@ -1526,6 +1526,142 @@ def mis_rounds(
     return out
 
 
+_JP_SALT = 1_000_099
+
+
+def jp_coloring(
+    edges: ray.data.Dataset,
+    *,
+    rounds: int,
+    src: str = "a",
+    dst: str = "b",
+) -> ray.data.Dataset:
+    """R-round deterministic Jones–Plassmann greedy coloring over a
+    DISTINCT undirected edge table — the parallel graph-coloring primitive
+    (Jones & Plassmann 1993) behind conflict-free scheduling of mutating
+    graph updates, with the per-round random priorities replaced by the
+    engine-wide ``splitmix64(node * salt + round)`` convention so the
+    coloring is a pure function of the graph and the unrolled SQL oracle
+    replays every decision.  Returns ``(node, color)`` for the nodes
+    colored within R rounds (color = the round they won).
+
+    Round semantics (identical in both engines, and exactly the MIS round
+    from :func:`mis_rounds` with ONE difference): a surviving node takes
+    color ``r`` when no surviving neighbour has a strictly smaller
+    ``(priority, id)`` pair; winners leave the graph but — unlike MIS —
+    their neighbours STAY and compete for the next color.  Adjacent nodes
+    can never win the same round (one of them is the worse endpoint of
+    their shared edge), so the coloring is proper by construction; each
+    round removes at least the global minimum, and with re-randomized
+    priorities the expected round count is O(log n) (Luby-style analysis).
+
+    Two value-equal plans (pinned by a budget=1 test): under the broadcast
+    byte budget the whole peel runs inside one Ray task (numpy scatter-or
+    loser flags per round); above it each round is an in-batch loser
+    emission + distinct, an exact node-set anti-join (:func:`_nodes_minus`)
+    and the `_edges_within` exact semi-join — no node or edge set ever
+    lands on the driver."""
+    import numpy as np
+
+    from ontoea_ray.functions.broadcast import assemble_table_ref
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+    from ontoea_ray.stages.sampling import splitmix64
+
+    edges2, tbl_ref = assemble_table_ref(
+        edges.select_columns([src, dst]), columns=[src, dst]
+    )
+    int_nodes = all(
+        pa.types.is_integer(f.type) for f in edges2.schema().base_schema
+    )
+    if tbl_ref is not None and int_nodes:
+
+        @ray.remote
+        def _jp(t) -> pa.Table:
+            import numpy as np
+
+            a = t[src].to_pandas().to_numpy(np.int64)
+            b = t[dst].to_pandas().to_numpy(np.int64)
+            nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+            ea, eb = inv[: len(a)], inv[len(a) :]
+            alive = np.ones(len(nodes), bool)
+            out_n, out_c = [], []
+            for r in range(max(rounds, 0)):
+                if not alive.any():
+                    break
+                m = alive[ea] & alive[eb]
+                ca, cb = ea[m], eb[m]
+                p = splitmix64(
+                    nodes.astype(np.uint64) * np.uint64(_JP_SALT) + np.uint64(r)
+                )
+                loser = np.zeros(len(nodes), bool)
+                pa_, pb_ = p[ca], p[cb]
+                a_worse = (pa_ > pb_) | ((pa_ == pb_) & (nodes[ca] > nodes[cb]))
+                loser[ca[a_worse]] = True
+                loser[cb[~a_worse]] = True
+                win = alive & ~loser
+                out_n.append(nodes[win])
+                out_c.append(np.full(int(win.sum()), r, np.int64))
+                alive &= ~win  # losers stay — the ONLY divergence from MIS
+            n_out = np.concatenate(out_n) if out_n else np.array([], np.int64)
+            c_out = np.concatenate(out_c) if out_c else np.array([], np.int64)
+            return pa.table(
+                {"node": pa.array(n_out, pa.int64()), "color": pa.array(c_out)}
+            )
+
+        return ray.data.from_arrow_refs([_jp.remote(tbl_ref)])
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        x = b[src].combine_chunks().cast(pa.int64())
+        return pa.table(
+            {"node": pa.concat_arrays([x, b[dst].combine_chunks().cast(x.type)])}
+        )
+
+    nodes = keyed_aggregate(
+        edges2.map_batches(endpoints, batch_format="pyarrow"), ["node"], count_alias="_c"
+    ).drop_columns(["_c"]).materialize()
+    e = edges2.materialize()
+    tagged = []
+    for r in range(max(rounds, 0)):
+        if nodes.count() == 0:
+            break
+
+        def losers_fn(b: pa.Table, _r=r) -> pa.Table:
+            av = np.asarray(b[src].combine_chunks(), np.int64)
+            bv = np.asarray(b[dst].combine_chunks(), np.int64)
+            pa_ = splitmix64(av.astype(np.uint64) * np.uint64(_JP_SALT) + np.uint64(_r))
+            pb_ = splitmix64(bv.astype(np.uint64) * np.uint64(_JP_SALT) + np.uint64(_r))
+            a_worse = (pa_ > pb_) | ((pa_ == pb_) & (av > bv))
+            return pa.table(
+                {"node": pa.array(np.where(a_worse, av, bv), pa.int64())}
+            )
+
+        losers = keyed_aggregate(
+            e.map_batches(losers_fn, batch_format="pyarrow"), ["node"], count_alias="_c"
+        ).drop_columns(["_c"])
+        winners = _nodes_minus(nodes, losers).materialize()
+
+        def tag_color(b: pa.Table, _r=r) -> pa.Table:
+            return pa.table(
+                {
+                    "node": b["node"].combine_chunks().cast(pa.int64()),
+                    "color": pa.array(np.full(len(b), _r, np.int64)),
+                }
+            )
+
+        tagged.append(winners.map_batches(tag_color, batch_format="pyarrow"))
+        nodes = _nodes_minus(nodes, winners).materialize()
+        e = _edges_within(e, nodes, src, dst).materialize()
+
+    if not tagged:
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()), "color": pa.array([], pa.int64())})
+        )
+    out = tagged[0]
+    for t in tagged[1:]:
+        out = out.union(t)
+    return out
+
+
 def common_neighbor_pairs(
     edges: ray.data.Dataset,
     *,

@@ -134,3 +134,30 @@ def test_disjoint_audit_consistency_and_scalar_replay(sf_dir):
     exp_viol = pd.Series(viol).groupby(kg["pred"].to_numpy()).sum()
     got_viol = audit.set_index("pred")["n_viol"]
     assert got_viol.sort_index().tolist() == exp_viol.sort_index().tolist()
+
+
+def test_type_infer_scalar_replay(sf_dir):
+    from ontoea_ray.queries import _kg_cached
+
+    got = _to_df(QUERIES["q_type_infer"](sf_dir)).sort_values("entity").reset_index(drop=True)
+    kg = _to_df(_kg_cached(sf_dir))
+    assert got["entity"].is_unique and len(got) == kg["subj"].nunique()
+    assert (got["votes"] <= got["total_votes"]).all()
+    assert (got["conf_milli"] == got["votes"] * 1000 // got["total_votes"]).all()
+
+    def cls_of(uri: str) -> int:
+        h64 = int.from_bytes(hashlib.md5(uri.encode()).digest()[:8], "big")
+        return _scalar_splitmix64(h64) % 5
+
+    df = pd.DataFrame(
+        {
+            "entity": kg["subj"],
+            "cls": [cls_of(o) for o in kg["obj"]],
+            "votes": kg["n_mentions"],
+        }
+    )
+    v = df.groupby(["entity", "cls"])["votes"].sum().reset_index()
+    v = v.sort_values(["entity", "votes", "cls"], ascending=[True, False, True])
+    win = v.drop_duplicates("entity", keep="first").sort_values("entity").reset_index(drop=True)
+    assert got["cls"].tolist() == win["cls"].tolist()
+    assert got["votes"].tolist() == win["votes"].tolist()

@@ -898,3 +898,79 @@ def test_boruvka_budget_plans_equal(ray_session, monkeypatch):
         for r in boruvka_mst(ray.data.from_arrow(tbl).repartition(4)).take_all()
     }
     assert bcast == dist == _kruskal([(a, b, int(a * 977 + b)) for a, b in pairs])
+
+
+def test_jp_coloring_hand_graph_scalar_replay(ray_session):
+    """Jones–Plassmann on a path graph replayed scalar: properness (no
+    edge monochromatic), FULL coverage once rounds exceed the peel depth,
+    and per-color membership matches a direct priority replay in which
+    losers stay alive (the one divergence from MIS)."""
+    import numpy as np
+    import ray.data
+
+    from ontoea_ray.stages.graph import _JP_SALT, jp_coloring
+    from ontoea_ray.stages.sampling import splitmix64
+
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (10, 11)]
+    edges = ray.data.from_items([{"a": a, "b": b} for a, b in pairs])
+    out = jp_coloring(edges, rounds=8).take_all()
+    color = {r["node"]: r["color"] for r in out}
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    # coverage + properness
+    assert set(color) == set(adj)
+    for a, b in pairs:
+        assert color[a] != color[b]
+
+    # full scalar replay: peel winners round by round, losers staying
+    def prio(v, r):
+        return int(
+            splitmix64(np.array([v], np.uint64) * np.uint64(_JP_SALT) + np.uint64(r))[0]
+        )
+
+    alive = set(adj)
+    expect = {}
+    r = 0
+    while alive and r < 8:
+        win = {
+            v
+            for v in alive
+            if all((prio(v, r), v) < (prio(u, r), u) for u in adj[v] if u in alive)
+        }
+        for v in win:
+            expect[v] = r
+        alive -= win
+        r += 1
+    assert color == expect
+
+
+def test_jp_coloring_budget_plans_equal(ray_session, monkeypatch):
+    """Budget=1 forces the per-round distributed plan (loser emission +
+    exact node anti-join + edges-within semi-join); results must equal the
+    single-task numpy plan exactly, and the coloring must be proper."""
+    import ray.data
+
+    from ontoea_ray.stages.graph import jp_coloring
+
+    rng = __import__("numpy").random.default_rng(13)
+    rows = [
+        {"a": int(min(x, y)), "b": int(max(x, y))}
+        for x, y in rng.integers(0, 60, (200, 2)) if x != y
+    ]
+    dedup = {(r["a"], r["b"]): r for r in rows}
+    edges = ray.data.from_items(list(dedup.values()))
+
+    def run():
+        out = jp_coloring(edges, rounds=5).take_all()
+        return sorted((r["node"], r["color"]) for r in out)
+
+    broadcast = run()
+    monkeypatch.setenv("ONTOEA_BROADCAST_BUDGET_BYTES", "1")
+    forced = run()
+    assert broadcast == forced
+    col = dict(broadcast)
+    for r in dedup.values():
+        if r["a"] in col and r["b"] in col:
+            assert col[r["a"]] != col[r["b"]]
