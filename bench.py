@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "q_politeness_schedule",
     "q_disjoint_audit",
     "q_type_infer",
+    "q_blocking_quality",
     "q_lang_centroid",
     "q_cube",
     "q_corr_stats",

@@ -9459,3 +9459,78 @@ def q_coloring(sf_dir: str):
 
     sampled = edges.map_batches(sample, batch_format="pyarrow")
     return jp_coloring(sampled, rounds=6, src="id_a", dst="id_b")
+
+
+def _blocking_quality_sql() -> str:
+    from ontoea_ray.functions.lsh_sql import (
+        lsh_neardup_sql,
+        minhash_lsh_candidates_sql,
+    )
+
+    cand = minhash_lsh_candidates_sql(num_perm=64, bands=16)
+    hits = lsh_neardup_sql(threshold=0.5)
+    return f"""
+    WITH cand AS ({cand}),
+    tp AS ({_SHINGLE_SQL}),
+    hits AS ({hits}),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+    SELECT (SELECT n FROM nd) AS n_docs,
+           (SELECT COUNT(*) FROM cand) AS n_cand,
+           (SELECT COUNT(*) FROM tp) AS n_true,
+           (SELECT COUNT(*) FROM hits) AS n_hit,
+           CAST(CASE WHEN (SELECT COUNT(*) FROM tp) = 0 THEN -1
+                ELSE (SELECT COUNT(*) FROM hits) * 1000 // (SELECT COUNT(*) FROM tp)
+                END AS BIGINT) AS recall_milli,
+           CAST((SELECT COUNT(*) FROM cand) * 1000000
+                // (((SELECT n FROM nd) * ((SELECT n FROM nd) - 1)) // 2)
+                AS BIGINT) AS reduction_ppm
+"""
+
+
+@_register("q_blocking_quality", _blocking_quality_sql())
+def q_blocking_quality(sf_dir: str):
+    """Blocking-quality audit — pairs completeness and reduction ratio
+    (Christen, "Data Matching" 2012), the two numbers that decide whether
+    a candidate-blocking scheme is safe to deploy at corpus scale: recall
+    = how many of the TRUE near-dup pairs (exact 3-shingle Jaccard >= 0.5,
+    q_jaccard_pairs' ground truth) survive into the MinHash-LSH candidate
+    set (64 perms / 16 bands, q_minhash_lsh's exact chain), and
+    reduction_ppm = the candidate set as parts-per-million of all n(n-1)/2
+    possible pairs (the work the blocker saves).  A recall drop after a
+    band/perm retune — or a reduction blow-up after a shingle change — is
+    the regression this query catches in CI before a 10^12-doc run.
+
+    All three pair sets are the engine's existing distributed operators
+    (bucketed banding, capped hot buckets, pair-keyed verify — nothing new
+    lands on the driver; the four scalars arrive via count()).  n_hit
+    reuses the verified-pair operator because candidates ∩ truth IS the
+    verify step.  The oracle composes the same three replayable sub-SQLs
+    and recomputes every scalar, recall and reduction bit-for-bit."""
+    from ontoea_ray.stages.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        lsh_near_duplicates,
+    )
+
+    n_docs = _read(sf_dir, "documents", ["doc_id"]).count()
+    n_cand = lsh_candidate_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), num_perm=64, bands=16
+    ).count()
+    n_true = jaccard_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5, shingle_n=3
+    ).count()
+    n_hit = lsh_near_duplicates(
+        _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5
+    ).count()
+    recall = n_hit * 1000 // n_true if n_true else -1
+    reduction = n_cand * 1_000_000 // ((n_docs * (n_docs - 1)) // 2)
+    return pa.table(
+        {
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "n_cand": pa.array([n_cand], pa.int64()),
+            "n_true": pa.array([n_true], pa.int64()),
+            "n_hit": pa.array([n_hit], pa.int64()),
+            "recall_milli": pa.array([recall], pa.int64()),
+            "reduction_ppm": pa.array([reduction], pa.int64()),
+        }
+    )

@@ -161,3 +161,23 @@ def test_type_infer_scalar_replay(sf_dir):
     win = v.drop_duplicates("entity", keep="first").sort_values("entity").reset_index(drop=True)
     assert got["cls"].tolist() == win["cls"].tolist()
     assert got["votes"].tolist() == win["votes"].tolist()
+
+
+def test_blocking_quality_no_true_pairs_branch(tmp_path):
+    # all-distinct documents: zero true pairs -> recall_milli = -1 (the
+    # guard branch), zero candidates is fine, reduction well-defined
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(8)), pa.int64()),
+            "text": pa.array(
+                [" ".join(f"tok{i}_{j}" for j in range(12)) for i in range(8)],
+                pa.string(),
+            ),
+        }
+    )
+    pq.write_table(t, f"{tmp_path}/documents.parquet")
+    got = QUERIES["q_blocking_quality"](str(tmp_path)).to_pandas().iloc[0]
+    assert got["n_true"] == 0 and got["recall_milli"] == -1
+    assert got["n_docs"] == 8
+    assert got["n_hit"] == 0
+    assert 0 <= got["reduction_ppm"] <= 1_000_000
