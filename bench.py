@@ -94,6 +94,8 @@ BENCH_QUERIES = [
     "q_disjoint_audit",
     "q_type_infer",
     "q_blocking_quality",
+    "q_triple_pr",
+    "q_triple_pr_pinned",
     "q_lang_centroid",
     "q_cube",
     "q_corr_stats",

@@ -181,3 +181,18 @@ def test_blocking_quality_no_true_pairs_branch(tmp_path):
     assert got["n_docs"] == 8
     assert got["n_hit"] == 0
     assert 0 <= got["reduction_ppm"] <= 1_000_000
+
+
+def test_triple_pr_pinned_vs_resampled(sf_dir):
+    # the ablation pair's operational claim: with the gazetteer pinned to
+    # the full-corpus artifact a subset corpus invents no edges (subset
+    # precision 1000) and only loses coverage; re-deriving the gazetteer
+    # from the sample churns entity URIs and collapses BOTH metrics
+    res = _to_df(QUERIES["q_triple_pr"](sf_dir)).iloc[0]
+    pin = _to_df(QUERIES["q_triple_pr_pinned"](sf_dir)).iloc[0]
+    assert pin["prec_milli"] == 1000 and pin["n_hit"] == pin["n_got"]
+    assert pin["rec_milli"] > res["rec_milli"]
+    assert pin["prec_milli"] > res["prec_milli"]
+    for m in (res, pin):
+        assert m["n_hit"] <= min(m["n_ref"], m["n_got"])
+        assert 0 < m["rec_milli"] <= 1000
