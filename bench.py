@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "q_blocking_quality",
     "q_triple_pr",
     "q_triple_pr_pinned",
+    "q_edge_lifespan",
     "q_lang_centroid",
     "q_cube",
     "q_corr_stats",

@@ -9753,3 +9753,131 @@ def q_triple_pr_pinned(sf_dir: str):
             "rec_milli": pa.array([n_hit * 1000 // n_ref], pa.int64()),
         }
     )
+
+
+_LIFESPAN_FINAL = """SELECT subj, pred, obj, MIN(url) AS first_url, COUNT(*) AS n_mentions
+FROM subbed GROUP BY subj, pred, obj"""
+
+_LIFESPAN_SQL = _FLAGSHIP_SQL.replace(
+    _LIFESPAN_FINAL,
+    """SELECT subj, pred, obj, MIN(url) AS first_url, COUNT(*) AS n_mentions,
+       MIN(CAST(regexp_extract(url, '([0-9]+)$', 1) AS BIGINT)) AS first_seen,
+       MAX(CAST(regexp_extract(url, '([0-9]+)$', 1) AS BIGINT)) AS last_seen,
+       MAX(CAST(regexp_extract(url, '([0-9]+)$', 1) AS BIGINT))
+         - MIN(CAST(regexp_extract(url, '([0-9]+)$', 1) AS BIGINT)) AS span_s
+FROM subbed GROUP BY subj, pred, obj""",
+)
+assert _LIFESPAN_SQL != _FLAGSHIP_SQL  # anchor must match
+
+
+@_register("q_edge_lifespan", _LIFESPAN_SQL)
+def q_edge_lifespan(sf_dir: str):
+    """Temporal KG: each canonical edge's observation window — first/last
+    crawl timestamp any supporting mention was seen at (warc_ts is
+    epoch + doc_id seconds, so the integer doc_id IS the second offset)
+    plus the span between them.  The freshness signal an incremental KG
+    consumer filters on (an edge last seen one crawl generation ago is
+    stale; a wide span is a stable fact, a zero span a single-crawl blip)
+    — and the temporal complement of q_kg_diff's between-snapshot view.
+
+    Scale shape: IDENTICAL to the flagship — a lifespan-aware combiner
+    runs INSIDE the scan actors (`scan_and_link_stage(combine_fn=...)`,
+    the combine_dedup hook generalized), so raw mention rows still never
+    enter the object store; the combiner carries (min url, count, min/max
+    seen) per distinct triple, canonical substitution passes the extra
+    columns through, and ONE triple-keyed exchange merges with min/max/sum
+    — every aggregate associative, so the merge is exact.  The oracle is
+    the flagship CTE chain with min/max doc-id extraction added to the
+    final reduction."""
+    from ontoea_ray.functions.shuffle import keyed_aggregate, sized_width
+    from ontoea_ray.pipelines.kg_construct import bootstrap_linker_cached
+    from ontoea_ray.sources.pages import pages_from_documents
+    from ontoea_ray.stages.canonicalize import (
+        _triple_key,
+        build_canonical_map,
+        make_canonicalizer,
+    )
+    from ontoea_ray.stages.extract import extract_text_stage
+    from ontoea_ray.stages.scan_link import scan_and_link_stage
+
+    def lifespan_partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "tkey": pa.array([], pa.string()),
+                    "subj": pa.array([], pa.string()),
+                    "pred": pa.array([], pa.string()),
+                    "obj": pa.array([], pa.string()),
+                    "url": pa.array([], pa.string()),
+                    "n_mentions": pa.array([], pa.int64()),
+                    "first_seen": pa.array([], pa.int64()),
+                    "last_seen": pa.array([], pa.int64()),
+                }
+            )
+        key = _triple_key(
+            batch["subj"].combine_chunks(),
+            batch["pred"].combine_chunks(),
+            batch["obj"].combine_chunks(),
+        )
+        enc = pc.dictionary_encode(key)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(codes)
+        first = np.full(len(enc.dictionary), n, np.int64)
+        np.minimum.at(first, codes, np.arange(n, dtype=np.int64))
+        url = batch["url"].combine_chunks()
+        doc = pc.cast(
+            pc.extract_regex(url, r"(?P<d>[0-9]+)$").field("d"), pa.int64()
+        )
+        gb = (
+            pa.table({"c": pa.array(codes), "u": url, "d": doc})
+            .group_by("c")
+            .aggregate([("u", "min"), ("d", "min"), ("d", "max"), ("c", "count")])
+        )
+        order = pc.sort_indices(gb["c"])
+        take = pa.array(first)
+        return pa.table(
+            {
+                "tkey": enc.dictionary,
+                "subj": batch["subj"].combine_chunks().take(take),
+                "pred": batch["pred"].combine_chunks().take(take),
+                "obj": batch["obj"].combine_chunks().take(take),
+                "url": gb["u_min"].combine_chunks().take(order),
+                "n_mentions": gb["c_count"].combine_chunks().take(order).cast(pa.int64()),
+                "first_seen": gb["d_min"].combine_chunks().take(order),
+                "last_seen": gb["d_max"].combine_chunks().take(order),
+            }
+        )
+
+    pages = pages_from_documents(sf_dir)
+    state_ref = ray.put(bootstrap_linker_cached(sf_dir))
+    partials = scan_and_link_stage(
+        extract_text_stage(pages), state_ref, combine_fn=lifespan_partial
+    ).materialize()
+    canon_map = build_canonical_map(partials, weight_col="n_mentions")
+    canon = partials.map_batches(
+        make_canonicalizer(ray.put(canon_map), partial=True), batch_format="pyarrow"
+    )
+    merged = keyed_aggregate(
+        canon.drop_columns(["tkey"]),
+        ["subj", "pred", "obj"],
+        sums=["n_mentions"],
+        mins=["url", "first_seen"],
+        maxs=["last_seen"],
+        width=sized_width(partials.size_bytes()),
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "subj": b["subj"],
+                "pred": b["pred"],
+                "obj": b["obj"],
+                "first_url": b["url"],
+                "n_mentions": b["n_mentions"],
+                "first_seen": b["first_seen"],
+                "last_seen": b["last_seen"],
+                "span_s": pc.subtract(b["last_seen"], b["first_seen"]),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")

@@ -146,6 +146,11 @@ def make_canonicalizer(map_ref, *, partial: bool = False):
         if partial:
             out["tkey"] = _triple_key(subj, pred, obj)
             out["n_mentions"] = batch["n_mentions"]
+        # pass through any extra combiner columns (e.g. the edge-lifespan
+        # min/max timestamps) — substitution only touches subj/obj/tkey
+        for name in batch.column_names:
+            if name not in out and name != "tkey":
+                out[name] = batch[name]
         return pa.table(out)
 
     return canonicalize

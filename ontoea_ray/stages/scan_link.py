@@ -41,17 +41,24 @@ class ScanAndLink:
     triples to tens of MB and removes the separate combiner operator from
     the critical path."""
 
-    def __init__(self, state_ref, *, combine_dedup: bool = False):
+    def __init__(self, state_ref, *, combine_dedup: bool = False, combine_fn=None):
         # ray.get on a ray.put ref is zero-copy for numpy payloads and runs
         # once per actor, not once per batch.
         self.state: LinkerState = ray.get(state_ref) if isinstance(state_ref, ray.ObjectRef) else state_ref
         self.combine_dedup = combine_dedup
+        # arbitrary in-actor combiner (same contract as combine_dedup: raw
+        # mention rows never leave the actor) — lets auxiliary pipelines
+        # fuse their own reduction into the scan, e.g. the edge-lifespan
+        # min/max-timestamp combiner
+        self.combine_fn = combine_fn
         st = self.state
         self._surf_lookup = pa.array(st.surfaces.tolist(), pa.string())
         self._pred_lookup = pa.array(st.predicates.tolist(), pa.string())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = self._scan(batch)
+        if self.combine_fn is not None:
+            return self.combine_fn(out)
         if self.combine_dedup:
             from ontoea_ray.stages.canonicalize import _partial_dedup
 
@@ -155,12 +162,13 @@ def scan_and_link_stage(
     batch_size: int = 2048,
     num_cpus: float = 1,
     combine_dedup: bool = False,
+    combine_fn=None,
 ) -> ray.data.Dataset:
     concurrency = default_pool_size(concurrency)
     return texts.map_batches(
         ScanAndLink,
         fn_constructor_args=(state_ref,),
-        fn_constructor_kwargs={"combine_dedup": combine_dedup},
+        fn_constructor_kwargs={"combine_dedup": combine_dedup, "combine_fn": combine_fn},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -196,3 +196,21 @@ def test_triple_pr_pinned_vs_resampled(sf_dir):
     for m in (res, pin):
         assert m["n_hit"] <= min(m["n_ref"], m["n_got"])
         assert 0 < m["rec_milli"] <= 1000
+
+
+def test_edge_lifespan_consistent_with_flagship(sf_dir):
+    from ontoea_ray.queries import _kg_cached
+
+    life = _to_df(QUERIES["q_edge_lifespan"](sf_dir))
+    kg = _to_df(_kg_cached(sf_dir))
+    cols = ["subj", "pred", "obj", "first_url", "n_mentions"]
+    a = life[cols].sort_values(cols).reset_index(drop=True)
+    b = kg[cols].sort_values(cols).reset_index(drop=True)
+    # the lifespan pipeline IS the flagship plus two carried aggregates:
+    # its edge set, provenance urls and evidence counts must be identical
+    assert a.equals(b)
+    assert (life["first_seen"] <= life["last_seen"]).all()
+    assert (life["span_s"] == life["last_seen"] - life["first_seen"]).all()
+    # single-mention edges must have a zero observation window
+    single = life[life["n_mentions"] == 1]
+    assert (single["span_s"] == 0).all()
