@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "q_triple_pr",
     "q_triple_pr_pinned",
     "q_edge_lifespan",
+    "q_pred_inverse",
     "q_lang_centroid",
     "q_cube",
     "q_corr_stats",

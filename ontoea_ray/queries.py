@@ -9881,3 +9881,108 @@ def q_edge_lifespan(sf_dir: str):
         )
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+_PRED_INVERSE_SQL = f"""
+    WITH kg AS ({_FLAGSHIP_SQL}),
+    e AS (SELECT DISTINCT subj, pred, obj FROM kg),
+    tot AS (SELECT pred, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1),
+    inv AS (
+      SELECT e1.pred AS pred_a, e2.pred AS pred_b,
+             CAST(COUNT(*) AS BIGINT) AS n_inverse
+      FROM e e1 JOIN e e2
+        ON e1.subj = e2.obj AND e1.obj = e2.subj AND e1.pred < e2.pred
+      GROUP BY 1, 2)
+    SELECT pred_a, pred_b, n_inverse,
+           ta.n AS n_a, tb.n AS n_b,
+           CAST(1000 * n_inverse // LEAST(ta.n, tb.n) AS BIGINT) AS score_milli
+    FROM inv
+    JOIN tot ta ON ta.pred = inv.pred_a
+    JOIN tot tb ON tb.pred = inv.pred_b
+"""
+
+
+@_register("q_pred_inverse", _PRED_INVERSE_SQL)
+def q_pred_inverse(sf_dir: str):
+    """Inverse-relation mining over the constructed KG — the PARIS-style
+    relation-alignment signal (Suchanek et al., VLDB 2012: p aligns with
+    q^-1 when p(s,o) edges systematically co-occur with q(o,s)): for every
+    unordered predicate pair p < q, the count of (s,o) pairs asserted by p
+    whose reversal (o,s) is asserted by q, normalized by the smaller
+    predicate's edge count (integer milli).  Distinct from q_pred_symmetry
+    (same-predicate reversal only) and q_pred_composition (2-hop paths).
+
+    Plan: the mirror join is ONE (subj,obj)-keyed exchange — an edge and
+    any reversal of it hash to mirrored keys, so matching is local after
+    the exchange; pair counts reduce combiner-first so the second exchange
+    carries per-block (pred_a, pred_b) partials (|preds|^2-bounded, never
+    edges); the per-predicate totals table is manifest-scale and rides the
+    planner-routed broadcast joins.  No driver state."""
+    from ontoea_ray.functions.join import hash_join
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+
+    kg = _kg_cached(sf_dir)
+
+    # flagship output is one row per canonical (subj, pred, obj)
+    tot = keyed_aggregate(
+        kg.map_batches(lambda b: b.select(["pred"]), batch_format="pyarrow"),
+        ["pred"],
+        count_alias="n",
+    ).materialize()
+
+    lhs = kg.map_batches(
+        lambda b: pa.table(
+            {"subj": b["subj"], "obj": b["obj"], "pred_a": b["pred"]}
+        ),
+        batch_format="pyarrow",
+    )
+    rhs = kg.map_batches(
+        lambda b: pa.table(
+            {"subj": b["obj"], "obj": b["subj"], "pred_b": b["pred"]}
+        ),
+        batch_format="pyarrow",
+    )
+    matched = hash_join(lhs, rhs, on=["subj", "obj"])
+
+    def cnt(b: pa.Table) -> pa.Table:
+        keep = pc.less(b["pred_a"], b["pred_b"])
+        df = b.filter(keep).select(["pred_a", "pred_b"]).to_pandas()
+        return _from_pandas_clean(
+            df.groupby(["pred_a", "pred_b"], sort=False)
+            .size()
+            .reset_index(name="n_inverse")
+        )
+
+    inv = keyed_aggregate(
+        matched.map_batches(cnt, batch_format="pyarrow"),
+        ["pred_a", "pred_b"],
+        sums=["n_inverse"],
+    )
+
+    ta = tot.map_batches(
+        lambda b: pa.table({"pred_a": b["pred"], "n_a": b["n"]}),
+        batch_format="pyarrow",
+    ).materialize()
+    tb = tot.map_batches(
+        lambda b: pa.table({"pred_b": b["pred"], "n_b": b["n"]}),
+        batch_format="pyarrow",
+    ).materialize()
+    scored = hash_join(hash_join(inv, ta, on=["pred_a"]), tb, on=["pred_b"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        n_inv = b["n_inverse"].combine_chunks().to_numpy(zero_copy_only=False)
+        n_a = b["n_a"].combine_chunks().to_numpy(zero_copy_only=False)
+        n_b = b["n_b"].combine_chunks().to_numpy(zero_copy_only=False)
+        score = (1000 * n_inv) // np.minimum(n_a, n_b)
+        return pa.table(
+            {
+                "pred_a": b["pred_a"],
+                "pred_b": b["pred_b"],
+                "n_inverse": b["n_inverse"],
+                "n_a": b["n_a"],
+                "n_b": b["n_b"],
+                "score_milli": pa.array(score.astype(np.int64)),
+            }
+        )
+
+    return scored.map_batches(finish, batch_format="pyarrow")
