@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "q_triple_pr_pinned",
     "q_edge_lifespan",
     "q_pred_inverse",
+    "q_skew_join",
     "q_lang_centroid",
     "q_cube",
     "q_corr_stats",

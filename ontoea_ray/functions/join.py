@@ -363,3 +363,116 @@ def hash_join(
         })
 
     return parted.groupby("pkey").map_groups(join_part, batch_format="pandas")
+
+
+def salted_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    on: list[str],
+    right_on: list[str] | None = None,
+    salts: int = 8,
+    hot_threshold: int = 10_000,
+    width: int | None = None,
+    rsuffix: str = "_r",
+) -> ray.data.Dataset:
+    """Skew-resilient INNER hash join: probe-side hot keys split into
+    ``salts`` sub-keys so one dominant key no longer lands on one exchange
+    partition.
+
+    The standard hot-key salting construction: a first combiner-first pass
+    counts probe keys; keys with >= ``hot_threshold`` rows form the hot set
+    (bounded by n_left / hot_threshold BY CONSTRUCTION — that list is the
+    only driver state).  Hot probe rows take salt = row-slot % salts, cold
+    rows salt 0; build rows whose key is hot REPLICATE once per salt (the
+    trade: ``salts``x duplication of the hot slice of the build side),
+    cold build rows take salt 0, and the ordinary exchange join runs on
+    (key..., salt).  The result set is invariant to the salt assignment —
+    every (probe row, build row) key match meets in exactly one salt — so
+    the output is row-for-row the plain ``hash_join(..., how='inner')``
+    (pinned in tests/test_skew_join.py).
+
+    Probe-side skew only; a skewed BUILD side mirrors the construction
+    with the roles swapped.  ``broadcast`` is forced off: salting exists
+    precisely for the regime where the build side is too big to ship.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+
+    right_on = list(right_on or on)
+    on = list(on)
+    assert len(right_on) == len(on)
+    salt_col = "_skew_salt"
+    for ds in (left, right):
+        try:
+            names = ds.schema().names or []
+        except Exception:
+            names = []
+        assert salt_col not in names, salt_col
+
+    # pass 1: combiner-first probe-key counts; the hot SET is tiny by
+    # construction (<= n_left / hot_threshold keys)
+    totals = keyed_aggregate(
+        left.map_batches(lambda b: b.select(on), batch_format="pyarrow"),
+        on,
+        count_alias="_n",
+    )
+    hot_tbl = pa.Table.from_pylist(
+        totals.filter(lambda r: r["_n"] >= hot_threshold).take_all()
+    )
+
+    def _keyvals(batch: pa.Table, cols: list[str]):
+        if len(cols) == 1:
+            return batch[cols[0]].combine_chunks().cast(pa.string())
+        parts = [pc.fill_null(batch[c].combine_chunks().cast(pa.string()), "") for c in cols]
+        return pc.binary_join_element_wise(*parts, "\x1f")
+
+    if len(hot_tbl) == 0:
+        hot_set = pa.array([], pa.string())
+    else:
+        hot_set = _keyvals(hot_tbl.select(on), on)
+    hot_ref = ray.put(hot_set)
+
+    def salt_probe(batch: pa.Table) -> pa.Table:
+        hs = ray.get(hot_ref)
+        salt = np.zeros(len(batch), np.int64)
+        if len(hs) and len(batch):
+            hot = pc.is_in(_keyvals(batch, on), value_set=hs).to_numpy(
+                zero_copy_only=False
+            )
+            salt[hot] = np.arange(int(hot.sum()), dtype=np.int64) % salts
+        return batch.append_column(salt_col, pa.array(salt))
+
+    def salt_build(batch: pa.Table) -> pa.Table:
+        hs = ray.get(hot_ref)
+        n = len(batch)
+        if not len(hs) or not n:
+            return batch.append_column(salt_col, pa.array(np.zeros(n, np.int64)))
+        hot = pc.is_in(_keyvals(batch, right_on), value_set=hs).to_numpy(
+            zero_copy_only=False
+        )
+        idx_hot = np.flatnonzero(hot)
+        idx_cold = np.flatnonzero(~hot)
+        take = np.concatenate([idx_cold, np.repeat(idx_hot, salts)])
+        salt = np.concatenate(
+            [
+                np.zeros(len(idx_cold), np.int64),
+                np.tile(np.arange(salts, dtype=np.int64), len(idx_hot)),
+            ]
+        )
+        return batch.take(pa.array(take)).append_column(salt_col, pa.array(salt))
+
+    joined = hash_join(
+        left.map_batches(salt_probe, batch_format="pyarrow"),
+        right.map_batches(salt_build, batch_format="pyarrow"),
+        on=on + [salt_col],
+        right_on=right_on + [salt_col],
+        how="inner",
+        rsuffix=rsuffix,
+        width=width,
+        broadcast="none",
+        runtime_filter=False,
+    )
+    return joined.drop_columns([salt_col])

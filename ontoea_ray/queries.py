@@ -9986,3 +9986,79 @@ def q_pred_inverse(sf_dir: str):
         )
 
     return scored.map_batches(finish, batch_format="pyarrow")
+
+
+_SKEW_JOIN_SQL = """
+    WITH probe AS (
+      SELECT CASE WHEN l_orderkey % 10 < 9 THEN 1 ELSE l_suppkey END AS key,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem),
+    build AS (SELECT s_suppkey AS key, s_nationkey FROM supplier)
+    SELECT CAST(s_nationkey AS BIGINT) AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM probe JOIN build USING (key)
+    GROUP BY 1
+"""
+
+
+@_register("q_skew_join", _SKEW_JOIN_SQL)
+def q_skew_join(sf_dir: str):
+    """Skew-resilient salted join (functions/join.salted_join) under a
+    deliberately pathological 90%-hot-key probe: lineitem rows collapse
+    onto key 1 for 9 of every 10 orders, so a plain (key)-partitioned
+    exchange sends ~90% of the probe through ONE partition — the salted
+    plan splits the hot key into 8 sub-keys and replicates only the
+    matching build rows, spreading the exchange while staying row-for-row
+    identical to the plain join (the oracle IS the plain join).  Join
+    output reduces per-nation combiner-first."""
+    from ontoea_ray.functions.join import salted_join
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice"])
+
+    def probe(b: pa.Table) -> pa.Table:
+        ok = b["l_orderkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = b["l_suppkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        key = np.where(ok % 10 < 9, np.int64(1), sk)
+        cents = np.round(
+            b["l_extendedprice"].combine_chunks().to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table({"key": pa.array(key), "cents": pa.array(cents)})
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+
+    def build(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": b["s_suppkey"].combine_chunks().cast(pa.int64()),
+                "nation": b["s_nationkey"].combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    joined = salted_join(
+        li.map_batches(probe, batch_format="pyarrow"),
+        sup.map_batches(build, batch_format="pyarrow"),
+        on=["key"],
+        salts=8,
+        hot_threshold=1_000,
+    )
+
+    def cnt(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "nation": b["nation"].combine_chunks().to_numpy(zero_copy_only=False),
+                "cents": b["cents"].combine_chunks().to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("nation", sort=False).agg(
+            n_rows=("cents", "size"), sum_cents=("cents", "sum")
+        ).reset_index()
+        g["n_rows"] = g["n_rows"].astype(np.int64)
+        return _from_pandas_clean(g)
+
+    return keyed_aggregate(
+        joined.map_batches(cnt, batch_format="pyarrow"),
+        ["nation"],
+        sums=["n_rows", "sum_cents"],
+    )
