@@ -10062,3 +10062,62 @@ def q_skew_join(sf_dir: str):
         ["nation"],
         sums=["n_rows", "sum_cents"],
     )
+
+
+from ontoea_ray.functions.lsh_sql import splitmix64_ctes as _sm_ctes
+
+_RANGE_PARTITION_SQL = f"""
+    WITH li AS (
+      SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+             l_orderkey * 8 + l_linenumber AS rk
+      FROM lineitem),
+    {_sm_ctes("li", "rk")},
+    samp AS (SELECT cents FROM sm3 WHERE _h % 50 = 0),
+    sc AS (SELECT LIST(cents ORDER BY cents) AS v, COUNT(*) AS m FROM samp),
+    bounds AS (
+      SELECT v[1 + CAST((i.i * (m - 1)) // 8 AS BIGINT)] AS b
+      FROM sc, (SELECT unnest(range(1, 8)) AS i) i),
+    assigned AS (
+      SELECT cents,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM bounds WHERE b < cents)
+               AS range_id
+      FROM li)
+    SELECT range_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(cents) AS min_v,
+           MAX(cents) AS max_v
+    FROM assigned GROUP BY 1
+"""
+
+
+@_register("q_range_partition", _RANGE_PARTITION_SQL)
+def q_range_partition(sf_dir: str):
+    """Sample-sort range partitioning (stages/layout.range_partition_stats):
+    the boundary-planning primitive behind every distributed sort / range-
+    partitioned write (TeraSort, Spark RangePartitioner).  A deterministic
+    splitmix64 2% row sample yields 7 split values of the price column
+    (single-task sort over the BOUNDED sample — denom grows with the data,
+    the boundary count does not), the 7 scalars broadcast, and one
+    vectorized searchsorted pass reduces to per-range (count, min, max) —
+    the statistics that prove the planned ranges are balanced before the
+    expensive exchange runs.  Everything integer and hash-deterministic,
+    so the oracle replays the sample, the boundary indices and the
+    assignment bit-for-bit."""
+    from ontoea_ray.stages.layout import range_partition_stats
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = np.round(
+            b["l_extendedprice"].combine_chunks().to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        rk = (
+            b["l_orderkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64) * 8
+            + b["l_linenumber"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        return pa.table({"cents": pa.array(cents), "rk": pa.array(rk)})
+
+    ds = li.map_batches(prep, batch_format="pyarrow")
+    return range_partition_stats(
+        ds, col="cents", key_col="rk", n_ranges=8, denom=50
+    )

@@ -122,3 +122,87 @@ def zorder_value(
         return b.append_column(out_col, pa.array(interleave_bits(bx, by, bits)))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def sample_range_bounds(
+    ds,
+    *,
+    col: str,
+    key_col: str,
+    n_ranges: int,
+    denom: int = 50,
+) -> np.ndarray:
+    """Sample-sort range boundaries: n_ranges - 1 split values of ``col``
+    from a deterministic splitmix64(key) % denom == 0 row sample.
+
+    The sample-sort primitive behind every distributed range partitioner
+    (TeraSort, Spark's RangePartitioner): boundaries need only BALANCE the
+    ranges, so a bounded sample suffices — pick ``denom`` so n / denom is
+    a single-task sort (e.g. ~64k rows; at 100 TB that means denom grows
+    with the data, the boundary count does not).  The sample is hash-
+    deterministic (reproducible, SQL-replayable), the boundary rule is the
+    integer index (i * (m - 1)) // n_ranges over the sorted sample, and
+    the returned array is (n_ranges - 1) scalars — the only driver state.
+    """
+    import pyarrow as pa
+
+    from ontoea_ray.stages.sampling import splitmix64
+
+    def keep(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch[key_col].to_numpy(zero_copy_only=False), np.int64)
+        h = splitmix64(keys.view(np.uint64)) % np.uint64(denom)
+        return batch.filter(pa.array(h == 0)).select([col])
+
+    sample = ds.map_batches(keep, batch_format="pyarrow").repartition(1)
+
+    def bounds(batch: pa.Table) -> pa.Table:
+        v = np.sort(batch[col].to_numpy(zero_copy_only=False))
+        m = len(v)
+        idx = [(i * (m - 1)) // n_ranges for i in range(1, n_ranges)]
+        return pa.table({"b": pa.array(v[idx].astype(np.int64))})
+
+    rows = sample.map_batches(bounds, batch_format="pyarrow").take_all()
+    return np.array([r["b"] for r in rows], np.int64)
+
+
+def range_partition_stats(
+    ds,
+    *,
+    col: str,
+    key_col: str,
+    n_ranges: int,
+    denom: int = 50,
+):
+    """Per-range row count + value bounds under sample-sort boundaries —
+    exactly the statistics a range exchange (distributed sort, range-
+    partitioned write) is planned from.  range_id = #boundaries < value
+    (searchsorted left), so every row lands in exactly one range and the
+    assignment is a pure broadcast-lookup map: no shuffle beyond the final
+    per-range aggregate, whose key space IS n_ranges."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+    from ontoea_ray.functions.tables import from_pandas as _fp
+
+    b = sample_range_bounds(
+        ds, col=col, key_col=key_col, n_ranges=n_ranges, denom=denom
+    )
+    b_ref = ray.put(b)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        bounds = ray.get(b_ref)
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        rid = np.searchsorted(bounds, v, side="left").astype(np.int64)
+        df = pd.DataFrame({"range_id": rid, "v": v})
+        g = df.groupby("range_id", sort=False).agg(
+            n_rows=("v", "size"), min_v=("v", "min"), max_v=("v", "max")
+        ).reset_index()
+        g["n_rows"] = g["n_rows"].astype(np.int64)
+        return _fp(g)
+
+    parts = ds.map_batches(assign, batch_format="pyarrow")
+    return keyed_aggregate(
+        parts, ["range_id"], sums=["n_rows"], mins=["min_v"], maxs=["max_v"]
+    )
