@@ -375,6 +375,7 @@ def salted_join(
     hot_threshold: int = 10_000,
     width: int | None = None,
     rsuffix: str = "_r",
+    _keep_salt: bool = False,
 ) -> ray.data.Dataset:
     """Skew-resilient INNER hash join: probe-side hot keys split into
     ``salts`` sub-keys so one dominant key no longer lands on one exchange
@@ -405,11 +406,14 @@ def salted_join(
     on = list(on)
     assert len(right_on) == len(on)
     salt_col = "_skew_salt"
+    # left is consumed twice (hot-key count pass + the join itself) — pin
+    # it to executed blocks ONCE so a lazy probe pipeline does not re-run
+    # per consume; the schema assert reuses the now-known schema (a bare
+    # ds.schema() would itself have executed the plan a third time)
+    left, right = ensure_known_schema(left), ensure_known_schema(right)
     for ds in (left, right):
-        try:
-            names = ds.schema().names or []
-        except Exception:
-            names = []
+        sch = ds.schema(fetch_if_missing=False)
+        names = sch.names if sch is not None else []
         assert salt_col not in names, salt_col
 
     # pass 1: combiner-first probe-key counts; the hot SET is tiny by
@@ -475,4 +479,6 @@ def salted_join(
         broadcast="none",
         runtime_filter=False,
     )
+    if _keep_salt:  # test hook: observe the salt spread pre-drop
+        return joined
     return joined.drop_columns([salt_col])

@@ -6296,7 +6296,11 @@ def q_source_dup_rate(sf_dir: str):
                     {"src_a": pa.array(self.src[ia]), "source": pa.array(self.src[ib])}
                 )
 
-        both = pairs.map_batches(_Label, batch_format="pyarrow", concurrency=(1, 4))
+        from ontoea_ray.stages.scan_link import default_pool_size
+
+        both = pairs.map_batches(
+            _Label, batch_format="pyarrow", concurrency=default_pool_size(None)
+        )
     else:
         a = hash_join(
             pairs.map_batches(
@@ -6929,7 +6933,11 @@ def q_doc_popularity(sf_dir: str):
                 }
             )
 
-    return ds.map_batches(_Score, batch_format="pyarrow", concurrency=(1, 4))
+    from ontoea_ray.stages.scan_link import default_pool_size
+
+    return ds.map_batches(
+        _Score, batch_format="pyarrow", concurrency=default_pool_size(None)
+    )
 
 
 _TTR_SQL = """
@@ -7147,7 +7155,11 @@ def q_lm_score(sf_dir: str):
                 }
             )
 
-    return ds.map_batches(_Score, batch_format="pyarrow", concurrency=(1, 4))
+    from ontoea_ray.stages.scan_link import default_pool_size
+
+    return ds.map_batches(
+        _Score, batch_format="pyarrow", concurrency=default_pool_size(None)
+    )
 
 
 _PMI_MIN_COUNT = 5

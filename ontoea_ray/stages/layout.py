@@ -158,6 +158,10 @@ def sample_range_bounds(
     def bounds(batch: pa.Table) -> pa.Table:
         v = np.sort(batch[col].to_numpy(zero_copy_only=False))
         m = len(v)
+        if m == 0:
+            # degenerate: no sampled rows -> no boundaries, every row
+            # lands in range 0 (matches the SQL oracle's NULL-bounds case)
+            return pa.table({"b": pa.array([], pa.int64())})
         idx = [(i * (m - 1)) // n_ranges for i in range(1, n_ranges)]
         return pa.table({"b": pa.array(v[idx].astype(np.int64))})
 

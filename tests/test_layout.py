@@ -70,3 +70,24 @@ def test_compaction_plan_properties(ray_session):
     for _, by, b in rows:
         assert b == cum // 6000
         cum += by
+
+
+def test_range_bounds_empty_sample_degenerates(ray_session):
+    # a denom larger than any sampled hash leaves the deterministic sample
+    # empty; bounds must degenerate to "no boundaries" (every row range 0),
+    # matching the SQL oracle's NULL-bounds behavior — not IndexError
+    from ontoea_ray.stages.layout import range_partition_stats, sample_range_bounds
+
+    tbl = pa.table(
+        {
+            "v": pa.array(np.arange(100, dtype=np.int64)),
+            "rk": pa.array(np.arange(1, 101, dtype=np.int64)),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    b = sample_range_bounds(ds, col="v", key_col="rk", n_ranges=8, denom=10**9)
+    assert len(b) == 0
+    stats = range_partition_stats(ds, col="v", key_col="rk", n_ranges=8, denom=10**9)
+    rows = stats.take_all()
+    assert len(rows) == 1 and rows[0]["range_id"] == 0
+    assert rows[0]["n_rows"] == 100

@@ -38,15 +38,21 @@ def test_salted_equals_plain():
 
 
 def test_salted_spreads_hot_key():
-    # the hot key's probe rows must actually land on >1 salt: replicate the
-    # salting construction and check the (key, salt) groups the exchange
-    # would see — 4 salts over ~4500 hot rows in 8 blocks hits all 4
+    # the hot key's probe rows must actually land on >1 salt value — probe
+    # the pre-drop dataset via the _keep_salt hook and check the (key, salt)
+    # groups the exchange sees: 4 salts over ~4500 hot rows hits all 4,
+    # while every cold key stays on salt 0
     left, right = _skewed_inputs()
-    joined = salted_join(left, right, on=["key"], salts=4, hot_threshold=100)
-    # build side replication: key 1 matched 4 ways means every probe salt
-    # found its replica; count distinct v per build tag is unchanged
-    df = _df(joined)
-    assert (df["key"] == 1).sum() == 4500 or (df["key"] == 1).sum() > 4000
+    joined = salted_join(
+        left, right, on=["key"], salts=4, hot_threshold=100, _keep_salt=True
+    )
+    df = pa.Table.from_pylist(joined.take_all()).to_pandas()
+    hot_salts = set(df.loc[df["key"] == 1, "_skew_salt"])
+    assert hot_salts == {0, 1, 2, 3}, hot_salts
+    # the hot key's rows split roughly evenly — no salt holds >50% of them
+    counts = df.loc[df["key"] == 1, "_skew_salt"].value_counts()
+    assert counts.max() <= 0.5 * counts.sum(), counts.to_dict()
+    assert set(df.loc[df["key"] != 1, "_skew_salt"]) == {0}
     # plain join row count preserved exactly (no dup, no loss)
     exp = _df(hash_join(left, right, on=["key"], how="inner", broadcast="none"))
     assert len(df) == len(exp)
