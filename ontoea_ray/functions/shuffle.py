@@ -263,7 +263,21 @@ def keyed_aggregate(
         agg2[count_alias] = "sum"
 
     def merge(df: pd.DataFrame) -> pa.Table:
-        out = df.groupby(group_cols, sort=False).agg(agg2).reset_index()
+        if df.empty:
+            # pandas dict-agg on an empty frame raises ("No objects to
+            # concatenate"); empty partitions (e.g. an empty dataset unioned
+            # into the input) reduce to an empty stable-schema table
+            needed = group_cols + sums + mins + maxs
+            if count_alias:
+                needed = needed + [count_alias]
+            if all(c in df.columns for c in needed):
+                return _fp(df[needed])
+            return pa.table({})
+        if not agg2:
+            # distinct-only reduction (no aggregates): pandas agg({}) raises
+            out = df[group_cols].drop_duplicates()
+        else:
+            out = df.groupby(group_cols, sort=False).agg(agg2).reset_index()
         return _fp(out)
 
     return parted.groupby("pkey").map_groups(merge, batch_format="pandas")

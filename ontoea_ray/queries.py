@@ -675,18 +675,39 @@ def q_interleaved_ids(sf_dir: str):
     "SELECT o_orderkey FROM orders WHERE o_orderkey IN (SELECT DISTINCT l_orderkey FROM lineitem)",
 )
 def q_semi_join(sf_dir: str):
-    """Broadcast-set semi-join (the remove_unlinked_triples family,
-    kgs.py:643-654): orders that have lineitems."""
-    keys = duck_distinct = pq.read_table(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
-    allowed = pa.array(sorted(set(keys["l_orderkey"].to_pylist())), pa.int64())
-    ref = ray.put(allowed)
+    """Budget-switched semi-join (the remove_unlinked_triples family,
+    kgs.py:643-654): orders that have lineitems.  The distinct key
+    vocabulary is reduced distributed (per-block distinct + one keyed
+    exchange) and assembled INSIDE a Ray task; under the broadcast budget
+    it ships as an is_in value set, above it the filter runs Bloom
+    pre-prune + exact keyed semi-join — the driver never holds a key."""
+    from ontoea_ray.functions.broadcast import assemble_value_set_ref
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey"])
+    distinct = keyed_aggregate(
+        li.map_batches(
+            lambda b: pa.table({"l_orderkey": b["l_orderkey"].combine_chunks().unique()}),
+            batch_format="pyarrow",
+        ),
+        ["l_orderkey"],
+    ).select_columns(["l_orderkey"])
     orders = _read(sf_dir, "orders", ["o_orderkey"])
+    distinct, ref = assemble_value_set_ref(distinct, "l_orderkey")
+    if ref is not None:
 
-    def filt(batch: pa.Table) -> pa.Table:
-        a = ray.get(ref)
-        return batch.filter(pc.is_in(batch["o_orderkey"].combine_chunks(), value_set=a))
+        def filt(batch: pa.Table) -> pa.Table:
+            a = ray.get(ref)
+            return batch.filter(pc.is_in(batch["o_orderkey"].combine_chunks(), value_set=a))
 
-    return orders.map_batches(filt, batch_format="pyarrow")
+        return orders.map_batches(filt, batch_format="pyarrow")
+    from ontoea_ray.functions.join import hash_join
+    from ontoea_ray.stages.bloom import bloom_semi_join
+
+    pruned = bloom_semi_join(
+        orders, distinct, probe_key="o_orderkey", build_key="l_orderkey", m_bits=1 << 20
+    )
+    return hash_join(pruned, distinct, on=["o_orderkey"], right_on=["l_orderkey"], how="inner")
 
 
 @_register(
@@ -694,17 +715,44 @@ def q_semi_join(sf_dir: str):
     "SELECT o_orderkey FROM orders WHERE o_orderkey NOT IN (SELECT DISTINCT l_orderkey FROM lineitem)",
 )
 def q_anti_join(sf_dir: str):
-    """Broadcast-set anti-join: orders with no lineitems."""
-    keys = pq.read_table(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
-    allowed = pa.array(sorted(set(keys["l_orderkey"].to_pylist())), pa.int64())
-    ref = ray.put(allowed)
+    """Budget-switched anti-join: orders with no lineitems.  Broadcast
+    inverted is_in under the budget; above it an exact LEFT keyed join
+    against the distinct vocabulary (with a match marker) keeps the
+    null-marker rows — a Bloom cannot serve an anti-join alone (its false
+    positives would DROP real rows), so the exact path is the fallback."""
+    from ontoea_ray.functions.broadcast import assemble_value_set_ref
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey"])
+    distinct = keyed_aggregate(
+        li.map_batches(
+            lambda b: pa.table({"l_orderkey": b["l_orderkey"].combine_chunks().unique()}),
+            batch_format="pyarrow",
+        ),
+        ["l_orderkey"],
+    ).select_columns(["l_orderkey"])
     orders = _read(sf_dir, "orders", ["o_orderkey"])
+    distinct, ref = assemble_value_set_ref(distinct, "l_orderkey")
+    if ref is not None:
 
-    def filt(batch: pa.Table) -> pa.Table:
-        a = ray.get(ref)
-        return batch.filter(pc.invert(pc.is_in(batch["o_orderkey"].combine_chunks(), value_set=a)))
+        def filt(batch: pa.Table) -> pa.Table:
+            a = ray.get(ref)
+            return batch.filter(
+                pc.invert(pc.is_in(batch["o_orderkey"].combine_chunks(), value_set=a))
+            )
 
-    return orders.map_batches(filt, batch_format="pyarrow")
+        return orders.map_batches(filt, batch_format="pyarrow")
+    from ontoea_ray.functions.join import hash_join
+
+    marked = distinct.map_batches(
+        lambda b: b.append_column("_hit", pa.array(np.ones(len(b), np.int8))),
+        batch_format="pyarrow",
+    )
+    j = hash_join(orders, marked, on=["o_orderkey"], right_on=["l_orderkey"], how="left")
+    return j.map_batches(
+        lambda b: b.filter(pc.is_null(b["_hit"].combine_chunks())).select(["o_orderkey"]),
+        batch_format="pyarrow",
+    )
 
 
 # ---------------------------------------------------------------------------

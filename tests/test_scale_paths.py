@@ -143,3 +143,21 @@ def test_lm_score_join_path_equals_broadcast(sf_dir, tiny_budget, monkeypatch):
     monkeypatch.delenv("ONTOEA_BROADCAST_BUDGET_BYTES")
     base = _df(QUERIES["q_lm_score"](sf_dir))
     pd.testing.assert_frame_equal(forced, base)
+
+
+def test_semi_join_bloom_path_equals_broadcast(sf_dir, tiny_budget, monkeypatch):
+    from ontoea_ray.queries import QUERIES
+
+    forced = _df(QUERIES["q_semi_join"](sf_dir))
+    monkeypatch.delenv("ONTOEA_BROADCAST_BUDGET_BYTES")
+    base = _df(QUERIES["q_semi_join"](sf_dir))
+    pd.testing.assert_frame_equal(forced, base)
+
+
+def test_anti_join_left_join_path_equals_broadcast(sf_dir, tiny_budget, monkeypatch):
+    from ontoea_ray.queries import QUERIES
+
+    forced = _df(QUERIES["q_anti_join"](sf_dir))
+    monkeypatch.delenv("ONTOEA_BROADCAST_BUDGET_BYTES")
+    base = _df(QUERIES["q_anti_join"](sf_dir))
+    pd.testing.assert_frame_equal(forced, base)
