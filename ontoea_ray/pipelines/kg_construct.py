@@ -66,6 +66,7 @@ def bootstrap_linker_from_corpus(
     fuzzy_blocking: bool = False,
     fuzzy_jaccard_pct: int = 50,
     fuzzy_max_cands: int = 3,
+    mention_texts: ray.data.Dataset | None = None,
 ) -> LinkerState:
     """Derive a gazetteer from corpus token frequencies (distributed
     prepass), assign classes from the bootstrap ontology deterministically,
@@ -88,7 +89,7 @@ def bootstrap_linker_from_corpus(
     from ontoea_ray.state.ids import token_frequencies, top_k_by_frequency
 
     freq = token_frequencies(texts)
-    if fuzzy_blocking:
+    if fuzzy_blocking and mention_texts is None:
         freq = freq.materialize()  # consumed twice: head + mention side
     top = top_k_by_frequency(freq, n_entities + n_predicates, key="token")
     toks = [t for t, _ in top]
@@ -107,7 +108,12 @@ def bootstrap_linker_from_corpus(
     if fuzzy_blocking and ent_surfaces:
         from ontoea_ray.stages.blocking import lsh_link_candidates
 
-        mentions = freq.map_batches(
+        # mention vocabulary: by default the gazetteer corpus's own tokens;
+        # pass ``mention_texts`` to block against a DIFFERENT corpus's
+        # vocabulary (production shape: gazetteer from a curated corpus,
+        # mentions from the crawl being scanned)
+        mfreq = token_frequencies(mention_texts) if mention_texts is not None else freq
+        mentions = mfreq.map_batches(
             lambda b: pa.table({"mention": b["token"]}), batch_format="pyarrow"
         )
         gaz = ray.data.from_arrow(
@@ -339,6 +345,108 @@ def kg_construct_pipeline(sf_dir: str, *, replicate: int = 1, **kwargs) -> ray.d
     return construct_kg(pages, state, **kwargs)
 
 
+def construct_kg_lifespan(
+    pages: ray.data.Dataset,
+    linker_state,
+) -> ray.data.Dataset:
+    """pages -> canonical edge table WITH per-edge observation window:
+    (subj, pred, obj, first_url, n_mentions, first_seen, last_seen,
+    span_s).  The flagship chain with a lifespan-aware combiner inside the
+    scan actors (`scan_and_link_stage(combine_fn=...)`): the combiner
+    carries (min url, count, min/max seen-second) per distinct triple so
+    raw mention rows never enter the object store; canonical substitution
+    passes the extra columns through; ONE triple-keyed exchange merges
+    with associative min/max/sum.  The crawl second is the url-trailing
+    doc id (warc_ts = epoch + doc_id seconds, sources/pages.py)."""
+    from ontoea_ray.functions.shuffle import keyed_aggregate, sized_width
+    from ontoea_ray.stages.canonicalize import _triple_key
+
+    def lifespan_partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "tkey": pa.array([], pa.string()),
+                    "subj": pa.array([], pa.string()),
+                    "pred": pa.array([], pa.string()),
+                    "obj": pa.array([], pa.string()),
+                    "url": pa.array([], pa.string()),
+                    "n_mentions": pa.array([], pa.int64()),
+                    "first_seen": pa.array([], pa.int64()),
+                    "last_seen": pa.array([], pa.int64()),
+                }
+            )
+        key = _triple_key(
+            batch["subj"].combine_chunks(),
+            batch["pred"].combine_chunks(),
+            batch["obj"].combine_chunks(),
+        )
+        enc = pc.dictionary_encode(key)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(codes)
+        first = np.full(len(enc.dictionary), n, np.int64)
+        np.minimum.at(first, codes, np.arange(n, dtype=np.int64))
+        url = batch["url"].combine_chunks()
+        doc = pc.cast(
+            pc.extract_regex(url, r"(?P<d>[0-9]+)$").field("d"), pa.int64()
+        )
+        gb = (
+            pa.table({"c": pa.array(codes), "u": url, "d": doc})
+            .group_by("c")
+            .aggregate([("u", "min"), ("d", "min"), ("d", "max"), ("c", "count")])
+        )
+        order = pc.sort_indices(gb["c"])
+        take = pa.array(first)
+        return pa.table(
+            {
+                "tkey": enc.dictionary,
+                "subj": batch["subj"].combine_chunks().take(take),
+                "pred": batch["pred"].combine_chunks().take(take),
+                "obj": batch["obj"].combine_chunks().take(take),
+                "url": gb["u_min"].combine_chunks().take(order),
+                "n_mentions": gb["c_count"].combine_chunks().take(order).cast(pa.int64()),
+                "first_seen": gb["d_min"].combine_chunks().take(order),
+                "last_seen": gb["d_max"].combine_chunks().take(order),
+            }
+        )
+
+    state_ref = (
+        linker_state
+        if isinstance(linker_state, ray.ObjectRef)
+        else ray.put(linker_state)
+    )
+    partials = scan_and_link_stage(
+        extract_text_stage(pages), state_ref, combine_fn=lifespan_partial
+    ).materialize()
+    canon_map = build_canonical_map(partials, weight_col="n_mentions")
+    canon = partials.map_batches(
+        make_canonicalizer(ray.put(canon_map), partial=True), batch_format="pyarrow"
+    )
+    merged = keyed_aggregate(
+        canon.drop_columns(["tkey"]),
+        ["subj", "pred", "obj"],
+        sums=["n_mentions"],
+        mins=["url", "first_seen"],
+        maxs=["last_seen"],
+        width=sized_width(partials.size_bytes()),
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "subj": b["subj"],
+                "pred": b["pred"],
+                "obj": b["obj"],
+                "first_url": b["url"],
+                "n_mentions": b["n_mentions"],
+                "first_seen": b["first_seen"],
+                "last_seen": b["last_seen"],
+                "span_s": pc.subtract(b["last_seen"], b["first_seen"]),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
 def kg_upsert(
     base: ray.data.Dataset,
     delta: ray.data.Dataset,
@@ -346,6 +454,7 @@ def kg_upsert(
     group_cols: tuple[str, ...] = ("subj", "pred", "obj"),
     sum_cols: tuple[str, ...] = ("n_mentions",),
     min_cols: tuple[str, ...] = ("first_url",),
+    max_cols: tuple[str, ...] = (),
 ) -> ray.data.Dataset:
     """Incremental KG update: merge a new crawl increment's edge table into
     an existing one.
@@ -361,7 +470,11 @@ def kg_upsert(
     from ontoea_ray.functions.shuffle import keyed_aggregate
 
     return keyed_aggregate(
-        base.union(delta), list(group_cols), sums=list(sum_cols), mins=list(min_cols)
+        base.union(delta),
+        list(group_cols),
+        sums=list(sum_cols),
+        mins=list(min_cols),
+        maxs=list(max_cols),
     )
 
 

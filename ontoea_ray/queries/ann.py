@@ -1,0 +1,159 @@
+"""Queries: ann (split from the former single-module registry)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from ontoea_ray.functions.shuffle import compact
+from ontoea_ray.functions.tables import from_pandas as _from_pandas_clean
+from ontoea_ray.queries._core import ORACLE_SQL, QUERIES, _kg_cached, _read, _register
+
+
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q_ann_topk",
+    """
+    SELECT vec_id, CAST(rnk AS BIGINT) AS rnk FROM (
+      SELECT e.vec_id,
+             ROW_NUMBER() OVER (
+               ORDER BY list_cosine_similarity(e.embedding,
+                        (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC,
+                        e.vec_id ASC) AS rnk
+      FROM embeddings e
+    ) WHERE rnk <= 10
+    """,
+)
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-10 against the vec_id=0 query vector."""
+    from ontoea_ray.stages.ann import brute_force_topk
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = np.asarray(tbl.filter(pc.equal(tbl["vec_id"], 0))["embedding"].to_pylist()[0], np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = brute_force_topk(ds, q[None, :], k=10)
+    return out.select(["vec_id", "rnk"])
+
+
+from ontoea_ray.functions.lsh_sql import ann_lsh_topk_sql
+
+
+@_register("q_ann_lsh", ann_lsh_topk_sql(k=10, n_planes=8, dim=64, hamming_radius=1))
+def q_ann_lsh(sf_dir: str):
+    """Index-backed ANN: builds (once per sf_dir, cached under /tmp) the
+    bucket-partitioned LSH index, then answers from the index reading only
+    the Hamming-adjacent bucket partitions.
+
+    Full value oracle: the seeded hyperplane matrix is inlined into the SQL
+    (`functions.lsh_sql.ann_lsh_topk_sql`) — DuckDB recomputes bucket sign
+    bits, Hamming-radius candidate pruning and the cosine top-k ranking.
+    Approximation is vs brute force (recall pinned in pytest), not
+    nondeterminism."""
+    import hashlib
+    import os
+
+    from ontoea_ray.stages.ann import build_lsh_index, lsh_index_topk
+
+    src = f"{sf_dir}/embeddings.parquet"
+    tag = hashlib.blake2b(
+        f"{os.path.abspath(src)}:{os.path.getmtime(src)}".encode(), digest_size=8
+    ).hexdigest()
+    index_dir = f"/tmp/ontoea_ann_index/{tag}"
+    if not os.path.exists(os.path.join(index_dir, "_meta.json")):
+        build_lsh_index(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), index_dir)
+    tbl = pq.read_table(src, columns=["vec_id", "embedding"])
+    q = np.asarray(tbl.filter(pc.equal(tbl["vec_id"], 0))["embedding"].to_pylist()[0], np.float64)
+    out = lsh_index_topk(index_dir, q[None, :], k=10)
+    return out.select(["vec_id", "rnk"])
+
+
+from ontoea_ray.functions.lsh_sql import ann_ivf_topk_sql
+
+
+@_register(
+    "q_ann_ivf",
+    ann_ivf_topk_sql(k=10, n_centroids=16, dim=64, iters=4, scale=1000, nprobe=4),
+)
+def q_ann_ivf(sf_dir: str):
+    """IVF-indexed ANN: integer-k-means coarse quantizer (bounded
+    hash-ordered sample, SQL-replayable training — see
+    `stages.ann.train_centroids_integer`), table written partitioned by
+    nearest-centroid list (once per sf_dir, cached under /tmp), queries
+    read only their nprobe lists.
+
+    Full value oracle: DuckDB RE-TRAINS the quantizer (every training step
+    is integer-exact and order-independent) and replays list assignment,
+    probe selection and the cosine top-k — approximation is vs brute force
+    (recall pinned in pytest), not nondeterminism."""
+    import hashlib
+    import os
+
+    from ontoea_ray.stages.ann import build_ivf_index, ivf_index_topk
+
+    src = f"{sf_dir}/embeddings.parquet"
+    tag = hashlib.blake2b(
+        f"ivf-int:{os.path.abspath(src)}:{os.path.getmtime(src)}".encode(), digest_size=8
+    ).hexdigest()
+    index_dir = f"/tmp/ontoea_ann_index/{tag}"
+    if not os.path.exists(os.path.join(index_dir, "_meta.json")):
+        build_ivf_index(
+            _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+            index_dir, n_centroids=16, iters=4, quantizer="integer", scale=1000,
+        )
+    tbl = pq.read_table(src, columns=["vec_id", "embedding"])
+    q = np.asarray(tbl.filter(pc.equal(tbl["vec_id"], 0))["embedding"].to_pylist()[0], np.float64)
+    out = ivf_index_topk(index_dir, q[None, :], k=10, nprobe=4)
+    return out.select(["vec_id", "rnk"])
+
+
+from ontoea_ray.functions.lsh_sql import ann_pq_topk_sql
+
+
+@_register(
+    "q_ann_pq",
+    ann_pq_topk_sql(k=10, m=4, ksub=8, dim=64, iters=3, scale=1000),
+)
+def q_ann_pq(sf_dir: str):
+    """Product-quantization ANN — the COMPRESSION scale path (LSH/IVF
+    prune which rows are read; PQ shrinks what a row costs: ~m bytes per
+    vector instead of dim*4, so a 100 TB float32 embedding table answers
+    from a ~1.5 TB code table with no raw vectors touched at query time).
+    Per-subspace integer k-means codebooks (`stages.ann.
+    train_pq_codebooks_integer`), one encode pass cached under /tmp,
+    query = integer asymmetric-distance LUT gather.
+
+    Full value oracle: DuckDB RE-TRAINS all m codebooks, re-encodes every
+    row and replays the LUT ranking — there is NO float step anywhere, so
+    unlike the LSH/IVF oracles even the final ranking hash-matches
+    bit-for-bit.  Approximation is vs brute force (recall pinned in
+    pytest), not nondeterminism."""
+    import hashlib
+    import os
+
+    from ontoea_ray.stages.ann import build_pq_index, pq_index_topk
+
+    src = f"{sf_dir}/embeddings.parquet"
+    tag = hashlib.blake2b(
+        f"pq-int:{os.path.abspath(src)}:{os.path.getmtime(src)}".encode(), digest_size=8
+    ).hexdigest()
+    index_dir = f"/tmp/ontoea_ann_index/{tag}"
+    if not os.path.exists(os.path.join(index_dir, "_meta.json")):
+        build_pq_index(
+            _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+            index_dir, m=4, ksub=8, iters=3, scale=1000,
+        )
+    tbl = pq.read_table(src, columns=["vec_id", "embedding"])
+    q = np.asarray(tbl.filter(pc.equal(tbl["vec_id"], 0))["embedding"].to_pylist()[0], np.float64)
+    out = pq_index_topk(index_dir, q[None, :], k=10)
+    return out.select(["vec_id", "rnk", "adist"])
+
+
+# ---------------------------------------------------------------------------

@@ -1,0 +1,1707 @@
+"""Queries: mixed (split from the former single-module registry)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from ontoea_ray.functions.shuffle import compact
+from ontoea_ray.functions.tables import from_pandas as _from_pandas_clean
+from ontoea_ray.queries._core import ORACLE_SQL, QUERIES, _kg_cached, _read, _register
+from ontoea_ray.queries.dedup import splitmix64_ctes
+from ontoea_ray.queries.flagship import _FLAGSHIP_SQL, _tokens_exploded
+from ontoea_ray.queries.graph import _COPURCHASE_E_CTE, _copurchase_cached
+
+
+# HAVING-filtered join, outer-join count distribution, unigram-popularity
+# ---------------------------------------------------------------------------
+
+_LARGE_ORDERS_SQL = """
+    WITH qty AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(FLOOR(l_quantity * 100.0) AS BIGINT)) AS BIGINT) AS qty_centi
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(FLOOR(l_quantity * 100.0) AS BIGINT)) > 26000)
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(o_custkey AS BIGINT) AS o_custkey,
+           CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch_s,
+           qty_centi
+    FROM orders JOIN qty ON l_orderkey = o_orderkey
+"""
+
+
+@_register("q_large_orders", _LARGE_ORDERS_SQL)
+def q_large_orders(sf_dir: str):
+    """TPC-H Q18-shaped HAVING-filtered join (large-volume orders): the
+    corpus-proportional side (lineitem) is reduced to one row per order by
+    a combiner-first keyed aggregate, the HAVING filter then drops ~99% of
+    orders BEFORE the only distributed join, so the join moves the
+    selected 1%, never raw lineitems.  Quantities are FLOOR(x*100) centi
+    so DuckDB replays every sum bit-exactly."""
+    from ontoea_ray.functions.join import hash_join
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "o_orderkey": np.asarray(b["l_orderkey"].combine_chunks(), np.int64),
+                "qty_centi": np.floor(
+                    b["l_quantity"].combine_chunks().to_numpy() * 100.0
+                ).astype(np.int64),
+            }
+        )
+        return _from_pandas_clean(
+            df.groupby("o_orderkey", sort=False)["qty_centi"].sum().reset_index()
+        )
+
+    qty = keyed_aggregate(
+        li.map_batches(partial, batch_format="pyarrow"),
+        ["o_orderkey"],
+        sums=["qty_centi"],
+    ).map_batches(
+        lambda b: b.filter(pc.greater(b["qty_centi"], 26000)), batch_format="pyarrow"
+    )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def oproj(b: pa.Table) -> pa.Table:
+        ep = b["o_orderdate"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"].combine_chunks().cast(pa.int64()),
+                "o_custkey": b["o_custkey"].combine_chunks().cast(pa.int64()),
+                "order_epoch_s": pa.array(ep.astype("datetime64[s]").astype(np.int64)),
+            }
+        )
+
+    return hash_join(
+        orders.map_batches(oproj, batch_format="pyarrow"), qty, on=["o_orderkey"]
+    )
+
+
+_CUST_ORDER_DIST_SQL = """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+      SELECT c.c_custkey,
+             CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey)
+    GROUP BY c_count
+"""
+
+
+@_register("q_cust_order_dist", _CUST_ORDER_DIST_SQL)
+def q_cust_order_dist(sf_dir: str):
+    """TPC-H Q13-shaped outer-join count distribution: non-urgent orders
+    reduce to one (custkey, count) row per customer via the combiner-first
+    keyed aggregate, a distributed LEFT join against the customer table
+    keeps zero-order customers (null -> 0), and the final histogram
+    groups by the count value — a key whose cardinality is tiny (max
+    orders per customer), so the last aggregate is a narrow exchange."""
+    from ontoea_ray.functions.join import hash_join
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        sel = b.filter(pc.not_equal(b["o_orderpriority"], "1-URGENT"))
+        df = pd.DataFrame(
+            {"c_custkey": np.asarray(sel["o_custkey"].combine_chunks(), np.int64)}
+        )
+        out = df.groupby("c_custkey", sort=False).size().rename("c_count").reset_index()
+        return _from_pandas_clean(out)
+
+    counts = keyed_aggregate(
+        orders.map_batches(partial, batch_format="pyarrow"),
+        ["c_custkey"],
+        sums=["c_count"],
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda b: pa.table({"c_custkey": b["c_custkey"].combine_chunks().cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(cust, counts, on=["c_custkey"], how="left")
+
+    def histo(b: pa.Table) -> pa.Table:
+        cc = b["c_count"].combine_chunks().fill_null(0).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"c_count": cc.astype(np.int64)})
+        out = df.groupby("c_count", sort=False).size().rename("custdist").reset_index()
+        return _from_pandas_clean(out)
+
+    return keyed_aggregate(
+        joined.map_batches(histo, batch_format="pyarrow"),
+        ["c_count"],
+        sums=["custdist"],
+    )
+
+
+_DOC_POPULARITY_SQL = """
+    WITH toks AS (
+      SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents),
+    tf AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM toks GROUP BY tok)
+    SELECT doc_id,
+           CAST(SUM(tf.freq) AS BIGINT) AS popularity_sum,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens
+    FROM toks JOIN tf USING (tok) GROUP BY doc_id
+"""
+
+
+@_register("q_doc_popularity", _DOC_POPULARITY_SQL)
+def q_doc_popularity(sf_dir: str):
+    """Unigram-popularity document score (the integer-exact core of a
+    unigram language-model quality signal): corpus term frequencies are
+    computed distributed, broadcast ONCE per actor (natural-language
+    vocabulary is sublinear in corpus size; at extreme vocabularies the
+    same shape runs as a token-exploded hash join), then a second corpus
+    pass scores each doc with a vectorized sorted-vocab searchsorted
+    lookup + segment sum — no per-row Python, two corpus scans total."""
+    from ontoea_ray.functions.broadcast import assemble_table_ref
+    from ontoea_ray.functions.text import tokenize
+    from ontoea_ray.state.ids import token_frequencies
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    tf = token_frequencies(ds)
+    tf, tf_ref = assemble_table_ref(tf, columns=["token", "freq"])
+
+    if tf_ref is None:  # web-scale vocabulary: token-exploded join plan
+        from ontoea_ray.functions.join import hash_join
+        from ontoea_ray.functions.shuffle import keyed_aggregate
+
+        j = hash_join(_tokens_exploded(ds), tf, on=["token"])
+        agg = keyed_aggregate(j, ["doc_id"], sums=["freq"], count_alias="n_tokens")
+
+        def final(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"].combine_chunks().cast(pa.int64()),
+                    "popularity_sum": b["freq"].combine_chunks().cast(pa.int64()),
+                    "n_tokens": b["n_tokens"].combine_chunks().cast(pa.int64()),
+                }
+            )
+
+        return agg.map_batches(final, batch_format="pyarrow")
+
+    class _Score:
+        def __init__(self):
+            # frequency table assembled in a task; the sort for searchsorted
+            # is per-actor (vocab-sized, once per actor lifetime)
+            t = ray.get(tf_ref)
+            vocab = np.asarray(t.column("token").to_pandas(), dtype=object)
+            order = np.argsort(vocab)
+            self.vocab = vocab[order]
+            self.freqs = t.column("freq").combine_chunks().to_numpy(
+                zero_copy_only=False
+            )[order]
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            toks = tokenize(b["text"])
+            lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = np.asarray(toks.flatten().to_pandas(), dtype=object)
+            idx = np.searchsorted(self.vocab, flat)
+            f = self.freqs[idx]
+            seg = np.repeat(np.arange(len(b)), lens)
+            pop = np.zeros(len(b), np.int64)
+            np.add.at(pop, seg, f)
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"].combine_chunks().cast(pa.int64()),
+                    "popularity_sum": pa.array(pop),
+                    "n_tokens": pa.array(lens),
+                }
+            )
+
+    from ontoea_ray.stages.scan_link import default_pool_size
+
+    return ds.map_batches(
+        _Score, batch_format="pyarrow", concurrency=default_pool_size(None)
+    )
+
+
+_TTR_SQL = """
+    WITH toks AS (
+      SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents)
+    SELECT doc_id,
+           CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens
+    FROM toks GROUP BY doc_id
+"""
+
+
+@_register("q_ttr", _TTR_SQL)
+def q_ttr(sf_dir: str):
+    """Type-token ratio inputs per document (lexical-diversity quality
+    signal used by corpus filters): distinct-token and total-token counts
+    per doc, computed entirely inside one map_batches — a doc's tokens
+    never leave its block, so there is NO shuffle at any corpus size (the
+    dedup is within-document by definition)."""
+    from ontoea_ray.functions.text import tokenize
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(b: pa.Table) -> pa.Table:
+        toks = tokenize(b["text"])
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pd.Series(np.asarray(toks.flatten().to_pandas(), dtype=object))
+        seg = np.repeat(np.arange(len(b)), lens)
+        nd = flat.groupby(seg, sort=True).nunique().reindex(range(len(b)), fill_value=0)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].combine_chunks().cast(pa.int64()),
+                "n_distinct": pa.array(nd.to_numpy(np.int64)),
+                "n_tokens": pa.array(lens),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def _bigrams_exploded(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Corpus explode to (doc_id, bigram) occurrence rows — the bigram
+    analogue of `_tokens_exploded`; streams, never materialized here."""
+    from ontoea_ray.functions.text import tokenize
+
+    def explode(b: pa.Table) -> pa.Table:
+        toks = tokenize(b["text"])
+        flat = toks.flatten().to_pandas()
+        if len(flat) < 2:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "bigram": pa.array([], pa.string())}
+            )
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        start = np.zeros(len(flat) + 1, np.bool_)
+        start[offs] = True
+        valid = ~start[1 : len(flat)]  # pair (i, i+1) inside one document
+        pairs = (
+            flat.iloc[:-1].reset_index(drop=True)
+            + " "
+            + flat.iloc[1:].reset_index(drop=True)
+        )[valid]
+        doc_ids = np.repeat(
+            np.asarray(b["doc_id"].combine_chunks(), np.int64), np.diff(offs)
+        )[: len(flat) - 1][valid]
+        return pa.table(
+            {"doc_id": pa.array(doc_ids, pa.int64()),
+             "bigram": pa.array(pairs, pa.string())}
+        )
+
+    return docs.map_batches(explode, batch_format="pyarrow")
+
+
+_LM_SCORE_SQL = """
+    WITH t AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+    db AS (SELECT doc_id,
+                  t[unnest(range(1, len(t)))] || ' ' || t[unnest(range(2, len(t) + 1))] AS bigram
+           FROM t),
+    c2 AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c2 FROM db GROUP BY bigram),
+    c1 AS (SELECT str_split(bigram, ' ')[1] AS w1, CAST(SUM(c2) AS BIGINT) AS c1
+           FROM c2 GROUP BY w1),
+    p AS (SELECT c2.bigram, (1000000 * c2.c2) // c1.c1 AS p
+          FROM c2 JOIN c1 ON str_split(c2.bigram, ' ')[1] = c1.w1)
+    SELECT db.doc_id,
+           CAST(SUM(p.p) AS BIGINT) AS pred_sum,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams
+    FROM db JOIN p USING (bigram) GROUP BY db.doc_id
+"""
+
+
+@_register("q_lm_score", _LM_SCORE_SQL)
+def q_lm_score(sf_dir: str):
+    """Bigram-predictability document score — the integer-exact core of an
+    n-gram LM perplexity filter (the CCNet-style quality signal): each
+    bigram occurrence scores the conditional probability of its second
+    token given its first, as the exact rational
+    ``(1e6 * count(w1 w2)) // count(w1 _)``, summed per document (low sum
+    = surprising text).  Pure integer ratios, so the oracle replays every
+    value bit-for-bit — no libm log to diverge.
+
+    Scale shape: bigram counts are combiner-first (per-block partials, one
+    keyed aggregate); the prefix marginal derives from the count table
+    itself (never re-scans the corpus); the per-bigram score table is
+    assembled INSIDE a Ray task and broadcast once per actor for a
+    shuffle-free searchsorted scoring pass — above the broadcast byte
+    budget the same score runs as a bigram-exploded hash join + per-doc
+    keyed aggregate instead (budget=1 test pins the plans equal)."""
+    from ontoea_ray.functions.broadcast import assemble_table_ref
+    from ontoea_ray.functions.join import hash_join
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+    from ontoea_ray.functions.text import bigram_counts, tokenize
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    partial = ds.map_batches(
+        lambda b: bigram_counts(b["text"].combine_chunks()), batch_format="pyarrow"
+    )
+    c2 = partial.groupby("bigram").sum("freq").map_batches(
+        lambda b: pa.table(
+            {
+                "bigram": b["bigram"].combine_chunks(),
+                "w1": pc.list_element(
+                    pc.split_pattern(b["bigram"].combine_chunks(), pattern=" "), 0
+                ),
+                "c2": b["sum(freq)"].combine_chunks().cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    c1 = keyed_aggregate(c2.select_columns(["w1", "c2"]), ["w1"], sums=["c2"])
+    c1 = c1.map_batches(
+        lambda b: pa.table(
+            {"w1": b["w1"].combine_chunks(),
+             "c1": b["c2"].combine_chunks().cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    ptab = hash_join(c2, c1, on=["w1"]).map_batches(
+        lambda b: pa.table(
+            {
+                "bigram": b["bigram"].combine_chunks(),
+                "p": pc.divide(
+                    pc.multiply(
+                        pa.scalar(1_000_000, pa.int64()),
+                        b["c2"].combine_chunks().cast(pa.int64()),
+                    ),
+                    b["c1"].combine_chunks().cast(pa.int64()),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    ptab, p_ref = assemble_table_ref(ptab, columns=["bigram", "p"])
+
+    if p_ref is None:  # web-scale bigram vocabulary: exploded join plan
+        j = hash_join(_bigrams_exploded(ds), ptab, on=["bigram"])
+        agg = keyed_aggregate(j, ["doc_id"], sums=["p"], count_alias="n_bigrams")
+        return agg.map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": b["doc_id"].combine_chunks().cast(pa.int64()),
+                    "pred_sum": b["p"].combine_chunks().cast(pa.int64()),
+                    "n_bigrams": b["n_bigrams"].combine_chunks().cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    class _Score:
+        def __init__(self):
+            t = ray.get(p_ref)
+            vocab = np.asarray(t.column("bigram").to_pandas(), dtype=object)
+            order = np.argsort(vocab)
+            self.vocab = vocab[order]
+            self.p = t.column("p").combine_chunks().to_numpy(zero_copy_only=False)[
+                order
+            ]
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            toks = tokenize(b["text"])
+            flat = toks.flatten().to_pandas()
+            n = len(b)
+            if len(flat) < 2:
+                return pa.table(
+                    {"doc_id": pa.array([], pa.int64()),
+                     "pred_sum": pa.array([], pa.int64()),
+                     "n_bigrams": pa.array([], pa.int64())}
+                )
+            offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            start = np.zeros(len(flat) + 1, np.bool_)
+            start[offs] = True
+            valid = ~start[1 : len(flat)]
+            pairs = np.asarray(
+                (
+                    flat.iloc[:-1].reset_index(drop=True)
+                    + " "
+                    + flat.iloc[1:].reset_index(drop=True)
+                )[valid],
+                dtype=object,
+            )
+            seg_all = np.repeat(np.arange(n), np.diff(offs))[: len(flat) - 1][valid]
+            idx = np.searchsorted(self.vocab, pairs)
+            scores = self.p[idx]  # every corpus bigram is in the table
+            pred = np.zeros(n, np.int64)
+            np.add.at(pred, seg_all, scores)
+            cnt = np.bincount(seg_all, minlength=n).astype(np.int64)
+            keep = cnt > 0  # docs with no bigram don't appear (SQL inner join)
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"].combine_chunks().cast(pa.int64()).take(
+                        pa.array(np.flatnonzero(keep))
+                    ),
+                    "pred_sum": pa.array(pred[keep]),
+                    "n_bigrams": pa.array(cnt[keep]),
+                }
+            )
+
+    from ontoea_ray.stages.scan_link import default_pool_size
+
+    return ds.map_batches(
+        _Score, batch_format="pyarrow", concurrency=default_pool_size(None)
+    )
+
+
+_PMI_MIN_COUNT = 5
+
+_PMI_SQL = f"""
+    WITH t AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+    db AS (SELECT t[unnest(range(1, len(t)))] || ' ' || t[unnest(range(2, len(t) + 1))] AS bigram
+           FROM t),
+    c2 AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c12 FROM db GROUP BY 1
+           HAVING COUNT(*) >= {_PMI_MIN_COUNT}),
+    uni AS (SELECT unnest(t) AS w FROM t),
+    c1 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c1 FROM uni GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM uni)
+    SELECT c2.bigram, c2.c12,
+           CAST((CAST(1000000 AS HUGEINT) * c2.c12 * n.n)
+                // (CAST(ca.c1 AS HUGEINT) * cb.c1) AS BIGINT) AS pmi_ppm
+    FROM c2
+    JOIN c1 ca ON str_split(c2.bigram, ' ')[1] = ca.w
+    JOIN c1 cb ON str_split(c2.bigram, ' ')[2] = cb.w
+    CROSS JOIN n
+"""
+
+
+@_register("q_pmi_collocations", _PMI_SQL)
+def q_pmi_collocations(sf_dir: str):
+    """Collocation detection by pointwise-mutual-information lift — the
+    word2vec-era phrase-mining statistic (Mikolov et al. 2013's phrase
+    score): for every bigram seen >= {min_count} times,
+    ``pmi_ppm = (1e6 * c12 * N) // (c1a * c1b)`` with c12 the bigram
+    occurrences, c1 the token occurrences, N the corpus token total —
+    an exact integer rational (no libm log), so the DuckDB oracle
+    replays every value via HUGEINT.
+
+    Scale shape: bigram and unigram counts reduce combiner-first; the
+    ``min_count`` filter applies BEFORE the two unigram joins, so only
+    the repeated-bigram vocabulary (a vanishing fraction of all bigrams)
+    rides them; N is a one-row scalar aggregate; scoring runs over the
+    filtered collocation table with Python-int intermediates (the DSIR
+    convention: 128-bit products, int64-overflow guard raises loudly)."""
+    from ontoea_ray.functions.join import hash_join
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+    from ontoea_ray.functions.text import bigram_counts
+    from ontoea_ray.state.ids import token_frequencies
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    partial = ds.map_batches(
+        lambda b: bigram_counts(b["text"].combine_chunks()), batch_format="pyarrow"
+    )
+    c2 = compact(partial).groupby("bigram").sum("freq").map_batches(
+        lambda b: pa.table(
+            {
+                "bigram": b["bigram"].combine_chunks(),
+                "c12": b["sum(freq)"].combine_chunks().cast(pa.int64()),
+            }
+        ).filter(
+            pc.greater_equal(
+                b["sum(freq)"].combine_chunks().cast(pa.int64()),
+                pa.scalar(_PMI_MIN_COUNT, pa.int64()),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    c2 = c2.map_batches(
+        lambda b: pa.table(
+            {
+                "bigram": b["bigram"].combine_chunks(),
+                "c12": b["c12"].combine_chunks(),
+                "w1": pc.list_element(
+                    pc.split_pattern(b["bigram"].combine_chunks(), pattern=" "), 0
+                ),
+                "w2": pc.list_element(
+                    pc.split_pattern(b["bigram"].combine_chunks(), pattern=" "), 1
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    c1 = token_frequencies(ds).materialize()  # two join consumers
+    n_total = int(
+        c1.map_batches(
+            lambda b: pa.table(
+                {"s": pa.array([pc.sum(b["freq"].combine_chunks()).as_py() or 0], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ).sum("s")
+    )
+    ja = hash_join(c2, c1, on=["w1"], right_on=["token"]).map_batches(
+        lambda b: pa.table(
+            {
+                "bigram": b["bigram"].combine_chunks(),
+                "c12": b["c12"].combine_chunks(),
+                "w2": b["w2"].combine_chunks(),
+                "c1a": b["freq"].combine_chunks().cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    jb = hash_join(ja, c1, on=["w2"], right_on=["token"])
+
+    def score(b: pa.Table) -> pa.Table:
+        c12 = b["c12"].combine_chunks().to_pylist()
+        c1a = b["c1a"].combine_chunks().to_pylist()
+        c1b = b["freq"].combine_chunks().to_pylist()
+        imax = np.iinfo(np.int64).max
+        out = []
+        for x, a, bb in zip(c12, c1a, c1b):
+            v = (1_000_000 * x * n_total) // (a * bb)
+            if v > imax:
+                raise OverflowError("pmi_ppm exceeds int64 — rescale the unit")
+            out.append(v)
+        return pa.table(
+            {
+                "bigram": b["bigram"].combine_chunks(),
+                "c12": b["c12"].combine_chunks().cast(pa.int64()),
+                "pmi_ppm": pa.array(out, pa.int64()),
+            }
+        )
+
+    return jb.map_batches(score, batch_format="pyarrow")
+
+
+_USER_ACTIVE_TIME_SQL = """
+    WITH e AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM e
+    ), sess AS (
+      SELECT user_id, sid,
+             epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+      FROM s GROUP BY 1, 2)
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(SUM(dur_us) AS BIGINT) AS active_us,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM sess GROUP BY user_id
+"""
+
+
+@_register("q_user_active_time", _USER_ACTIVE_TIME_SQL)
+def q_user_active_time(sf_dir: str):
+    """Per-user total active time: sessionize (30-min gap) and roll the
+    merged intervals up to (user, total-duration, session-count) INSIDE
+    the same user-co-located map_groups — sessionization's one exchange is
+    the whole job's shuffle, and durations are exact integer microseconds
+    so the SQL replay is bit-identical."""
+    from ontoea_ray.functions.shuffle import compact, with_partition_key
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        gap = (g["ts"].diff() > pd.Timedelta(minutes=30)) | new_user
+        sid = gap.cumsum()
+        ns = g["ts"].astype("datetime64[ns]").astype("int64")
+        sess = (
+            pd.DataFrame({"user_id": g["user_id"], "_sid": sid, "_ns": ns})
+            .groupby("_sid", sort=False)
+            .agg(user_id=("user_id", "first"), lo=("_ns", "min"), hi=("_ns", "max"))
+        )
+        sess["dur_us"] = (sess["hi"] - sess["lo"]) // 1000
+        out = sess.groupby("user_id", sort=False).agg(
+            active_us=("dur_us", "sum"), n_sessions=("dur_us", "size")
+        ).reset_index()
+        out["user_id"] = out["user_id"].astype("int64")
+        return out
+
+    parted = with_partition_key(compact(ev), ["user_id"])
+    return parted.groupby("pkey").map_groups(per_user, batch_format="pandas")
+
+
+_CHEAPEST_SUPPLIER_SQL = """
+    WITH unit AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(FLOOR(l_extendedprice * 100.0 / l_quantity) AS BIGINT) AS unit_cents
+      FROM lineitem),
+    best AS (
+      SELECT l_partkey, l_suppkey, unit_cents,
+             ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                ORDER BY unit_cents ASC, l_suppkey ASC) AS rn
+      FROM unit)
+    SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
+           CAST(l_suppkey AS BIGINT) AS l_suppkey,
+           unit_cents
+    FROM best WHERE rn = 1
+"""
+
+
+@_register("q_cheapest_supplier", _CHEAPEST_SUPPLIER_SQL)
+def q_cheapest_supplier(sf_dir: str):
+    """TPC-H Q2-shaped per-key argmin (cheapest observed supplier per
+    part): reuses the combiner-first ``argmax_by`` primitive on NEGATED
+    order columns, so each block first reduces to one candidate row per
+    part and the single keyed exchange moves |parts-per-block| rows, never
+    raw lineitems.  Unit price is FLOOR(p*100/q) — double division is
+    IEEE-identical in DuckDB and numpy, so the oracle replays it."""
+    from ontoea_ray.functions.shuffle import argmax_by
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = np.floor(
+            b["l_extendedprice"].combine_chunks().to_numpy() * 100.0
+            / b["l_quantity"].combine_chunks().to_numpy()
+        ).astype(np.int64)
+        supp = np.asarray(b["l_suppkey"].combine_chunks(), np.int64)
+        return pa.table(
+            {
+                "l_partkey": b["l_partkey"].combine_chunks().cast(pa.int64()),
+                "l_suppkey": pa.array(supp),
+                "unit_cents": pa.array(cents),
+                "_neg_cents": pa.array(-cents),
+                "_neg_supp": pa.array(-supp),
+            }
+        )
+
+    best = argmax_by(
+        li.map_batches(prep, batch_format="pyarrow"),
+        ["l_partkey"],
+        ["_neg_cents", "_neg_supp"],
+    )
+    return best.map_batches(
+        lambda b: b.select(["l_partkey", "l_suppkey", "unit_cents"]),
+        batch_format="pyarrow",
+    )
+
+
+_TRADE_VOLUME_SQL = """
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem, orders, customer, supplier, nation sn, nation cn
+    WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+      AND l_suppkey = s_suppkey
+      AND s_nationkey = sn.n_nationkey AND c_nationkey = cn.n_nationkey
+    GROUP BY 1, 2
+"""
+
+
+@_register("q_trade_volume", _TRADE_VOLUME_SQL)
+def q_trade_volume(sf_dir: str):
+    """TPC-H Q7-shaped bilateral trade matrix (supplier nation x customer
+    nation revenue): the two dimension chains (supplier->nation,
+    customer->nation) are broadcast as sorted int arrays — dimension-sized
+    sides ship once per actor, never shuffle — while the one big-big edge
+    (lineitem x orders on orderkey) is combiner-reduced per (order,
+    supp_nation) BEFORE the distributed hash join, so the join moves
+    ~|orders| rows.  The final nation x nation aggregate is a tiny keyed
+    exchange."""
+    from ontoea_ray.functions.join import hash_join
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nkeys = np.asarray(nation["n_nationkey"].combine_chunks(), np.int64)
+    nnames = np.asarray(nation["n_name"].combine_chunks().to_pylist(), object)
+    norder = np.argsort(nkeys)
+    nkeys, nnames = nkeys[norder], nnames[norder]
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    skeys = np.asarray(supp["s_suppkey"].combine_chunks(), np.int64)
+    snat = nnames[np.searchsorted(nkeys, np.asarray(supp["s_nationkey"].combine_chunks(), np.int64))]
+    sorder = np.argsort(skeys)
+    supp_map = ray.put((skeys[sorder], snat[sorder]))
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    ckeys = np.asarray(cust["c_custkey"].combine_chunks(), np.int64)
+    cnat = nnames[np.searchsorted(nkeys, np.asarray(cust["c_nationkey"].combine_chunks(), np.int64))]
+    corder = np.argsort(ckeys)
+    cust_map = ray.put((ckeys[corder], cnat[corder]))
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        sk, sn = ray.get(supp_map)
+        rev = np.floor(
+            b["l_extendedprice"].combine_chunks().to_numpy()
+            * (1.0 - b["l_discount"].combine_chunks().to_numpy())
+            * 100.0
+        ).astype(np.int64)
+        snames = sn[np.searchsorted(sk, np.asarray(b["l_suppkey"].combine_chunks(), np.int64))]
+        df = pd.DataFrame(
+            {
+                "o_orderkey": np.asarray(b["l_orderkey"].combine_chunks(), np.int64),
+                "supp_nation": snames,
+                "revenue_cents": rev,
+            }
+        )
+        g = df.groupby(["o_orderkey", "supp_nation"], sort=False).agg(
+            revenue_cents=("revenue_cents", "sum"), n_items=("revenue_cents", "size")
+        ).reset_index()
+        return _from_pandas_clean(g)
+
+    # per-block partials join directly: they are already combiner-reduced
+    # (one row per (order, supp_nation) per block), the join's own exchange
+    # co-locates them by orderkey, and the final aggregate re-sums — an
+    # intermediate keyed merge would add an exchange and reduce nothing
+    li_red = li.map_batches(li_partial, batch_format="pyarrow")
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def o_proj(b: pa.Table) -> pa.Table:
+        ck, cn = ray.get(cust_map)
+        cnames = cn[np.searchsorted(ck, np.asarray(b["o_custkey"].combine_chunks(), np.int64))]
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"].combine_chunks().cast(pa.int64()),
+                "cust_nation": pa.array(cnames, pa.string()),
+            }
+        )
+
+    # NOTE: materializing the projected orders side to trigger the
+    # broadcast plan was MEASURED SLOWER here (3.1 s vs 2.4 s at sf0.1):
+    # the blocking materialize serializes the two scans that the exchange
+    # plan overlaps, and the map-side pandas merge costs more than the
+    # o_orderkey exchange of already-combiner-reduced rows
+    joined = hash_join(li_red, orders.map_batches(o_proj, batch_format="pyarrow"), on=["o_orderkey"])
+    return keyed_aggregate(
+        joined, ["supp_nation", "cust_nation"], sums=["revenue_cents", "n_items"]
+    )
+
+
+_GROUPING_SETS_SQL = """
+    WITH base AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+             CAST(ROUND(value * 1000) AS BIGINT) AS v_milli
+      FROM events)
+    SELECT COALESCE(event_type, 'ALL') AS event_type,
+           COALESCE(day_epoch, -1) AS day_epoch,
+           CAST(SUM(v_milli) AS BIGINT) AS sum_value_milli,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM base
+    GROUP BY GROUPING SETS ((event_type, day_epoch), (event_type), (day_epoch))
+"""
+
+
+@_register("q_grouping_sets", _GROUPING_SETS_SQL)
+def q_grouping_sets(sf_dir: str):
+    """GROUPING SETS aggregate over an ARBITRARY level list — (type, day),
+    (type), (day), deliberately NOT a lattice so neither CUBE nor ROLLUP
+    expresses it: the combiner reduces each batch to (type, day) leaf
+    partials, explodes each partial into its 3 requested levels, and one
+    keyed merge finishes — shuffle volume is levels x leaf-partials rows
+    no matter the corpus size."""
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ns = b["ts"].combine_chunks().cast(pa.timestamp("ns")).to_numpy(zero_copy_only=False)
+        day = ns.astype("datetime64[D]").astype("datetime64[s]").astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_pandas(),
+                "day_epoch": day,
+                "v": np.round(b["value"].combine_chunks().to_numpy() * 1000).astype(np.int64),
+            }
+        )
+        leaf = (
+            df.groupby(["event_type", "day_epoch"], sort=False)
+            .agg(sum_value_milli=("v", "sum"), n=("v", "size"))
+            .reset_index()
+        )
+        out = pd.concat(
+            [leaf, leaf.assign(day_epoch=np.int64(-1)), leaf.assign(event_type="ALL")],
+            ignore_index=True,
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return _from_pandas_clean(out)
+
+    return keyed_aggregate(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "day_epoch"],
+        sums=["sum_value_milli", "n"],
+    )
+
+
+_PRED_COMPOSITION_SQL = f"""
+    WITH kg AS ({_FLAGSHIP_SQL}),
+    e AS (SELECT DISTINCT subj, pred, obj FROM kg)
+    SELECT e1.pred AS pred_a, e2.pred AS pred_b,
+           CAST(COUNT(*) AS BIGINT) AS n_paths
+    FROM e e1 JOIN e e2 ON e1.obj = e2.subj
+    GROUP BY 1, 2
+"""
+
+
+@_register("q_pred_composition", _PRED_COMPOSITION_SQL)
+def q_pred_composition(sf_dir: str):
+    """Predicate-composition profile over the constructed KG: how often a
+    pred_a edge's object starts a pred_b edge (the 2-hop path statistics
+    rule mining / ontology induction consumes).  Distinct edges via one
+    keyed aggregate, then ONE distributed self-join co-located on the
+    shared node (obj == subj), combiner-counted per (pred_a, pred_b) —
+    path multiplicity never materializes, only pred-pair counts move."""
+    from ontoea_ray.functions.join import hash_join
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+    from ontoea_ray.pipelines.kg_construct import kg_construct_pipeline
+
+    kg = _kg_cached(sf_dir)
+    # materialize the distinct edge table ONCE: both join sides derive from
+    # it, and probing two lazy sides would re-run the flagship per side
+    edges = keyed_aggregate(
+        kg.map_batches(
+            lambda b: b.select(["subj", "pred", "obj"]), batch_format="pyarrow"
+        ),
+        ["subj", "pred", "obj"],
+        count_alias="_c",
+    ).drop_columns(["_c"]).materialize()
+
+    lhs = edges.map_batches(
+        lambda b: pa.table({"node": b["obj"], "pred_a": b["pred"]}), batch_format="pyarrow"
+    )
+    rhs = edges.map_batches(
+        lambda b: pa.table({"node": b["subj"], "pred_b": b["pred"]}), batch_format="pyarrow"
+    )
+    paths = hash_join(lhs, rhs, on=["node"])
+
+    def cnt(b: pa.Table) -> pa.Table:
+        df = b.select(["pred_a", "pred_b"]).to_pandas()
+        return _from_pandas_clean(
+            df.groupby(["pred_a", "pred_b"], sort=False).size().reset_index(name="n_paths")
+        )
+
+    return keyed_aggregate(
+        paths.map_batches(cnt, batch_format="pyarrow"),
+        ["pred_a", "pred_b"],
+        sums=["n_paths"],
+    )
+
+
+_PRED_SYMMETRY_SQL = f"""
+    WITH kg AS ({_FLAGSHIP_SQL}),
+    e AS (SELECT DISTINCT subj, pred, obj FROM kg)
+    SELECT e1.pred,
+           CAST(COUNT(*) AS BIGINT) AS n_edges,
+           CAST(COUNT(e2.subj) AS BIGINT) AS n_symmetric
+    FROM e e1 LEFT JOIN e e2
+      ON e1.subj = e2.obj AND e1.obj = e2.subj AND e1.pred = e2.pred
+    GROUP BY 1
+"""
+
+
+@_register("q_pred_symmetry", _PRED_SYMMETRY_SQL)
+def q_pred_symmetry(sf_dir: str):
+    """Per-predicate symmetry score (n_symmetric / n_edges — the
+    symmetric-relation detector ontology induction uses): distinct edges
+    LEFT-joined against their own reversal on the full (subj, obj, pred)
+    key — edge and mirror hash to the same partition, so the check is one
+    exchange — then a pred-level count of matches vs total."""
+    from ontoea_ray.functions.join import hash_join
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+    from ontoea_ray.pipelines.kg_construct import kg_construct_pipeline
+
+    kg = _kg_cached(sf_dir)
+    # one materialize: the edge table feeds both the probe and its mirror
+    edges = keyed_aggregate(
+        kg.map_batches(
+            lambda b: b.select(["subj", "pred", "obj"]), batch_format="pyarrow"
+        ),
+        ["subj", "pred", "obj"],
+        count_alias="_c",
+    ).drop_columns(["_c"]).materialize()
+
+    rev = edges.map_batches(
+        lambda b: pa.table(
+            {"subj": b["obj"], "obj": b["subj"], "pred": b["pred"],
+             "_hit": pa.array(np.ones(len(b), np.int64))}
+        ),
+        batch_format="pyarrow",
+    )
+    matched = hash_join(edges, rev, on=["subj", "obj", "pred"], how="left")
+
+    def cnt(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "pred": b["pred"].to_pandas(),
+                "n_symmetric": b["_hit"].combine_chunks().fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
+        g = df.groupby("pred", sort=False).agg(
+            n_edges=("n_symmetric", "size"), n_symmetric=("n_symmetric", "sum")
+        ).reset_index()
+        g["n_edges"] = g["n_edges"].astype(np.int64)
+        return _from_pandas_clean(g[["pred", "n_edges", "n_symmetric"]])
+
+    return keyed_aggregate(
+        matched.map_batches(cnt, batch_format="pyarrow"),
+        ["pred"],
+        sums=["n_edges", "n_symmetric"],
+    )
+
+
+_TOKEN_COOC_SQL = """
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents)
+    SELECT t1.tok AS tok_a, t2.tok AS tok_b,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM toks t1 JOIN toks t2 ON t1.doc_id = t2.doc_id AND t1.tok < t2.tok
+    GROUP BY 1, 2
+"""
+
+
+@_register("q_token_cooc", _TOKEN_COOC_SQL)
+def q_token_cooc(sf_dir: str):
+    """Document-level token co-occurrence counts (the PMI / word-embedding
+    sufficient statistic): per-doc DISTINCT tokens expand to unordered
+    pairs INSIDE the batch via one vectorized self-merge (a doc's tokens
+    never leave its block), the combiner reduces the quadratic expansion
+    to per-block pair counts, and one keyed exchange merges — shuffle
+    volume is |vocab-pairs| x blocks, independent of corpus size.  The
+    per-doc expansion is inherently quadratic in distinct tokens per doc
+    (cap the tokenizer upstream for pathological docs)."""
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+    from ontoea_ray.functions.text import tokenize
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        toks = tokenize(b["text"])
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "doc": np.repeat(np.arange(len(b)), lens),
+                "tok": np.asarray(toks.flatten().to_pandas(), dtype=object),
+            }
+        ).drop_duplicates()
+        m = df.merge(df, on="doc", suffixes=("_a", "_b"))
+        m = m[m["tok_a"] < m["tok_b"]]
+        g = m.groupby(["tok_a", "tok_b"], sort=False).size().reset_index(name="n_docs")
+        return _from_pandas_clean(g)
+
+    return keyed_aggregate(
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        ["tok_a", "tok_b"],
+        sums=["n_docs"],
+    )
+
+
+_VOCAB_OVERLAP_SQL = """
+    WITH sv AS (
+      SELECT DISTINCT source, unnest(str_split(text, ' ')) AS tok FROM documents),
+    sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab FROM sv GROUP BY 1)
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared,
+           sa.vocab AS vocab_a, sb.vocab AS vocab_b
+    FROM sv a JOIN sv b ON a.tok = b.tok AND a.source < b.source
+    JOIN sz sa ON sa.source = a.source
+    JOIN sz sb ON sb.source = b.source
+    GROUP BY 1, 2, sa.vocab, sb.vocab
+"""
+
+
+@_register("q_vocab_overlap", _VOCAB_OVERLAP_SQL)
+def q_vocab_overlap(sf_dir: str):
+    """Cross-source vocabulary overlap matrix (lexical-similarity audit
+    between corpus sources — the Jaccard numerator/denominators in exact
+    integers): per-batch distinct (source, token) partials reduce to the
+    global distinct table in one keyed exchange, a token-co-located pass
+    emits source pairs per token (bounded by #sources^2 per token — the
+    pair dimension is small even when the vocabulary is huge), and a tiny
+    (source_a, source_b) merge finishes; per-source vocab sizes ride along
+    from the same distinct table, broadcast once."""
+    from ontoea_ray.functions.shuffle import compact, keyed_aggregate, with_partition_key
+    from ontoea_ray.functions.text import tokenize
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def sv_partial(b: pa.Table) -> pa.Table:
+        toks = tokenize(b["text"])
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "source": np.repeat(np.asarray(b["source"].to_pandas(), object), lens),
+                "tok": np.asarray(toks.flatten().to_pandas(), dtype=object),
+            }
+        ).drop_duplicates()
+        return _from_pandas_clean(df)
+
+    sv = keyed_aggregate(
+        ds.map_batches(sv_partial, batch_format="pyarrow"),
+        ["source", "tok"],
+        count_alias="_c",
+    ).drop_columns(["_c"])
+
+    sizes = {
+        r["source"]: r["n"]
+        for r in keyed_aggregate(sv, ["source"], count_alias="n").take_all()
+    }
+    sz_ref = ray.put(sizes)
+
+    parted = with_partition_key(compact(sv), ["tok"])
+
+    def pairs_per_token(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="tok", suffixes=("_a", "_b"))
+        m = m[m["source_a"] < m["source_b"]]
+        return m.groupby(["source_a", "source_b"], sort=False).size().reset_index(name="n_shared")
+
+    shared = keyed_aggregate(
+        parted.groupby("pkey").map_groups(pairs_per_token, batch_format="pandas"),
+        ["source_a", "source_b"],
+        sums=["n_shared"],
+    )
+
+    def attach_sizes(b: pa.Table) -> pa.Table:
+        sz = ray.get(sz_ref)
+        sa = pd.Series(b["source_a"].to_pandas()).map(sz).to_numpy(np.int64)
+        sb = pd.Series(b["source_b"].to_pandas()).map(sz).to_numpy(np.int64)
+        return pa.table(
+            {
+                "source_a": b["source_a"],
+                "source_b": b["source_b"],
+                "n_shared": b["n_shared"].combine_chunks().cast(pa.int64()),
+                "vocab_a": pa.array(sa),
+                "vocab_b": pa.array(sb),
+            }
+        )
+
+    return shared.map_batches(attach_sizes, batch_format="pyarrow")
+
+
+_DOD_CHANGE_SQL = """
+    WITH d AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+             CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, day_epoch, v AS sum_value_milli,
+           CAST(v - COALESCE(LAG(v) OVER (PARTITION BY event_type ORDER BY day_epoch), 0) AS BIGINT) AS delta_milli
+    FROM d
+"""
+
+
+@_register("q_dod_change", _DOD_CHANGE_SQL)
+def q_dod_change(sf_dir: str):
+    """Day-over-day change per event type (LAG over an AGGREGATED series —
+    the trend-monitoring shape): the corpus reduces to (type, day) daily
+    sums via the combiner-first keyed aggregate, and the window diff runs
+    over that aggregate — whose size is types x days, independent of
+    corpus size — in one type-co-located sorted pass."""
+    from ontoea_ray.functions.shuffle import compact, keyed_aggregate, with_partition_key
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ns = b["ts"].combine_chunks().cast(pa.timestamp("ns")).to_numpy(zero_copy_only=False)
+        day = ns.astype("datetime64[D]").astype("datetime64[s]").astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_pandas(),
+                "day_epoch": day,
+                "sum_value_milli": np.round(
+                    b["value"].combine_chunks().to_numpy() * 1000
+                ).astype(np.int64),
+            }
+        )
+        return _from_pandas_clean(
+            df.groupby(["event_type", "day_epoch"], sort=False)["sum_value_milli"]
+            .sum()
+            .reset_index()
+        )
+
+    daily = keyed_aggregate(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "day_epoch"],
+        sums=["sum_value_milli"],
+    )
+    parted = with_partition_key(compact(daily), ["event_type"])
+
+    def diff(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["event_type", "day_epoch"], kind="mergesort")
+        prev = g.groupby("event_type", sort=False)["sum_value_milli"].shift().fillna(0)
+        g["delta_milli"] = (g["sum_value_milli"] - prev).astype(np.int64)
+        return g[["event_type", "day_epoch", "sum_value_milli", "delta_milli"]]
+
+    return parted.groupby("pkey").map_groups(diff, batch_format="pandas")
+
+
+_BFS_DEPTH_SQL = f"""
+    WITH kg AS ({_FLAGSHIP_SQL}),
+    e AS (SELECT DISTINCT subj, obj FROM kg),
+    l0 AS (SELECT DISTINCT subj AS node FROM e ORDER BY subj LIMIT 3),
+    l1 AS (SELECT DISTINCT e.obj AS node FROM e JOIN l0 ON e.subj = l0.node),
+    l2 AS (SELECT DISTINCT e.obj AS node FROM e JOIN l1 ON e.subj = l1.node),
+    l3 AS (SELECT DISTINCT e.obj AS node FROM e JOIN l2 ON e.subj = l2.node),
+    reach AS (
+      SELECT node FROM l0 UNION SELECT node FROM l1
+      UNION SELECT node FROM l2 UNION SELECT node FROM l3)
+    SELECT node,
+           CAST(CASE WHEN node IN (SELECT node FROM l0) THEN 0
+                     WHEN node IN (SELECT node FROM l1) THEN 1
+                     WHEN node IN (SELECT node FROM l2) THEN 2
+                     ELSE 3 END AS BIGINT) AS depth
+    FROM reach
+"""
+
+
+@_register("q_bfs_depth", _BFS_DEPTH_SQL)
+def q_bfs_depth(sf_dir: str):
+    """Depth-bounded BFS hop distance from a deterministic seed set (graph
+    reachability / influence-radius primitive), fully distributed
+    (`stages/graph.bfs_depths`): every level is a Dataset — the driver
+    never holds a frontier or a seen set.  Per round, the frontier ships
+    as an is_in value-set assembled inside a Ray task when it fits the
+    broadcast byte budget; above the budget the edges are Bloom-pre-pruned
+    then exactly verified by a keyed semi-join.  Depth = keyed min over
+    depth-tagged levels (the SQL oracle's first-level-that-reaches
+    semantics)."""
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+    from ontoea_ray.stages.graph import bfs_depths
+
+    kg = _kg_cached(sf_dir)
+    edges = keyed_aggregate(
+        kg.map_batches(lambda b: b.select(["subj", "obj"]), batch_format="pyarrow"),
+        ["subj", "obj"],
+        count_alias="_c",
+    ).drop_columns(["_c"]).materialize()
+
+    def bottom3(b: pa.Table) -> pa.Table:
+        # per-block 3 smallest subjects: a correct superset of the global 3
+        s = sorted(set(b["subj"].to_pylist()))[:3]
+        return pa.table({"node": pa.array(s, pa.string())})
+
+    seed_rows = edges.map_batches(bottom3, batch_format="pyarrow").take_all()
+    seeds = sorted({r["node"] for r in seed_rows})[:3]
+
+    return bfs_depths(edges, seeds, max_depth=3)
+
+
+_TEXT_NORMALIZE_SQL = """
+    WITH messy AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 = 0 THEN chr(160) || 'E' || chr(769) || 'Cafe' ELSE '' END
+             || CASE WHEN doc_id % 2 = 0 THEN '  TAIL ' ELSE '' END AS raw
+      FROM documents)
+    SELECT doc_id,
+           regexp_replace(trim(lower(replace(nfc_normalize(raw), chr(160), ' '))),
+                          ' +', ' ', 'g') AS norm_text,
+           CAST(length(regexp_replace(trim(lower(replace(nfc_normalize(raw), chr(160), ' '))),
+                                      ' +', ' ', 'g')) AS BIGINT) AS n_chars_norm
+    FROM messy
+"""
+
+
+@_register("q_text_normalize", _TEXT_NORMALIZE_SQL)
+def q_text_normalize(sf_dir: str):
+    """Unicode text normalization chain (NFC compose + NBSP -> space +
+    casefold + whitespace collapse + trim — the standard web-text cleanup
+    pass): every step is a vectorized Arrow kernel (`utf8_normalize`,
+    `replace_substring`, `utf8_lower`, `replace_substring_regex`,
+    `utf8_trim_whitespace`) inside one map_batches — zero shuffle, zero
+    Python rows; input messiness (combining accents, NBSP, ragged spaces)
+    is constructed deterministically so DuckDB replays the identical
+    chain."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def norm(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"].combine_chunks(), np.int64)
+        base = pd.Series(b["text"].to_pandas(), dtype=object)
+        suf1 = np.where(ids % 3 == 0, " ÉCafe", "")
+        suf2 = np.where(ids % 2 == 0, "  TAIL ", "")
+        raw = pa.array((base + suf1 + suf2).tolist(), pa.string())
+        # NFC compose: pyarrow 16's utf8_normalize does not compose
+        # combining marks, so ASCII rows (the vast majority of web
+        # text) take the vectorized zero-copy path and only the
+        # non-ASCII minority pays a per-string unicodedata call
+        ascii_mask = pc.string_is_ascii(raw).to_numpy(zero_copy_only=False)
+        if not ascii_mask.all():
+            import unicodedata
+            vals = raw.to_pylist()
+            for k in np.flatnonzero(~ascii_mask):
+                vals[k] = unicodedata.normalize("NFC", vals[k])
+            raw = pa.array(vals, pa.string())
+        x = pc.replace_substring(raw, pattern=" ", replacement=" ")
+        x = pc.utf8_lower(x)
+        x = pc.utf8_trim_whitespace(x)
+        x = pc.replace_substring_regex(x, pattern=" +", replacement=" ")
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "norm_text": x,
+                "n_chars_norm": pc.utf8_length(x).cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+_TYPE_RUNS_SQL = """
+    WITH e AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), r AS (
+      SELECT user_id, event_type, ts,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS run
+      FROM e)
+    SELECT user_id, event_type,
+           CAST(epoch_us(MIN(ts)) AS BIGINT) AS valid_from_us,
+           CAST(epoch_us(MAX(ts)) AS BIGINT) AS valid_to_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM r GROUP BY user_id, event_type, run
+"""
+
+
+@_register("q_type_runs", _TYPE_RUNS_SQL)
+def q_type_runs(sf_dir: str):
+    """Run-length intervals per user (the SCD2 / state-change collapse: a
+    row per maximal run of consecutive same-type events with its validity
+    window): sessionization's one user-co-located exchange, then a
+    vectorized change-flag cumsum + run groupby inside the partition —
+    the standard change-data-capture compaction at any scale."""
+    from ontoea_ray.functions.shuffle import compact, with_partition_key
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+
+    def runs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        chg = (
+            g["user_id"].ne(g["user_id"].shift())
+            | g["event_type"].ne(g["event_type"].shift())
+        )
+        rid = chg.cumsum()
+        us = g["ts"].astype("datetime64[ns]").astype("int64") // 1000
+        out = (
+            pd.DataFrame(
+                {
+                    "user_id": g["user_id"].astype("int64"),
+                    "event_type": g["event_type"],
+                    "_us": us,
+                    "_rid": rid,
+                }
+            )
+            .groupby("_rid", sort=False)
+            .agg(
+                user_id=("user_id", "first"),
+                event_type=("event_type", "first"),
+                valid_from_us=("_us", "min"),
+                valid_to_us=("_us", "max"),
+                n_events=("_us", "size"),
+            )
+            .reset_index(drop=True)
+        )
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    parted = with_partition_key(compact(ev), ["user_id"])
+    return parted.groupby("pkey").map_groups(runs, batch_format="pandas")
+
+
+@_register("q_multimodal_video")  # binary plumbing — rows-only driver check
+def q_multimodal_video(sf_dir: str):
+    """Video branch of the multimodal plumbing: doc bytes as an opaque
+    video payload, deterministic fake frame sampling (codecs stubbed) in
+    an actor-pool stage, then a vectorized per-frame byte-statistics
+    kernel — one output row per (media, frame), deterministic per input,
+    so rows+schema are meaningful."""
+    from ontoea_ray.stages.multimodal import frame_sample_stage
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": batch["doc_id"],
+                "payload": batch["text"].combine_chunks().cast(pa.binary()),
+            }
+        )
+
+    media = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        to_media, batch_format="pyarrow"
+    )
+    frames = frame_sample_stage(media, n_frames=4, fake=True)
+
+    def frame_stats(batch: pa.Table) -> pa.Table:
+        pay = batch["payload"].combine_chunks()
+        flat = np.frombuffer(b"".join(pay.to_pylist()), np.uint8).reshape(len(batch), -1)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "frame": batch["frame"],
+                "byte_sum": pa.array(flat.astype(np.int64).sum(axis=1), pa.int64()),
+                "byte_max": pa.array(flat.max(axis=1).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return frames.map_batches(frame_stats, batch_format="pyarrow")
+
+
+_BIGRAM_EXPLODE_SQL = """
+      SELECT t[unnest(range(1, len(t)))] || ' ' || t[unnest(range(2, len(t) + 1))] AS bigram
+      FROM (SELECT str_split(text, ' ') AS t FROM documents)
+"""
+
+from ontoea_ray.functions.lsh_sql import lsh_cross_verified_sql as _lsh_cross_sql  # noqa: E402
+
+
+@_register(
+    "q_surface_blocking",
+    _lsh_cross_sql(
+        f"SELECT DISTINCT bigram AS id FROM ({_BIGRAM_EXPLODE_SQL})",
+        f"""SELECT bigram AS id FROM (
+              SELECT bigram,
+                     ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, bigram DESC) - 1 AS rank
+              FROM ({_BIGRAM_EXPLODE_SQL}) GROUP BY bigram)
+            WHERE rank < 64""",
+        num_perm=16, bands=8, shingle_n=3, seed=7, max_group=4000, jaccard_pct=40,
+    ),
+)
+def q_surface_blocking(sf_dir: str):
+    """Entity-linking candidate blocking by MinHash-LSH over surface forms
+    (the north-star blocking stage; `stages/blocking.py`).
+
+    Mention surfaces = every distinct corpus bigram; gazetteer = the 64
+    most frequent bigrams (freq desc, surface desc — the reference's
+    vocabulary order, read.py:23-25).  Cross-table CHAR-shingle LSH pairs
+    each mention with near-miss gazetteer entries, verified by exact
+    char-shingle Jaccard >= 0.40 — typo-tolerant candidate generation that
+    exact dict lookup (the reference's linker) cannot express.  Every hash,
+    band key and Jaccard count is integer arithmetic the oracle replays
+    bit-for-bit.  Scale shape: the corpus is touched once (bigram combiner);
+    blocking exchanges only (band, band_key)- and shingle-keyed rows over
+    the SURFACE VOCABULARY, never the corpus; the gazetteer head is k x
+    #blocks driver-merged (bounded by k, not data)."""
+    from ontoea_ray.functions.text import bigram_counts
+    from ontoea_ray.stages.blocking import lsh_link_candidates
+    from ontoea_ray.state.ids import top_k_by_frequency
+
+    from ontoea_ray.functions.shuffle import keyed_aggregate, sized_width
+
+    ds = _read(sf_dir, "documents", ["text"])
+    # per-batch bigram combiner -> blocks are vocabulary-sized partials:
+    # materialize them so every downstream exchange is sized by the VOCAB
+    # bytes (width 1-2 at test scale, cluster width at 100 TB) instead of
+    # paying cpus/2 partition barriers per wide op on a 7k-row table
+    partial = compact(
+        ds.map_batches(
+            lambda b: bigram_counts(b["text"].combine_chunks()), batch_format="pyarrow"
+        )
+    ).materialize()
+    w = sized_width(partial.size_bytes())
+    freq = keyed_aggregate(
+        partial, ["bigram"], sums=["freq"], width=w
+    ).materialize()  # two consumers below; vocabulary-sized
+    mentions = freq.map_batches(
+        lambda b: pa.table({"mention": b["bigram"]}), batch_format="pyarrow"
+    )
+    top = top_k_by_frequency(freq, 64, key="bigram")
+    gaz = ray.data.from_arrow(
+        pa.table({"entity": pa.array([t for t, _ in top], pa.string())})
+    )
+    return lsh_link_candidates(
+        mentions, gaz, width=w, jaccard_pct=40, num_perm=16, bands=8,
+        shingle_n=3, seed=7, max_group=4000,
+    )
+
+
+_SEMDEDUP_SQL = """
+    WITH q AS (SELECT vec_id,
+                      [CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+                       FOR i IN range(1, 65)] AS qv
+               FROM embeddings),
+    cents AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < 8),
+    scores AS (SELECT q.vec_id, cents.cid,
+                      CAST(list_sum([q.qv[i] * cents.cv[i] FOR i IN range(1, 65)]) AS BIGINT) AS score
+               FROM q CROSS JOIN cents),
+    assigned AS (SELECT vec_id, cid AS centroid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cid ASC) AS rn
+        FROM scores) WHERE rn = 1),
+    pairdots AS (SELECT b.vec_id AS v,
+                        CAST(list_sum([x.qv[i] * y.qv[i] FOR i IN range(1, 65)]) AS HUGEINT) AS dot,
+                        CAST(list_sum([x.qv[i] * x.qv[i] FOR i IN range(1, 65)]) AS HUGEINT) AS na2,
+                        CAST(list_sum([y.qv[i] * y.qv[i] FOR i IN range(1, 65)]) AS HUGEINT) AS nb2
+                 FROM assigned a
+                 JOIN assigned b ON a.centroid = b.centroid AND a.vec_id < b.vec_id
+                 JOIN q x ON x.vec_id = a.vec_id
+                 JOIN q y ON y.vec_id = b.vec_id),
+    dropped AS (SELECT DISTINCT v FROM pairdots
+                WHERE dot >= 0 AND dot * dot * 400 >= 49 * na2 * nb2)
+    SELECT a.vec_id, CAST(a.centroid AS BIGINT) AS centroid
+    FROM assigned a WHERE a.vec_id NOT IN (SELECT v FROM dropped)
+"""
+
+
+@_register("q_semdedup", _SEMDEDUP_SQL)
+def q_semdedup(sf_dir: str):
+    """SemDeDup semantic deduplication (Abbas et al. 2023): k-means-style
+    cluster assignment against broadcast centroids (the first 8 embeddings
+    — deterministic; production swaps in the IVF-trained quantizer), then
+    within each cluster every vector with a lower-id neighbour at quantized
+    cosine >= 7/20 is dropped.  The cosine test is the cross-multiplied
+    integer comparison (milli-quantized int dots, no float, no sqrt), so
+    the oracle replays every keep/drop decision exactly.  One corpus pass
+    fuses assignment + quantization; the only exchange partitions the
+    quantized table by centroid; the per-cluster O(c^2 d) matmul is the
+    SemDeDup design cost (K sized so n/K fits a worker)."""
+    from ontoea_ray.stages.ann import semantic_dedup
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cent_rows = sorted(
+        emb.map_batches(
+            lambda b: b.filter(pc.less(b["vec_id"], 8)), batch_format="pyarrow"
+        ).take_all(),
+        key=lambda r: r["vec_id"],
+    )
+    cents = np.array([r["embedding"] for r in cent_rows], np.float64)
+    return semantic_dedup(emb, cents, tau_num=7, tau_den=20)
+
+
+def _link_predict_sql(min_common: int = 2, pct: int = 7) -> str:
+    from ontoea_ray.functions.lsh_sql import splitmix64_ctes
+
+    return f"""
+WITH
+{_COPURCHASE_E_CTE.replace(" e AS ", " eall0 AS ")},
+eall AS MATERIALIZED (SELECT a, b FROM eall0),
+{splitmix64_ctes("eall", "(a * 100000 + b)")},
+e AS MATERIALIZED (SELECT a, b FROM sm3 WHERE _h % 100 < {pct}),
+nbr AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+cn AS (SELECT n1.v AS id_a, n2.v AS id_b, CAST(COUNT(*) AS BIGINT) AS cn
+       FROM nbr n1 JOIN nbr n2 ON n1.u = n2.u AND n1.v < n2.v
+       GROUP BY n1.v, n2.v HAVING COUNT(*) >= {min_common}),
+ne AS (SELECT cn.* FROM cn
+       WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = cn.id_a AND e.b = cn.id_b)),
+d AS MATERIALIZED (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+     FROM (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e) GROUP BY node)
+SELECT ne.id_a, ne.id_b, ne.cn, da.deg AS da, db.deg AS db,
+       CAST(1000 * ne.cn // (da.deg + db.deg - ne.cn) AS BIGINT) AS jac_milli
+FROM ne JOIN d da ON ne.id_a = da.node JOIN d db ON ne.id_b = db.node
+"""
+
+
+@_register("q_link_predict", _link_predict_sql())
+def q_link_predict(sf_dir: str):
+    """Neighbourhood-overlap link prediction over the splitmix64-sampled
+    (7%) co-purchase graph: non-adjacent node pairs at distance 2 with
+    common-neighbour count >= 2, endpoint degrees, and integer-milli
+    neighbourhood Jaccard — the classic common-neighbours/Jaccard link
+    scorer, and the KG-completion primitive (predict missing same-as /
+    co-occurrence edges).  `stages/graph.common_neighbor_pairs`: wedge
+    pairs emit per center node through the shared segment-pairs kernel,
+    combine in-block before one (id_a, id_b) exchange, filter BEFORE the
+    adjacency anti-join (pair-co-located) and the two degree hash joins.
+    All outputs are integers; the oracle replays the sampling, counts and
+    floor-divided Jaccard bit-for-bit."""
+    from ontoea_ray.stages.graph import common_neighbor_pairs
+    from ontoea_ray.stages.sampling import splitmix64
+
+    edges = _copurchase_cached(sf_dir)
+
+    def sample(b: pa.Table) -> pa.Table:
+        a = np.asarray(b["id_a"].combine_chunks(), np.int64)
+        c = np.asarray(b["id_b"].combine_chunks(), np.int64)
+        h = splitmix64((a * 100000 + c).astype(np.uint64))
+        return b.filter(pa.array(h % np.uint64(100) < np.uint64(7)))
+
+    sampled = edges.map_batches(sample, batch_format="pyarrow")
+    return common_neighbor_pairs(sampled, min_common=2)
+
+
+def _hyperball_sql(
+    p: int = 4, rounds: int = 3, pct: int = 7, tail: str | None = None
+) -> str:
+    from ontoea_ray.functions.lsh_sql import splitmix64_ctes
+
+    nbits = 64 - p
+    parts = [
+        "WITH",
+        _COPURCHASE_E_CTE.replace(" e AS ", " eall0 AS "),
+        ", eall AS MATERIALIZED (SELECT a, b FROM eall0),",
+        splitmix64_ctes("eall", "(a * 100000 + b)"),
+        f", e AS MATERIALIZED (SELECT a, b FROM sm3 WHERE _h % 100 < {pct}),",
+        "nbr AS MATERIALIZED (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),",
+        "nodes AS (SELECT DISTINCT u AS node FROM nbr),",
+        # splitmix over the node id (fresh sm chain names would collide with
+        # the edge-sampling chain above, so inline with n-prefixed names)
+        splitmix64_ctes("nodes", "node")
+        .replace("sm0", "nsm0").replace("sm1", "nsm1")
+        .replace("sm2", "nsm2").replace("sm3", "nsm3")
+        .replace("_z0", "_y0").replace("_z1", "_y1").replace("_z2", "_y2"),
+        f""", r0 AS MATERIALIZED (
+   SELECT node, CAST(_h // {1 << nbits} AS BIGINT) AS slot,
+          CAST(CASE WHEN _h % {1 << nbits} = 0 THEN {nbits + 1}
+               ELSE {nbits} - length(bin(CAST(_h % {1 << nbits} AS BIGINT))) + 1 END AS BIGINT) AS rho
+   FROM nsm3)""",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f""", r{r + 1} AS MATERIALIZED (
+   SELECT node, slot, CAST(MAX(rho) AS BIGINT) AS rho FROM (
+     SELECT nbr.u AS node, x.slot, x.rho FROM r{r} x JOIN nbr ON nbr.v = x.node
+     UNION ALL SELECT node, slot, rho FROM r{r}
+   ) GROUP BY node, slot)"""
+        )
+    parts.append(tail or f"SELECT node, slot, rho FROM r{rounds}")
+    return "\n".join(parts)
+
+
+def _hll_e_ctes(p: int, rounds: int) -> str:
+    """CTEs e0..eR: per-node integer HLL ball estimates from the hyperball
+    register CTEs r0..rR (shared by q_harmonic and q_eff_diameter)."""
+    from ontoea_ray.stages.graph import _HLL_E_NUM, _HLL_RHO_CAP
+
+    m = 1 << p
+    cap = _HLL_RHO_CAP
+    return "".join(
+        f""", e{r} AS (
+   SELECT node, CAST({_HLL_E_NUM} // ((({m} - COUNT(*)) * ({1 << cap}::BIGINT))
+        + SUM(1::BIGINT << ({cap} - LEAST(rho, {cap})))) AS BIGINT) AS e
+   FROM r{r} GROUP BY node)"""
+        for r in range(rounds + 1)
+    )
+
+
+def _harmonic_sql(p: int = 4, rounds: int = 3, pct: int = 7) -> str:
+    """q_harmonic oracle: the hyperball register rounds + the integer HLL
+    estimate per round + the telescoping harmonic sum — replays
+    `stages/graph.harmonic_milli` division for division."""
+    e_ctes = _hll_e_ctes(p, rounds)
+    terms = " + ".join(
+        f"(e{r}.e - e{r - 1}.e) // {r}" for r in range(1, rounds + 1)
+    )
+    joins = " ".join(f"JOIN e{r} USING (node)" for r in range(1, rounds + 1))
+    tail = (
+        e_ctes
+        + f"\nSELECT e0.node AS node, CAST({terms} AS BIGINT) AS h_milli FROM e0 {joins}"
+    )
+    return _hyperball_sql(p=p, rounds=rounds, pct=pct, tail=tail)
+
+
+def _sampled_copurchase(sf_dir: str) -> ray.data.Dataset:
+    """The splitmix64-sampled (7%) co-purchase graph shared by the sketch
+    queries (hyperball / harmonic / effective diameter / mis / walks use
+    the same sampling rule)."""
+    from ontoea_ray.stages.sampling import splitmix64
+
+    edges = _copurchase_cached(sf_dir)
+
+    def sample(b: pa.Table) -> pa.Table:
+        a = np.asarray(b["id_a"].combine_chunks(), np.int64)
+        c = np.asarray(b["id_b"].combine_chunks(), np.int64)
+        h = splitmix64((a * 100000 + c).astype(np.uint64))
+        return b.filter(pa.array(h % np.uint64(100) < np.uint64(7)))
+
+    return edges.map_batches(sample, batch_format="pyarrow")
+
+
+_HYPERBALL_ROUNDS_CACHE: dict = {}
+
+
+def _hyperball_rounds_cached(sf_dir: str) -> list:
+    """Materialized per-round hyperball registers (p=4, rounds=3, sampled
+    graph) — the same materialized-VIEW contract as `_kg_cached`: harmonic
+    centrality and the neighbourhood function both derive from the rounds
+    q_hyperball measures, and re-running the R max-merge rounds inside
+    each one measures the rounds, not the operator."""
+    rounds = _HYPERBALL_ROUNDS_CACHE.get(sf_dir)
+    if rounds is None:
+        from ontoea_ray.stages.graph import hyperball_registers
+
+        per_round = hyperball_registers(
+            _sampled_copurchase(sf_dir), p=4, rounds=3, keep_rounds=True
+        )
+        rounds = _HYPERBALL_ROUNDS_CACHE[sf_dir] = [d.materialize() for d in per_round]
+    return rounds
+
+
+@_register("q_hyperball", _hyperball_sql())
+def q_hyperball(sf_dir: str):
+    """HyperBall distance sketching (Boldi & Vigna 2013) over the
+    splitmix64-sampled (7%) co-purchase graph: each node's HyperLogLog
+    registers of its radius-3 ball after 3 synchronous max-merge rounds —
+    the neighbourhood-function / effective-diameter primitive at graph
+    scale (per-node BFS is quadratic; HyperBall is R keyed max-merges).
+    `stages/graph.hyperball_registers`: register rows move along edges via
+    one hash join per round and shrink through in-block max combiners
+    before each (node, slot) exchange.  Node hashes, slots and rho ranks
+    are the engine-wide splitmix64/bit-length conventions, so the unrolled
+    oracle replays every register bit-for-bit."""
+    from ontoea_ray.stages.graph import hyperball_registers
+    from ontoea_ray.stages.sampling import splitmix64
+
+    edges = _copurchase_cached(sf_dir)
+
+    def sample(b: pa.Table) -> pa.Table:
+        a = np.asarray(b["id_a"].combine_chunks(), np.int64)
+        c = np.asarray(b["id_b"].combine_chunks(), np.int64)
+        h = splitmix64((a * 100000 + c).astype(np.uint64))
+        return b.filter(pa.array(h % np.uint64(100) < np.uint64(7)))
+
+    sampled = edges.map_batches(sample, batch_format="pyarrow")
+    return hyperball_registers(sampled, p=4, rounds=3)
+
+
+@_register("q_harmonic", _harmonic_sql())
+def q_harmonic(sf_dir: str):
+    """Harmonic centrality estimated from HyperBall sketches over the
+    splitmix64-sampled (7%) co-purchase graph (`stages/graph.
+    harmonic_milli`): H(v) = sum_r (|ball_r| - |ball_{r-1}|)/r with ball
+    sizes from each round's HLL registers — the distance-based centrality
+    per-node BFS cannot afford at graph scale, here as a pure integer
+    function of the graph (the 673/1000-alpha HLL estimate computed as one
+    int64 floor division, rho capped at 44 bits) so the unrolled oracle
+    replays every register, estimate and telescoping term exactly.
+    Register rounds come from the `_hyperball_rounds_cached` materialized
+    view (q_hyperball measures them; this operator is the estimate +
+    telescoping sum)."""
+    from ontoea_ray.stages.graph import harmonic_milli
+
+    return harmonic_milli(
+        None, p=4, rounds=3, registers=_hyperball_rounds_cached(sf_dir)
+    )
+
+
+def _eff_diameter_sql(p: int = 4, rounds: int = 3, pct: int = 90, sample_pct: int = 7) -> str:
+    e_ctes = _hll_e_ctes(p, rounds)
+    t_ctes = "".join(
+        f", t{r} AS (SELECT CAST(SUM(e) AS BIGINT) AS n FROM e{r})"
+        for r in range(rounds + 1)
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, tr.n AS n_milli,"
+        f" CAST(CASE WHEN 100 * tr.n >= {pct} * tf.n THEN 1 ELSE 0 END"
+        f" AS BIGINT) AS reaches_pct FROM t{r} tr, t{rounds} tf"
+        for r in range(rounds + 1)
+    )
+    return _hyperball_sql(p=p, rounds=rounds, pct=sample_pct, tail=e_ctes + t_ctes + "\n" + rows)
+
+
+@_register("q_eff_diameter", _eff_diameter_sql())
+def q_eff_diameter(sf_dir: str):
+    """Neighbourhood function + effective diameter from HyperBall
+    (`stages/graph.neighbourhood_function`) over the sampled co-purchase
+    graph: N(r) = sum of per-node integer ball estimates per round, one
+    row per round with the all-integer 100*N(r) >= 90*N(R) flag — the
+    first flagged round IS the 90% effective diameter, computed without a
+    single BFS.  Per round one combiner-first global sum; the <= R+1
+    totals compare in one tiny task.  Valid while the summed milli-mass
+    fits int64 (documented unit rescale beyond).  Register rounds come
+    from the `_hyperball_rounds_cached` materialized view."""
+    from ontoea_ray.stages.graph import neighbourhood_function
+
+    return neighbourhood_function(
+        None, p=4, rounds=3, pct=90, registers=_hyperball_rounds_cached(sf_dir)
+    )
+
+
+# ---------------------------------------------------------------------------

@@ -1,0 +1,360 @@
+"""Queries: relational (split from the former single-module registry)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from ontoea_ray.functions.shuffle import compact
+from ontoea_ray.functions.tables import from_pandas as _from_pandas_clean
+from ontoea_ray.queries._core import ORACLE_SQL, QUERIES, _kg_cached, _read, _register
+
+
+# ---------------------------------------------------------------------------
+# relational core: aggregate / join / sort / window over TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(sf_dir: str):
+    """Grouped aggregate with per-batch partial pre-aggregation (the
+    combiner bounds the shuffle to #blocks × #groups rows)."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["sum_qty"] = df["l_quantity"].astype(np.int64)
+        df["sum_price_cents"] = np.round(df["l_extendedprice"] * 100).astype(np.int64)
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .agg(sum_qty=("sum_qty", "sum"), sum_price_cents=("sum_price_cents", "sum"), n=("l_quantity", "size"))
+            .reset_index()
+        )
+        return _from_pandas_clean(g)
+
+    return (
+        compact(ds.map_batches(partial, batch_format="pyarrow"))
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_price_cents", alias_name="sum_price_cents"),
+            Sum("n", alias_name="n"),
+        )
+    )
+
+
+@_register(
+    "q_top_customers",
+    """
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY total_cents DESC, c_custkey ASC
+    LIMIT 10
+    """,
+)
+def q_top_customers(sf_dir: str):
+    """Broadcast hash join (customer is the small side, shipped once via
+    ray.put) + partial aggregation + global top-k."""
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    name_of = dict(zip(cust["c_custkey"].to_pylist(), cust["c_name"].to_pylist()))
+    ref = ray.put(name_of)
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["total_cents"] = np.round(df["o_totalprice"] * 100).astype(np.int64)
+        g = df.groupby("o_custkey", sort=False)["total_cents"].sum().reset_index()
+        return _from_pandas_clean(g)
+
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+
+    # custkey is corpus-proportional: hash-partitioned merge, not the
+    # engine's sort-based aggregate
+    agg = keyed_aggregate(
+        orders.map_batches(partial, batch_format="pyarrow"),
+        ["o_custkey"],
+        sums=["total_cents"],
+    )
+
+    # global top-10 WITHOUT a sort shuffle: per-block top-k partials
+    # (10 × #blocks rows) merged on the driver — the group sums are final
+    # after the keyed aggregate, so block-local top-k is safe.
+    def part_top(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["total_cents", "o_custkey"], ascending=[False, True], kind="mergesort"
+        ).head(10)
+        return _from_pandas_clean(df)
+
+    rows = pd.DataFrame(agg.map_batches(part_top, batch_format="pyarrow").take_all())
+    rows = rows.sort_values(
+        ["total_cents", "o_custkey"], ascending=[False, True], kind="mergesort"
+    ).head(10)
+    names = name_of
+    return pa.table(
+        {
+            "c_custkey": pa.array(rows["o_custkey"].to_numpy(np.int64), pa.int64()),
+            "c_name": pa.array([names[k] for k in rows["o_custkey"]], pa.string()),
+            "total_cents": pa.array(rows["total_cents"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+@_register(
+    "q_events_hourly",
+    """
+    SELECT event_type,
+           CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_milli
+    FROM events
+    GROUP BY event_type, hour_epoch
+    """,
+)
+def q_events_hourly(sf_dir: str):
+    """Tumbling 1-hour window aggregate (streaming-shaped workload over the
+    events log; event-time from ts)."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"].combine_chunks(), unit="hour")
+        hour_epoch = pc.divide(hour.cast(pa.int64()), 1_000_000)
+        vmilli = pc.cast(pc.floor(pc.multiply(batch["value"].combine_chunks(), 1000.0)), pa.int64())
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_pandas(),
+                "hour_epoch": hour_epoch.to_numpy(zero_copy_only=False),
+                "v": vmilli.to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby(["event_type", "hour_epoch"], sort=False).agg(
+            n=("v", "size"), sum_value_milli=("v", "sum")
+        ).reset_index()
+        return _from_pandas_clean(g)
+
+    return (
+        compact(ds.map_batches(partial, batch_format="pyarrow"))
+        .groupby(["event_type", "hour_epoch"])
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_value_milli", alias_name="sum_value_milli"))
+    )
+
+
+@_register(
+    "q_sessionize",
+    """
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, event_id,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM e
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           CAST(epoch_us(MIN(ts)) // 1000000 AS BIGINT) AS start_epoch
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize(sf_dir: str):
+    """Session windows (30-min gap) per user via `stages/sessions.
+    session_table`: ONE width-bounded keyed exchange, vectorized label +
+    aggregate in the same partition pass.  The earlier plan here grouped
+    by user_id directly — one map_groups CALL per user, i.e. millions of
+    calls at corpus scale; the stage pays one per partition."""
+    from ontoea_ray.stages.sessions import session_table
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    sess = session_table(
+        ds,
+        key_col="user_id",
+        ts_col="ts",
+        gap_us=30 * 60 * 1_000_000,
+        tie_cols=["event_id"],
+    )
+
+    def shape(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "session_id": pc.add(b["session_idx"], 1),
+                "n_events": b["n_events"],
+                "start_epoch": pc.divide(b["start_us"], 1_000_000),
+            }
+        )
+
+    return sess.map_batches(shape, batch_format="pyarrow")
+
+
+@_register(
+    "q_asof_join",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id, user_id, ts, CAST(FLOOR(value * 1000) AS BIGINT) AS v
+               FROM events WHERE event_type = 'click')
+    SELECT p.event_id AS event_id, p.user_id AS user_id,
+           CAST(epoch_us(p.ts) AS BIGINT) AS ts_epoch_us,
+           c.event_id AS click_event_id,
+           CAST(epoch_us(c.ts) AS BIGINT) AS click_ts_epoch_us,
+           c.v AS click_value_milli
+    FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q_asof_join(sf_dir: str):
+    """Backward as-of join (each purchase ↔ the user's latest click at or
+    before it) — the custom temporal operator (`stages/temporal.asof_join`):
+    one keyed exchange, vectorized merge_asof per partition."""
+    from ontoea_ray.stages.temporal import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+    purchases = ev.filter(expr="event_type == 'purchase'")
+    clicks = ev.filter(expr="event_type == 'click'")
+
+    def milli(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["event_id", "user_id", "ts", "value"]].copy()
+        df["click_value_milli"] = np.floor(df.pop("value") * 1000).astype(np.int64)
+        return df.rename(columns={"event_id": "click_event_id"})
+
+    joined = asof_join(
+        purchases,
+        clicks.map_batches(milli, batch_format="pandas"),
+        key="user_id",
+        on="ts",
+        left_cols=["event_id"],
+        right_cols=["click_event_id", "click_value_milli"],
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype(np.int64),
+                "user_id": df["user_id"].astype(np.int64),
+            }
+        )
+        out["ts_epoch_us"] = df["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        out["click_event_id"] = df["click_event_id"].astype(np.int64)
+        out["click_ts_epoch_us"] = df["ts_r"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        out["click_value_milli"] = df["click_value_milli"].astype(np.int64)
+        return out
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+@_register(
+    "q_range_join",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts, CAST(FLOOR(value * 1000) AS BIGINT) AS v
+               FROM events WHERE event_type = 'click')
+    SELECT p.event_id AS event_id, p.user_id AS user_id,
+           CAST(epoch_us(p.ts) AS BIGINT) AS ts_epoch_us,
+           COUNT(c.v) AS n_clicks,
+           CAST(COALESCE(SUM(c.v), 0) AS BIGINT) AS click_value_milli
+    FROM p LEFT JOIN c
+      ON c.user_id = p.user_id AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+    GROUP BY p.event_id, p.user_id, p.ts
+    """,
+)
+def q_range_join(sf_dir: str):
+    """Range-join aggregate (clicks per user in the hour before each
+    purchase) via `stages/temporal.range_join_agg` — a difference of two
+    as-of lookups into running totals, no left×right row explosion."""
+    from ontoea_ray.stages.temporal import range_join_agg
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+    purchases = ev.filter(expr="event_type == 'purchase'")
+
+    def milli(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["user_id", "ts", "value"]].copy()
+        df["v"] = np.floor(df.pop("value") * 1000).astype(np.int64)
+        return df
+
+    clicks = ev.filter(expr="event_type == 'click'").map_batches(milli, batch_format="pandas")
+    agg = range_join_agg(
+        purchases,
+        clicks,
+        key="user_id",
+        on="ts",
+        left_cols=["event_id"],
+        val="v",
+        lo_offset=pd.Timedelta(hours=-1),
+        hi_offset=pd.Timedelta(0),
+        count_as="n_clicks",
+        sum_as="click_value_milli",
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["event_id", "user_id", "n_clicks", "click_value_milli"]].astype(np.int64)
+        out["ts_epoch_us"] = df["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        return out[["event_id", "user_id", "ts_epoch_us", "n_clicks", "click_value_milli"]]
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+@_register(
+    "q_window_sliding",
+    """
+    WITH e AS (SELECT event_id, event_type, ts,
+                      CAST(FLOOR(value * 1000) AS BIGINT) AS v
+               FROM events)
+    SELECT event_id, event_type,
+           CAST(epoch_us(ts) AS BIGINT) AS ts_epoch_us,
+           COUNT(*) OVER w AS w_n,
+           CAST(SUM(v) OVER w AS BIGINT) AS w_sum
+    FROM e
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts
+                 RANGE BETWEEN INTERVAL 3 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_sliding(sf_dir: str):
+    """Per-type 3-hour sliding sum over every event via
+    `stages/temporal.sliding_window_sum` — time-bucket partitioning with a
+    window-length halo, the scale shape for low-cardinality window keys."""
+    from ontoea_ray.stages.temporal import sliding_window_sum
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "ts", "value"])
+
+    def milli(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["event_id", "event_type", "ts", "value"]].copy()
+        df["v"] = np.floor(df.pop("value") * 1000).astype(np.int64)
+        return df
+
+    win = sliding_window_sum(
+        ev.map_batches(milli, batch_format="pandas"),
+        part="event_type",
+        on="ts",
+        val="v",
+        window=pd.Timedelta(hours=3),
+        keep_cols=["event_id"],
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["event_id", "event_type", "w_n", "w_sum"]].copy()
+        out["ts_epoch_us"] = df["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        return out[["event_id", "event_type", "ts_epoch_us", "w_n", "w_sum"]]
+
+    return win.map_batches(finish, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------

@@ -1,0 +1,389 @@
+"""Queries: reshape (split from the former single-module registry)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from ontoea_ray.functions.shuffle import compact
+from ontoea_ray.functions.tables import from_pandas as _from_pandas_clean
+from ontoea_ray.queries._core import ORACLE_SQL, QUERIES, _kg_cached, _read, _register
+
+
+# reshaping aggregates: pivot (long -> wide) and ROLLUP (multi-level)
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+_PIVOT_SQL = "SELECT user_id, " + ", ".join(
+    f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}"
+    for t in _EVENT_TYPES
+) + " FROM events GROUP BY 1"
+
+
+@_register("q_pivot", _PIVOT_SQL)
+def q_pivot(sf_dir: str):
+    """Pivot long event rows into one wide count row per user (the
+    feature-table reshape).  The category set is a fixed schema decision
+    (as in SQL), so each batch emits indicator columns vectorized and the
+    per-user merge is an ordinary associative sum — one keyed exchange
+    over combiner-sized partials."""
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    cols = [f"n_{t}" for t in _EVENT_TYPES]
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        out = pd.DataFrame({"user_id": df["user_id"]})
+        et = df["event_type"].to_numpy()
+        for t in _EVENT_TYPES:
+            out[f"n_{t}"] = (et == t).astype(np.int64)
+        return _from_pandas_clean(out.groupby("user_id", sort=False).sum().reset_index())
+
+    return keyed_aggregate(
+        ev.map_batches(partial, batch_format="pandas"), ["user_id"], sums=cols
+    )
+
+
+_ROLLUP_SQL = """
+    SELECT COALESCE(r.r_name, 'ALL') AS region,
+           COALESCE(n.n_name, 'ALL') AS nation,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+"""
+
+
+@_register("q_rollup", _ROLLUP_SQL)
+def q_rollup(sf_dir: str):
+    """Hierarchical ROLLUP aggregate (region -> nation -> grand total) in
+    one pass: the combiner reduces each batch to (region, nation) partials,
+    each partial row is exploded into its 3 rollup levels (leaf, region,
+    'ALL'), and one keyed merge sums them — rollup levels are derived from
+    partials, never from a second corpus scan."""
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey", "n_name"])
+    reg = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    r2name = dict(zip(reg["r_regionkey"].to_pylist(), reg["r_name"].to_pylist()))
+    n2rn = {
+        nk: (r2name[rk], nn)
+        for nk, rk, nn in zip(
+            nat["n_nationkey"].to_pylist(),
+            nat["n_regionkey"].to_pylist(),
+            nat["n_name"].to_pylist(),
+        )
+    }
+    cust_rn = {
+        ck: n2rn[nk]
+        for ck, nk in zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist())
+    }
+    ref = ray.put(cust_rn)
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        df = batch.to_pandas()
+        rn = df["o_custkey"].map(m)
+        df["region"] = rn.str[0]
+        df["nation"] = rn.str[1]
+        df["revenue_cents"] = np.round(df["o_totalprice"] * 100).astype(np.int64)
+        leaf = (
+            df.groupby(["region", "nation"], sort=False)
+            .agg(revenue_cents=("revenue_cents", "sum"), n_orders=("region", "size"))
+            .reset_index()
+        )
+        lvl_region = leaf.assign(nation="ALL")
+        lvl_all = leaf.assign(region="ALL", nation="ALL")
+        out = pd.concat([leaf, lvl_region, lvl_all], ignore_index=True)
+        out["n_orders"] = out["n_orders"].astype(np.int64)
+        return _from_pandas_clean(out)
+
+    return keyed_aggregate(
+        orders.map_batches(partial, batch_format="pyarrow"),
+        ["region", "nation"],
+        sums=["revenue_cents", "n_orders"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# distributed numeric reduction: per-dimension embedding moments
+# ---------------------------------------------------------------------------
+
+_EMBED_MOMENTS_SQL = """
+    WITH ex AS (
+      SELECT i, CAST(ROUND(embedding[i] * 1000) AS BIGINT) AS v
+      FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) r)
+    SELECT CAST(i - 1 AS BIGINT) AS dim,
+           CAST(SUM(v) AS BIGINT) AS sum_milli,
+           CAST(SUM(v * v) AS BIGINT) AS sumsq_milli,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM ex GROUP BY 1
+"""
+
+
+@_register("q_embed_moments", _EMBED_MOMENTS_SQL)
+def q_embed_moments(sf_dir: str):
+    """Per-dimension embedding mean/variance moments (feature-drift and
+    normalization stats): each block reduces its BxD matrix to ONE D-row
+    partial (sum, sum-of-squares, count over milli-quantized values — the
+    integer quantization keeps the partial->merge sums associative and
+    bit-replayable; int64 holds 1e12 rows of |v|<=2 at this scale), then a
+    D-row keyed merge.  Shuffle volume is D x #blocks rows regardless of
+    corpus size."""
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+
+    emb = _read(sf_dir, "embeddings", ["embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b["embedding"].combine_chunks()
+        mat = np.stack(col.to_numpy(zero_copy_only=False)).astype(np.float64)
+        q = np.round(mat * 1000).astype(np.int64)
+        d = q.shape[1]
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(d, dtype=np.int64)),
+                "sum_milli": pa.array(q.sum(axis=0)),
+                "sumsq_milli": pa.array((q * q).sum(axis=0)),
+                "n": pa.array(np.full(d, len(b), np.int64)),
+            }
+        )
+
+    return keyed_aggregate(
+        emb.map_batches(partial, batch_format="pyarrow"),
+        ["dim"],
+        sums=["sum_milli", "sumsq_milli", "n"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# multiway join pipeline, deterministic split, k-means M-step
+# ---------------------------------------------------------------------------
+
+_SHIPPING_PRIORITY_SQL = """
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents,
+           CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch_s,
+           o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1997-06-01'
+      AND l_shipdate > TIMESTAMP '1997-06-01'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue_cents DESC, o_orderkey ASC
+    LIMIT 10
+"""
+
+
+@_register("q_shipping_priority", _SHIPPING_PRIORITY_SQL)
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3-shaped 3-table pipeline: segment-filtered customers become
+    a broadcast sorted key array (semi-join via searchsorted — the filter
+    side is selectivity-reduced, the big sides never co-shuffle with it);
+    lineitem revenue is combiner-aggregated per order BEFORE the one
+    distributed hash join with date-filtered orders (the join then moves
+    one row per order, not one per lineitem); top-10 via per-block top-k
+    partials merged on the driver (k x #blocks rows).  Revenue uses
+    FLOOR(x*100) int cents so DuckDB replays every sum exactly."""
+    from ontoea_ray.functions.join import hash_join
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+
+    cut = np.datetime64("1997-06-01")
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    keys = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"]
+    keyset = ray.put(np.sort(np.asarray(keys.combine_chunks(), np.int64)))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
+
+    def ofilt(b: pa.Table) -> pa.Table:
+        ks = ray.get(keyset)
+        dt = b["o_orderdate"].combine_chunks().to_numpy(zero_copy_only=False)
+        ck = np.asarray(b["o_custkey"].combine_chunks(), np.int64)
+        pos = np.searchsorted(ks, ck)
+        pos[pos >= len(ks)] = 0
+        keep = (dt < cut) & (ks[pos] == ck) if len(ks) else np.zeros(len(b), bool)
+        sel = b.filter(pa.array(keep))
+        ep = sel["o_orderdate"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_orderkey": sel["o_orderkey"].combine_chunks().cast(pa.int64()),
+                "order_epoch_s": pa.array(ep.astype("datetime64[s]").astype(np.int64)),
+                "o_orderpriority": sel["o_orderpriority"].combine_chunks(),
+            }
+        )
+
+    ofiltered = orders.map_batches(ofilt, batch_format="pyarrow")
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def rev_partial(b: pa.Table) -> pa.Table:
+        sd = b["l_shipdate"].combine_chunks().to_numpy(zero_copy_only=False)
+        sel = b.filter(pa.array(sd > cut))
+        df = pd.DataFrame(
+            {
+                "o_orderkey": np.asarray(sel["l_orderkey"].combine_chunks(), np.int64),
+                "revenue_cents": np.floor(
+                    sel["l_extendedprice"].combine_chunks().to_numpy()
+                    * (1.0 - sel["l_discount"].combine_chunks().to_numpy())
+                    * 100.0
+                ).astype(np.int64),
+            }
+        )
+        return _from_pandas_clean(
+            df.groupby("o_orderkey", sort=False)["revenue_cents"].sum().reset_index()
+        )
+
+    revenue = keyed_aggregate(
+        li.map_batches(rev_partial, batch_format="pyarrow"),
+        ["o_orderkey"],
+        sums=["revenue_cents"],
+    )
+    joined = hash_join(revenue, ofiltered, on=["o_orderkey"])
+
+    def part_top(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values(
+            ["revenue_cents", "o_orderkey"], ascending=[False, True], kind="mergesort"
+        ).head(10)
+        return _from_pandas_clean(df)
+
+    rows = pd.DataFrame(joined.map_batches(part_top, batch_format="pyarrow").take_all())
+    rows = rows.sort_values(
+        ["revenue_cents", "o_orderkey"], ascending=[False, True], kind="mergesort"
+    ).head(10)
+    return pa.table(
+        {
+            "o_orderkey": pa.array(rows["o_orderkey"].to_numpy(np.int64)),
+            "revenue_cents": pa.array(rows["revenue_cents"].to_numpy(np.int64)),
+            "order_epoch_s": pa.array(rows["order_epoch_s"].to_numpy(np.int64)),
+            "o_orderpriority": pa.array(rows["o_orderpriority"].astype(str), pa.string()),
+        }
+    )
+
+
+_HASH_SPLIT_SQL = """
+    SELECT CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM (SELECT n_chars,
+                 ((doc_id * 1103515245 + 12345) % 2147483648) % 10 AS b
+          FROM documents)
+    GROUP BY 1
+"""
+
+
+@_register("q_hash_split", _HASH_SPLIT_SQL)
+def q_hash_split(sf_dir: str):
+    """Deterministic train/val/test assignment by arithmetic id hash (the
+    split must be a pure function of the stable id so re-runs, late-arriving
+    shards and other teams reproduce it — never RNG, never row order): LCG
+    mix -> bucket 0-9 -> 80/10/10.  Embarrassingly parallel one-pass map;
+    the per-split audit aggregate is a 3-row combiner merge."""
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = np.asarray(b["doc_id"].combine_chunks(), np.int64)
+        bkt = ((d * 1103515245 + 12345) % 2147483648) % 10
+        split = np.where(bkt < 8, "train", np.where(bkt == 8, "val", "test"))
+        df = pd.DataFrame(
+            {"split": split, "n_docs": np.ones(len(d), np.int64),
+             "sum_chars": np.asarray(b["n_chars"].combine_chunks(), np.int64)}
+        )
+        return _from_pandas_clean(
+            df.groupby("split", sort=False).agg(
+                n_docs=("n_docs", "sum"), sum_chars=("sum_chars", "sum")
+            ).reset_index()
+        )
+
+    return keyed_aggregate(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["split"],
+        sums=["n_docs", "sum_chars"],
+    )
+
+
+_KMEANS_UPDATE_SQL = """
+    WITH q AS (SELECT vec_id,
+                      [CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+                       FOR i IN range(1, 65)] AS qv
+               FROM embeddings),
+    cents AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < 4),
+    scores AS (SELECT q.vec_id, cents.cid,
+                      CAST(list_sum([q.qv[i] * cents.cv[i] FOR i IN range(1, 65)]) AS BIGINT) AS score
+               FROM q CROSS JOIN cents),
+    best AS (SELECT vec_id, cid,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cid ASC) AS rn
+             FROM scores),
+    assign AS (SELECT vec_id, cid FROM best WHERE rn = 1),
+    ex AS (SELECT a.cid, i - 1 AS dim, q.qv[i] AS v
+           FROM assign a JOIN q USING (vec_id),
+                LATERAL (SELECT unnest(range(1, 65)) AS i) r)
+    SELECT CAST(cid AS BIGINT) AS centroid, CAST(dim AS BIGINT) AS dim,
+           CAST(SUM(v) AS BIGINT) AS sum_milli, CAST(COUNT(*) AS BIGINT) AS n
+    FROM ex GROUP BY 1, 2
+"""
+
+
+@_register("q_kmeans_update", _KMEANS_UPDATE_SQL)
+def q_kmeans_update(sf_dir: str):
+    """The k-means M-step fused with the E-step in ONE corpus pass: each
+    block assigns its vectors to the broadcast centroids (int64 quantized
+    dots, as q_kmeans_assign) and immediately reduces to a K x D partial
+    (one-hot^T @ matrix — a single matmul) plus per-centroid counts, so the
+    exchange moves K x D x #blocks rows regardless of corpus size.  New
+    centroids = sum_milli / n on the 256-row result."""
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cent_rows = sorted(
+        emb.map_batches(
+            lambda b: b.filter(pc.less(b["vec_id"], 4)), batch_format="pyarrow"
+        ).take_all(),
+        key=lambda r: r["vec_id"],
+    )
+    cq = np.floor(
+        np.array([r["embedding"] for r in cent_rows], np.float64) * 1000
+    ).astype(np.int64)
+    cref = ray.put(cq)
+    k, d = cq.shape
+
+    def partial(b: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        vecs = b["embedding"].combine_chunks()
+        flat = np.asarray(vecs.values, np.float32).astype(np.float64)
+        mat = np.floor(flat.reshape(len(b), -1) * 1000).astype(np.int64)
+        best = np.argmax(mat @ c.T, axis=1)  # first max = lowest cid
+        onehot = np.zeros((len(b), k), np.int64)
+        onehot[np.arange(len(b)), best] = 1
+        sums = onehot.T @ mat  # (K, D)
+        cnt = np.bincount(best, minlength=k).astype(np.int64)
+        return pa.table(
+            {
+                "centroid": pa.array(np.repeat(np.arange(k, dtype=np.int64), d)),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), k)),
+                "sum_milli": pa.array(sums.reshape(-1)),
+                "n": pa.array(np.repeat(cnt, d)),
+            }
+        )
+
+    parts = emb.map_batches(partial, batch_format="pyarrow")
+    out = keyed_aggregate(parts, ["centroid", "dim"], sums=["sum_milli", "n"])
+    # empty clusters contribute zero partial rows in SQL's inner join; the
+    # engine's zero-count rows must be dropped to match
+    return out.filter(expr="n > 0")
+
+
+# ---------------------------------------------------------------------------

@@ -1,0 +1,211 @@
+"""Queries: text (split from the former single-module registry)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from ontoea_ray.functions.shuffle import compact
+from ontoea_ray.functions.tables import from_pandas as _from_pandas_clean
+from ontoea_ray.queries._core import ORACLE_SQL, QUERIES, _kg_cached, _read, _register
+
+
+# text analysis over documents
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q_token_counts",
+    "SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents",
+)
+def q_token_counts(sf_dir: str):
+    from ontoea_ray.functions.text import token_count
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"], "n_tokens": token_count(b["text"])}),
+        batch_format="pyarrow",
+    )
+
+
+@_register(
+    "q_doc_stats",
+    """
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_text,
+           CAST(len(list_filter(str_split(text, ' '),
+                t -> t IN ('the','a','of','and','to','in','is','on'))) AS BIGINT) AS n_stopwords
+    FROM documents
+    """,
+)
+def q_doc_stats(sf_dir: str):
+    from ontoea_ray.functions.text import quality_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        q = quality_stats(b["text"])
+        return pa.table({"doc_id": b["doc_id"], "n_chars_text": q["n_chars"], "n_stopwords": q["n_stopwords"]})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+_REP_SQL = """
+    WITH toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+           unnest(CASE WHEN len(t) >= 3
+                  THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
+                  ELSE [array_to_string(t, ' ')] END) AS s
+           FROM toks),
+    d AS (SELECT doc_id, COUNT(*) AS nd FROM sh GROUP BY doc_id),
+    t AS (SELECT doc_id, greatest(len(t) - 2, 1) AS nt FROM toks)
+    SELECT t.doc_id,
+           CAST(t.nt AS BIGINT) AS n_shingles,
+           CAST(d.nd AS BIGINT) AS n_distinct_shingles,
+           CAST((t.nt - d.nd) * 1000 // t.nt AS BIGINT) AS dup_ngram_milli
+    FROM t JOIN d ON t.doc_id = d.doc_id
+"""
+
+
+@_register("q_repetition", _REP_SQL)
+def q_repetition(sf_dir: str):
+    """Duplicate-3-gram repetition signal per document (Gopher-style
+    quality rule), integer milli-units for an exact oracle."""
+    from ontoea_ray.functions.text import repetition_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        r = repetition_stats(b["text"].combine_chunks())
+        return pa.table({"doc_id": b["doc_id"], **r})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+@_register(
+    "q_quality_filter",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             CAST(len(str_split(text, ' ')) AS BIGINT) AS nt,
+             CAST(length(text) AS BIGINT) AS nc,
+             CAST(len(list_filter(str_split(text, ' '),
+                  t -> t IN ('the','a','of','and','to','in','is','on'))) AS BIGINT) AS ns
+      FROM documents)
+    SELECT doc_id,
+           CAST(nt >= 30 AND nt <= 100000 AS BIGINT) AS ok_len,
+           CAST((nc - greatest(nt - 1, 0)) >= 3 * nt
+                AND (nc - greatest(nt - 1, 0)) <= 10 * nt AS BIGINT) AS ok_wordlen,
+           CAST(ns * 50 >= nt AS BIGINT) AS ok_stopwords,
+           CAST(nt >= 30 AND nt <= 100000
+                AND (nc - greatest(nt - 1, 0)) >= 3 * nt
+                AND (nc - greatest(nt - 1, 0)) <= 10 * nt
+                AND ns * 50 >= nt AS BIGINT) AS keep
+    FROM s
+    """,
+)
+def q_quality_filter(sf_dir: str):
+    """Composite rule-based quality filter (RefinedWeb/Gopher-style): token
+    count bounds, mean-word-length bounds (integer cross-multiplied — no
+    float compare), stopword presence >= 2%.  Emits per-rule flags + keep."""
+    from ontoea_ray.functions.text import quality_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        q = quality_stats(b["text"].combine_chunks())
+        nt = q["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nc = q["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ns = q["n_stopwords"].to_numpy(zero_copy_only=False).astype(np.int64)
+        letters = nc - np.maximum(nt - 1, 0)
+        ok_len = (nt >= 30) & (nt <= 100000)
+        ok_wordlen = (letters >= 3 * nt) & (letters <= 10 * nt)
+        ok_stop = ns * 50 >= nt
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "ok_len": pa.array(ok_len.astype(np.int64), pa.int64()),
+            "ok_wordlen": pa.array(ok_wordlen.astype(np.int64), pa.int64()),
+            "ok_stopwords": pa.array(ok_stop.astype(np.int64), pa.int64()),
+            "keep": pa.array((ok_len & ok_wordlen & ok_stop).astype(np.int64), pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+@_register(
+    "q_fingerprint",
+    "SELECT doc_id, md5(lower(text)) AS fp FROM documents",
+)
+def q_fingerprint(sf_dir: str):
+    from ontoea_ray.functions.text import fingerprint_md5
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"], "fp": fingerprint_md5(b["text"])}),
+        batch_format="pyarrow",
+    )
+
+
+@_register(
+    "q_term_freq",
+    """
+    SELECT token, freq,
+           CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token DESC) - 1 AS BIGINT) AS rank
+    FROM (
+      SELECT token, COUNT(*) AS freq
+      FROM (SELECT unnest(str_split(text, ' ')) AS token FROM documents)
+      GROUP BY token
+    )
+    """,
+)
+def q_term_freq(sf_dir: str):
+    """Vocabulary frequency + global rank — the reference's sort_elements
+    total order (freq desc, uri desc) as a distributed sort + block-offset
+    zip-with-index (state/ids.py)."""
+    from ontoea_ray.state.ids import rank_by_frequency, token_frequencies
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return rank_by_frequency(token_frequencies(ds), key="token")
+
+
+@_register(
+    "q_langid",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents
+    ), scores AS (
+      SELECT doc_id,
+        COUNT(*) FILTER (WHERE tok IN ('der','die','und','das','nicht','ist','ein')) AS s_de,
+        COUNT(*) FILTER (WHERE tok IN ('the','and','of','to','a','in','is')) AS s_en,
+        COUNT(*) FILTER (WHERE tok IN ('el','la','que','los','una','es','y')) AS s_es,
+        COUNT(*) FILTER (WHERE tok IN ('le','la','et','les','des','un','est')) AS s_fr
+      FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id,
+      CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+           WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+           WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+           WHEN s_es >= s_fr THEN 'es'
+           ELSE 'fr' END AS pred_lang
+    FROM scores
+    """,
+)
+def q_langid(sf_dir: str):
+    """Stopword-profile language ID; the SQL mirrors predict_lang exactly:
+    per-language profile hit counts, argmax with first-max-wins in sorted
+    language order (de, en, es, fr), zero hits -> 'und'."""
+    from ontoea_ray.functions.text import predict_lang
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"], "pred_lang": predict_lang(b["text"])}),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------

@@ -1,0 +1,321 @@
+"""Queries: weblinks (split from the former single-module registry)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from ontoea_ray.functions.shuffle import compact
+from ontoea_ray.functions.tables import from_pandas as _from_pandas_clean
+from ontoea_ray.queries._core import ORACLE_SQL, QUERIES, _kg_cached, _read, _register
+from ontoea_ray.queries.dedup import splitmix64_ctes
+from ontoea_ray.queries.graph import _COPURCHASE_E_CTE, _copurchase_cached
+
+
+# Web link graph (stages/weblinks.py) — the Common-Crawl-side edge table
+# ---------------------------------------------------------------------------
+
+_ESC_TOK_SQL = (
+    "replace(replace(replace(tok, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
+)
+
+_OUTLINK_EDGES_CTE = f"""
+  link_tok AS (
+    SELECT 'https://' || source || '.example.org/doc/' || CAST(doc_id AS VARCHAR) AS src_url,
+           source || '.example.org' AS src_domain,
+           unnest(list_slice(str_split(text, ' '), 1, 3)) AS tok
+    FROM documents
+  ),
+  outlink_edges AS (
+    SELECT src_url, src_domain,
+           'https://' || {_ESC_TOK_SQL} || '.example.org/t/' || {_ESC_TOK_SQL} AS href,
+           {_ESC_TOK_SQL} || '.example.org' AS dst_domain
+    FROM link_tok
+  )"""
+
+
+_WARC_SQL = """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_pages,
+           CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+           CAST(epoch_us(TIMESTAMP '2024-01-01') + min(doc_id) * 1000000 AS BIGINT) AS min_ts_us,
+           CAST(epoch_us(TIMESTAMP '2024-01-01') + max(doc_id) * 1000000 AS BIGINT) AS max_ts_us
+    FROM documents GROUP BY lang
+"""
+
+
+@_register("q_warclite_roundtrip", _WARC_SQL)
+def q_warclite_roundtrip(sf_dir: str):
+    """Crawl-archive record-format round trip: the pages table is written
+    as concatenated WARC-lite records (header block + length-framed body,
+    many records per shard file — the real crawl interchange shape) and
+    read back with one reader task per shard + a vectorized in-batch
+    record parse (sources/warclite.py), then reduced to per-lang page
+    counts, byte totals and crawl-time bounds.  The oracle replays the
+    deterministic url/warc_ts derivation from the documents table, so a
+    value mismatch means the FORMAT lost or corrupted a record."""
+    import hashlib
+    import os
+
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+    from ontoea_ray.sources.pages import pages_from_documents
+    from ontoea_ray.sources.warclite import read_warclite, write_warclite
+
+    out_dir = os.path.join(
+        "/tmp/ontoea_warclite", hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    )
+    # shard names derive from block splits, and the split can differ
+    # between sessions (cpu count) — clear the dir so the read sees
+    # exactly this write, never a stale shard from a previous layout
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    pages = pages_from_documents(sf_dir).drop_columns(["html"])
+    write_warclite(pages, out_dir)
+
+    back = read_warclite(out_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b["warc_ts"].combine_chunks().cast(pa.int64())
+        return pa.table(
+            {
+                "lang": b["lang"].combine_chunks(),
+                "n_pages": pa.array(np.ones(len(b), np.int64)),
+                "sum_chars": pc.binary_length(b["text"].combine_chunks()).cast(pa.int64()),
+                "min_ts_us": ts,
+                "max_ts_us": ts,
+            }
+        )
+
+    return keyed_aggregate(
+        back.map_batches(partial, batch_format="pyarrow"),
+        ["lang"],
+        sums=["n_pages", "sum_chars"],
+        mins=["min_ts_us"],
+        maxs=["max_ts_us"],
+    )
+
+
+@_register(
+    "q_outlinks",
+    f"WITH {_OUTLINK_EDGES_CTE} SELECT src_url, href FROM outlink_edges",
+)
+def q_outlinks(sf_dir: str):
+    """Web link-graph extraction: every ``href`` attribute of every page
+    becomes a (src_url, href) edge — the Common-Crawl link-graph primitive.
+    One streaming zero-copy pass (`stages/weblinks.outlink_edges`): the
+    vectorized `functions/text.outlink_lists` splitter consumes the html
+    bytes inside the batch, so the multi-MB payload never rides past the
+    stage.  The oracle replays the deterministic nav-link generation rule
+    (first 3 escaped tokens) from the documents table, pinning that
+    extraction inverts generation exactly."""
+    from ontoea_ray.sources.pages import pages_from_documents
+    from ontoea_ray.stages.weblinks import outlink_edges
+
+    return outlink_edges(pages_from_documents(sf_dir))
+
+
+@_register(
+    "q_domain_indegree",
+    f"""WITH {_OUTLINK_EDGES_CTE}
+    SELECT dst_domain,
+           CAST(COUNT(*) AS BIGINT) AS n_edges,
+           CAST(COUNT(DISTINCT src_domain) AS BIGINT) AS n_src_domains
+    FROM outlink_edges GROUP BY dst_domain""",
+)
+def q_domain_indegree(sf_dir: str):
+    """Host-level link-graph indegree: per destination domain, total inbound
+    anchors and distinct source hosts — the web-centrality aggregate the
+    public web-graph releases ship.  Combiner-first two-level reduction
+    (`stages/weblinks.domain_indegree`): the (dst, src) pair exchange moves
+    the distinct-pair vocabulary, never raw edges, and the distinct-source
+    count falls out of the first level's group count."""
+    from ontoea_ray.sources.pages import pages_from_documents
+    from ontoea_ray.stages.weblinks import domain_indegree
+
+    return domain_indegree(pages_from_documents(sf_dir))
+
+
+@_register(
+    "q_anchor_text",
+    f"""WITH {_OUTLINK_EDGES_CTE}
+    SELECT {_ESC_TOK_SQL} || '.example.org' AS dst_domain,
+           {_ESC_TOK_SQL} AS anchor,
+           CAST(COUNT(*) AS BIGINT) AS n_anchors
+    FROM link_tok GROUP BY dst_domain, anchor""",
+)
+def q_anchor_text(sf_dir: str):
+    """Anchor-text alias table: per (destination domain, anchor TEXT)
+    inbound-anchor counts — the surface-form prior entity linking builds
+    from the web (anchor text is how the web names the page it links to;
+    Mihalcea & Csomai 2007 / Wikipedia anchor dictionaries are the public
+    precedent).  `functions/text.anchor_lists` extracts (href, anchor-text)
+    pairs vectorized from generic HTML in the same zero-copy streaming pass
+    as the outlink splitter; the reduction is one combiner-first keyed
+    exchange over the (domain, anchor) vocabulary.  The oracle replays the
+    nav generation rule: each nav anchor's text IS its escaped token."""
+    from ontoea_ray.sources.pages import pages_from_documents
+    from ontoea_ray.stages.weblinks import anchor_text_table
+
+    return anchor_text_table(pages_from_documents(sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Random-walk corpus (stages/walks.py) — DeepWalk / node2vec p=q=1
+# ---------------------------------------------------------------------------
+
+
+def _random_walks_sql(
+    steps: int = 3, pct: int = 7, salt: int = 1_000_003, *, as_cte: bool = False
+) -> str:
+    """Unrolled walk oracle over the splitmix64-sampled co-purchase graph:
+    replays the indexed adjacency (ROW_NUMBER over sorted neighbours) and
+    every hash-indexed hop bit-for-bit.  ``as_cte=True`` closes the chain
+    with a ``walks(walk_id, step, node)`` CTE instead of the final SELECT,
+    so derived oracles (skip-gram pairs) build on the identical corpus."""
+    from ontoea_ray.functions.lsh_sql import TWO64
+
+    p = [
+        "WITH",
+        _COPURCHASE_E_CTE.replace(" e AS ", " eall0 AS "),
+        ", eall AS MATERIALIZED (SELECT a, b FROM eall0),",
+        splitmix64_ctes("eall", "(a * 100000 + b)"),
+        f", e0 AS MATERIALIZED (SELECT a, b FROM sm3 WHERE _h % 100 < {pct})",
+        ", und AS MATERIALIZED (SELECT a AS u, b AS v FROM e0 UNION SELECT b AS u, a AS v FROM e0)",
+        ", adj AS MATERIALIZED (SELECT u, v,"
+        "  CAST(ROW_NUMBER() OVER (PARTITION BY u ORDER BY v) - 1 AS HUGEINT) AS idx FROM und)",
+        ", deg AS MATERIALIZED (SELECT u, CAST(COUNT(*) AS HUGEINT) AS deg FROM und GROUP BY u)",
+        ", w0 AS (SELECT u AS walk_id, u AS cur FROM deg)",
+    ]
+    for s in range(1, steps + 1):
+        key = f"((CAST(walk_id AS HUGEINT) * {salt} + {s}) % {TWO64})"
+        p.append(f", k{s} AS (SELECT walk_id, cur FROM w{s - 1}),")
+        p.append(splitmix64_ctes(f"k{s}", key, sfx=f"_w{s}"))
+        p.append(
+            f", w{s} AS (SELECT s.walk_id, a.v AS cur FROM sm3_w{s} s"
+            f" JOIN deg d ON d.u = s.cur"
+            f" JOIN adj a ON a.u = s.cur AND a.idx = (s._h % d.deg))"
+        )
+    selects = [
+        f"SELECT CAST(walk_id AS BIGINT) AS walk_id, CAST({s} AS BIGINT) AS step,"
+        f" CAST(cur AS BIGINT) AS node FROM w{s}"
+        for s in range(steps + 1)
+    ]
+    if as_cte:
+        p.append(", walks AS (" + " UNION ALL ".join(selects) + ")")
+    else:
+        p.append("\n" + "\nUNION ALL ".join(selects))
+    return "\n".join(p)
+
+
+@_register("q_random_walks", _random_walks_sql())
+def q_random_walks(sf_dir: str):
+    """Deterministic random-walk corpus (DeepWalk, Perozzi et al. KDD 2014)
+    over the splitmix64-sampled (7%) co-purchase graph: one 3-hop walk per
+    node, step s moving to sorted-neighbour index
+    splitmix64(walk_id * salt + s) % deg(cur) — uniform per step yet a pure
+    function of the graph, so walks are reproducible, resumable, and
+    replayed bit-for-bit by the unrolled oracle.  `stages/walks.
+    random_walks`: indexed adjacency from one distinct exchange + one
+    u-co-located ranking pass; each round is two planner-routed hash joins
+    over walk-front-sized tables (auto-broadcast under budget), with no
+    driver state beyond Dataset handles."""
+    from ontoea_ray.stages.sampling import splitmix64
+    from ontoea_ray.stages.walks import random_walks
+
+    edges = _copurchase_cached(sf_dir)
+
+    def sample(b: pa.Table) -> pa.Table:
+        a = np.asarray(b["id_a"].combine_chunks(), np.int64)
+        c = np.asarray(b["id_b"].combine_chunks(), np.int64)
+        h = splitmix64((a * 100000 + c).astype(np.uint64))
+        return b.filter(pa.array(h % np.uint64(100) < np.uint64(7)))
+
+    sampled = edges.map_batches(sample, batch_format="pyarrow")
+    return random_walks(sampled, steps=3)
+
+
+_WALK_WINDOW = 2
+
+_WALK_PAIRS_SQL = (
+    _random_walks_sql(as_cte=True)
+    + f"""
+    SELECT w1.node AS center, w2.node AS context,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM walks w1 JOIN walks w2
+      ON w1.walk_id = w2.walk_id
+     AND abs(w1.step - w2.step) BETWEEN 1 AND {_WALK_WINDOW}
+    GROUP BY 1, 2
+"""
+)
+
+
+@_register("q_walk_pairs", _WALK_PAIRS_SQL)
+def q_walk_pairs(sf_dir: str):
+    """Skip-gram training pairs from the deterministic walk corpus — the
+    DeepWalk -> word2vec step (Perozzi et al. KDD 2014): every (center,
+    context) node pair within a +-{window}-step window of the same walk,
+    with its corpus count.  One walk_id-keyed exchange co-locates each
+    walk's steps; pair emission inside the group is a vectorized
+    shift-and-compare over the step-sorted frame (both directions, as the
+    skip-gram objective consumes them); counts reduce combiner-first
+    through a (center, context) vocabulary exchange.  The oracle derives
+    pairs from the SAME unrolled walk CTE as q_random_walks, so a mismatch
+    isolates the pairing, not the walk."""
+    from ontoea_ray.functions.shuffle import keyed_aggregate, with_partition_key
+    from ontoea_ray.stages.sampling import splitmix64
+    from ontoea_ray.stages.walks import random_walks
+
+    edges = _copurchase_cached(sf_dir)
+
+    def sample(b: pa.Table) -> pa.Table:
+        a = np.asarray(b["id_a"].combine_chunks(), np.int64)
+        c = np.asarray(b["id_b"].combine_chunks(), np.int64)
+        h = splitmix64((a * 100000 + c).astype(np.uint64))
+        return b.filter(pa.array(h % np.uint64(100) < np.uint64(7)))
+
+    walks = random_walks(edges.map_batches(sample, batch_format="pyarrow"), steps=3)
+    parted = with_partition_key(walks, ["walk_id"])
+
+    def emit(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["walk_id", "step"], kind="mergesort")
+        wid = df["walk_id"].to_numpy(np.int64)
+        node = df["node"].to_numpy(np.int64)
+        cs, xs = [], []
+        for d in range(1, _WALK_WINDOW + 1):
+            if len(wid) <= d:
+                break
+            same = wid[:-d] == wid[d:]
+            a, b_ = node[:-d][same], node[d:][same]
+            cs.append(np.concatenate([a, b_]))  # both directions
+            xs.append(np.concatenate([b_, a]))
+        if not cs:
+            return _from_pandas_clean(
+                pd.DataFrame(
+                    {
+                        "center": pd.Series([], dtype=np.int64),
+                        "context": pd.Series([], dtype=np.int64),
+                        "n": pd.Series([], dtype=np.int64),
+                    }
+                )
+            )
+        g = (
+            pd.DataFrame({"center": np.concatenate(cs), "context": np.concatenate(xs)})
+            .groupby(["center", "context"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return _from_pandas_clean(g)
+
+    pairs = parted.groupby("pkey").map_groups(emit, batch_format="pandas")
+    return keyed_aggregate(pairs, ["center", "context"], sums=["n"])
+
+
+# ---------------------------------------------------------------------------
