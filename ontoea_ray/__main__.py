@@ -4,6 +4,8 @@
         [--num-buckets 16] [--concurrency N] [--batch-size 2048]
     python -m ontoea_ray align --data <reference-layout-dir>
         [--dim 96] [--onto-dim 48] [--max-epoch 200] [--out <artifact-dir>]
+    python -m ontoea_ray increment --base-edges <dir> --pages <parquet-or-dir>
+        --out <dir> [--gazetteer-pages <parquet-or-dir>]
 
 ``construct`` runs the flagship pages -> edge-table pipeline against an
 existing pages Parquet table (input_hint schema) and writes the resumable
@@ -94,6 +96,67 @@ def cmd_align(args) -> int:
     return 0
 
 
+def cmd_increment(args) -> int:
+    """Incremental ingest: merge a new crawl increment into an existing
+    partitioned edge table (the q_kg_increment contract as a job).
+
+    Reads the base snapshot back from its resumable sink, constructs the
+    increment's edge table with the SAME gazetteer discipline (state from
+    --gazetteer-pages, default the increment pages), kg_upsert-merges
+    (SUM evidence / MIN provenance), writes the merged sink + manifest,
+    and prints added/changed/total counts from kg_diff."""
+    _ensure_ray()
+    import pyarrow.compute as pc
+    import ray
+
+    from ontoea_ray.pipelines.kg_construct import (
+        bootstrap_linker_from_corpus,
+        construct_kg,
+        kg_diff,
+        kg_upsert,
+        write_edge_table,
+    )
+    from ontoea_ray.sources.pages import read_pages
+    from ontoea_ray.stages.extract import extract_text_stage
+
+    base = (
+        ray.data.read_parquet(args.base_edges)
+        .drop_columns(["part"])
+        .materialize()  # consumed twice: merge + diff baseline
+    )
+    gaz_src = args.gazetteer_pages or args.pages
+    state = bootstrap_linker_from_corpus(extract_text_stage(read_pages(gaz_src)))
+    inc = construct_kg(
+        read_pages(args.pages), state,
+        concurrency=args.concurrency, batch_size=args.batch_size,
+    )
+    merged = kg_upsert(base, inc).materialize()
+    d = kg_diff(base, merged)
+    status = {}
+    for row in (
+        d.map_batches(
+            lambda b: b.select(["status"]), batch_format="pyarrow"
+        ).take_all()
+    ):
+        status[row["status"]] = status.get(row["status"], 0) + 1
+    manifest = write_edge_table(
+        merged, args.out, num_buckets=args.num_buckets,
+        lineage={
+            "base_edges": args.base_edges, "increment_pages": args.pages,
+            "argv": sys.argv[1:],
+        },
+    )
+    print(json.dumps({
+        "out": args.out,
+        "total_rows": manifest["lineage"]["total_rows"],
+        "added": status.get("added", 0),
+        "changed": status.get("changed", 0),
+        "partitions": len(manifest["partitions"]),
+    }))
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="ontoea_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -117,6 +180,20 @@ def main(argv=None) -> int:
     a.add_argument("--shard-init", action="store_true",
                    help="initialize rows shard-side (table never dense anywhere)")
     a.set_defaults(fn=cmd_align)
+
+    i = sub.add_parser(
+        "increment", help="merge a crawl increment into an existing edge table"
+    )
+    i.add_argument("--base-edges", required=True,
+                   help="partitioned edge-table dir written by `construct`")
+    i.add_argument("--pages", required=True, help="increment pages parquet")
+    i.add_argument("--gazetteer-pages", default=None,
+                   help="pages corpus for the gazetteer prepass (default: --pages)")
+    i.add_argument("--out", required=True)
+    i.add_argument("--num-buckets", type=int, default=16)
+    i.add_argument("--concurrency", type=int, default=None)
+    i.add_argument("--batch-size", type=int, default=2048)
+    i.set_defaults(fn=cmd_increment)
 
     args = p.parse_args(argv)
     return args.fn(args)

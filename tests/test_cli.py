@@ -52,3 +52,25 @@ def test_cli_align_sharded(cli_inputs):
     assert r.returncode == 0, r.stderr[-500:]
     payload = json.loads(r.stdout.strip().splitlines()[-1])
     assert "hits" in payload and "mrr" in payload
+
+
+def test_cli_increment(cli_inputs, tmp_path):
+    """construct a base edge table, then merge the same pages as an
+    increment: every base edge doubles its evidence (status=changed),
+    total rows unchanged, and the merged sink carries a complete
+    manifest."""
+    base_out = str(tmp_path / "base_edges")
+    r1 = _run(["construct", "--pages", str(cli_inputs / "pages"), "--out", base_out])
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    base = json.loads(r1.stdout.strip().splitlines()[-1])
+
+    inc_out = str(tmp_path / "merged_edges")
+    r2 = _run([
+        "increment", "--base-edges", base_out,
+        "--pages", str(cli_inputs / "pages"), "--out", inc_out,
+    ])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    got = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert got["total_rows"] == base["total_rows"]
+    assert got["added"] == 0
+    assert got["changed"] == base["total_rows"]
