@@ -917,8 +917,9 @@ def q_source_dup_rate(sf_dir: str):
 
         from ontoea_ray.stages.scan_link import default_pool_size
 
+        # autoscaling (1, cluster-sized) — see the q_doc_popularity note
         both = pairs.map_batches(
-            _Label, batch_format="pyarrow", concurrency=default_pool_size(None)
+            _Label, batch_format="pyarrow", concurrency=(1, default_pool_size(None))
         )
     else:
         a = hash_join(
