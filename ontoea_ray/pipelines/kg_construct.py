@@ -67,6 +67,7 @@ def bootstrap_linker_from_corpus(
     fuzzy_jaccard_pct: int = 50,
     fuzzy_max_cands: int = 3,
     mention_texts: ray.data.Dataset | None = None,
+    alias_fn=None,
 ) -> LinkerState:
     """Derive a gazetteer from corpus token frequencies (distributed
     prepass), assign classes from the bootstrap ontology deterministically,
@@ -142,6 +143,18 @@ def bootstrap_linker_from_corpus(
         f"kg://ent/{s}": class_ids[non_root[stable_hash64(s) % len(non_root)]]
         for s in ent_surfaces
     }
+    if alias_fn is not None:
+        # alias registration: each alias surface gets its OWN URI carrying
+        # the aliased entity's class — distinct URIs naming the same
+        # canonical entity, which is exactly the input shape the
+        # canonicalization stage (cluster by lowercased local name, argmax
+        # by evidence) exists to merge
+        for s in list(ent_surfaces):
+            for a in alias_fn(s) or ():
+                if a in surface_to_cands:
+                    continue
+                surface_to_cands[a] = [f"kg://ent/{a}"]
+                uri_class[f"kg://ent/{a}"] = uri_class[f"kg://ent/{s}"]
     root = class_ids[THING]
     return build_linker_state(
         surface_to_cands,

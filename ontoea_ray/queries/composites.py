@@ -457,3 +457,191 @@ def merge_and_label_increment(
         )
 
     return labeled.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# q_canon_drift: canonical-assignment drift between crawl increments — the
+# data-quality audit an incremental KG consumer runs after every ingest.
+# Canonicalization clusters URIs by lowercased local name and elects the
+# evidence-argmax URI; when an increment shifts the counts, a cluster's
+# canonical can FLIP, silently re-keying every edge that cites it.  This
+# query constructs the canonical map twice — base snapshot (doc_id % 4
+# != 0) vs full corpus — and labels every cluster stable / changed /
+# added.
+#
+# The synthetic corpus is all-lowercase (canonicalization would be
+# vacuous), so case variants are injected deterministically: token at
+# position i of doc d is Capitalized when splitmix64(d * 200003 + i) % 2
+# == 0 (~half the stream), and the linker registers each capitalized
+# entity surface as an ALIAS with its own URI (bootstrap alias_fn) —
+# distinct URIs naming the same canonical entity, the exact input shape
+# the canonicalization stage exists to merge.
+# ---------------------------------------------------------------------------
+
+_CASE_MULT = 200003
+_CASE_MOD = 2
+
+
+def _inject_case(batch: pa.Table) -> pa.Table:
+    from ontoea_ray.stages.sampling import splitmix64
+
+    text = batch["text"].combine_chunks()
+    toks = pc.split_pattern(text, pattern=" ")
+    flat = toks.flatten()
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    counts = np.diff(offsets)
+    doc = np.repeat(
+        batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64), counts
+    )
+    pos = np.arange(len(flat), dtype=np.int64) - np.repeat(offsets[:-1], counts) + 1
+    h = splitmix64((doc * _CASE_MULT + pos).astype(np.uint64))
+    mask = (h % _CASE_MOD) == 0
+    capped = pc.binary_join_element_wise(
+        pc.utf8_upper(pc.utf8_slice_codeunits(flat, 0, 1)),
+        pc.utf8_slice_codeunits(flat, 1, 2**30),
+        "",
+    )
+    newflat = pc.if_else(pa.array(mask), capped, flat)
+    lst = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), newflat)
+    return batch.set_column(
+        batch.schema.get_field_index("text"), "text", pc.binary_join(lst, " ")
+    )
+
+
+def case_pages_from_documents(sf_dir: str, *, keep_increment=None) -> ray.data.Dataset:
+    """Case-injected pages; ``keep_increment`` slices like _slice_pages
+    (None = full corpus)."""
+    from ontoea_ray.sources.pages import _docs_to_pages
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        if keep_increment is not None:
+            did = pc.cast(b["doc_id"], pa.int64())
+            m = pc.equal(did, pc.multiply(pc.divide(did, _INC_MOD), _INC_MOD))
+            b = b.filter(m if keep_increment else pc.invert(m))
+        return _inject_case(b)
+
+    return ds.map_batches(prep, batch_format="pyarrow").map_batches(
+        _docs_to_pages, batch_format="pyarrow"
+    )
+
+
+_CANON_DRIFT_SQL = f"""
+WITH tokc AS (
+  SELECT doc_id,
+         'https://' || source || '.example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         unnest(t) AS tok, unnest(range(1, len(t) + 1)) AS i
+  FROM (SELECT doc_id, source, str_split(text, ' ') AS t FROM documents)
+),
+{splitmix64_ctes("tokc", f"doc_id * {_CASE_MULT} + i", sfx="_c")},
+tok AS (
+  SELECT doc_id, url,
+         CASE WHEN _h % {_CASE_MOD} = 0
+              THEN upper(substr(tok, 1, 1)) || substr(tok, 2) ELSE tok END AS tok,
+         i
+  FROM sm3_c
+),
+freq AS (SELECT tok, COUNT(*) AS c FROM tokc GROUP BY tok),
+params AS (
+  SELECT LEAST(48, GREATEST(1, (2 * COUNT(*)) // 3)) AS n_ent,
+         LEAST(12, COUNT(*) - LEAST(48, GREATEST(1, (2 * COUNT(*)) // 3))) AS n_pred
+  FROM freq
+),
+ranked AS (SELECT tok, ROW_NUMBER() OVER (ORDER BY c DESC, tok DESC) AS rnk FROM freq),
+ents AS (SELECT tok FROM ranked, params WHERE rnk <= n_ent),
+preds AS (SELECT tok FROM ranked, params WHERE rnk > n_ent AND rnk <= n_ent + n_pred),
+surfs AS (
+  SELECT tok AS surf FROM ents
+  UNION
+  SELECT upper(substr(tok, 1, 1)) || substr(tok, 2) FROM ents
+),
+matches AS (
+  SELECT a.doc_id, a.tok AS s_surf, c.tok AS o_surf
+  FROM tok a
+  JOIN tok b ON b.url = a.url AND b.i = a.i + 1
+  JOIN tok c ON c.url = a.url AND c.i = a.i + 2
+  WHERE a.tok IN (SELECT surf FROM surfs)
+    AND b.tok IN (SELECT tok FROM preds)
+    AND c.tok IN (SELECT surf FROM surfs)
+),
+cnt_full AS (
+  SELECT lower(u) AS ckey, 'kg://ent/' || u AS uri, COUNT(*) AS n
+  FROM (SELECT s_surf AS u FROM matches UNION ALL SELECT o_surf FROM matches)
+  GROUP BY 1, 2
+),
+canon_full AS (
+  SELECT ckey, uri AS canonical
+  FROM (SELECT ckey, uri, ROW_NUMBER() OVER (PARTITION BY ckey ORDER BY n DESC, uri ASC) AS rn
+        FROM cnt_full)
+  WHERE rn = 1
+),
+cnt_base AS (
+  SELECT lower(u) AS ckey, 'kg://ent/' || u AS uri, COUNT(*) AS n
+  FROM (SELECT s_surf AS u FROM matches WHERE doc_id % {_INC_MOD} <> 0
+        UNION ALL SELECT o_surf FROM matches WHERE doc_id % {_INC_MOD} <> 0)
+  GROUP BY 1, 2
+),
+canon_base AS (
+  SELECT ckey, uri AS canonical
+  FROM (SELECT ckey, uri, ROW_NUMBER() OVER (PARTITION BY ckey ORDER BY n DESC, uri ASC) AS rn
+        FROM cnt_base)
+  WHERE rn = 1
+)
+SELECT cf.ckey,
+       COALESCE(cb.canonical, '') AS canonical_base,
+       cf.canonical AS canonical_full,
+       CASE WHEN cb.canonical IS NULL THEN 'added'
+            WHEN cb.canonical <> cf.canonical THEN 'changed'
+            ELSE 'stable' END AS status
+FROM canon_full cf LEFT JOIN canon_base cb ON cb.ckey = cf.ckey
+"""
+
+
+@_register("q_canon_drift", _CANON_DRIFT_SQL)
+def q_canon_drift(sf_dir: str):
+    """Canonical-assignment drift audit between the base snapshot and the
+    full corpus (see module header): every URI cluster with its elected
+    canonical in both, labeled stable / changed / added.  The per-slice
+    canonical maps come from the SAME distributed
+    `stages/canonicalize.build_canonical_map` the flagship broadcasts
+    (combiner partials -> vocabulary-sized table); the final compare is a
+    pandas pass over two gazetteer-bounded tables."""
+    from ontoea_ray.pipelines.kg_construct import bootstrap_linker_from_corpus
+    from ontoea_ray.sources.pages import pages_from_documents
+    from ontoea_ray.stages.canonicalize import build_canonical_map
+    from ontoea_ray.stages.extract import extract_text_stage
+    from ontoea_ray.stages.scan_link import scan_and_link_stage
+
+    state = bootstrap_linker_from_corpus(
+        extract_text_stage(pages_from_documents(sf_dir)),
+        alias_fn=lambda s: [s[:1].upper() + s[1:]] if s[:1].upper() != s[:1] else [],
+    )
+    state_ref = ray.put(state)
+
+    def canon_of(pages: ray.data.Dataset) -> pd.DataFrame:
+        partials = scan_and_link_stage(
+            extract_text_stage(pages), state_ref, combine_dedup=True
+        )
+        tbl = build_canonical_map(partials, weight_col="n_mentions").to_pandas()
+        tbl["ckey"] = tbl["uri"].str.rsplit("/", n=1).str[-1].str.lower()
+        return tbl[["ckey", "canonical"]].drop_duplicates("ckey")
+
+    base = canon_of(case_pages_from_documents(sf_dir, keep_increment=False))
+    full = canon_of(case_pages_from_documents(sf_dir))
+    j = full.merge(base, on="ckey", how="left", suffixes=("_full", "_base"))
+    out = pd.DataFrame(
+        {
+            "ckey": j["ckey"],
+            "canonical_base": j["canonical_base"].fillna(""),
+            "canonical_full": j["canonical_full"],
+        }
+    )
+    out["status"] = np.where(
+        j["canonical_base"].isna(),
+        "added",
+        np.where(j["canonical_base"] != j["canonical_full"], "changed", "stable"),
+    )
+    return pa.Table.from_pandas(out.sort_values("ckey").reset_index(drop=True))
