@@ -621,16 +621,71 @@ def q_canon_drift(sf_dir: str):
     )
     state_ref = ray.put(state)
 
-    def canon_of(pages: ray.data.Dataset) -> pd.DataFrame:
-        partials = scan_and_link_stage(
-            extract_text_stage(pages), state_ref, combine_dedup=True
+    # ONE corpus scan for BOTH canonical maps: a slice-aware combiner runs
+    # inside the scan actors carrying (n_mentions, n_mentions_base) per
+    # distinct triple — the base map is just a second vocabulary-sized
+    # reduction over the same partials with the base weight column (and the
+    # zero-base rows filtered, matching SQL's base-slice-only cnt)
+    def drift_partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "subj": pa.array([], pa.string()),
+                    "pred": pa.array([], pa.string()),
+                    "obj": pa.array([], pa.string()),
+                    "n_mentions": pa.array([], pa.int64()),
+                    "n_mentions_base": pa.array([], pa.int64()),
+                }
+            )
+        from ontoea_ray.stages.canonicalize import _triple_key
+
+        key = _triple_key(
+            batch["subj"].combine_chunks(),
+            batch["pred"].combine_chunks(),
+            batch["obj"].combine_chunks(),
         )
-        tbl = build_canonical_map(partials, weight_col="n_mentions").to_pandas()
+        enc = pc.dictionary_encode(key)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(codes)
+        first = np.full(len(enc.dictionary), n, np.int64)
+        np.minimum.at(first, codes, np.arange(n, dtype=np.int64))
+        doc = pc.cast(
+            pc.extract_regex(batch["url"].combine_chunks(), r"(?P<d>[0-9]+)$").field("d"),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        is_base = (doc % _INC_MOD != 0).astype(np.int64)
+        counts = np.bincount(codes, minlength=len(enc.dictionary))
+        base_counts = np.bincount(codes, weights=is_base, minlength=len(enc.dictionary)).astype(np.int64)
+        take = pa.array(first)
+        return pa.table(
+            {
+                "subj": batch["subj"].combine_chunks().take(take),
+                "pred": batch["pred"].combine_chunks().take(take),
+                "obj": batch["obj"].combine_chunks().take(take),
+                "n_mentions": pa.array(counts.astype(np.int64)),
+                "n_mentions_base": pa.array(base_counts),
+            }
+        )
+
+    partials = scan_and_link_stage(
+        extract_text_stage(case_pages_from_documents(sf_dir)),
+        state_ref,
+        combine_fn=drift_partial,
+    ).materialize()  # consumed twice: full map + base map
+
+    def canon_of(triples: ray.data.Dataset, weight_col: str) -> pd.DataFrame:
+        tbl = build_canonical_map(triples, weight_col=weight_col).to_pandas()
         tbl["ckey"] = tbl["uri"].str.rsplit("/", n=1).str[-1].str.lower()
         return tbl[["ckey", "canonical"]].drop_duplicates("ckey")
 
-    base = canon_of(case_pages_from_documents(sf_dir, keep_increment=False))
-    full = canon_of(case_pages_from_documents(sf_dir))
+    full = canon_of(partials, "n_mentions")
+    base = canon_of(
+        partials.map_batches(
+            lambda b: b.filter(pc.greater(b["n_mentions_base"], 0)),
+            batch_format="pyarrow",
+        ),
+        "n_mentions_base",
+    )
     j = full.merge(base, on="ckey", how="left", suffixes=("_full", "_base"))
     out = pd.DataFrame(
         {
