@@ -387,3 +387,50 @@ def q_kmeans_update(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# unpivot (wide -> long): the melt complement of q_pivot
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_MEASURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+_UNPIVOT_SQL = " UNION ALL ".join(
+    f"""SELECT l_returnflag, '{m}' AS measure,
+           CAST(SUM(CAST(ROUND({m} * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag"""
+    for m in _UNPIVOT_MEASURES
+)
+
+
+@_register("q_unpivot", _UNPIVOT_SQL)
+def q_unpivot(sf_dir: str):
+    """Unpivot (wide -> long): melt lineitem's four numeric measure columns
+    into (key, measure, value) long form and reduce per (returnflag,
+    measure) — the schema-normalization reshape that turns a feature-wide
+    table back into an EAV stream (the inverse of q_pivot).  The melt is a
+    vectorized in-batch np.tile/concatenate (4x rows out of each batch,
+    zero Python row loops); the reduction then rides ONE combiner-first
+    keyed exchange whose width is |returnflag| x |measures| — constant in
+    the corpus, so at 100 TB only combiner-sized partials ever shuffle."""
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag"] + _UNPIVOT_MEASURES)
+    ms = list(_UNPIVOT_MEASURES)
+
+    def melt(b: pa.Table) -> pa.Table:
+        n = len(b)
+        flag = b["l_returnflag"].combine_chunks()
+        cents = [
+            np.round(b[m].combine_chunks().to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+            for m in ms
+        ]
+        return pa.table(
+            {
+                "l_returnflag": pa.concat_arrays([flag] * len(ms)),
+                "measure": pa.array(np.repeat(ms, n), pa.string()),
+                "sum_cents": pa.array(np.concatenate(cents) if n else np.array([], np.int64)),
+                "n": pa.array(np.ones(n * len(ms), np.int64)),
+            }
+        )
+
+    parts = li.map_batches(melt, batch_format="pyarrow")
+    return keyed_aggregate(parts, ["l_returnflag", "measure"], sums=["sum_cents", "n"])

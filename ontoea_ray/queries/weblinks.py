@@ -319,3 +319,125 @@ def q_walk_pairs(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# redirect-chain resolution (list ranking by pointer doubling)
+# ---------------------------------------------------------------------------
+
+def _redirect_sql() -> str:
+    from ontoea_ray.queries.dedup import splitmix64_ctes
+
+    return f"""
+WITH RECURSIVE docs AS (SELECT doc_id FROM documents),
+{splitmix64_ctes("docs", "doc_id")},
+red AS (SELECT doc_id,
+               CASE WHEN doc_id > 0 AND _h % 3 <> 0 THEN doc_id // 2
+                    ELSE doc_id END AS nxt
+        FROM sm3),
+chain(doc_id, cur, hops) AS (
+  SELECT doc_id, doc_id, 0 FROM red
+  UNION ALL
+  SELECT c.doc_id, r.nxt, c.hops + 1
+  FROM chain c JOIN red r ON r.doc_id = c.cur
+  WHERE r.nxt <> c.cur
+)
+SELECT doc_id,
+       CAST(arg_max(cur, hops) AS BIGINT) AS final_doc,
+       CAST(MAX(hops) AS BIGINT) AS n_hops
+FROM chain GROUP BY doc_id
+"""
+
+
+@_register("q_redirect_chains", _redirect_sql())
+def q_redirect_chains(sf_dir: str):
+    """Redirect-chain resolution: every crawled page resolves to its final
+    destination and hop count — the canonical-URL step a crawler runs
+    before dedup/link analysis (3xx chains, URL moves).  Redirects are
+    deterministic so the oracle replays them: page d redirects to d//2
+    iff d > 0 and splitmix64(d) % 3 != 0 (chains halve toward 0, length
+    <= log2(max_id); every target exists — the assumption the chain
+    join relies on).
+
+    Scale shape: classic LIST RANKING, budget-switched like q_mst.  Under
+    ONTOEA_BROADCAST_BUDGET_BYTES the (node -> next, hops) mapping is
+    assembled INSIDE a Ray task (never on the driver) and resolved there
+    with vectorized numpy pointer doubling (j <- j[j], microseconds per
+    round).  Above budget the mapping is corpus-sized, so the resolution
+    runs ceil(log2 L) keyed self-join exchanges (ptr <- ptr[ptr], hops <-
+    hops + hops[ptr]) — 6 rounds for L ~ 40 chains at 100 TB; terminal
+    pages are their own fixpoint and the only driver state is the round
+    count (one max() scalar).  Budget-forced plan equality is pinned in
+    tests/test_new_ops.py."""
+    import math
+
+    from ontoea_ray.functions.broadcast import assemble_table_ref
+    from ontoea_ray.functions.join import hash_join
+    from ontoea_ray.stages.sampling import splitmix64
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def init(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        h = splitmix64(ids.astype(np.uint64))
+        redirects = (ids > 0) & (h % np.uint64(3) != 0)
+        ptr = np.where(redirects, ids // 2, ids)
+        hops = redirects.astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "final_doc": pa.array(ptr),
+                "n_hops": pa.array(hops),
+            }
+        )
+
+    m, ref = assemble_table_ref(compact(docs.map_batches(init, batch_format="pyarrow")))
+    if ref is not None:
+        # single-task vectorized plan: j is each row's index of its pointer
+        # row; doubling j <- j[j] squares the covered hop distance per round
+        @ray.remote
+        def _resolve(tbl: pa.Table) -> pa.Table:
+            node = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            order = np.argsort(node, kind="stable")
+            node_s = node[order]
+            ptr = tbl["final_doc"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+            hops = tbl["n_hops"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+            j = np.searchsorted(node_s, ptr)
+            while not np.array_equal(j[j], j):
+                hops = hops + hops[j]
+                j = j[j]
+            return pa.table(
+                {
+                    "doc_id": pa.array(node_s),
+                    "final_doc": pa.array(node_s[j]),
+                    "n_hops": pa.array(hops),
+                }
+            )
+
+        return ray.data.from_arrow_refs([_resolve.remote(ref)])
+
+    max_doc = int(m.max("doc_id") or 0)
+    # longest chain = halvings from max_doc to 0; doubling rounds = log2 of it
+    chain_max = max(1, int(math.log2(max(1, max_doc))) + 1)
+    rounds = int(math.ceil(math.log2(chain_max))) + 1
+    for _ in range(rounds):
+        nxt = m.select_columns(["doc_id", "final_doc", "n_hops"])
+        m = hash_join(
+            m,
+            nxt,
+            on=["final_doc"],
+            right_on=["doc_id"],
+            how="inner",
+            broadcast="none",
+        )
+
+        def step(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"].combine_chunks(),
+                    "final_doc": b["final_doc_r"].combine_chunks(),
+                    "n_hops": pc.add(
+                        b["n_hops"].combine_chunks(), b["n_hops_r"].combine_chunks()
+                    ),
+                }
+            )
+
+        m = compact(m.map_batches(step, batch_format="pyarrow")).materialize()
+    return m

@@ -249,3 +249,53 @@ def test_bpe_merges_hand_oracle_and_run_semantics():
     # after merge: 'aaaa' -> [aa, aa] (runs merge pairwise), 'aaa' -> [aa, a]
     # it 1 pairs: (aa,aa)=2, (aa,a)=1, (b,c)=4 -> pick (b,c)
     assert (out.loc[1, "left"], out.loc[1, "right"], out.loc[1, "n"]) == ("b", "c", 4)
+
+
+def test_redirect_chains_properties():
+    """Pointer doubling resolves every chain: finals are terminal (their own
+    fixpoint), hop counts equal the per-doc halving walk, and redirecting
+    docs always advance (n_hops >= 1)."""
+    from ontoea_ray.queries import QUERIES
+    from ontoea_ray.stages.sampling import splitmix64
+
+    df = QUERIES["q_redirect_chains"]("/root/testdata/sf0.001").to_pandas()
+    ids = df["doc_id"].to_numpy(np.int64)
+    h = splitmix64(ids.astype(np.uint64))
+    redirects = (ids > 0) & (h % np.uint64(3) != 0)
+    red = dict(zip(ids.tolist(), redirects.tolist()))
+
+    by_id = df.set_index("doc_id")
+    # finals are terminal
+    finals = df["final_doc"].unique()
+    assert not any(red[int(f)] for f in finals)
+    # per-doc replay of the halving walk
+    for doc in ids[:200]:
+        cur, hops = int(doc), 0
+        while red[cur]:
+            cur //= 2
+            hops += 1
+        row = by_id.loc[int(doc)]
+        assert int(row["final_doc"]) == cur and int(row["n_hops"]) == hops
+    assert (df.loc[redirects, "n_hops"] >= 1).all()
+    assert (df.loc[~redirects, "n_hops"] == 0).all()
+
+
+def test_redirect_chains_budget_paths_equal(monkeypatch):
+    """Forcing budget=0 routes q_redirect_chains through the exchange-plan
+    doubling loop; it must be row-identical to the single-task plan."""
+    from ontoea_ray.queries import QUERIES
+
+    fast = (
+        QUERIES["q_redirect_chains"]("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    monkeypatch.setenv("ONTOEA_BROADCAST_BUDGET_BYTES", "1")
+    slow = (
+        QUERIES["q_redirect_chains"]("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(fast, slow)
