@@ -1009,3 +1009,122 @@ def q_range_partition(sf_dir: str):
     return range_partition_stats(
         ds, col="cents", key_col="rk", n_ranges=8, denom=50
     )
+
+
+# predicate schema induction: domain/range classes per predicate
+# ---------------------------------------------------------------------------
+
+def _pred_domain_range_sql() -> str:
+    from ontoea_ray.functions.lsh_sql import _h, splitmix64_ctes
+    from ontoea_ray.pipelines.kg_construct import bootstrap_ontology
+    from ontoea_ray.state.ontology import THING
+
+    n_cls = len([c for c in bootstrap_ontology().classes() if c != THING])
+    return f"""
+    WITH kg AS ({_FLAGSHIP_SQL}),
+    s0 AS (SELECT DISTINCT subj AS e FROM kg),
+    {splitmix64_ctes("s0", _h("e"), sfx="_s")},
+    scls AS (SELECT e, CAST(_h % {n_cls} AS BIGINT) AS cls FROM sm3_s),
+    o0 AS (SELECT DISTINCT obj AS e FROM kg),
+    {splitmix64_ctes("o0", _h("e"), sfx="_o")},
+    ocls AS (SELECT e, CAST(_h % {n_cls} AS BIGINT) AS cls FROM sm3_o),
+    v AS (
+      SELECT kg.pred, 0 AS side, scls.cls, SUM(kg.n_mentions) AS votes
+      FROM kg JOIN scls ON scls.e = kg.subj GROUP BY 1, 3
+      UNION ALL
+      SELECT kg.pred, 1 AS side, ocls.cls, SUM(kg.n_mentions) AS votes
+      FROM kg JOIN ocls ON ocls.e = kg.obj GROUP BY 1, 3),
+    t AS (SELECT pred, side, SUM(votes) AS total FROM v GROUP BY 1, 2),
+    r AS (SELECT pred, side, cls, votes,
+                 ROW_NUMBER() OVER (PARTITION BY pred, side
+                                    ORDER BY votes DESC, cls ASC) AS rn
+          FROM v),
+    n AS (SELECT pred, COUNT(*) AS n_edges FROM kg GROUP BY 1)
+    SELECT n.pred,
+           CAST(d.cls AS BIGINT) AS dom_cls,
+           CAST(d.votes * 1000 // td.total AS BIGINT) AS dom_conf_milli,
+           CAST(g.cls AS BIGINT) AS rng_cls,
+           CAST(g.votes * 1000 // tg.total AS BIGINT) AS rng_conf_milli,
+           CAST(n.n_edges AS BIGINT) AS n_edges
+    FROM n
+    JOIN r d ON d.pred = n.pred AND d.side = 0 AND d.rn = 1
+    JOIN t td ON td.pred = n.pred AND td.side = 0
+    JOIN r g ON g.pred = n.pred AND g.side = 1 AND g.rn = 1
+    JOIN t tg ON tg.pred = n.pred AND tg.side = 1
+"""
+
+
+@_register("q_pred_domain_range", _pred_domain_range_sql())
+def q_pred_domain_range(sf_dir: str):
+    """Predicate schema induction (rdfs:domain / rdfs:range mining): for
+    every predicate of the flagship edge table, the evidence-weighted
+    modal class of its SUBJECTS (the induced domain) and of its OBJECTS
+    (the induced range), each with integer-milli support — the schema a
+    KG consumer derives before writing SHACL shapes or validating new
+    assertions, and the per-predicate aggregate of the same typing signal
+    q_type_infer resolves per entity.  Classes reuse the engine's
+    SQL-replayable md5+splitmix assignment; ties break to the smaller
+    class id.
+
+    Scale shape: class is a pure per-row hash (no class-map join, no
+    entity-table broadcast); per-batch partials collapse (pred, side,
+    cls) votes in-block so ONE keyed exchange carries |preds| x 2 x
+    |classes| partials — constant in the corpus — and the final
+    per-predicate argmax runs on a pred-keyed co-location of that tiny
+    table.  n_edges rides the same partials (counted on the subject side
+    only), so the corpus is read exactly once."""
+    from ontoea_ray.functions.shuffle import keyed_aggregate, with_partition_key
+    from ontoea_ray.pipelines.kg_construct import bootstrap_ontology
+    from ontoea_ray.stages.dedup import _token_hashes
+    from ontoea_ray.stages.sampling import splitmix64
+    from ontoea_ray.state.ontology import THING
+
+    n_cls = np.uint64(
+        len([c for c in bootstrap_ontology().classes() if c != THING])
+    )
+    kg = _kg_cached(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        sc = (splitmix64(_token_hashes(b["subj"].combine_chunks(), backend="md5")) % n_cls).astype(np.int64)
+        oc = (splitmix64(_token_hashes(b["obj"].combine_chunks(), backend="md5")) % n_cls).astype(np.int64)
+        votes = np.asarray(b["n_mentions"].combine_chunks(), np.int64)
+        pred = b["pred"].to_pandas()
+        n = len(b)
+        df = pd.DataFrame(
+            {
+                "pred": pd.concat([pred, pred], ignore_index=True),
+                "side": np.repeat(np.array([0, 1], np.int64), n),
+                "cls": np.concatenate([sc, oc]),
+                "votes": np.concatenate([votes, votes]),
+                "n": np.concatenate([np.ones(n, np.int64), np.zeros(n, np.int64)]),
+            }
+        )
+        g = df.groupby(["pred", "side", "cls"], sort=False)[["votes", "n"]].sum().reset_index()
+        return _from_pandas_clean(g)
+
+    parts = kg.map_batches(partial, batch_format="pyarrow")
+    agg = keyed_aggregate(parts, ["pred", "side", "cls"], sums=["votes", "n"])
+    parted = with_partition_key(agg, ["pred"])
+
+    def finalize(df: pd.DataFrame) -> pa.Table:
+        out = []
+        for pred, g in df.groupby("pred", sort=False):
+            n_edges = int(g.loc[g["side"] == 0, "n"].sum())
+            row = {"pred": pred, "n_edges": n_edges}
+            for side, dom in ((0, "dom"), (1, "rng")):
+                s = g[g["side"] == side].sort_values(
+                    ["votes", "cls"], ascending=[False, True], kind="mergesort"
+                )
+                total = int(s["votes"].sum())
+                row[f"{dom}_cls"] = int(s["cls"].iloc[0])
+                row[f"{dom}_conf_milli"] = int(s["votes"].iloc[0]) * 1000 // total
+            out.append(row)
+        res = pd.DataFrame(
+            out,
+            columns=["pred", "dom_cls", "dom_conf_milli", "rng_cls", "rng_conf_milli", "n_edges"],
+        )
+        for c in res.columns[1:]:
+            res[c] = res[c].astype(np.int64)
+        return _from_pandas_clean(res)
+
+    return parted.groupby("pkey").map_groups(finalize, batch_format="pandas")

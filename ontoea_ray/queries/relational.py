@@ -358,3 +358,96 @@ def q_window_sliding(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# time-grid resample with forward fill (gap-fill to a regular series)
+# ---------------------------------------------------------------------------
+
+_RESAMPLE_SQL = """
+    WITH b AS (SELECT user_id, date_trunc('hour', MIN(ts)) AS mn,
+                      date_trunc('hour', MAX(ts)) AS mx
+               FROM events GROUP BY 1),
+    grid AS (SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS slot
+             FROM b),
+    ec AS (SELECT user_id, ts, event_id,
+                  CAST(ROUND(value * 100) AS BIGINT) AS cents
+           FROM events),
+    vals AS (SELECT g.user_id, g.slot, e.cents,
+                    ROW_NUMBER() OVER (PARTITION BY g.user_id, g.slot
+                                       ORDER BY e.ts DESC, e.event_id DESC) AS rn
+             FROM grid g JOIN ec e
+               ON e.user_id = g.user_id AND e.ts < g.slot + INTERVAL 1 HOUR),
+    cnt AS (SELECT user_id, date_trunc('hour', ts) AS slot, COUNT(*) AS n
+            FROM events GROUP BY 1, 2)
+    SELECT v.user_id, CAST(epoch_us(v.slot) AS BIGINT) AS slot_us,
+           v.cents AS value_cents,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+    FROM vals v LEFT JOIN cnt c ON c.user_id = v.user_id AND c.slot = v.slot
+    WHERE v.rn = 1
+"""
+
+
+@_register("q_resample", _RESAMPLE_SQL)
+def q_resample(sf_dir: str):
+    """Time-grid resample with forward fill: each user's irregular event
+    stream is re-expressed on a regular hourly grid spanning their first
+    to last event, every slot carrying the latest-observed value (ties by
+    event_id) and the in-slot event count (0 for gap hours) — the gap-fill
+    a feature pipeline or monitoring rollup runs before windowed models
+    that assume regular sampling.
+
+    Scale shape: ONE user-keyed co-location; inside each partition the
+    fill is vectorized per user — events sorted by (ts, event_id), the
+    grid materialized with np.arange, and the carried value located with
+    ONE np.searchsorted over the sorted event times (no per-slot scan, no
+    join); in-slot counts are an np.bincount over the same pass.  Grid
+    rows ~ users x active-hours stream straight out of the partition, so
+    nothing corpus-sized ever concentrates.  The SQL replays the identical
+    latest-within-bound rule via ROW_NUMBER."""
+    from ontoea_ray.functions.shuffle import with_partition_key
+
+    HOUR = 3_600_000_000  # us
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    parted = with_partition_key(ev, ["user_id"])
+
+    def fill(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ts_us = df["ts"].astype("int64").to_numpy()
+        cents = np.round(df["value"].to_numpy() * 100).astype(np.int64)
+        uids, slots, vals, cnts = [], [], [], []
+        start = 0
+        uvals = df["user_id"].to_numpy(np.int64)
+        bounds = np.flatnonzero(np.diff(uvals)) + 1
+        for lo, hi in zip(
+            np.concatenate([[0], bounds]), np.concatenate([bounds, [len(df)]])
+        ):
+            t = ts_us[lo:hi]
+            grid = np.arange(t[0] - t[0] % HOUR, t[-1] - t[-1] % HOUR + 1, HOUR)
+            # latest event with ts < slot+1h = rightmost index strictly
+            # below the bound; sorted (ts, event_id) makes it the tie-winner
+            idx = np.searchsorted(t, grid + HOUR, side="left") - 1
+            vals.append(cents[lo:hi][idx])
+            cnts.append(np.bincount((t - grid[0]) // HOUR, minlength=len(grid)).astype(np.int64))
+            slots.append(grid)
+            uids.append(np.full(len(grid), uvals[lo], np.int64))
+        if not uids:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "slot_us": pa.array([], pa.int64()),
+                    "value_cents": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "user_id": pa.array(np.concatenate(uids)),
+                "slot_us": pa.array(np.concatenate(slots)),
+                "value_cents": pa.array(np.concatenate(vals)),
+                "n_events": pa.array(np.concatenate(cnts)),
+            }
+        )
+
+    return parted.groupby("pkey").map_groups(fill, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------

@@ -209,3 +209,185 @@ def q_langid(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# RAKE keyword extraction (Rose et al. 2010)
+# ---------------------------------------------------------------------------
+
+_RAKE_STOP_K = 8
+_RAKE_TOP_K = 20
+
+_RAKE_SQL = f"""
+    WITH alltok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS tok,
+                           unnest(range(1, len(str_split(text, ' ')) + 1)) AS p
+                    FROM documents),
+    stop AS (SELECT tok FROM alltok GROUP BY tok
+             ORDER BY COUNT(*) DESC, tok ASC LIMIT {_RAKE_STOP_K}),
+    flags AS (SELECT doc_id, p, tok,
+                     CASE WHEN tok IN (SELECT tok FROM stop) THEN 1 ELSE 0 END AS s
+              FROM alltok),
+    g AS (SELECT doc_id, p, tok, s,
+                 SUM(s) OVER (PARTITION BY doc_id ORDER BY p) AS grp
+          FROM flags),
+    ph AS (SELECT doc_id, grp,
+                  string_agg(tok, ' ' ORDER BY p) AS phrase,
+                  COUNT(*) AS plen
+           FROM g WHERE s = 0 GROUP BY doc_id, grp),
+    w AS (SELECT g.tok, ph.plen
+          FROM g JOIN ph ON ph.doc_id = g.doc_id AND ph.grp = g.grp
+          WHERE g.s = 0),
+    wsc AS (SELECT tok, SUM(plen) * 1000 // COUNT(*) AS sc
+            FROM w GROUP BY tok),
+    pd AS (SELECT phrase, COUNT(*) AS n_occ FROM ph GROUP BY phrase),
+    pw AS (SELECT phrase, unnest(str_split(phrase, ' ')) AS tok FROM pd),
+    psc AS (SELECT pw.phrase, SUM(wsc.sc) AS score_milli
+            FROM pw JOIN wsc USING (tok) GROUP BY 1)
+    SELECT phrase, CAST(n_occ AS BIGINT) AS n_occ,
+           CAST(score_milli AS BIGINT) AS score_milli,
+           CAST(ROW_NUMBER() OVER (ORDER BY score_milli DESC, phrase ASC) AS BIGINT) AS rank
+    FROM psc JOIN pd USING (phrase)
+    QUALIFY rank <= {_RAKE_TOP_K}
+"""
+
+
+@_register("q_rake_keywords", _RAKE_SQL)
+def q_rake_keywords(sf_dir: str):
+    """RAKE keyword extraction (Rose et al., "Automatic keyword extraction
+    from individual documents", 2010): candidate phrases are the maximal
+    stopword-free token runs, each word scores deg/freq (deg = sum of the
+    lengths of phrases containing it, freq = its phrase-occurrence count,
+    integer milli), and a phrase scores the sum of its words — the cheap
+    unsupervised keyword signal a corpus-curation pipeline tags documents
+    with.  Stopwords are the corpus's own top-{_RAKE_STOP_K} tokens by
+    frequency (ties token-asc) — fully corpus-derived, so the oracle
+    replays the whole chain.
+
+    Scale shape: stopword election is a vocabulary-sized reduction
+    (token_frequencies' combiner partials) with a bounded top-K on the
+    driver (K = 8 strings of constant size); phrase/word partials are
+    built per batch fully vectorized (one cumsum over the stop mask makes
+    the island ids; phrase join is the one per-group string op) and
+    collapse in-block, so ONE keyed exchange carries (kind, key) partials
+    bounded by vocab + distinct-phrase counts; phrase scoring explodes
+    only DISTINCT phrases and joins word scores through the planner's
+    budget-switched hash join; the final top-{_RAKE_TOP_K} sorts a
+    reduced table."""
+    from ontoea_ray.functions.join import hash_join
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+    from ontoea_ray.functions.text import tokenize
+    from ontoea_ray.state.ids import token_frequencies
+
+    docs = _read(sf_dir, "documents", ["text"])
+    tf = token_frequencies(docs)
+    top = tf.sort(["freq", "token"], descending=[True, False]).limit(_RAKE_STOP_K)
+    stopwords = pa.array([r["token"] for r in top.take_all()], pa.string())
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = tokenize(b["text"].combine_chunks())
+        flat = toks.values
+        lengths = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
+        doc_idx = np.repeat(np.arange(len(b), dtype=np.int64), lengths)
+        stop = pc.is_in(flat, value_set=stopwords).to_numpy(zero_copy_only=False)
+        grp = np.cumsum(stop)
+        keep = ~stop
+        if not keep.any():
+            return _from_pandas_clean(
+                pd.DataFrame(
+                    {
+                        "kind": pd.Series([], dtype=np.int64),
+                        "key": pd.Series([], dtype=object),
+                        "deg": pd.Series([], dtype=np.int64),
+                        "n": pd.Series([], dtype=np.int64),
+                    }
+                )
+            )
+        df = pd.DataFrame(
+            {
+                "d": doc_idx[keep],
+                "g": grp[keep],
+                "tok": np.asarray(flat, dtype=object)[keep],
+            }
+        )
+        gb = df.groupby(["d", "g"], sort=False)["tok"]
+        phrases = gb.agg(" ".join)
+        plen_per_row = gb.transform("size").to_numpy(np.int64)
+        wpart = (
+            pd.DataFrame({"key": df["tok"], "deg": plen_per_row, "n": 1})
+            .groupby("key", sort=False)[["deg", "n"]]
+            .sum()
+            .reset_index()
+        )
+        wpart.insert(0, "kind", np.int64(0))
+        ppart = (
+            pd.DataFrame({"key": phrases.to_numpy(object), "deg": 0, "n": 1})
+            .groupby("key", sort=False)[["deg", "n"]]
+            .sum()
+            .reset_index()
+        )
+        ppart.insert(0, "kind", np.int64(1))
+        out = pd.concat([wpart, ppart], ignore_index=True)
+        out["kind"] = out["kind"].astype(np.int64)
+        out["deg"] = out["deg"].astype(np.int64)
+        out["n"] = out["n"].astype(np.int64)
+        return _from_pandas_clean(out)
+
+    agg = keyed_aggregate(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["kind", "key"],
+        sums=["deg", "n"],
+    ).materialize()
+
+    wsc = agg.filter(expr="kind == 0").map_batches(
+        lambda b: pa.table(
+            {
+                "tok": b["key"].combine_chunks(),
+                "sc": pc.divide(
+                    pc.multiply(b["deg"].combine_chunks(), pa.scalar(1000, pa.int64())),
+                    b["n"].combine_chunks(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    phrases = agg.filter(expr="kind == 1").select_columns(["key", "n"]).materialize()
+
+    def explode(b: pa.Table) -> pa.Table:
+        toks = tokenize(b["key"].combine_chunks())
+        lengths = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "phrase": pa.array(
+                    np.repeat(np.asarray(b["key"].combine_chunks(), object), lengths),
+                    pa.string(),
+                ),
+                "tok": toks.values,
+            }
+        )
+
+    pw = phrases.map_batches(explode, batch_format="pyarrow")
+    joined = hash_join(pw, wsc, on=["tok"])
+    psc = keyed_aggregate(joined.select_columns(["phrase", "sc"]), ["phrase"], sums=["sc"])
+    scored = hash_join(
+        psc,
+        phrases.map_batches(
+            lambda b: pa.table(
+                {"phrase": b["key"].combine_chunks(), "n_occ": b["n"].combine_chunks()}
+            ),
+            batch_format="pyarrow",
+        ),
+        on=["phrase"],
+    )
+
+    rows = (
+        scored.sort(["sc", "phrase"], descending=[True, False])
+        .limit(_RAKE_TOP_K)
+        .to_pandas()
+    )
+    out = pd.DataFrame(
+        {
+            "phrase": rows["phrase"],
+            "n_occ": rows["n_occ"].astype(np.int64),
+            "score_milli": rows["sc"].astype(np.int64),
+            "rank": np.arange(1, len(rows) + 1, dtype=np.int64),
+        }
+    )
+    return ray.data.from_arrow(_from_pandas_clean(out))
