@@ -451,3 +451,126 @@ def q_resample(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# tumbling OHLC bars (open/high/low/close per event_type per hour)
+# ---------------------------------------------------------------------------
+
+_OHLC_SQL = """
+    WITH e AS (SELECT event_type,
+                      CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS slot_us,
+                      ts, event_id,
+                      CAST(ROUND(value * 100) AS BIGINT) AS cents
+               FROM events),
+    r AS (SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY event_type, slot_us
+                                    ORDER BY ts ASC, event_id ASC) AS rna,
+                 ROW_NUMBER() OVER (PARTITION BY event_type, slot_us
+                                    ORDER BY ts DESC, event_id DESC) AS rnd
+          FROM e),
+    agg AS (SELECT event_type, slot_us,
+                   MAX(cents) AS high_cents, MIN(cents) AS low_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(cents) AS BIGINT) AS sum_cents
+            FROM e GROUP BY 1, 2)
+    SELECT a.event_type, a.slot_us,
+           o.cents AS open_cents, c.cents AS close_cents,
+           a.high_cents, a.low_cents, a.n, a.sum_cents
+    FROM agg a
+    JOIN r o ON o.event_type = a.event_type AND o.slot_us = a.slot_us AND o.rna = 1
+    JOIN r c ON c.event_type = a.event_type AND c.slot_us = a.slot_us AND c.rnd = 1
+"""
+
+
+@_register("q_ohlc", _OHLC_SQL)
+def q_ohlc(sf_dir: str):
+    """Tumbling OHLC bars: per (event_type, hour) the opening value
+    (first by ts, event_id), closing value (last), high, low, count and
+    sum, all integer cents — the candlestick downsample a metrics store
+    materializes from a raw event stream.
+
+    Scale shape: combiner-first.  Each batch reduces to ONE row per
+    (event_type, slot) carrying open/close candidates WITH their
+    (ts, event_id) order keys plus the associative high/low/n/sum, so the
+    single keyed exchange moves block x groups partials; the co-located
+    merge resolves open (lexicographic-min key) and close (max) with two
+    vectorized boundary takes, never re-reading raw events."""
+    from ontoea_ray.functions.shuffle import with_partition_key
+
+    HOUR = 3_600_000_000
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return _from_pandas_clean(
+                pd.DataFrame(
+                    {
+                        "event_type": pd.Series([], dtype=object),
+                        "slot_us": pd.Series([], dtype=np.int64),
+                        "open_ts": pd.Series([], dtype=np.int64),
+                        "open_id": pd.Series([], dtype=np.int64),
+                        "open_cents": pd.Series([], dtype=np.int64),
+                        "close_ts": pd.Series([], dtype=np.int64),
+                        "close_id": pd.Series([], dtype=np.int64),
+                        "close_cents": pd.Series([], dtype=np.int64),
+                        "high_cents": pd.Series([], dtype=np.int64),
+                        "low_cents": pd.Series([], dtype=np.int64),
+                        "n": pd.Series([], dtype=np.int64),
+                        "sum_cents": pd.Series([], dtype=np.int64),
+                    }
+                )
+            )
+        ts_us = df["ts"].astype("int64")
+        d = pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "slot_us": (ts_us - ts_us % HOUR).astype(np.int64),
+                "ts": ts_us.astype(np.int64),
+                "event_id": df["event_id"].astype(np.int64),
+                "cents": np.round(df["value"].to_numpy() * 100).astype(np.int64),
+            }
+        ).sort_values(["event_type", "slot_us", "ts", "event_id"], kind="mergesort")
+        g = d.groupby(["event_type", "slot_us"], sort=False)
+        out = g.agg(
+            open_ts=("ts", "first"),
+            open_id=("event_id", "first"),
+            open_cents=("cents", "first"),
+            close_ts=("ts", "last"),
+            close_id=("event_id", "last"),
+            close_cents=("cents", "last"),
+            high_cents=("cents", "max"),
+            low_cents=("cents", "min"),
+            n=("cents", "size"),
+            sum_cents=("cents", "sum"),
+        ).reset_index()
+        out["n"] = out["n"].astype(np.int64)
+        return _from_pandas_clean(out)
+
+    parts = ev.map_batches(partial, batch_format="pandas")
+    parted = with_partition_key(parts, ["event_type", "slot_us"])
+
+    def merge(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            cols = [
+                "event_type", "slot_us", "open_cents", "close_cents",
+                "high_cents", "low_cents", "n", "sum_cents",
+            ]
+            return _from_pandas_clean(
+                pd.DataFrame({c: pd.Series([], dtype=object if c == "event_type" else np.int64) for c in cols})
+            )
+        keys = ["event_type", "slot_us"]
+        a = df.sort_values(keys + ["open_ts", "open_id"], kind="mergesort")
+        opens = a.groupby(keys, sort=False)[["open_cents"]].first()
+        b = df.sort_values(keys + ["close_ts", "close_id"], kind="mergesort")
+        closes = b.groupby(keys, sort=False)[["close_cents"]].last()
+        g = df.groupby(keys, sort=False).agg(
+            high_cents=("high_cents", "max"),
+            low_cents=("low_cents", "min"),
+            n=("n", "sum"),
+            sum_cents=("sum_cents", "sum"),
+        )
+        out = opens.join([closes, g]).reset_index()
+        for c in out.columns[2:]:
+            out[c] = out[c].astype(np.int64)
+        return _from_pandas_clean(out)
+
+    return parted.groupby("pkey").map_groups(merge, batch_format="pandas")

@@ -1353,3 +1353,76 @@ def q_peak_concurrency(sf_dir: str):
     return peak_concurrency(sess)
 
 # ---------------------------------------------------------------------------
+
+# per-source token concentration (Gini impurity, integer-exact)
+# ---------------------------------------------------------------------------
+
+_GINI_SQL = """
+    WITH t AS (SELECT source, unnest(str_split(text, ' ')) AS tok FROM documents),
+    c AS (SELECT source, tok, CAST(COUNT(*) AS HUGEINT) AS c FROM t GROUP BY 1, 2),
+    s AS (SELECT source, SUM(c) AS total, SUM(c * c) AS ss FROM c GROUP BY 1)
+    SELECT source,
+           CAST(total AS BIGINT) AS n_tokens,
+           CAST((SELECT COUNT(*) FROM c WHERE c.source = s.source) AS BIGINT) AS n_distinct,
+           CAST(((total * total - ss) * 1000000) // (total * total) AS BIGINT) AS gini_ppm
+    FROM s
+"""
+
+
+@_register("q_gini_source", _GINI_SQL)
+def q_gini_source(sf_dir: str):
+    """Per-source token concentration: Gini impurity of each source's
+    token distribution in exact ppm (1 - Σ pᵢ², integer cross-multiplied
+    — no float, no log, so the oracle is bit-exact unlike an entropy in
+    floating point).  A low-impurity source is dominated by few tokens —
+    the template/boilerplate-heavy feed a corpus curator down-weights;
+    the same diversity signal q_ttr approximates per document, here per
+    source over the whole corpus.
+
+    Scale shape: (source, token) counts collapse in-block so ONE keyed
+    exchange carries vocab x sources partials; the per-source fold then
+    runs on a source-keyed co-location of that reduced table, with the
+    squared-count sum taken over Python ints (counts at 100 TB square
+    past int64; the reduced table is vocab-sized, so object-dtype there
+    costs nothing corpus-proportional)."""
+    from ontoea_ray.functions.shuffle import keyed_aggregate, with_partition_key
+    from ontoea_ray.functions.text import tokenize
+
+    docs = _read(sf_dir, "documents", ["source", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = tokenize(b["text"].combine_chunks())
+        lengths = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
+        src = np.repeat(np.asarray(b["source"].combine_chunks(), object), lengths)
+        df = pd.DataFrame({"source": src, "tok": np.asarray(toks.values, object)})
+        g = df.groupby(["source", "tok"], sort=False).size().reset_index(name="c")
+        g["c"] = g["c"].astype(np.int64)
+        return _from_pandas_clean(g)
+
+    counts = keyed_aggregate(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["source", "tok"],
+        sums=["c"],
+    )
+    parted = with_partition_key(counts, ["source"])
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        rows = []
+        for src, g in df.groupby("source", sort=False):
+            cs = [int(x) for x in g["c"]]
+            total = sum(cs)
+            ss = sum(x * x for x in cs)
+            rows.append(
+                {
+                    "source": src,
+                    "n_tokens": total,
+                    "n_distinct": len(cs),
+                    "gini_ppm": ((total * total - ss) * 1_000_000) // (total * total),
+                }
+            )
+        out = pd.DataFrame(rows, columns=["source", "n_tokens", "n_distinct", "gini_ppm"])
+        for c in out.columns[1:]:
+            out[c] = out[c].astype(np.int64)
+        return _from_pandas_clean(out)
+
+    return parted.groupby("pkey").map_groups(fold, batch_format="pandas")
