@@ -1119,6 +1119,12 @@ def dedup_tiles(
     return by_doc.groupby("pkey").map_groups(rebuild, batch_format="pandas")
 
 
+# per-worker-process cache for the prefix-jaccard verify index: plain map
+# tasks reuse worker processes, so a module-level slot gives actor-style
+# build-once reuse without paying actor-pool startup
+_PJ_INDEX_CACHE: dict = {}
+
+
 def prefix_jaccard_pairs(
     docs: ray.data.Dataset,
     *,
@@ -1171,11 +1177,10 @@ def prefix_jaccard_pairs(
         ["token"],
         count_alias="df",
     )
-    joined = hash_join(rows, dfreq, on=["token"])
 
     # prefix length: sz - ceil(thr/1000 * sz) + 1, integer:
     # ceil(thr*sz/1000) = (thr*sz + 999) // 1000
-    def prefix_mark(g: pd.DataFrame) -> pa.Table:
+    def _mark(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values([id_col, "df", "token"], kind="mergesort")
         sz = g["sz"].to_numpy(np.int64)
         ids = g[id_col].to_numpy(np.int64)
@@ -1198,8 +1203,33 @@ def prefix_jaccard_pairs(
         out = g.loc[keep, [id_col, "token", "sz"]]
         return _from_pandas_clean(out)
 
-    parted = with_partition_key(joined, [id_col])
-    prefix = parted.groupby("pkey").map_groups(prefix_mark, batch_format="pandas")
+    # budget switch on the document-frequency table (vocabulary-sized):
+    # under budget it ships once per actor and the prefix mark is BATCH-
+    # LOCAL (each doc's shingles are born in one explode batch, and the
+    # in-batch pandas merge preserves that locality) — zero exchange
+    # between the corpus and the candidate stage; above budget the mark
+    # runs the df hash-join + doc-keyed co-location exchange plan
+    from ontoea_ray.functions.broadcast import assemble_table_ref
+
+    dfreq, dfref = assemble_table_ref(dfreq)
+    if dfref is not None:
+
+        def prefix_batch(b: pa.Table) -> pa.Table:
+            g = pd.DataFrame(
+                {
+                    id_col: np.asarray(b[id_col].to_pylist(), np.int64),
+                    "token": np.asarray(b["token"].combine_chunks(), object),
+                    "sz": np.asarray(b["sz"].combine_chunks(), np.int64),
+                }
+            )
+            dtab = ray.get(dfref).to_pandas()
+            return _mark(g.merge(dtab, on="token", how="left", sort=False))
+
+        prefix = rows.map_batches(prefix_batch, batch_format="pyarrow")
+    else:
+        joined = hash_join(rows, dfreq, on=["token"])
+        parted = with_partition_key(joined, [id_col])
+        prefix = parted.groupby("pkey").map_groups(_mark, batch_format="pandas")
 
     cand_raw = with_partition_key(prefix, ["token"]).groupby("pkey").map_groups(
         _pairs_from_bucket_block(
@@ -1211,28 +1241,142 @@ def prefix_jaccard_pairs(
         cand_raw, ["id_a", "id_b"], maxs=["sz_a", "sz_b"]
     )
 
+    # --- verify: intersect INTEGER shingle hashes, not strings ----------
+    # 64-bit hashes make the per-pair intersection a C-speed int64 merge
+    # and cut the shipped bytes ~3x vs 3-gram strings.  EXACTNESS is kept
+    # by construction, not assumption: the hash is asserted INJECTIVE over
+    # this corpus's (vocabulary-sized) distinct-shingle table before any
+    # verify result is produced — a collision raises instead of silently
+    # breaking the exact-join contract the oracle value-checks.
     def lists(batch: pa.Table) -> pa.Table:
-        # sorted-distinct shingle list per doc, fully vectorized: distinct
+        # sorted-distinct hash list per doc, fully vectorized: hashed
         # (id, shingle) rows sort once, list offsets come from the id runs
         ids = np.asarray(batch[id_col].to_pylist(), np.int64)
-        df = (
-            shingle_strings(batch[text_col], ids, shingle_n)
-            .rename(columns={"shingle": "t"})
-            .sort_values(["id", "t"], kind="mergesort")
+        df = shingle_strings(batch[text_col], ids, shingle_n)
+        hv = _token_hashes(
+            pa.array(df["shingle"].to_numpy(object), pa.string()), backend="fast"
+        ).view(np.int64)
+        d = pd.DataFrame({"id": df["id"].to_numpy(np.int64), "h": hv}).sort_values(
+            ["id", "h"], kind="mergesort"
         )
-        uid = df["id"].to_numpy(np.int64)
+        uid = d["id"].to_numpy(np.int64)
         starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]]) if len(uid) else np.zeros(0, np.int64)
         counts = np.diff(np.r_[starts, len(uid)])
         loffs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
         arr = pa.ListArray.from_arrays(
-            pa.array(loffs, pa.int32()), pa.array(df["t"].to_numpy(object), pa.string())
+            pa.array(loffs, pa.int32()), pa.array(d["h"].to_numpy(np.int64), pa.int64())
         )
         present = uid[starts] if len(uid) else np.zeros(0, np.int64)
-        return pa.table(
-            {"did": pa.array(present, pa.int64()), "toks": arr}
-        )
+        return pa.table({"did": pa.array(present, pa.int64()), "toks": arr})
 
-    tok_lists = docs.map_batches(lists, batch_format="pyarrow")
+    def _intersect_counts(pA, A, pB, B, n_pairs):
+        m = pd.DataFrame({"p": pA, "t": A}).merge(
+            pd.DataFrame({"p": pB, "t": B}), on=["p", "t"]
+        )
+        return np.bincount(m["p"].to_numpy(np.int64), minlength=n_pairs).astype(np.int64)
+
+    if dfref is not None:
+        # injectivity over the corpus vocabulary, checked task-side on the
+        # already-assembled df table
+        @ray.remote
+        def _check_injective(tbl: pa.Table) -> bool:
+            hv = _token_hashes(tbl["token"].combine_chunks(), backend="fast")
+            if len(np.unique(hv)) != len(hv):
+                raise ValueError(
+                    "prefix_jaccard: shingle hash collision in corpus "
+                    "vocabulary — rerun with string verification"
+                )
+            return True
+
+        inj_ref = _check_injective.remote(dfref)
+    else:
+        # distributed injectivity check: hash the (globally distinct)
+        # vocabulary rows and count per hash — any count > 1 is a collision
+        hcnt = keyed_aggregate(
+            dfreq.map_batches(
+                lambda b: pa.table(
+                    {
+                        "h": pa.array(
+                            _token_hashes(
+                                b["token"].combine_chunks(), backend="fast"
+                            ).view(np.int64)
+                        )
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            ["h"],
+            count_alias="cnt",
+        )
+        if int(hcnt.max("cnt") or 0) > 1:
+            raise ValueError(
+                "prefix_jaccard: shingle hash collision in corpus "
+                "vocabulary — rerun with string verification"
+            )
+        inj_ref = None
+
+    tok_lists, tok_ref = assemble_table_ref(
+        docs.map_batches(lists, batch_format="pyarrow")
+    )
+
+    if tok_ref is not None:
+        # broadcast plan: the doc -> sorted-hash index ships ONCE per
+        # worker (plain tasks, not actors — the index build is one argsort
+        # over the doc-id column, far cheaper than actor-pool startup, and
+        # the per-PROCESS cache below gives actor-like reuse anyway); only
+        # the (4 x int64)-wide candidate rows ever move, and each batch's
+        # intersections run as one int64 merge
+        if inj_ref is not None:
+            ray.get(inj_ref)
+
+        def _index(ref):
+            cache = _PJ_INDEX_CACHE
+            key = ref.hex() if hasattr(ref, "hex") else id(ref)
+            got = cache.get(key)
+            if got is None:
+                tbl = ray.get(ref)
+                did = np.asarray(tbl["did"].combine_chunks(), np.int64)
+                arr = tbl["toks"].combine_chunks()
+                flat = np.asarray(arr.values, np.int64)
+                offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+                order = np.argsort(did, kind="stable")
+                got = (did[order], offs[:-1][order], (offs[1:] - offs[:-1])[order], flat)
+                cache.clear()  # one live index per worker is plenty
+                cache[key] = got
+            return got
+
+        def verify_bcast(b: pa.Table) -> pa.Table:
+            n_pairs = len(b)
+            if not n_pairs:
+                return pa.table(
+                    {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+                )
+            did, starts, counts, flat = _index(tok_ref)
+
+            def _gather(doc_ids):
+                j = np.searchsorted(did, doc_ids)
+                cnt = counts[j]
+                off = np.concatenate([[0], np.cumsum(cnt)])
+                pos = np.arange(off[-1]) - np.repeat(off[:-1], cnt)
+                vals = flat[np.repeat(starts[j], cnt) + pos]
+                return np.repeat(np.arange(len(doc_ids)), cnt), vals
+
+            ia = np.asarray(b["id_a"].combine_chunks(), np.int64)
+            ib = np.asarray(b["id_b"].combine_chunks(), np.int64)
+            sa = np.asarray(b["sz_a"].combine_chunks(), np.int64)
+            sb = np.asarray(b["sz_b"].combine_chunks(), np.int64)
+            pA, A = _gather(ia)
+            pB, B = _gather(ib)
+            inter = _intersect_counts(pA, A, pB, B, n_pairs)
+            keep = (1000 + thr) * inter >= thr * (sa + sb)
+            return pa.table({"id_a": pa.array(ia[keep]), "id_b": pa.array(ib[keep])})
+
+        return cand.map_batches(verify_bcast, batch_format="pyarrow")
+
+    # exchange plan (corpus-sized lists): two keyed joins ship each
+    # candidate's two hash lists, then the same int64 merge verifies
+    if inj_ref is not None:
+        ray.get(inj_ref)
     with_a = hash_join(cand, tok_lists, on=["id_a"], right_on=["did"]).map_batches(
         lambda b: pa.table(
             {
@@ -1245,9 +1389,6 @@ def prefix_jaccard_pairs(
     with_ab = hash_join(with_a, tok_lists, on=["id_b"], right_on=["did"])
 
     def verify(b: pa.Table) -> pa.Table:
-        # vectorized per-pair set intersection: explode both token lists
-        # with their pair index and inner-merge on (pair, token) — one
-        # hash merge for the whole batch instead of a Python pair loop
         n_pairs = len(b)
         sa = np.asarray(b["sz_a"].combine_chunks(), np.int64)
         sb = np.asarray(b["sz_b"].combine_chunks(), np.int64)
@@ -1255,16 +1396,13 @@ def prefix_jaccard_pairs(
         def _explode(col):
             arr = b[col].combine_chunks()
             offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-            return pd.DataFrame(
-                {
-                    "p": np.repeat(np.arange(n_pairs), np.diff(offs)),
-                    "t": arr.flatten().to_pandas().to_numpy(object),
-                }
+            return (
+                np.repeat(np.arange(n_pairs), np.diff(offs)),
+                np.asarray(arr.values, np.int64),
             )
 
         if n_pairs:
-            m = _explode("toks_a").merge(_explode("toks"), on=["p", "t"])
-            inter = np.bincount(m["p"].to_numpy(np.int64), minlength=n_pairs).astype(np.int64)
+            inter = _intersect_counts(*_explode("toks_a"), *_explode("toks"), n_pairs)
         else:
             inter = np.zeros(0, np.int64)
         keep = (1000 + thr) * inter >= thr * (sa + sb)

@@ -161,3 +161,25 @@ def test_anti_join_left_join_path_equals_broadcast(sf_dir, tiny_budget, monkeypa
     monkeypatch.delenv("ONTOEA_BROADCAST_BUDGET_BYTES")
     base = _df(QUERIES["q_anti_join"](sf_dir))
     pd.testing.assert_frame_equal(forced, base)
+
+
+def test_prefix_jaccard_budget_paths_equal(sf_dir, tiny_budget, monkeypatch):
+    """budget=1 forces the df hash-join + exchange-verify plan; it must be
+    pair-identical to the broadcast/batch-local plan (and the hash-verify
+    injectivity check must hold on both)."""
+    from ontoea_ray.queries import QUERIES
+
+    slow = (
+        QUERIES["q_prefix_jaccard"](sf_dir)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    monkeypatch.delenv("ONTOEA_BROADCAST_BUDGET_BYTES")
+    fast = (
+        QUERIES["q_prefix_jaccard"](sf_dir)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(fast, slow)
