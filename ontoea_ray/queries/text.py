@@ -391,3 +391,155 @@ def q_rake_keywords(sf_dir: str):
         }
     )
     return ray.data.from_arrow(_from_pandas_clean(out))
+
+# winnowing document fingerprints (Schleimer-Wilkerson-Aiken, SIGMOD 2003)
+# ---------------------------------------------------------------------------
+
+_WINNOW_W = 4  # window of consecutive 3-gram hashes
+_WINNOW_MASK_SQL = 4611686018427387904  # 2^62: digest domain (fits BIGINT)
+
+
+def _winnow_sql() -> str:
+    from ontoea_ray.functions.lsh_sql import _h
+
+    return f"""
+    WITH toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT doc_id,
+             unnest(CASE WHEN len(t) >= 3
+                    THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
+                    ELSE [array_to_string(t, ' ')] END) AS s,
+             unnest(CASE WHEN len(t) >= 3 THEN range(1, len(t) - 1)
+                    ELSE [1] END) AS p
+           FROM toks),
+    sh2 AS (SELECT doc_id, p, {_h('s')} AS h FROM sh),
+    m AS (SELECT doc_id, COUNT(*) AS m FROM sh2 GROUP BY 1),
+    wins AS (SELECT doc_id, unnest(range(1, greatest(m - {_WINNOW_W - 1}, 1) + 1)) AS i
+             FROM m),
+    win AS (SELECT w.doc_id, w.i, s.p, s.h,
+                   ROW_NUMBER() OVER (PARTITION BY w.doc_id, w.i
+                                      ORDER BY s.h ASC, s.p DESC) AS rn
+            FROM wins w JOIN sh2 s
+              ON s.doc_id = w.doc_id AND s.p >= w.i AND s.p <= w.i + {_WINNOW_W - 1}),
+    sel AS (SELECT DISTINCT doc_id, p, h FROM win WHERE rn = 1),
+    selh AS (SELECT DISTINCT doc_id, h FROM sel),
+    cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_selected FROM sel GROUP BY 1),
+    dig AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                   CAST(bit_xor(CAST(h % {_WINNOW_MASK_SQL} AS BIGINT)) AS BIGINT) AS fp_digest
+            FROM selh GROUP BY 1)
+    SELECT doc_id, n_selected, n_distinct, fp_digest FROM cnt JOIN dig USING (doc_id)
+"""
+
+
+@_register("q_winnow_fingerprints", _winnow_sql())
+def q_winnow_fingerprints(sf_dir: str):
+    """Winnowing fingerprints (Schleimer, Wilkerson & Aiken, "Winnowing:
+    local algorithms for document fingerprinting", SIGMOD 2003 — the MOSS
+    algorithm): slide a window of w consecutive 3-gram hashes over each
+    document and select each window's minimum (rightmost on ties); the
+    distinct selections are the document's fingerprint set, with the
+    guarantee that any shared substring of length >= w+2 tokens yields a
+    shared fingerprint.  Output per doc: selection count, distinct-hash
+    count, and an order-independent xor digest over the distinct
+    fingerprints reduced to 2^62 (BIGINT-safe on both sides).
+
+    Scale shape: EMBARRASSINGLY parallel — one map_batches pass, zero
+    exchange.  The sliding-window argmin is vectorized across the whole
+    batch's flat hash array (windows crossing doc boundaries are masked
+    out; rightmost-min via argmin over the reversed window view), short
+    docs (< w shingles) reduce by one vectorized sort + boundary take,
+    and the per-doc fold is a pandas groupby.  Hashes are the md5[:8]
+    convention, so the oracle replays every selection bit-for-bit."""
+    from ontoea_ray.stages.dedup import _token_hashes
+    from ontoea_ray.functions.text import tokenize
+
+    W = _WINNOW_W
+    MASK = np.uint64(_WINNOW_MASK_SQL)
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fp(b: pa.Table) -> pa.Table:
+        text = b["text"].combine_chunks()
+        ids = np.asarray(b["doc_id"].combine_chunks(), np.int64)
+        toks = tokenize(text)
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.diff(offs)
+        flat = toks.flatten()
+        nf = len(flat)
+        frames = []
+        if nf >= 3:
+            row_id = np.repeat(np.arange(len(counts)), counts)
+            parts = [flat.slice(j, nf - 2) for j in range(3)]
+            joined = pc.binary_join_element_wise(*parts, " ")
+            valid = row_id[: nf - 2] == row_id[2:]
+            d_idx = row_id[: nf - 2][valid]
+            # 1-based position within the doc's shingle sequence
+            pos_all = np.arange(nf - 2) - offs[:-1][row_id[: nf - 2]]
+            pos = pos_all[valid] + 1
+            h = _token_hashes(joined.filter(pa.array(valid)), backend="md5")
+            frames.append(pd.DataFrame({"d": d_idx, "p": pos, "h": h}))
+        short = counts < 3
+        if short.any():
+            h = _token_hashes(text.filter(pa.array(short)), backend="md5")
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "d": np.flatnonzero(short),
+                        "p": np.ones(int(short.sum()), np.int64),
+                        "h": h,
+                    }
+                )
+            )
+        if not frames:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_selected": pa.array([], pa.int64()),
+                    "n_distinct": pa.array([], pa.int64()),
+                    "fp_digest": pa.array([], pa.int64()),
+                }
+            )
+        df = pd.concat(frames, ignore_index=True).sort_values(
+            ["d", "p"], kind="mergesort"
+        )
+        d = df["d"].to_numpy(np.int64)
+        h = df["h"].to_numpy(np.uint64)
+        n = len(df)
+
+        sel_idx = []
+        if n >= W:
+            from numpy.lib.stride_tricks import sliding_window_view
+
+            wv = sliding_window_view(h, W)
+            ok = d[: n - W + 1] == d[W - 1 :]  # window inside one doc
+            # rightmost min: argmin over the reversed window view
+            j = np.argmin(wv[:, ::-1], axis=1)
+            picks = (np.arange(n - W + 1) + (W - 1 - j))[ok]
+            sel_idx.append(picks)
+        # docs with fewer than W shingles: rightmost min over the whole doc
+        mcounts = np.bincount(d, minlength=len(ids))
+        short_docs = np.flatnonzero((mcounts > 0) & (mcounts < W))
+        if len(short_docs):
+            sd = df[np.isin(d, short_docs)].sort_values(
+                ["d", "h", "p"], ascending=[True, True, False], kind="mergesort"
+            )
+            sel_idx.append(sd.index.to_numpy()[
+                np.r_[True, sd["d"].to_numpy()[1:] != sd["d"].to_numpy()[:-1]]
+            ])
+        sel = np.unique(np.concatenate(sel_idx)) if sel_idx else np.zeros(0, np.int64)
+        sd, sh_ = d[sel], h[sel]
+        g = pd.DataFrame({"d": sd, "h": sh_})
+        n_selected = g.groupby("d", sort=False).size()
+        gd = g.drop_duplicates(["d", "h"])
+        red = (gd["h"].to_numpy(np.uint64) % MASK).astype(np.int64)
+        gg = pd.DataFrame({"d": gd["d"].to_numpy(np.int64), "r": red}).groupby("d", sort=False)
+        out = pd.DataFrame(
+            {
+                "doc_id": ids[n_selected.index.to_numpy(np.int64)],
+                "n_selected": n_selected.to_numpy(np.int64),
+                "n_distinct": gg.size().to_numpy(np.int64),
+                "fp_digest": gg["r"].agg(lambda x: np.bitwise_xor.reduce(x.to_numpy(np.int64))).to_numpy(np.int64),
+            }
+        )
+        return _from_pandas_clean(out)
+
+    return docs.map_batches(fp, batch_format="pyarrow")

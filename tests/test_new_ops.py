@@ -299,3 +299,40 @@ def test_redirect_chains_budget_paths_equal(monkeypatch):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_winnow_fingerprints_hand_paths(tmp_path):
+    """Winnowing edge paths on a hand corpus: identical docs share digest
+    and counts; a short doc (< window shingles) selects exactly its one
+    rightmost-min fingerprint; disjoint-vocabulary docs differ."""
+    import pyarrow.parquet as pq
+
+    from ontoea_ray.queries import QUERIES
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "a b c d e f g h",
+                    "a b c d e f g h",  # identical to doc 0
+                    "x y",              # short: 1 whole-text shingle
+                    "p q r s t u v w",  # disjoint vocabulary
+                ],
+                pa.string(),
+            ),
+            "lang": pa.array(["en"] * 4),
+            "source": pa.array(["s"] * 4),
+            "n_chars": pa.array([1, 1, 1, 1], pa.int64()),
+        }
+    )
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    df = (
+        QUERIES["q_winnow_fingerprints"](str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert df.loc[0].equals(df.loc[1])
+    assert df.loc[2, "n_selected"] == 1 and df.loc[2, "n_distinct"] == 1
+    assert df.loc[0, "fp_digest"] != df.loc[3, "fp_digest"]
