@@ -351,3 +351,107 @@ def q_domain_pagerank(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# reciprocal rank fusion over two lexical rankings (Cormack et al. 2009)
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60          # the standard RRF damping constant
+_RRF_DEPTH = 20      # fuse the top-20 of each ranking
+_RRF_OUT = 10
+
+
+def _tfsum_sql(terms=_BM25_TERMS, k: int = _RRF_DEPTH) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS score,
+           CAST(ROW_NUMBER() OVER (ORDER BY SUM(c) DESC, doc_id) AS BIGINT) AS rnk
+    FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS token, 1 AS c FROM documents)
+    WHERE token IN ({tlist})
+    GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
+def _rrf_sql() -> str:
+    return f"""
+    WITH bm AS ({_bm25_sql(k=_RRF_DEPTH)}),
+    ts AS ({_tfsum_sql()}),
+    u AS (SELECT doc_id, rnk FROM bm UNION ALL SELECT doc_id, rnk FROM ts),
+    f AS (SELECT doc_id,
+                 CAST(SUM(1000000 // ({_RRF_K} + rnk)) AS BIGINT) AS rrf_micro,
+                 CAST(COUNT(*) AS BIGINT) AS n_lists
+          FROM u GROUP BY doc_id)
+    SELECT doc_id, rrf_micro, n_lists,
+           CAST(ROW_NUMBER() OVER (ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rnk
+    FROM f ORDER BY rrf_micro DESC, doc_id LIMIT {_RRF_OUT}
+"""
+
+
+@_register("q_rank_fusion", _rrf_sql())
+def q_rank_fusion(sf_dir: str):
+    """Reciprocal rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
+    the BM25 top-20 and a raw term-frequency top-20 for the same fixed
+    query terms are fused by RRF(d) = Σ_lists 1/(60 + rank_d), in exact
+    integer micro-units (floor(1e6/(60+r)) — no floats, so the oracle
+    replays the fused ranking including ties).  RRF is the standard
+    zero-tuning way to combine lexical + secondary rankings in a
+    retrieval stack.
+
+    Scale shape: both input rankings are already top-K reductions (BM25
+    reads only the query terms' index buckets; the tf-sum ranking is one
+    combiner-first per-doc sum over a vocabulary-filtered scan), so the
+    fusion itself touches 2K rows — constant in the corpus."""
+    import hashlib
+    import os
+
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+    from ontoea_ray.stages.bm25 import bm25_topk
+    from ontoea_ray.stages.inverted_index import build_inverted_index
+
+    src = f"{sf_dir}/documents.parquet"
+    tag = hashlib.blake2b(
+        f"inv:{os.path.abspath(src)}:{os.path.getmtime(src)}".encode(), digest_size=8
+    ).hexdigest()
+    index_dir = f"/tmp/ontoea_inv_index/{tag}"
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    if not os.path.exists(os.path.join(index_dir, "_meta.json")):
+        build_inverted_index(docs, index_dir, n_buckets=64)
+    bm = bm25_topk(index_dir, docs, list(_BM25_TERMS), k=_RRF_DEPTH).to_pandas()
+
+    terms = pa.array(list(_BM25_TERMS), pa.string())
+
+    def tf_part(b: pa.Table) -> pa.Table:
+        from ontoea_ray.functions.text import tokenize
+
+        toks = tokenize(b["text"].combine_chunks())
+        lengths = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
+        dids = np.repeat(np.asarray(b["doc_id"].combine_chunks(), np.int64), lengths)
+        hit = pc.is_in(toks.values, value_set=terms).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"doc_id": dids[hit]})
+        g = df.groupby("doc_id", sort=False).size().reset_index(name="score")
+        g["score"] = g["score"].astype(np.int64)
+        return _from_pandas_clean(g)
+
+    tfsum = (
+        keyed_aggregate(
+            docs.map_batches(tf_part, batch_format="pyarrow"),
+            ["doc_id"],
+            sums=["score"],
+        )
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(_RRF_DEPTH)
+        .to_pandas()
+    )
+    tfsum["rnk"] = np.arange(1, len(tfsum) + 1, dtype=np.int64)
+
+    u = pd.concat(
+        [bm[["doc_id", "rnk"]], tfsum[["doc_id", "rnk"]]], ignore_index=True
+    )
+    u["c"] = 1_000_000 // (_RRF_K + u["rnk"].to_numpy(np.int64))
+    f = u.groupby("doc_id", sort=False).agg(
+        rrf_micro=("c", "sum"), n_lists=("rnk", "size")
+    ).reset_index()
+    f = f.sort_values(["rrf_micro", "doc_id"], ascending=[False, True], kind="mergesort")
+    f = f.head(_RRF_OUT).reset_index(drop=True)
+    f["rnk"] = np.arange(1, len(f) + 1, dtype=np.int64)
+    for c in ("doc_id", "rrf_micro", "n_lists", "rnk"):
+        f[c] = f[c].astype(np.int64)
+    return ray.data.from_arrow(_from_pandas_clean(f))

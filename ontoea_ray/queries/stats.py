@@ -1426,3 +1426,131 @@ def q_gini_source(sf_dir: str):
         return _from_pandas_clean(out)
 
     return parted.groupby("pkey").map_groups(fold, batch_format="pandas")
+
+
+# burst / trending-token detection across crawl slices
+# ---------------------------------------------------------------------------
+
+_BURST_MIN_TOTAL = 20
+_BURST_TOP = 20
+
+_BURST_SQL = f"""
+    WITH tok AS (SELECT CAST(doc_id % 4 AS BIGINT) AS slice,
+                        unnest(str_split(text, ' ')) AS token
+                 FROM documents),
+    c AS (SELECT token, slice, CAST(COUNT(*) AS HUGEINT) AS cnt
+          FROM tok GROUP BY 1, 2),
+    tt AS (SELECT token, SUM(cnt) AS token_total FROM c GROUP BY 1),
+    st AS (SELECT slice, SUM(cnt) AS slice_total FROM c GROUP BY 1),
+    ct AS (SELECT SUM(cnt) AS corpus_total FROM c),
+    r AS (SELECT c.token, c.slice, CAST(c.cnt AS BIGINT) AS cnt,
+                 CAST((c.cnt * ct.corpus_total * 1000)
+                      // (tt.token_total * st.slice_total) AS BIGINT) AS ratio_milli
+          FROM c JOIN tt USING (token) JOIN st USING (slice), ct
+          WHERE tt.token_total >= {_BURST_MIN_TOTAL})
+    SELECT token, slice, cnt, ratio_milli,
+           CAST(ROW_NUMBER() OVER (ORDER BY ratio_milli DESC, token ASC, slice ASC)
+                AS BIGINT) AS rank
+    FROM r
+    QUALIFY rank <= {_BURST_TOP}
+"""
+
+
+@_register("q_burst_tokens", _BURST_SQL)
+def q_burst_tokens(sf_dir: str):
+    """Burst / trending-token detection across crawl slices (doc_id % 4 —
+    the same slice convention as the incremental-ingest composites): each
+    (token, slice) cell scores its observed count against the
+    independence expectation token_total x slice_total / corpus_total, in
+    exact integer milli (a lift/chi-square-numerator surrogate with no
+    float or log), rare tokens (< {_BURST_MIN_TOTAL} total) filtered as
+    noise, top-{_BURST_TOP} out — what a crawl-monitoring pipeline uses
+    to spot topic surges between increments.
+
+    Scale shape: (token, slice) counts collapse in-block into ONE keyed
+    exchange of vocab x 4 partials; token totals, slice totals (4 rows)
+    and the corpus scalar all derive from that reduced table, and the
+    ratio is computed over Python ints in the vocabulary-sized fold
+    (count x corpus_total squares past int64 at 100 TB).  The final
+    top-K sorts the reduced table only."""
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+    from ontoea_ray.functions.text import tokenize
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = tokenize(b["text"].combine_chunks())
+        lengths = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
+        sl = np.repeat(
+            np.asarray(b["doc_id"].combine_chunks(), np.int64) % 4, lengths
+        )
+        df = pd.DataFrame({"token": np.asarray(toks.values, object), "slice": sl})
+        g = df.groupby(["token", "slice"], sort=False).size().reset_index(name="cnt")
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return _from_pandas_clean(g)
+
+    from ontoea_ray.functions.join import hash_join
+
+    c = keyed_aggregate(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["token", "slice"],
+        sums=["cnt"],
+    ).materialize()
+
+    # token totals: a second vocabulary-sized reduction over the SAME
+    # reduced table (never the corpus); slice totals are 4 rows and the
+    # corpus total one scalar — constant driver state
+    tt = keyed_aggregate(
+        c.map_batches(
+            lambda b: pa.table(
+                {"token": b["token"], "token_total": b["cnt"]}
+            ),
+            batch_format="pyarrow",
+        ),
+        ["token"],
+        sums=["token_total"],
+    ).materialize()
+    st = {
+        int(r["slice"]): int(r["cnt"])
+        for r in keyed_aggregate(
+            c.select_columns(["slice", "cnt"]), ["slice"], sums=["cnt"]
+        ).take_all()
+    }
+    corpus_total = sum(st.values())
+
+    joined = hash_join(c, tt, on=["token"]).filter(
+        expr=f"token_total >= {_BURST_MIN_TOTAL}"
+    )
+
+    def ratio(b: pa.Table) -> pa.Table:
+        # Python-int arithmetic: cnt x corpus_total squares past int64 at
+        # 100 TB; this runs over the (vocabulary-sized) reduced table only
+        cnt = b["cnt"].to_pylist()
+        ttl = b["token_total"].to_pylist()
+        sl = b["slice"].to_pylist()
+        r = np.array(
+            [
+                (cv * corpus_total * 1000) // (tv * st[sv])
+                for cv, tv, sv in zip(cnt, ttl, sl)
+            ],
+            np.int64,
+        )
+        return pa.table(
+            {
+                "token": b["token"],
+                "slice": b["slice"],
+                "cnt": b["cnt"],
+                "ratio_milli": pa.array(r),
+            }
+        )
+
+    top = (
+        joined.map_batches(ratio, batch_format="pyarrow")
+        .sort(["ratio_milli", "token", "slice"], descending=[True, False, False])
+        .limit(_BURST_TOP)
+        .to_pandas()
+    )
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    for col in ("slice", "cnt", "ratio_milli"):
+        top[col] = top[col].astype(np.int64)
+    return ray.data.from_arrow(_from_pandas_clean(top))
