@@ -498,8 +498,10 @@ def q_winnow_fingerprints(sf_dir: str):
                     "fp_digest": pa.array([], pa.int64()),
                 }
             )
-        df = pd.concat(frames, ignore_index=True).sort_values(
-            ["d", "p"], kind="mergesort"
+        df = (
+            pd.concat(frames, ignore_index=True)
+            .sort_values(["d", "p"], kind="mergesort")
+            .reset_index(drop=True)  # labels must BE positions: sel indexes d/h positionally
         )
         d = df["d"].to_numpy(np.int64)
         h = df["h"].to_numpy(np.uint64)

@@ -336,3 +336,69 @@ def test_winnow_fingerprints_hand_paths(tmp_path):
     assert df.loc[0].equals(df.loc[1])
     assert df.loc[2, "n_selected"] == 1 and df.loc[2, "n_distinct"] == 1
     assert df.loc[0, "fp_digest"] != df.loc[3, "fp_digest"]
+
+
+def test_winnow_fingerprints_matches_bruteforce_random():
+    """Random-corpus equivalence: the vectorized batch winnow equals a
+    per-doc reference loop (windows of md5 3-gram hashes, rightmost min,
+    distinct selections) including counts and the xor digest."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ontoea_ray.queries import QUERIES
+    from ontoea_ray.queries.text import _WINNOW_W, _WINNOW_MASK_SQL
+    from ontoea_ray.stages.dedup import _token_hashes
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(9)]
+    texts = [
+        " ".join(rng.choice(vocab, size=int(n)))
+        for n in rng.integers(1, 30, size=60)
+    ]
+    tmp = tempfile.mkdtemp(prefix="winnow_prop_")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(60, dtype=np.int64)),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * 60),
+                "source": pa.array(["s"] * 60),
+                "n_chars": pa.array(np.ones(60, np.int64)),
+            }
+        ),
+        f"{tmp}/documents.parquet",
+    )
+
+    def brute(text):
+        t = text.split(" ")
+        shingles = (
+            [" ".join(t[i : i + 3]) for i in range(len(t) - 2)]
+            if len(t) >= 3
+            else [text]
+        )
+        h = _token_hashes(pa.array(shingles, pa.string()), backend="md5")
+        m = len(h)
+        sel = set()
+        for i in range(max(m - _WINNOW_W + 1, 1)):
+            win = [(int(h[p]), -p) for p in range(i, min(i + _WINNOW_W, m))]
+            best = min(win)
+            sel.add((-best[1], best[0]))
+        hs = {hv for _, hv in sel}
+        digest = 0
+        for hv in hs:
+            digest ^= hv % _WINNOW_MASK_SQL
+        return len(sel), len(hs), digest
+
+    df = (
+        QUERIES["q_winnow_fingerprints"](tmp)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert len(df) == 60
+    for i, text in enumerate(texts):
+        ns, nd, dg = brute(text)
+        assert df.loc[i, "n_selected"] == ns
+        assert df.loc[i, "n_distinct"] == nd
+        assert df.loc[i, "fp_digest"] == dg
