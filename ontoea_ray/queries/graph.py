@@ -735,3 +735,52 @@ def q_adjacency_list(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# truncated Katz centrality over the flagship KG (integer recurrence)
+# ---------------------------------------------------------------------------
+
+_KATZ_ROUNDS = 4
+_KATZ_ALPHA_MILLI = 150
+
+
+def _katz_sql(rounds: int = _KATZ_ROUNDS, scale: int = 1000,
+              alpha: int = _KATZ_ALPHA_MILLI) -> str:
+    from ontoea_ray.queries.flagship import _FLAGSHIP_SQL
+
+    ctes = [
+        f"kg AS ({_FLAGSHIP_SQL})",
+        "e AS (SELECT subj AS s, obj AS d FROM kg)",
+        "nodes AS (SELECT DISTINCT n FROM (SELECT s AS n FROM e UNION SELECT d FROM e))",
+        f"x0 AS (SELECT n, CAST({scale} AS HUGEINT) AS u FROM nodes)",
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"raw{r} AS (SELECT e.d AS n, SUM(x{r}.u) AS raw"
+            f" FROM e JOIN x{r} ON x{r}.n = e.s GROUP BY 1)"
+        )
+        ctes.append(
+            f"x{r + 1} AS (SELECT nodes.n,"
+            f" CAST({scale} + ({alpha} * COALESCE(raw{r}.raw, 0)) // 1000 AS HUGEINT) AS u"
+            f" FROM nodes LEFT JOIN raw{r} ON raw{r}.n = nodes.n)"
+        )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT n AS node, CAST(u AS BIGINT) AS katz_units FROM x{rounds}
+"""
+
+
+@_register("q_katz", _katz_sql())
+def q_katz(sf_dir: str):
+    """Truncated Katz centrality (Katz 1953) over the flagship KG edge
+    graph: the α-damped count of walks ENDING at each entity, in exact
+    integer units (x <- scale + α_milli·Σ_in x // 1000, 4 rounds) — the
+    in-link prestige score complementing q_pagerank (random surfer) and
+    q_hits (hub/authority) on the same engine; multi-predicate edges
+    weight naturally.  Two value-equal plans via the broadcast budget
+    (single-task scatter-add / per-round join + keyed sum), and the
+    unrolled oracle replays every unit including the floor divisions."""
+    from ontoea_ray.stages.graph import katz_rounds
+
+    kg = _kg_cached(sf_dir)
+    return katz_rounds(kg, src="subj", dst="obj", rounds=_KATZ_ROUNDS,
+                       alpha_milli=_KATZ_ALPHA_MILLI)

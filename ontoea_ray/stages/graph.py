@@ -2816,3 +2816,139 @@ def ktruss_rounds(
         cur = surv.select_columns(["id_a", "id_b"]).materialize()
     final = edge_support(cur)
     return final.filter(expr=f"sup >= {int(thresh)}")
+
+
+def katz_rounds(
+    edges: ray.data.Dataset,
+    *,
+    src: str = "subj",
+    dst: str = "obj",
+    rounds: int = 4,
+    scale: int = 1000,
+    alpha_milli: int = 150,
+) -> ray.data.Dataset:
+    """Integer-arithmetic truncated Katz centrality: ``(node, katz_units)``
+    after R rounds of ``x_{r+1}(v) = scale + α_milli·(Σ_{(u,v)} x_r(u)) //
+    1000`` from ``x_0 = scale`` — the damped count of walks ENDING at v
+    (Katz 1953), the in-link prestige complement to PageRank's
+    random-surfer and HITS' mutual reinforcement.  Multi-edges weight
+    naturally; the floor-divided recurrence is bit-deterministic and
+    exactly SQL-replayable (cf. :func:`hits_rounds`, whose two-plan shape
+    this clones).
+
+    Plans (budget=1 pytest pins equality): under the broadcast budget the
+    whole iteration is one Ray task (np.unique factorize + int64
+    scatter-add per round); above it each round is one planner-routed
+    hash join (units onto the weighted edge list) + one keyed sum + one
+    left join back onto the node table (sourceless nodes stay at
+    ``scale``).  Values stay bounded by scale·(α·max_w_indegree/1000)^R —
+    guarded against int64 overflow in both plans."""
+    import numpy as np
+    from ray.data.aggregate import Count
+
+    from ontoea_ray.functions.broadcast import assemble_table_ref
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+
+    def _proj(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "s": b[src].combine_chunks().cast(pa.string()),
+                "d": b[dst].combine_chunks().cast(pa.string()),
+            }
+        )
+
+    e, tbl_ref = assemble_table_ref(
+        compact(edges.map_batches(_proj, batch_format="pyarrow")), columns=["s", "d"]
+    )
+    if tbl_ref is not None:
+        _rounds, _scale, _alpha = rounds, scale, alpha_milli
+
+        @ray.remote
+        def _katz(tref) -> pa.Table:
+            import numpy as np
+
+            s = tref["s"].to_pandas().to_numpy(object)
+            d = tref["d"].to_pandas().to_numpy(object)
+            nodes, inv = np.unique(np.concatenate([s, d]), return_inverse=True)
+            si, di = inv[: len(s)], inv[len(s):]
+            x = np.full(len(nodes), _scale, np.int64)
+            for _ in range(_rounds):
+                raw = np.zeros(len(nodes), np.int64)
+                np.add.at(raw, di, x[si])
+                if raw.max(initial=0) > np.iinfo(np.int64).max // max(_alpha, 1):
+                    raise ValueError("katz_rounds: units overflow int64")
+                x = _scale + _alpha * raw // 1000
+            return pa.table(
+                {
+                    "node": pa.array(nodes.astype(str), pa.string()),
+                    "katz_units": pa.array(x, pa.int64()),
+                }
+            )
+
+        return ray.data.from_arrow_refs([_katz.remote(tbl_ref)])
+
+    # ---- exchange plan: weighted edges + per-round join/sum/left-join
+    width = sized_width(e.size_bytes())
+    we = keyed_aggregate(e, ["s", "d"], count_alias="w", width=width).materialize()
+
+    def _nodes_part(b: pa.Table) -> pa.Table:
+        u = pc.unique(
+            pa.chunked_array([b["s"].combine_chunks(), b["d"].combine_chunks()])
+        )
+        return pa.table({"node": u})
+
+    nodes = (
+        we.map_batches(_nodes_part, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"])
+        .materialize()
+    )
+
+    x = nodes.map_batches(
+        lambda b: pa.table(
+            {"node": b["node"], "u": pa.array(np.full(len(b), scale, np.int64))}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    for _ in range(max(rounds, 0)):
+        contrib = hash_join(we, x, on=["s"], right_on=["node"], width=width).map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["d"].combine_chunks(),
+                    "raw": pa.array(
+                        np.asarray(b["w"].combine_chunks(), np.int64)
+                        * np.asarray(b["u"].combine_chunks(), np.int64)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        sums = keyed_aggregate(compact(contrib), ["node"], sums=["raw"], width=width)
+        joined = hash_join(nodes, sums, on=["node"], how="left", width=width)
+
+        def step(b: pa.Table) -> pa.Table:
+            raw = np.asarray(
+                pc.coalesce(b["raw"], pa.scalar(0, pa.int64())).combine_chunks(),
+                np.int64,
+            )
+            if raw.max(initial=0) > np.iinfo(np.int64).max // max(alpha_milli, 1):
+                raise ValueError("katz_rounds: units overflow int64")
+            return pa.table(
+                {
+                    "node": b["node"].combine_chunks(),
+                    "u": pa.array(scale + alpha_milli * raw // 1000, pa.int64()),
+                }
+            )
+
+        x = joined.map_batches(step, batch_format="pyarrow").materialize()
+
+    return x.map_batches(
+        lambda b: pa.table(
+            {
+                "node": b["node"].combine_chunks().cast(pa.string()),
+                "katz_units": b["u"].combine_chunks(),
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -183,3 +183,14 @@ def test_prefix_jaccard_budget_paths_equal(sf_dir, tiny_budget, monkeypatch):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_katz_budget_paths_equal(sf_dir, tiny_budget, monkeypatch):
+    """budget=1 forces katz_rounds' per-round join/sum exchange plan; it
+    must be bit-equal to the single-task scatter-add plan."""
+    from ontoea_ray.queries import QUERIES
+
+    slow = _df(QUERIES["q_katz"](sf_dir))
+    monkeypatch.delenv("ONTOEA_BROADCAST_BUDGET_BYTES")
+    fast = _df(QUERIES["q_katz"](sf_dir))
+    pd.testing.assert_frame_equal(fast, slow)
