@@ -1128,3 +1128,111 @@ def q_pred_domain_range(sf_dir: str):
         return _from_pandas_clean(res)
 
     return parted.groupby("pkey").map_groups(finalize, batch_format="pandas")
+
+
+# hierarchical evidence rollup over the bootstrap ontology tree
+# ---------------------------------------------------------------------------
+
+def _class_rollup_sql() -> str:
+    from ontoea_ray.functions.lsh_sql import _h, splitmix64_ctes
+    from ontoea_ray.pipelines.kg_construct import bootstrap_ontology
+    from ontoea_ray.state.ontology import THING
+
+    onto = bootstrap_ontology()
+    non_root = [c for c in onto.classes() if c != THING]
+    idx = {c: i for i, c in enumerate(non_root)}
+    anc_rows = ", ".join(
+        f"({idx[c]}, {idx[a]})"
+        for c in non_root
+        for a in onto.path(c)
+        if a != THING
+    )
+    meta_rows = ", ".join(
+        f"({idx[c]}, '{c}', {len(onto.path(c)) - 1})" for c in non_root
+    )
+    n = len(non_root)
+    return f"""
+    WITH kg AS ({_FLAGSHIP_SQL}),
+    s0 AS (SELECT DISTINCT subj AS e FROM kg),
+    {splitmix64_ctes("s0", _h("e"))},
+    scls AS (SELECT e, CAST(_h % {n} AS BIGINT) AS cls FROM sm3),
+    own AS (SELECT scls.cls, SUM(kg.n_mentions) AS own
+            FROM kg JOIN scls ON scls.e = kg.subj GROUP BY 1),
+    anc(cls, anc) AS (VALUES {anc_rows}),
+    meta(cls, name, depth) AS (VALUES {meta_rows}),
+    sub AS (SELECT anc.anc AS cls, SUM(own.own) AS subtree
+            FROM anc JOIN own ON own.cls = anc.cls GROUP BY 1)
+    SELECT CAST(m.cls AS BIGINT) AS cls, m.name AS class_name,
+           CAST(m.depth AS BIGINT) AS depth,
+           CAST(COALESCE(o.own, 0) AS BIGINT) AS own_mentions,
+           CAST(COALESCE(s.subtree, 0) AS BIGINT) AS subtree_mentions
+    FROM meta m LEFT JOIN own o ON o.cls = m.cls
+                LEFT JOIN sub s ON s.cls = m.cls
+"""
+
+
+@_register("q_class_rollup", _class_rollup_sql())
+def q_class_rollup(sf_dir: str):
+    """Hierarchical evidence rollup over the bootstrap ontology TREE: each
+    class's own mention evidence (subjects hashing to it, the audit's
+    replayable md5+splitmix assignment) and its SUBTREE total (own + all
+    descendants via the class's ancestor path) — the DAG-aware aggregate
+    an ontology-guided pipeline reports (how much evidence lives under
+    Organisation vs under its leaf classes), structurally different from
+    the flat ROLLUP/CUBE reshapes: the hierarchy is the ontology, not a
+    column lattice.
+
+    Scale shape: per-class own evidence is ONE combiner-first keyed
+    exchange of <= |classes| partials (class is a per-row hash — no join
+    against an entity table); the ancestor expansion then runs on that
+    CONSTANT-size table (|classes| x depth pairs, ontology-bounded, never
+    corpus-bounded) — the one place a driver fold is legitimate.  The
+    oracle inlines the same ancestor pairs as VALUES and replays every
+    total."""
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+    from ontoea_ray.pipelines.kg_construct import bootstrap_ontology
+    from ontoea_ray.stages.dedup import _token_hashes
+    from ontoea_ray.stages.sampling import splitmix64
+    from ontoea_ray.state.ontology import THING
+
+    onto = bootstrap_ontology()
+    non_root = [c for c in onto.classes() if c != THING]
+    idx = {c: i for i, c in enumerate(non_root)}
+    n_cls = np.uint64(len(non_root))
+    depth = np.array([len(onto.path(c)) - 1 for c in non_root], np.int64)
+
+    kg = _kg_cached(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = splitmix64(_token_hashes(b["subj"].combine_chunks(), backend="md5"))
+        cls = (h % n_cls).astype(np.int64)
+        nm = np.asarray(b["n_mentions"].combine_chunks(), np.int64)
+        own = np.bincount(cls, weights=nm, minlength=int(n_cls)).astype(np.int64)
+        return pa.table(
+            {
+                "cls": pa.array(np.arange(int(n_cls), dtype=np.int64)),
+                "own": pa.array(own),
+            }
+        )
+
+    own_rows = keyed_aggregate(
+        kg.map_batches(partial, batch_format="pyarrow"), ["cls"], sums=["own"]
+    ).take_all()  # constant-size: one row per ontology class
+    own = np.zeros(int(n_cls), np.int64)
+    for r in own_rows:
+        own[int(r["cls"])] = int(r["own"])
+    subtree = np.zeros(int(n_cls), np.int64)
+    for c in non_root:
+        for a in onto.path(c):
+            if a != THING:
+                subtree[idx[a]] += own[idx[c]]
+    out = pa.table(
+        {
+            "cls": pa.array(np.arange(int(n_cls), dtype=np.int64)),
+            "class_name": pa.array(non_root, pa.string()),
+            "depth": pa.array(depth),
+            "own_mentions": pa.array(own),
+            "subtree_mentions": pa.array(subtree),
+        }
+    )
+    return ray.data.from_arrow(out)
