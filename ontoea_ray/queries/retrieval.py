@@ -455,3 +455,96 @@ def q_rank_fusion(sf_dir: str):
     for c in ("doc_id", "rrf_micro", "n_lists", "rnk"):
         f[c] = f[c].astype(np.int64)
     return ray.data.from_arrow(_from_pandas_clean(f))
+
+
+# inverted-index compression cost model (delta gaps + Elias gamma)
+# ---------------------------------------------------------------------------
+
+_POSTINGS_COST_SQL = """
+    WITH p AS (SELECT DISTINCT token, doc_id
+               FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS token
+                     FROM documents)),
+    g AS (SELECT token,
+                 COALESCE(doc_id - LAG(doc_id) OVER (PARTITION BY token
+                                                     ORDER BY doc_id),
+                          doc_id + 1) AS gap
+          FROM p),
+    b AS (SELECT token,
+                 CAST(2 * (length(bin(CAST(gap AS BIGINT))) - 1) + 1 AS BIGINT) AS bits
+          FROM g)
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(SUM(bits) AS BIGINT) AS total_bits,
+           CAST(SUM(bits) * 1000 // COUNT(*) AS BIGINT) AS bits_per_posting_milli
+    FROM b GROUP BY token
+"""
+
+
+@_register("q_postings_cost", _POSTINGS_COST_SQL)
+def q_postings_cost(sf_dir: str):
+    """Inverted-index compression cost model: each token's posting list
+    (sorted distinct doc ids) is delta-gap encoded (first id stored as
+    id+1) and costed under Elias gamma — bits(g) = 2*floor(log2 g)+1 —
+    yielding per-token df, total bits and milli bits-per-posting; the
+    size model an index builder uses to pick codecs and to spot
+    high-churn terms (dense lists compress toward 1 bit/posting, sparse
+    hub terms stay expensive).
+
+    Scale shape: in-block (token, doc) dedupe partials, then ONE
+    token-keyed exchange; inside each partition the gap chain is a
+    vectorized diff over the token-sorted run and the bit cost uses the
+    float-free bit_length64 kernel (np.log2 is unsafe past 2^53).  Output
+    is vocabulary-sized, like q_term_freq."""
+    from ontoea_ray.functions.shuffle import with_partition_key
+    from ontoea_ray.functions.text import tokenize
+    from ontoea_ray.stages.sketch import bit_length64
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        toks = tokenize(b["text"].combine_chunks())
+        lengths = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
+        dids = np.repeat(np.asarray(b["doc_id"].combine_chunks(), np.int64), lengths)
+        df = pd.DataFrame(
+            {"token": np.asarray(toks.values, object), "doc_id": dids}
+        ).drop_duplicates()
+        return _from_pandas_clean(df)
+
+    parted = with_partition_key(
+        docs.map_batches(explode, batch_format="pyarrow"), ["token"]
+    )
+
+    def cost(df: pd.DataFrame) -> pa.Table:
+        df = df.drop_duplicates(["token", "doc_id"]).sort_values(
+            ["token", "doc_id"], kind="mergesort"
+        )
+        tok = df["token"].to_numpy(object)
+        did = df["doc_id"].to_numpy(np.int64)
+        n = len(df)
+        if n == 0:
+            return _from_pandas_clean(
+                pd.DataFrame(
+                    {
+                        "token": pd.Series([], dtype=object),
+                        "df": pd.Series([], dtype=np.int64),
+                        "total_bits": pd.Series([], dtype=np.int64),
+                        "bits_per_posting_milli": pd.Series([], dtype=np.int64),
+                    }
+                )
+            )
+        first = np.r_[True, tok[1:] != tok[:-1]]
+        gap = np.empty(n, np.int64)
+        gap[first] = did[first] + 1
+        gap[~first] = (did[1:] - did[:-1])[~first[1:]]
+        bits = 2 * (bit_length64(gap.astype(np.uint64)).astype(np.int64) - 1) + 1
+        g = (
+            pd.DataFrame({"token": tok, "bits": bits})
+            .groupby("token", sort=False)["bits"]
+            .agg(df="size", total_bits="sum")
+            .reset_index()
+        )
+        g["df"] = g["df"].astype(np.int64)
+        g["total_bits"] = g["total_bits"].astype(np.int64)
+        g["bits_per_posting_milli"] = g["total_bits"] * 1000 // g["df"]
+        return _from_pandas_clean(g)
+
+    return parted.groupby("pkey").map_groups(cost, batch_format="pandas")
