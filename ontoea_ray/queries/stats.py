@@ -1554,3 +1554,81 @@ def q_burst_tokens(sf_dir: str):
     for col in ("slice", "cnt", "ratio_milli"):
         top[col] = top[col].astype(np.int64)
     return ray.data.from_arrow(_from_pandas_clean(top))
+
+
+# vocabulary growth curve (Heaps' law deciles via first appearance)
+# ---------------------------------------------------------------------------
+
+_VOCAB_GROWTH_SQL = """
+    WITH bounds AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+    fs AS (SELECT token, MIN(doc_id) AS first_seen
+           FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents)
+           GROUP BY token),
+    dec AS (SELECT unnest(range(1, 11)) AS decile),
+    v AS (SELECT d.decile,
+                 CAST((SELECT n FROM bounds) * d.decile // 10 AS BIGINT) AS n_docs,
+                 CAST(COUNT(*) FILTER (
+                     WHERE fs.first_seen < (SELECT n FROM bounds) * d.decile // 10
+                 ) AS BIGINT) AS vocab_size
+          FROM dec d, fs GROUP BY d.decile)
+    SELECT decile, n_docs, vocab_size,
+           CAST(vocab_size - COALESCE(LAG(vocab_size) OVER (ORDER BY decile), 0)
+                AS BIGINT) AS new_tokens
+    FROM v
+"""
+
+
+@_register("q_vocab_growth", _VOCAB_GROWTH_SQL)
+def q_vocab_growth(sf_dir: str):
+    """Vocabulary growth curve (Heaps' law diagnostic): distinct-token
+    count after each successive tenth of the corpus in doc-id order, plus
+    the per-decile novel-token increment — the saturation curve a corpus
+    curator reads to judge how much new vocabulary (entities, typos,
+    spam) additional crawl volume still buys.
+
+    Scale shape: the curve needs no per-decile rescan — a token enters
+    the vocabulary at its FIRST appearance, so one combiner-first min
+    reduction (token -> min doc_id) plus a 10-bucket histogram over that
+    vocabulary-sized table answers all deciles; the histogram partials
+    are 10 integers per block and the only driver state is the 10-row
+    curve."""
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+    from ontoea_ray.functions.text import tokenize
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs_total = int(docs.max("doc_id") or -1) + 1
+    cuts = np.array([n_docs_total * d // 10 for d in range(1, 11)], np.int64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = tokenize(b["text"].combine_chunks())
+        lengths = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
+        dids = np.repeat(np.asarray(b["doc_id"].combine_chunks(), np.int64), lengths)
+        df = pd.DataFrame({"token": np.asarray(toks.values, object), "first_seen": dids})
+        g = df.groupby("token", sort=False)["first_seen"].min().reset_index()
+        return _from_pandas_clean(g)
+
+    fs = keyed_aggregate(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["token"],
+        mins=["first_seen"],
+    )
+
+    def hist(b: pa.Table) -> pa.Table:
+        f = np.asarray(b["first_seen"].combine_chunks(), np.int64)
+        # counts of first appearances below each cut: 10 partial integers
+        counts = (f[None, :] < cuts[:, None]).sum(axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "decile": pa.array(np.arange(1, 11, dtype=np.int64)),
+                "vocab_size": pa.array(counts),
+            }
+        )
+
+    curve = keyed_aggregate(
+        fs.map_batches(hist, batch_format="pyarrow"), ["decile"], sums=["vocab_size"]
+    ).to_pandas().sort_values("decile").reset_index(drop=True)
+    curve["n_docs"] = cuts
+    curve["new_tokens"] = curve["vocab_size"].diff().fillna(curve["vocab_size"].iloc[0] if len(curve) else 0).astype(np.int64)
+    curve["vocab_size"] = curve["vocab_size"].astype(np.int64)
+    out = curve[["decile", "n_docs", "vocab_size", "new_tokens"]]
+    return ray.data.from_arrow(_from_pandas_clean(out))
