@@ -441,3 +441,77 @@ def q_redirect_chains(sf_dir: str):
 
         m = compact(m.map_batches(step, batch_format="pyarrow")).materialize()
     return m
+
+
+# content stability across crawl slices (persistence histogram)
+# ---------------------------------------------------------------------------
+
+_CONTENT_STABILITY_SQL = """
+    WITH f AS (SELECT md5(lower(array_to_string(list_slice(str_split(text, ' '), 1, 2), ' '))) AS fp,
+                      CAST(doc_id % 4 AS BIGINT) AS slice
+               FROM documents),
+    per AS (SELECT fp, COUNT(DISTINCT slice) AS n_slices, COUNT(*) AS n_pages
+            FROM f GROUP BY fp)
+    SELECT CAST(n_slices AS BIGINT) AS n_slices,
+           CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+           CAST(SUM(n_pages) AS BIGINT) AS n_pages
+    FROM per GROUP BY 1
+"""
+
+
+@_register("q_content_stability", _CONTENT_STABILITY_SQL)
+def q_content_stability(sf_dir: str):
+    """Content persistence across crawl increments: each page's content
+    FAMILY (md5 of its lowercased first-2-token prefix — the lede-based
+    family key; full-text md5 is vacuous on this all-unique corpus) is
+    counted over the 4 crawl slices (doc_id % 4, the incremental-ingest
+    convention), reduced to a histogram of how many slices each family
+    appears in — the stability profile a crawler uses to tune revisit
+    rates (1-slice families are churn; 4-slice families are persistent
+    content a dedup pass should collapse).
+
+    Scale shape: per-batch (fp, slice) dedupe + page-count partials feed
+    ONE fingerprint-keyed exchange; the per-fp fold (distinct slices,
+    pages) emits 4-row histogram partials, so the second exchange is
+    constant-width and the final histogram is the only driver state."""
+    from ontoea_ray.functions.shuffle import keyed_aggregate, with_partition_key
+    from ontoea_ray.functions.text import fingerprint_md5
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        from ontoea_ray.functions.text import tokenize
+
+        toks = tokenize(b["text"].combine_chunks())
+        lede = pc.binary_join(pc.list_slice(toks, 0, 2), " ")
+        fp = fingerprint_md5(lede)
+        sl = (np.asarray(b["doc_id"].combine_chunks(), np.int64) % 4)
+        g = (
+            pd.DataFrame({"fp": np.asarray(fp, object), "slice": sl})
+            .groupby(["fp", "slice"], sort=False)
+            .size()
+            .reset_index(name="n_pages")
+        )
+        g["n_pages"] = g["n_pages"].astype(np.int64)
+        return _from_pandas_clean(g)
+
+    per_fp_slice = keyed_aggregate(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["fp", "slice"],
+        sums=["n_pages"],
+    )
+    parted = with_partition_key(per_fp_slice, ["fp"])
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("fp", sort=False).agg(
+            n_slices=("slice", "nunique"), n_pages=("n_pages", "sum")
+        )
+        h = g.groupby("n_slices", sort=False).agg(
+            n_fingerprints=("n_pages", "size"), n_pages=("n_pages", "sum")
+        ).reset_index()
+        for c in h.columns:
+            h[c] = h[c].astype(np.int64)
+        return _from_pandas_clean(h)
+
+    hist = parted.groupby("pkey").map_groups(fold, batch_format="pandas")
+    return keyed_aggregate(hist, ["n_slices"], sums=["n_fingerprints", "n_pages"])
