@@ -784,3 +784,131 @@ def q_katz(sf_dir: str):
     kg = _kg_cached(sf_dir)
     return katz_rounds(kg, src="subj", dst="obj", rounds=_KATZ_ROUNDS,
                        alpha_milli=_KATZ_ALPHA_MILLI)
+
+
+# modularity of the label-propagation partition (Newman-Girvan Q)
+# ---------------------------------------------------------------------------
+
+def _modularity_sql() -> str:
+    from ontoea_ray.queries.dedup import splitmix64_ctes
+
+    return f"""
+    WITH lab AS ({_communities_sql(4)}),
+    {_COPURCHASE_E_CTE.replace(" e AS ", " eallm AS ").lstrip()},
+    {splitmix64_ctes("eallm", "(a * 100000 + b)", sfx="_m")},
+    e0m AS (SELECT a, b FROM sm3_m WHERE _h % 100 < 10),
+    m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m FROM e0m),
+    deg AS (SELECT n, COUNT(*) AS d
+            FROM (SELECT a AS n FROM e0m UNION ALL SELECT b FROM e0m) GROUP BY 1),
+    el AS (SELECT la.label AS ca, lb.label AS cb
+           FROM e0m JOIN lab la ON la.node = e0m.a JOIN lab lb ON lb.node = e0m.b),
+    ec AS (SELECT ca AS c, CAST(COUNT(*) AS HUGEINT) AS e FROM el WHERE ca = cb GROUP BY 1),
+    dc AS (SELECT lab.label AS c, CAST(SUM(deg.d) AS HUGEINT) AS d
+           FROM lab JOIN deg ON deg.n = lab.node GROUP BY 1),
+    terms AS (SELECT dc.c, (4 * m.m * COALESCE(ec.e, 0) - dc.d * dc.d) AS t
+              FROM dc LEFT JOIN ec ON ec.c = dc.c, m)
+    SELECT CAST(m.m AS BIGINT) AS m,
+           CAST((SELECT COUNT(*) FROM dc) AS BIGINT) AS n_communities,
+           CAST((SELECT COALESCE(SUM(e), 0) FROM ec) AS BIGINT) AS intra_edges,
+           CAST((1000000 * (SELECT SUM(t) FROM terms)) // (4 * m.m * m.m) AS BIGINT) AS q_micro
+    FROM m
+"""
+
+
+@_register("q_modularity", _modularity_sql())
+def q_modularity(sf_dir: str):
+    """Newman-Girvan modularity Q of the label-propagation partition
+    (q_communities' own 4-round labels on the same sampled co-purchase
+    graph): Q = Σ_c [e_c/m − (d_c/2m)²] in exact integer micro-units via
+    the common-denominator form Σ_c (4m·e_c − d_c²) · 10⁶ // 4m² — the
+    partition-quality gate that catches a label-prop retune collapsing
+    into one giant community (Q→0) before anyone ships cluster ids
+    downstream.  Division mirrors SQL's truncate-toward-zero.
+
+    Scale shape: labels come from the existing budget-switched
+    labelprop_rounds; the edge table joins its two endpoint labels
+    through the planner (broadcast under budget), intra-edge counts and
+    community degree sums reduce combiner-first to a
+    communities-count-sized table, and the final fold over that reduced
+    table runs as Python-int arithmetic (4m·e_c products overflow int64
+    at web scale) inside one Ray task — only the 1-row summary reaches
+    the driver."""
+    from ontoea_ray.functions.broadcast import assemble_table_ref
+    from ontoea_ray.functions.join import hash_join
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+    from ontoea_ray.stages.communities import labelprop_rounds
+    from ontoea_ray.stages.sampling import splitmix64
+
+    edges = _copurchase_cached(sf_dir)
+
+    def sample(b: pa.Table) -> pa.Table:
+        a = np.asarray(b["id_a"].combine_chunks(), np.int64)
+        c = np.asarray(b["id_b"].combine_chunks(), np.int64)
+        h = splitmix64((a * 100000 + c).astype(np.uint64))
+        return b.filter(pa.array(h % np.uint64(100) < np.uint64(10)))
+
+    sampled = edges.map_batches(sample, batch_format="pyarrow").materialize()
+    labels = labelprop_rounds(sampled, rounds=4, src="id_a", dst="id_b").map_batches(
+        lambda b: pa.table(
+            {
+                "node": b["node"].combine_chunks().cast(pa.int64()),
+                "label": b["label"].combine_chunks().cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    el = hash_join(
+        hash_join(sampled, labels, on=["id_a"], right_on=["node"]),
+        labels,
+        on=["id_b"],
+        right_on=["node"],
+        rsuffix="_b",
+    )
+
+    def edge_part(b: pa.Table) -> pa.Table:
+        ca = np.asarray(b["label"].combine_chunks(), np.int64)
+        cb = np.asarray(b["label_b"].combine_chunks(), np.int64)
+        intra = (ca == cb).astype(np.int64)
+        # every edge adds 1 degree at each endpoint's community
+        df = pd.DataFrame(
+            {
+                "c": np.concatenate([ca, cb]),
+                "e": np.concatenate([intra, np.zeros(len(cb), np.int64)]),
+                "d": np.ones(2 * len(ca), np.int64),
+            }
+        )
+        g = df.groupby("c", sort=False)[["e", "d"]].sum().reset_index()
+        return _from_pandas_clean(g)
+
+    per_c = keyed_aggregate(
+        el.map_batches(edge_part, batch_format="pyarrow"), ["c"], sums=["e", "d"]
+    )
+    m = int(sampled.count())
+    # the per-community table is communities-count-sized; assemble it in a
+    # task unconditionally (a community table past the broadcast budget
+    # means the partition is near-discrete — the fold is still one task's
+    # worth of integers, and nothing corpus-sized is involved)
+    _, ref = assemble_table_ref(per_c)
+
+    @ray.remote
+    def _fold(tbl: pa.Table, m: int) -> pa.Table:
+        e = [int(x) for x in tbl["e"].to_pylist()]
+        d = [int(x) for x in tbl["d"].to_pylist()]
+        num = 1_000_000 * sum(4 * m * ec - dc * dc for ec, dc in zip(e, d))
+        den = 4 * m * m
+        q = abs(num) // den if den else 0  # truncate toward zero, as SQL //
+        if num < 0:
+            q = -q
+        return pa.table(
+            {
+                "m": pa.array([m], pa.int64()),
+                "n_communities": pa.array([len(e)], pa.int64()),
+                "intra_edges": pa.array([sum(e)], pa.int64()),
+                "q_micro": pa.array([q], pa.int64()),
+            }
+        )
+
+    if ref is None:  # beyond-budget: communities table itself is huge
+        _, ref = assemble_table_ref(per_c, budget=1 << 62)
+    return ray.data.from_arrow_refs([_fold.remote(ref, m)])
