@@ -402,3 +402,78 @@ def test_winnow_fingerprints_matches_bruteforce_random():
         assert df.loc[i, "n_selected"] == ns
         assert df.loc[i, "n_distinct"] == nd
         assert df.loc[i, "fp_digest"] == dg
+
+
+def test_resample_hand_semantics(tmp_path):
+    """Hand events: hourly grid spans trunc(min)..trunc(max); gap hours
+    carry the last value forward with n_events=0; same-timestamp ties
+    resolve to the larger event_id."""
+    import pyarrow.parquet as pq
+
+    from ontoea_ray.queries import QUERIES
+
+    H = 3_600_000_000
+    base = 1_700_000_400_000_000  # NOT hour-aligned
+    ev = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "ts": pa.array([base, base, base + 3 * H, base + 3 * H + 100], pa.timestamp("us")),
+            "user_id": pa.array([7, 7, 7, 7], pa.int64()),
+            "event_type": pa.array(["a"] * 4),
+            "value": pa.array([1.0, 2.0, 3.0, 4.0]),
+            "props": pa.array(["{}"] * 4),
+        }
+    )
+    pq.write_table(ev, tmp_path / "events.parquet")
+    df = (
+        QUERIES["q_resample"](str(tmp_path))
+        .to_pandas()
+        .sort_values("slot_us")
+        .reset_index(drop=True)
+    )
+    slot0 = base - base % H
+    assert list(df["slot_us"]) == [slot0 + i * H for i in range(4)]
+    # slot0: two events at the same ts -> larger event_id wins (200 cents)
+    assert list(df["value_cents"]) == [200, 200, 200, 400]
+    assert list(df["n_events"]) == [2, 0, 0, 2]
+
+
+def test_ohlc_hand_semantics(tmp_path):
+    """Hand events: open/close resolve by (ts, event_id) within the hour,
+    high/low/n/sum aggregate, and event types bar independently."""
+    import pyarrow.parquet as pq
+
+    from ontoea_ray.queries import QUERIES
+
+    H = 3_600_000_000
+    t0 = 1_700_000_400_000_000
+    ev = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "ts": pa.array(
+                [t0 + 10, t0 + 10, t0 + 20, t0 + 5, t0 + H + 1], pa.timestamp("us")
+            ),
+            "user_id": pa.array([1] * 5, pa.int64()),
+            "event_type": pa.array(["a", "a", "a", "b", "a"]),
+            "value": pa.array([5.0, 1.0, 9.0, 2.0, 7.0]),
+            "props": pa.array(["{}"] * 5),
+        }
+    )
+    pq.write_table(ev, tmp_path / "events.parquet")
+    df = (
+        QUERIES["q_ohlc"](str(tmp_path))
+        .to_pandas()
+        .sort_values(["event_type", "slot_us"])
+        .reset_index(drop=True)
+    )
+    slot0 = (t0 + 10) - (t0 + 10) % H
+    a0 = df[(df.event_type == "a") & (df.slot_us == slot0)].iloc[0]
+    # open: ts t0+10 tie -> smaller event_id (1, 500 cents); close: t0+20 (900)
+    assert (a0.open_cents, a0.close_cents, a0.high_cents, a0.low_cents, a0.n, a0.sum_cents) == (
+        500, 900, 900, 100, 3, 1500
+    )
+    a1 = df[(df.event_type == "a") & (df.slot_us == slot0 + H)].iloc[0]
+    assert a1.open_cents == a1.close_cents == 700 and a1.n == 1
+    b0 = df[df.event_type == "b"].iloc[0]
+    assert b0.open_cents == b0.close_cents == 200 and b0.n == 1
+    assert len(df) == 3
