@@ -574,3 +574,92 @@ def q_ohlc(sf_dir: str):
         return _from_pandas_clean(out)
 
     return parted.groupby("pkey").map_groups(merge, batch_format="pandas")
+# top session paths (clickstream sequence mining over 30-min sessions)
+# ---------------------------------------------------------------------------
+
+_SESSION_PATHS_TOP = 10
+
+_SESSION_PATHS_SQL = f"""
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM e
+    ), p AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM s GROUP BY user_id, session_id
+    ), c AS (
+      SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions FROM p GROUP BY path
+    )
+    SELECT path, n_sessions,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path ASC) AS BIGINT) AS rank
+    FROM c
+    QUALIFY rank <= {_SESSION_PATHS_TOP}
+"""
+
+
+@_register("q_session_paths", _SESSION_PATHS_SQL)
+def q_session_paths(sf_dir: str):
+    """Top session paths: each 30-min-gap session's ordered event-type
+    sequence becomes a path string (click>view>purchase), counted across
+    all sessions, top-{_SESSION_PATHS_TOP} out — the clickstream
+    sequence-mining primitive behind funnel discovery (q_funnel checks a
+    GIVEN sequence; this surfaces which sequences dominate).
+
+    Scale shape: ONE user-keyed co-location does everything row-local —
+    per-partition vectorized sessionization (the q_sessionize break
+    chain), then path assembly as a per-session string join (the one
+    inherently string-typed group op) — and path counts collapse
+    combiner-first into a path-vocabulary exchange; the final top-K
+    sorts the reduced path table only."""
+    from ontoea_ray.functions.shuffle import keyed_aggregate, with_partition_key
+
+    GAP = 30 * 60 * 1_000_000
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    parted = with_partition_key(ev, ["user_id"])
+
+    def paths(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ts = df["ts"].astype("int64").to_numpy()
+        uid = df["user_id"].to_numpy(np.int64)
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        brk = new_user | np.r_[True, (ts[1:] - ts[:-1]) > GAP]
+        sess = np.cumsum(brk)
+        g = (
+            pd.DataFrame({"s": sess, "t": df["event_type"].to_numpy(object)})
+            .groupby("s", sort=False)["t"]
+            .agg(">".join)
+        )
+        out = (
+            g.to_frame("path")
+            .groupby("path", sort=False)
+            .size()
+            .reset_index(name="n_sessions")
+        )
+        out["n_sessions"] = out["n_sessions"].astype(np.int64)
+        return _from_pandas_clean(out)
+
+    counts = keyed_aggregate(
+        parted.groupby("pkey").map_groups(paths, batch_format="pandas"),
+        ["path"],
+        sums=["n_sessions"],
+    )
+    top = (
+        counts.sort(["n_sessions", "path"], descending=[True, False])
+        .limit(_SESSION_PATHS_TOP)
+        .to_pandas()
+    )
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    top["n_sessions"] = top["n_sessions"].astype(np.int64)
+    return ray.data.from_arrow(_from_pandas_clean(top))
+
+
+# ---------------------------------------------------------------------------
