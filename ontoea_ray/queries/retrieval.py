@@ -548,3 +548,134 @@ def q_postings_cost(sf_dir: str):
         return _from_pandas_clean(g)
 
     return parted.groupby("pkey").map_groups(cost, batch_format="pandas")
+
+
+# greedy max-coverage document selection (submodular greedy)
+# ---------------------------------------------------------------------------
+
+_COVER_K = 10
+
+
+def _greedy_cover_sql(k: int = _COVER_K) -> str:
+    # every cov/pick CTE is MATERIALIZED: cov{r} feeds both the round's
+    # anti-join and cov{r+1}, so inlining would expand the chain into a
+    # 2^k-node tree (measured: the un-materialized form never finishes)
+    ctes = [
+        "toks AS (SELECT doc_id, str_split(text, ' ') AS tk FROM documents)",
+        """t AS MATERIALIZED (SELECT DISTINCT doc_id,
+             unnest(CASE WHEN len(tk) >= 3
+                    THEN [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                          FOR i IN range(1, len(tk) - 1)]
+                    ELSE [array_to_string(tk, ' ')] END) AS token
+           FROM toks)""",
+        "d AS MATERIALIZED (SELECT DISTINCT doc_id FROM t)",
+        "cov0(token) AS MATERIALIZED (SELECT token FROM t WHERE 1 = 0)",
+    ]
+    for r in range(k):
+        ctes.append(
+            f"""g{r} AS (SELECT t.doc_id, COUNT(*) AS gain
+             FROM t ANTI JOIN cov{r} c ON t.token = c.token
+             GROUP BY t.doc_id)"""
+        )
+        ctes.append(
+            f"""pick{r} AS MATERIALIZED (
+             SELECT d.doc_id, COALESCE(g.gain, 0) AS gain
+             FROM d LEFT JOIN g{r} g USING (doc_id)
+             ORDER BY gain DESC, doc_id ASC LIMIT 1)"""
+        )
+        ctes.append(
+            f"""cov{r + 1}(token) AS MATERIALIZED (SELECT token FROM cov{r}
+             UNION SELECT t.token FROM t JOIN pick{r} p ON t.doc_id = p.doc_id)"""
+        )
+    picks = " UNION ALL ".join(
+        f"SELECT {r + 1} AS rank, doc_id, gain, "
+        f"(SELECT COUNT(*) FROM cov{r + 1}) AS covered_after FROM pick{r}"
+        for r in range(k)
+    )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT CAST(rank AS BIGINT) AS rank, CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(gain AS BIGINT) AS gain,
+           CAST(covered_after AS BIGINT) AS covered_after
+    FROM ({picks})
+"""
+
+
+@_register("q_greedy_cover", _greedy_cover_sql())
+def q_greedy_cover(sf_dir: str):
+    """Greedy max-coverage document selection (the classic submodular
+    greedy, Nemhauser-Wolsey-Fisher 1978): pick K documents one at a
+    time, each maximizing the count of 3-gram SHINGLES not yet covered
+    (ties to the smaller doc_id; shingles, not unigrams — the 31-token
+    synthetic unigram vocabulary would make one pick cover everything) —
+    the coverage-based subset-selection primitive behind corpus
+    summarization and diversity-first training-data curation, with the
+    (1 - 1/e) guarantee.  Output: pick rank, doc id, marginal gain,
+    cumulative covered-universe size.
+
+    Scale shape: K distributed rounds.  The covered set lives in the
+    object store (vocabulary-bounded; ships once per round via ray.put)
+    and each round is ONE shuffle-free map_batches pass emitting per-doc
+    uncovered counts (pc.is_in against the broadcast set) reduced by a
+    tiny (doc, gain) top-1 — the only driver state is K (doc_id, gain)
+    scalars and the pick's own token list, never the corpus.  The
+    unrolled oracle replays every pick and tie-break."""
+    from ontoea_ray.functions.text import tokenize
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tok_part(b: pa.Table) -> pa.Table:
+        from ontoea_ray.stages.dedup import shingle_strings
+
+        ids = np.asarray(b["doc_id"].combine_chunks(), np.int64)
+        df = shingle_strings(b["text"], ids, 3).rename(
+            columns={"id": "doc_id", "shingle": "token"}
+        )
+        return _from_pandas_clean(df)
+
+    t = docs.map_batches(tok_part, batch_format="pyarrow").materialize()
+
+    covered_ref = ray.put(pa.array([], pa.string()))
+    n_covered = 0
+    rows = []
+    for r in range(_COVER_K):
+        def gains(b: pa.Table, _ref=covered_ref) -> pa.Table:
+            cov = ray.get(_ref)
+            new = pc.invert(pc.is_in(b["token"].combine_chunks(), value_set=cov))
+            df = pd.DataFrame(
+                {
+                    "doc_id": np.asarray(b["doc_id"].combine_chunks(), np.int64),
+                    "gain": new.to_numpy(zero_copy_only=False).astype(np.int64),
+                }
+            )
+            g = df.groupby("doc_id", sort=False)["gain"].sum().reset_index()
+            return _from_pandas_clean(g)
+
+        from ontoea_ray.functions.shuffle import keyed_aggregate
+
+        per_doc = keyed_aggregate(
+            t.map_batches(gains, batch_format="pyarrow"), ["doc_id"], sums=["gain"]
+        )
+        best = per_doc.sort(["gain", "doc_id"], descending=[True, False]).limit(1).take_all()[0]
+        pick, gain = int(best["doc_id"]), int(best["gain"])
+
+        @ray.remote
+        def _extend(cov: pa.Array, *tbls: pa.Table) -> pa.Array:
+            toks = [
+                tbl.filter(pc.equal(tbl["doc_id"], pick))["token"].combine_chunks()
+                for tbl in tbls
+            ]
+            merged = pc.unique(pa.chunked_array([cov] + toks))
+            return merged.combine_chunks() if isinstance(merged, pa.ChunkedArray) else merged
+
+        # task-side set extension: the covered vocabulary never touches the
+        # driver; the ref is auto-dereferenced into the next round's actors
+        covered_ref = _extend.remote(covered_ref, *t.to_arrow_refs())
+        n_covered += gain
+        rows.append({"rank": r + 1, "doc_id": pick, "gain": gain, "covered_after": n_covered})
+
+    out = pd.DataFrame(rows)
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return ray.data.from_arrow(_from_pandas_clean(out))
