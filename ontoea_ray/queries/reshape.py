@@ -434,3 +434,117 @@ def q_unpivot(sf_dir: str):
 
     parts = li.map_batches(melt, batch_format="pyarrow")
     return keyed_aggregate(parts, ["l_returnflag", "measure"], sums=["sum_cents", "n"])
+
+
+# Gonzalez farthest-point k-center selection over embeddings
+# ---------------------------------------------------------------------------
+
+_KCENTER_K = 8
+_KC_DIM = 64
+
+
+def _kcenter_sql(k: int = _KCENTER_K, dim: int = _KC_DIM) -> str:
+    d2 = (
+        f"list_sum([(q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])"
+        f" FOR i IN range(1, {dim + 1})])"
+    )
+    ctes = [
+        f"""q AS MATERIALIZED (SELECT vec_id,
+              [CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+               FOR i IN range(1, {dim + 1})] AS qv
+            FROM embeddings)""",
+        """ch0 AS MATERIALIZED (SELECT vec_id AS cid, qv AS cv FROM q
+            WHERE vec_id = (SELECT MIN(vec_id) FROM q))""",
+    ]
+    for r in range(1, k):
+        ctes.append(
+            f"""sc{r} AS (SELECT q.vec_id, MIN({d2}) AS dmin
+             FROM q CROSS JOIN ch{r - 1} c GROUP BY q.vec_id)"""
+        )
+        ctes.append(
+            f"""pick{r} AS MATERIALIZED (SELECT vec_id, dmin FROM sc{r}
+             ORDER BY dmin DESC, vec_id ASC LIMIT 1)"""
+        )
+        ctes.append(
+            f"""ch{r} AS MATERIALIZED (SELECT cid, cv FROM ch{r - 1}
+             UNION ALL SELECT q.vec_id, q.qv FROM q JOIN pick{r} p USING (vec_id))"""
+        )
+    picks = " UNION ALL ".join(
+        ["SELECT 1 AS rank, cid AS vec_id, CAST(0 AS BIGINT) AS dmin FROM ch0"]
+        + [f"SELECT {r + 1} AS rank, vec_id, CAST(dmin AS BIGINT) FROM pick{r}"
+           for r in range(1, k)]
+    )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT CAST(rank AS BIGINT) AS rank, CAST(vec_id AS BIGINT) AS vec_id, dmin
+    FROM ({picks})
+"""
+
+
+@_register("q_kcenter", _kcenter_sql())
+def q_kcenter(sf_dir: str):
+    """Farthest-point k-center selection (Gonzalez 1985, the 2-approx
+    k-center greedy): seed at the smallest vec_id, then K-1 rounds each
+    adding the embedding FARTHEST (max-min integer-milli squared L2,
+    ties to the smaller vec_id) from the chosen set — the deterministic
+    coreset / diversity-sampling primitive behind kmeans seeding and
+    embedding-space corpus thinning; the dmin sequence IS the covering
+    radius at each K, the knee a curator reads.
+
+    Scale shape: the chosen set is K x dim integers — constant, shipped
+    in the task closure; each round is ONE shuffle-free map_batches pass
+    (vectorized (N,K) squared-distance matmul per batch, per-batch top-1
+    combiner) plus a width-sized top-1 reduce, so the corpus is read K-1
+    times with zero exchanges.  The unrolled MATERIALIZED oracle replays
+    every pick, tie and radius."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+
+    def quant(b: pa.Table):
+        ids = np.asarray(b["vec_id"].combine_chunks(), np.int64)
+        flat = np.asarray(b["embedding"].combine_chunks().values, np.float32)
+        mat = np.floor(flat.reshape(len(b), -1).astype(np.float64) * 1000).astype(np.int64)
+        return ids, mat
+
+    first = int(emb.min("vec_id"))
+
+    def vec_of(vid: int) -> np.ndarray:
+        row = emb.filter(expr=f"vec_id == {vid}").take_all()[0]
+        v = np.asarray(row["embedding"], np.float32)
+        return np.floor(v.astype(np.float64) * 1000).astype(np.int64)
+
+    chosen = [vec_of(first)]
+    rows = [{"rank": 1, "vec_id": first, "dmin": 0}]
+    for r in range(1, _KCENTER_K):
+        C = np.stack(chosen)  # (k, dim) — constant-size closure state
+
+        def far(b: pa.Table) -> pa.Table:
+            ids, mat = quant(b)
+            # (N, k) squared distances via the expansion trick
+            d2 = (
+                (mat * mat).sum(axis=1, keepdims=True)
+                + (C * C).sum(axis=1)[None, :]
+                - 2 * (mat @ C.T)
+            )
+            dmin = d2.min(axis=1)
+            j = int(np.lexsort((ids, -dmin))[0])  # max dmin, ties smaller id
+            return pa.table(
+                {
+                    "vec_id": pa.array([int(ids[j])], pa.int64()),
+                    "dmin": pa.array([int(dmin[j])], pa.int64()),
+                }
+            )
+
+        top = (
+            emb.map_batches(far, batch_format="pyarrow")
+            .sort(["dmin", "vec_id"], descending=[True, False])
+            .limit(1)
+            .take_all()[0]
+        )
+        rows.append({"rank": r + 1, "vec_id": int(top["vec_id"]), "dmin": int(top["dmin"])})
+        chosen.append(vec_of(int(top["vec_id"])))
+
+    out = pd.DataFrame(rows)
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return ray.data.from_arrow(_from_pandas_clean(out))
