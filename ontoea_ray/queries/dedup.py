@@ -1026,3 +1026,210 @@ def q_simhash(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+
+
+# per-doc n-gram novelty (corpus-first shingle fraction)
+# ---------------------------------------------------------------------------
+
+_NOVELTY_SQL = """
+    WITH toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+           unnest(CASE WHEN len(t) >= 3
+                  THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
+                  ELSE [array_to_string(t, ' ')] END) AS s
+           FROM toks),
+    fs AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s),
+    per AS (SELECT sh.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                   CAST(SUM(CASE WHEN fs.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_novel
+            FROM sh JOIN fs ON fs.s = sh.s GROUP BY sh.doc_id)
+    SELECT doc_id, n_shingles, n_novel,
+           CAST(n_novel * 1000 // n_shingles AS BIGINT) AS novelty_milli
+    FROM per
+"""
+
+
+@_register("q_ngram_novelty", _NOVELTY_SQL)
+def q_ngram_novelty(sf_dir: str):
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    3-gram shingles whose corpus-FIRST appearance (min doc_id) is this
+    doc, in integer milli — the "how much of this page is new text"
+    signal an ingest-ordered dedup pass scores before deciding to keep a
+    page (near-zero novelty = assembled from already-seen text; the
+    doc-granular sibling of q_vocab_growth's corpus curve).
+
+    Scale shape: one (shingle -> min doc_id) combiner-first reduction —
+    the same first-appearance trick as q_vocab_growth — then the
+    ownership check rides a shingle-keyed join back to the per-doc
+    partials (planner-broadcast under budget), reducing to one row per
+    doc with no window function and no second corpus scan."""
+    from ontoea_ray.functions.join import hash_join
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+    from ontoea_ray.stages.dedup import shingle_strings
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"].combine_chunks(), np.int64)
+        df = shingle_strings(b["text"], ids, 3).rename(
+            columns={"id": "doc_id", "shingle": "s"}
+        )
+        return _from_pandas_clean(df)
+
+    sh = docs.map_batches(explode, batch_format="pyarrow").materialize()
+    fs = keyed_aggregate(
+        sh.map_batches(
+            lambda b: pa.table({"s": b["s"], "first_doc": b["doc_id"]}),
+            batch_format="pyarrow",
+        ),
+        ["s"],
+        mins=["first_doc"],
+    ).materialize()
+    joined = hash_join(sh, fs, on=["s"])
+
+    def per_doc(b: pa.Table) -> pa.Table:
+        d = np.asarray(b["doc_id"].combine_chunks(), np.int64)
+        novel = (
+            np.asarray(b["first_doc"].combine_chunks(), np.int64) == d
+        ).astype(np.int64)
+        df = pd.DataFrame({"doc_id": d, "n_shingles": 1, "n_novel": novel})
+        g = df.groupby("doc_id", sort=False)[["n_shingles", "n_novel"]].sum().reset_index()
+        g["n_shingles"] = g["n_shingles"].astype(np.int64)
+        g["n_novel"] = g["n_novel"].astype(np.int64)
+        return _from_pandas_clean(g)
+
+    agg = keyed_aggregate(
+        joined.map_batches(per_doc, batch_format="pyarrow"),
+        ["doc_id"],
+        sums=["n_shingles", "n_novel"],
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_shingles": b["n_shingles"],
+                "n_novel": b["n_novel"],
+                "novelty_milli": pc.divide(
+                    pc.multiply(b["n_novel"].combine_chunks(), pa.scalar(1000, pa.int64())),
+                    b["n_shingles"].combine_chunks(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# consistent-hash ring remap audit (vnodes, shard removal)
+# ---------------------------------------------------------------------------
+
+_CHASH_SHARDS = 8
+_CHASH_VNODES = 16
+_CHASH_REMOVED = "s3"
+
+
+def _chash_sql() -> str:
+    from ontoea_ray.functions.lsh_sql import _h
+
+    shard_rows = ", ".join(f"('s{i}')" for i in range(_CHASH_SHARDS))
+    return f"""
+    WITH shards(s) AS (VALUES {shard_rows}),
+    v AS MATERIALIZED (SELECT s, {_h("s || ':' || CAST(i AS VARCHAR)")} AS pos
+         FROM shards, (SELECT unnest(range({_CHASH_VNODES})) AS i)),
+    v2 AS MATERIALIZED (SELECT * FROM v WHERE s <> '{_CHASH_REMOVED}'),
+    k AS (SELECT doc_id, {_h("CAST(doc_id AS VARCHAR)")} AS kp FROM documents),
+    a AS (SELECT doc_id,
+            COALESCE((SELECT v.s FROM v WHERE v.pos > k.kp ORDER BY v.pos ASC LIMIT 1),
+                     (SELECT v.s FROM v ORDER BY v.pos ASC LIMIT 1)) AS before,
+            COALESCE((SELECT v2.s FROM v2 WHERE v2.pos > k.kp ORDER BY v2.pos ASC LIMIT 1),
+                     (SELECT v2.s FROM v2 ORDER BY v2.pos ASC LIMIT 1)) AS after
+          FROM k),
+    m AS (SELECT before, after, COUNT(*) AS n FROM a GROUP BY 1, 2)
+    SELECT s.s AS shard,
+           CAST(COALESCE((SELECT SUM(n) FROM m WHERE before = s.s), 0) AS BIGINT) AS n_before,
+           CAST(COALESCE((SELECT SUM(n) FROM m WHERE after = s.s), 0) AS BIGINT) AS n_after,
+           CAST(COALESCE((SELECT SUM(n) FROM m
+                          WHERE after = s.s AND before <> s.s), 0) AS BIGINT) AS n_moved_in
+    FROM shards s
+"""
+
+
+@_register("q_chash_remap", _chash_sql())
+def q_chash_remap(sf_dir: str):
+    """Consistent-hash ring remap audit (Karger et al. 1997): documents
+    are placed on a 64-bit hash ring owned by 8 shards x 16 virtual
+    nodes (successor-with-wrap), shard '{_CHASH_REMOVED}' is removed,
+    and the before/after assignment matrix is reduced to per-shard
+    counts — verifying the property the ring exists for: ONLY the
+    removed shard's keys move (n_moved_in sums to its n_before; every
+    other shard's keys stay put), unlike mod-N hashing where removal
+    remaps nearly everything.  Complements q_rendezvous_shards (HRW),
+    the other minimal-remap scheme.
+
+    Scale shape: the ring is 128 (pos, shard) pairs — constant closure
+    state; each batch assigns both rings with ONE np.searchsorted over
+    the sorted vnode positions and reduces to (before, after) matrix
+    partials (<= 64 cells), so the exchange is constant-width and the
+    8-row audit is the only driver state.  md5-hash positions make the
+    oracle replay every placement."""
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+    from ontoea_ray.stages.dedup import _token_hashes
+
+    names = [f"s{i}" for i in range(_CHASH_SHARDS)]
+
+    def ring(shard_names):
+        labels, keys = [], []
+        for s in shard_names:
+            for i in range(_CHASH_VNODES):
+                labels.append(s)
+                keys.append(f"{s}:{i}")
+        pos = _token_hashes(pa.array(keys, pa.string()), backend="md5")
+        order = np.argsort(pos, kind="stable")
+        return pos[order], np.array(labels, object)[order]
+
+    pos1, lab1 = ring(names)
+    pos2, lab2 = ring([s for s in names if s != _CHASH_REMOVED])
+
+    def assign(kp, pos, lab):
+        # successor with wrap: first vnode strictly above the key
+        j = np.searchsorted(pos, kp, side="right")
+        return lab[np.where(j == len(pos), 0, j) % len(pos)]
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"].combine_chunks(), np.int64)
+        kp = _token_hashes(
+            pa.array(ids.astype(str), pa.string()), backend="md5"
+        )
+        before = assign(kp, pos1, lab1)
+        after = assign(kp, pos2, lab2)
+        g = (
+            pd.DataFrame({"before": before, "after": after})
+            .groupby(["before", "after"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return _from_pandas_clean(g)
+
+    m = keyed_aggregate(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["before", "after"],
+        sums=["n"],
+    ).to_pandas()  # <= 64 cells: constant-size audit matrix
+
+    rows = []
+    for s in names:
+        rows.append(
+            {
+                "shard": s,
+                "n_before": int(m.loc[m.before == s, "n"].sum()),
+                "n_after": int(m.loc[m.after == s, "n"].sum()),
+                "n_moved_in": int(m.loc[(m.after == s) & (m.before != s), "n"].sum()),
+            }
+        )
+    out = pd.DataFrame(rows)
+    for c in out.columns[1:]:
+        out[c] = out[c].astype(np.int64)
+    return ray.data.from_arrow(_from_pandas_clean(out))

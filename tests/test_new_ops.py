@@ -477,3 +477,18 @@ def test_ohlc_hand_semantics(tmp_path):
     b0 = df[df.event_type == "b"].iloc[0]
     assert b0.open_cents == b0.close_cents == 200 and b0.n == 1
     assert len(df) == 3
+
+
+def test_chash_minimal_remap_property():
+    """The consistent-hash ring's defining property: removing one shard
+    moves exactly that shard's keys and nothing else."""
+    from ontoea_ray.queries import QUERIES
+
+    df = QUERIES["q_chash_remap"]("/root/testdata/sf0.001").to_pandas().set_index("shard")
+    removed = df.loc["s3"]
+    assert removed.n_after == 0
+    assert int(df.n_moved_in.sum()) == int(removed.n_before)
+    others = df.drop("s3")
+    # every surviving shard keeps all its original keys
+    assert (others.n_after >= others.n_before).all()
+    assert int(df.n_before.sum()) == int(df.n_after.sum())
