@@ -912,3 +912,91 @@ def q_modularity(sf_dir: str):
     if ref is None:  # beyond-budget: communities table itself is huge
         _, ref = assemble_table_ref(per_c, budget=1 << 62)
     return ray.data.from_arrow_refs([_fold.remote(ref, m)])
+
+
+# greedy maximal matching (Israeli-Itai proposal rounds)
+# ---------------------------------------------------------------------------
+
+def _matching_sql(rounds: int = 4, *, pct: int = 7) -> str:
+    """Unrolled R-round deterministic proposal matching over the
+    splitmix64-sampled co-purchase graph: per round each alive node
+    proposes to its alive neighbour with the smallest (priority, id) —
+    priorities from a fresh splitmix chain (node * salt + round) —
+    mutual proposals match, endpoints leave.  Round CTEs MATERIALIZED."""
+    from ontoea_ray.functions.lsh_sql import TWO64
+    from ontoea_ray.queries.dedup import splitmix64_ctes
+    from ontoea_ray.stages.graph import _MATCH_SALT
+
+    p = [
+        "WITH",
+        _COPURCHASE_E_CTE.replace(" e AS ", " eall0 AS "),
+        ", eall AS MATERIALIZED (SELECT a, b FROM eall0),",
+        splitmix64_ctes("eall", "(a * 100000 + b)"),
+        f", e0 AS MATERIALIZED (SELECT a, b FROM sm3 WHERE _h % 100 < {pct})",
+        ", s0 AS MATERIALIZED (SELECT a AS node FROM e0 UNION SELECT b AS node FROM e0)",
+    ]
+    for r in range(rounds):
+        key = f"((CAST(node AS HUGEINT) * {_MATCH_SALT} + {r}) % {TWO64})"
+        p.append(f", pr{r} AS (SELECT node FROM s{r}),")
+        p.append(splitmix64_ctes(f"pr{r}", key, sfx=f"_x{r}"))
+        p.append(
+            f", d{r} AS (SELECT a AS x, b AS y FROM e{r}"
+            f" UNION ALL SELECT b AS x, a AS y FROM e{r})"
+        )
+        p.append(
+            f", prop{r} AS MATERIALIZED (SELECT x AS node, y AS nbr FROM ("
+            f"SELECT d.x, d.y, ROW_NUMBER() OVER (PARTITION BY d.x"
+            f" ORDER BY py._h ASC, d.y ASC) AS rn"
+            f" FROM d{r} d JOIN sm3_x{r} py ON py.node = d.y) WHERE rn = 1)"
+        )
+        p.append(
+            f", m{r} AS MATERIALIZED (SELECT pa.node AS a, pa.nbr AS b"
+            f" FROM prop{r} pa JOIN prop{r} pb"
+            f" ON pb.node = pa.nbr AND pb.nbr = pa.node"
+            f" WHERE pa.node < pa.nbr)"
+        )
+        p.append(
+            f", s{r + 1} AS MATERIALIZED (SELECT node FROM s{r} WHERE node NOT IN"
+            f" (SELECT a FROM m{r} UNION ALL SELECT b FROM m{r}))"
+        )
+        p.append(
+            f", e{r + 1} AS MATERIALIZED (SELECT a, b FROM e{r}"
+            f" WHERE a IN (SELECT node FROM s{r + 1})"
+            f" AND b IN (SELECT node FROM s{r + 1}))"
+        )
+    picks = " UNION ALL ".join(
+        f"SELECT a, b, {r} AS round FROM m{r}" for r in range(rounds)
+    )
+    p.append(
+        f" SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,"
+        f" CAST(round AS BIGINT) AS round FROM ({picks})"
+    )
+    return "\n".join(p)
+
+
+@_register("q_matching", _matching_sql(4))
+def q_matching(sf_dir: str):
+    """4-round deterministic greedy maximal matching (Israeli-Itai 1986
+    proposal rounds, splitmix priorities) over the splitmix64-sampled
+    (7%) co-purchase graph — the conflict-free PAIRING primitive next to
+    q_mis's node selection and q_coloring's scheduling: mutually-
+    proposing neighbours pair up and leave, so the output is a valid
+    matching by construction and maximal once converged (1-to-1 entity
+    pairing, co-ownership dedup).  `stages/graph.matching_rounds`:
+    single-task two-pass vectorized argmin under the broadcast budget,
+    directed-edge argmin co-location + proposal self-join + exact
+    node/edge removals above it; the unrolled oracle replays every
+    proposal, mutuality test and removal."""
+    from ontoea_ray.stages.graph import matching_rounds
+    from ontoea_ray.stages.sampling import splitmix64
+
+    edges = _copurchase_cached(sf_dir)
+
+    def sample(b: pa.Table) -> pa.Table:
+        a = np.asarray(b["id_a"].combine_chunks(), np.int64)
+        c = np.asarray(b["id_b"].combine_chunks(), np.int64)
+        h = splitmix64((a * 100000 + c).astype(np.uint64))
+        return b.filter(pa.array(h % np.uint64(100) < np.uint64(7)))
+
+    sampled = edges.map_batches(sample, batch_format="pyarrow")
+    return matching_rounds(sampled, rounds=4, src="id_a", dst="id_b")

@@ -2952,3 +2952,194 @@ def katz_rounds(
         ),
         batch_format="pyarrow",
     )
+
+
+_MATCH_SALT = 1_000_151
+
+
+def matching_rounds(
+    edges: ray.data.Dataset,
+    *,
+    rounds: int,
+    src: str = "a",
+    dst: str = "b",
+) -> ray.data.Dataset:
+    """R-round deterministic greedy maximal MATCHING over a DISTINCT
+    undirected edge table (the Israeli–Itai 1986 proposal shape with the
+    engine's ``splitmix64(node * salt + round)`` priorities): each round
+    every alive node proposes to its alive neighbour with the smallest
+    (priority, id); mutually-proposing edges MATCH, their endpoints
+    leave, and surviving edges continue.  Returns ``(a, b, round)`` with
+    a < b — the conflict-free pairing primitive (co-ownership dedup,
+    1-to-1 entity pairing, switch scheduling) complementary to the MIS
+    node-selection peel, and a pure function of the graph the unrolled
+    SQL replays decision-for-decision.
+
+    Two value-equal plans (budget=1 pytest): under the broadcast budget
+    the whole peel runs inside one Ray task (two minimum.at passes per
+    round resolve the lexicographic (priority, id) argmin vectorized);
+    above it each round is one directed-edge argmin co-location
+    (:func:`~ontoea_ray.functions.shuffle.argmax_by` on order-inverted
+    columns), one proposal self-join for mutuality, and the exact
+    node-set/edge-set removals (`_nodes_minus` / `_edges_within`) — no
+    node or edge set ever lands on the driver."""
+    import numpy as np
+
+    from ontoea_ray.functions.broadcast import assemble_table_ref
+    from ontoea_ray.functions.join import hash_join
+    from ontoea_ray.functions.shuffle import argmax_by, keyed_aggregate
+    from ontoea_ray.stages.sampling import splitmix64
+
+    edges2, tbl_ref = assemble_table_ref(
+        edges.select_columns([src, dst]), columns=[src, dst]
+    )
+    int_nodes = all(
+        pa.types.is_integer(f.type) for f in edges2.schema().base_schema
+    )
+    if tbl_ref is not None and int_nodes:
+
+        @ray.remote
+        def _match(t) -> pa.Table:
+            import numpy as np
+
+            a = t[src].to_pandas().to_numpy(np.int64)
+            b = t[dst].to_pandas().to_numpy(np.int64)
+            nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+            ea, eb = inv[: len(a)], inv[len(a):]
+            alive = np.ones(len(nodes), bool)
+            oa, ob, orr = [], [], []
+            for r in range(max(rounds, 0)):
+                m = alive[ea] & alive[eb]
+                if not m.any():
+                    break
+                dx = np.concatenate([ea[m], eb[m]])
+                dy = np.concatenate([eb[m], ea[m]])
+                p = splitmix64(
+                    nodes.astype(np.uint64) * np.uint64(_MATCH_SALT) + np.uint64(r)
+                )
+                # lexicographic (priority, id) argmin in two vectorized passes;
+                # node INDEX order == id order (nodes sorted), so min index
+                # resolves the id tie-break
+                minp = np.full(len(nodes), np.iinfo(np.uint64).max, np.uint64)
+                np.minimum.at(minp, dx, p[dy])
+                tie = p[dy] == minp[dx]
+                prop = np.full(len(nodes), len(nodes), np.int64)
+                np.minimum.at(prop, dx[tie], dy[tie])
+                has = prop < len(nodes)
+                mutual = has.copy()
+                idx = np.flatnonzero(has)
+                mutual[idx] = (prop[prop[idx]] == idx) & has[prop[idx]]
+                x = np.flatnonzero(mutual)
+                x = x[x < prop[x]]
+                oa.append(nodes[x])
+                ob.append(nodes[prop[x]])
+                orr.append(np.full(len(x), r, np.int64))
+                alive[x] = False
+                alive[prop[x]] = False
+            av = np.concatenate(oa) if oa else np.array([], np.int64)
+            bv = np.concatenate(ob) if ob else np.array([], np.int64)
+            rv = np.concatenate(orr) if orr else np.array([], np.int64)
+            return pa.table(
+                {
+                    "a": pa.array(av, pa.int64()),
+                    "b": pa.array(bv, pa.int64()),
+                    "round": pa.array(rv, pa.int64()),
+                }
+            )
+
+        return ray.data.from_arrow_refs([_match.remote(tbl_ref)])
+
+    # ---- exchange plan ---------------------------------------------------
+    e = edges2.materialize()
+    tagged = []
+    for r in range(max(rounds, 0)):
+        if e.count() == 0:
+            break
+
+        def directed(b: pa.Table, _r=r) -> pa.Table:
+            av = np.asarray(b[src].combine_chunks(), np.int64)
+            bv = np.asarray(b[dst].combine_chunks(), np.int64)
+            x = np.concatenate([av, bv])
+            y = np.concatenate([bv, av])
+            p = splitmix64(y.astype(np.uint64) * np.uint64(_MATCH_SALT) + np.uint64(_r))
+            # order-inverted int64 views: argmax of (~signed(p), ~y) is the
+            # lexicographic (p, y) MINIMUM
+            p_inv = ~(p ^ np.uint64(1 << 63)).view(np.int64)
+            return pa.table(
+                {
+                    "x": pa.array(x),
+                    "y": pa.array(y),
+                    "p_inv": pa.array(p_inv),
+                    "y_inv": pa.array(~y),
+                }
+            )
+
+        prop = argmax_by(
+            e.map_batches(directed, batch_format="pyarrow"), ["x"], ["p_inv", "y_inv"]
+        ).select_columns(["x", "y"]).materialize()
+
+        mutual = hash_join(prop, prop, on=["y"], right_on=["x"], rsuffix="_r")
+        # columns: y (joined key = my proposal), x (me), y_r (its proposal)
+        matched = mutual.filter(expr="y_r == x").filter(expr="x < y")
+
+        def tag(b: pa.Table, _r=r) -> pa.Table:
+            return pa.table(
+                {
+                    "a": b["x"].combine_chunks(),
+                    "b": b["y"].combine_chunks(),
+                    "round": pa.array(np.full(len(b), _r, np.int64)),
+                }
+            )
+
+        mt = matched.map_batches(tag, batch_format="pyarrow").materialize()
+        tagged.append(mt)
+        ends = keyed_aggregate(
+            mt.map_batches(
+                lambda b: pa.table(
+                    {
+                        "node": pa.concat_arrays(
+                            [b["a"].combine_chunks(), b["b"].combine_chunks()]
+                        )
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            ["node"],
+            count_alias="_c",
+        ).drop_columns(["_c"]).materialize()
+        nodes_alive = _nodes_minus(
+            keyed_aggregate(
+                e.map_batches(
+                    lambda b: pa.table(
+                        {
+                            "node": pa.concat_arrays(
+                                [
+                                    b[src].combine_chunks().cast(pa.int64()),
+                                    b[dst].combine_chunks().cast(pa.int64()),
+                                ]
+                            )
+                        }
+                    ),
+                    batch_format="pyarrow",
+                ),
+                ["node"],
+                count_alias="_c",
+            ).drop_columns(["_c"]),
+            ends,
+        ).materialize()
+        e = _edges_within(e, nodes_alive, src, dst).materialize()
+
+    if not tagged:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "round": pa.array([], pa.int64()),
+                }
+            )
+        )
+    out = tagged[0]
+    for t in tagged[1:]:
+        out = out.union(t)
+    return out

@@ -194,3 +194,15 @@ def test_katz_budget_paths_equal(sf_dir, tiny_budget, monkeypatch):
     monkeypatch.delenv("ONTOEA_BROADCAST_BUDGET_BYTES")
     fast = _df(QUERIES["q_katz"](sf_dir))
     pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_matching_budget_paths_equal(sf_dir, tiny_budget, monkeypatch):
+    """budget=1 forces matching_rounds' exchange plan (directed argmin
+    co-location + proposal self-join + exact removals); it must be
+    pair-identical to the single-task plan."""
+    from ontoea_ray.queries import QUERIES
+
+    slow = _df(QUERIES["q_matching"](sf_dir))
+    monkeypatch.delenv("ONTOEA_BROADCAST_BUDGET_BYTES")
+    fast = _df(QUERIES["q_matching"](sf_dir))
+    pd.testing.assert_frame_equal(fast, slow)
