@@ -1713,3 +1713,95 @@ def q_eff_diameter(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+
+
+# landmark distance embedding (4 BFS sources, the distance-oracle sketch)
+# ---------------------------------------------------------------------------
+
+_N_LANDMARKS = 4
+
+
+def _landmark_sql(L: int = _N_LANDMARKS, depth: int = 3) -> str:
+    p = [
+        f"WITH kg AS ({_FLAGSHIP_SQL}),",
+        "e AS MATERIALIZED (SELECT DISTINCT subj, obj FROM kg),",
+        f"lm AS MATERIALIZED (SELECT subj AS node,"
+        f" ROW_NUMBER() OVER (ORDER BY subj) - 1 AS j FROM"
+        f" (SELECT DISTINCT subj FROM e ORDER BY subj LIMIT {L})),",
+    ]
+    for j in range(L):
+        p.append(f"s{j}_0 AS (SELECT node FROM lm WHERE j = {j}),")
+        for d in range(1, depth + 1):
+            p.append(
+                f"s{j}_{d} AS MATERIALIZED (SELECT DISTINCT e.obj AS node"
+                f" FROM e JOIN s{j}_{d - 1} f ON e.subj = f.node),"
+            )
+        lvls = " UNION ".join(f"SELECT node FROM s{j}_{d}" for d in range(depth + 1))
+        cases = " ".join(
+            f"WHEN node IN (SELECT node FROM s{j}_{d}) THEN {d}"
+            for d in range(depth + 1)
+        )
+        p.append(
+            f"d{j} AS MATERIALIZED (SELECT node, CAST(CASE {cases} END AS BIGINT)"
+            f" AS d FROM ({lvls})),"
+        )
+    base = " UNION ".join(f"SELECT node FROM d{j}" for j in range(L))
+    joins = " ".join(f"LEFT JOIN d{j} ON d{j}.node = base.node" for j in range(L))
+    cols = ", ".join(f"CAST(COALESCE(d{j}.d, -1) AS BIGINT) AS d{j}" for j in range(L))
+    p.append(f"base AS ({base})")
+    return "\n".join(p) + f"\nSELECT base.node, {cols} FROM base {joins}"
+
+
+@_register("q_landmark_dist", _landmark_sql())
+def q_landmark_dist(sf_dir: str):
+    """Landmark distance embedding (the distance-oracle sketch of
+    Potamias et al. 2009): hop distances (depth <= 3, -1 beyond) from
+    the {_N_LANDMARKS} smallest subject entities to every reached node of
+    the flagship KG — the precomputed table from which triangle-
+    inequality distance estimates between ANY node pair cost O(L)
+    lookups instead of a BFS, the standard trick for web-scale
+    shortest-path queries.
+
+    Scale shape: {_N_LANDMARKS} independent runs of the budget-switched
+    distributed BFS (frontier as a task-assembled is_in set under
+    budget, Bloom + exact semi-join above), then the per-landmark depth
+    tables merge by node through {_N_LANDMARKS - 1} planner-routed outer
+    joins — each table is reach-sized, the driver holds only the
+    landmark ids."""
+    from ontoea_ray.functions.join import hash_join
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+    from ontoea_ray.stages.graph import bfs_depths
+
+    kg = _kg_cached(sf_dir)
+    edges = keyed_aggregate(
+        kg.map_batches(lambda b: b.select(["subj", "obj"]), batch_format="pyarrow"),
+        ["subj", "obj"],
+        count_alias="_c",
+    ).drop_columns(["_c"]).materialize()
+
+    def bottomL(b: pa.Table) -> pa.Table:
+        s = sorted(set(b["subj"].to_pylist()))[:_N_LANDMARKS]
+        return pa.table({"node": pa.array(s, pa.string())})
+
+    seed_rows = edges.map_batches(bottomL, batch_format="pyarrow").take_all()
+    landmarks = sorted({r["node"] for r in seed_rows})[:_N_LANDMARKS]
+
+    out = None
+    for j, lm in enumerate(landmarks):
+        dj = bfs_depths(edges, [lm], max_depth=3).map_batches(
+            lambda b, _j=j: pa.table(
+                {"node": b["node"].combine_chunks(), f"d{_j}": b["depth"].combine_chunks()}
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        out = dj if out is None else hash_join(out, dj, on=["node"], how="outer")
+
+    def fill(b: pa.Table) -> pa.Table:
+        cols = {"node": b["node"].combine_chunks()}
+        for j in range(_N_LANDMARKS):
+            cols[f"d{j}"] = pc.coalesce(
+                b[f"d{j}"], pa.scalar(-1, pa.int64())
+            ).combine_chunks().cast(pa.int64())
+        return pa.table(cols)
+
+    return out.map_batches(fill, batch_format="pyarrow")
