@@ -1786,6 +1786,15 @@ def q_landmark_dist(sf_dir: str):
     seed_rows = edges.map_batches(bottomL, batch_format="pyarrow").take_all()
     landmarks = sorted({r["node"] for r in seed_rows})[:_N_LANDMARKS]
 
+    if not landmarks:
+        # zero-edge KG: stable empty schema, mirroring the oracle's empty set
+        return ray.data.from_arrow(
+            pa.table(
+                {"node": pa.array([], pa.string())}
+                | {f"d{j}": pa.array([], pa.int64()) for j in range(_N_LANDMARKS)}
+            )
+        )
+
     out = None
     for j, lm in enumerate(landmarks):
         dj = bfs_depths(edges, [lm], max_depth=3).map_batches(
@@ -1796,12 +1805,19 @@ def q_landmark_dist(sf_dir: str):
         ).materialize()
         out = dj if out is None else hash_join(out, dj, on=["node"], how="outer")
 
+    n_found = len(landmarks)  # a tiny KG can have fewer than _N_LANDMARKS
+
     def fill(b: pa.Table) -> pa.Table:
         cols = {"node": b["node"].combine_chunks()}
         for j in range(_N_LANDMARKS):
-            cols[f"d{j}"] = pc.coalesce(
-                b[f"d{j}"], pa.scalar(-1, pa.int64())
-            ).combine_chunks().cast(pa.int64())
+            if j < n_found:
+                cols[f"d{j}"] = pc.coalesce(
+                    b[f"d{j}"], pa.scalar(-1, pa.int64())
+                ).combine_chunks().cast(pa.int64())
+            else:
+                # missing landmark column: all -1, matching the oracle's
+                # empty-d{j} LEFT JOIN
+                cols[f"d{j}"] = pa.array(np.full(len(b), -1, np.int64))
         return pa.table(cols)
 
     return out.map_batches(fill, batch_format="pyarrow")

@@ -414,7 +414,6 @@ def q_resample(sf_dir: str):
         ts_us = df["ts"].astype("int64").to_numpy()
         cents = np.round(df["value"].to_numpy() * 100).astype(np.int64)
         uids, slots, vals, cnts = [], [], [], []
-        start = 0
         uvals = df["user_id"].to_numpy(np.int64)
         bounds = np.flatnonzero(np.diff(uvals)) + 1
         for lo, hi in zip(

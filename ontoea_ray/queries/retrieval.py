@@ -661,17 +661,23 @@ def q_greedy_cover(sf_dir: str):
         pick, gain = int(best["doc_id"]), int(best["gain"])
 
         @ray.remote
-        def _extend(cov: pa.Array, *tbls: pa.Table) -> pa.Array:
-            toks = [
-                tbl.filter(pc.equal(tbl["doc_id"], pick))["token"].combine_chunks()
-                for tbl in tbls
-            ]
-            merged = pc.unique(pa.chunked_array([cov] + toks))
+        def _extend(cov: pa.Array, picked: pa.Table) -> pa.Array:
+            merged = pc.unique(
+                pa.chunked_array([cov, picked["token"].combine_chunks()])
+            )
             return merged.combine_chunks() if isinstance(merged, pa.ChunkedArray) else merged
 
-        # task-side set extension: the covered vocabulary never touches the
-        # driver; the ref is auto-dereferenced into the next round's actors
-        covered_ref = _extend.remote(covered_ref, *t.to_arrow_refs())
+        # task-side set extension: the pick's tokens are extracted by a
+        # DISTRIBUTED filter (doc-bounded result), so the one extension
+        # task only ever sees the covered set + one document — never the
+        # corpus-sized shingle table; the covered vocabulary never touches
+        # the driver and the ref auto-dereferences into the next round
+        from ontoea_ray.functions.broadcast import assemble_table_ref
+
+        _, picked_ref = assemble_table_ref(
+            t.filter(expr=f"doc_id == {pick}"), columns=["token"], budget=1 << 62
+        )
+        covered_ref = _extend.remote(covered_ref, picked_ref)
         n_covered += gain
         rows.append({"rank": r + 1, "doc_id": pick, "gain": gain, "covered_after": n_covered})
 

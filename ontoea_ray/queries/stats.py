@@ -1596,7 +1596,8 @@ def q_vocab_growth(sf_dir: str):
     from ontoea_ray.functions.text import tokenize
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    n_docs_total = int(docs.max("doc_id") or -1) + 1
+    mx = docs.max("doc_id")
+    n_docs_total = (int(mx) if mx is not None else -1) + 1
     cuts = np.array([n_docs_total * d // 10 for d in range(1, 11)], np.int64)
 
     def partial(b: pa.Table) -> pa.Table:

@@ -1222,7 +1222,13 @@ def prefix_jaccard_pairs(
                     "sz": np.asarray(b["sz"].combine_chunks(), np.int64),
                 }
             )
-            dtab = ray.get(dfref).to_pandas()
+            # per-process cache: the vocab-sized Arrow->pandas conversion
+            # must happen once per worker, not once per batch
+            key = ("df", dfref.hex() if hasattr(dfref, "hex") else id(dfref))
+            dtab = _PJ_INDEX_CACHE.get(key)
+            if dtab is None:
+                dtab = ray.get(dfref).to_pandas()
+                _PJ_INDEX_CACHE[key] = dtab
             return _mark(g.merge(dtab, on="token", how="left", sort=False))
 
         prefix = rows.map_batches(prefix_batch, batch_format="pyarrow")
@@ -1331,7 +1337,7 @@ def prefix_jaccard_pairs(
 
         def _index(ref):
             cache = _PJ_INDEX_CACHE
-            key = ref.hex() if hasattr(ref, "hex") else id(ref)
+            key = ("idx", ref.hex() if hasattr(ref, "hex") else id(ref))
             got = cache.get(key)
             if got is None:
                 tbl = ray.get(ref)
@@ -1341,7 +1347,9 @@ def prefix_jaccard_pairs(
                 offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
                 order = np.argsort(did, kind="stable")
                 got = (did[order], offs[:-1][order], (offs[1:] - offs[:-1])[order], flat)
-                cache.clear()  # one live index per worker is plenty
+                # no eviction: the df frame and verify index of ONE query
+                # coexist in a streaming run; both are bounded and worker
+                # processes are short-lived relative to the session
                 cache[key] = got
             return got
 

@@ -2871,12 +2871,18 @@ def katz_rounds(
             d = tref["d"].to_pandas().to_numpy(object)
             nodes, inv = np.unique(np.concatenate([s, d]), return_inverse=True)
             si, di = inv[: len(s)], inv[len(s):]
+            # the overflow guard must run BEFORE the scatter-add: numpy
+            # wraps silently, so a post-hoc raw.max() check can pass on a
+            # wrapped value.  max possible sum = max_units * max weighted
+            # indegree, checked per round against the alpha headroom.
+            max_indeg = int(np.bincount(di, minlength=1).max())
+            limit = np.iinfo(np.int64).max // max(_alpha, 1)
             x = np.full(len(nodes), _scale, np.int64)
             for _ in range(_rounds):
+                if int(x.max(initial=0)) * max(max_indeg, 1) > limit:
+                    raise ValueError("katz_rounds: units overflow int64")
                 raw = np.zeros(len(nodes), np.int64)
                 np.add.at(raw, di, x[si])
-                if raw.max(initial=0) > np.iinfo(np.int64).max // max(_alpha, 1):
-                    raise ValueError("katz_rounds: units overflow int64")
                 x = _scale + _alpha * raw // 1000
             return pa.table(
                 {
@@ -2904,6 +2910,18 @@ def katz_rounds(
         .drop_columns(["_c"])
         .materialize()
     )
+    # pre-accumulation overflow guard (int64 wraps silently): the max
+    # possible per-node sum is max_units * max weighted indegree — both
+    # O(1) scalars per round — checked against the alpha headroom
+    wdeg = keyed_aggregate(
+        we.map_batches(
+            lambda b: pa.table({"node": b["d"], "w": b["w"]}), batch_format="pyarrow"
+        ),
+        ["node"],
+        sums=["w"],
+    )
+    max_indeg = int(wdeg.max("w") or 0)
+    limit = np.iinfo(np.int64).max // max(alpha_milli, 1)
 
     x = nodes.map_batches(
         lambda b: pa.table(
@@ -2912,6 +2930,8 @@ def katz_rounds(
         batch_format="pyarrow",
     ).materialize()
     for _ in range(max(rounds, 0)):
+        if int(x.max("u") or 0) * max(max_indeg, 1) > limit:
+            raise ValueError("katz_rounds: units overflow int64")
         contrib = hash_join(we, x, on=["s"], right_on=["node"], width=width).map_batches(
             lambda b: pa.table(
                 {
@@ -2932,8 +2952,6 @@ def katz_rounds(
                 pc.coalesce(b["raw"], pa.scalar(0, pa.int64())).combine_chunks(),
                 np.int64,
             )
-            if raw.max(initial=0) > np.iinfo(np.int64).max // max(alpha_milli, 1):
-                raise ValueError("katz_rounds: units overflow int64")
             return pa.table(
                 {
                     "node": b["node"].combine_chunks(),
@@ -2996,7 +3014,14 @@ def matching_rounds(
     int_nodes = all(
         pa.types.is_integer(f.type) for f in edges2.schema().base_schema
     )
-    if tbl_ref is not None and int_nodes:
+    if not int_nodes:
+        # both plans index, invert (~y) and cast node ids as int64 — fail
+        # fast rather than let the exchange plan raise ArrowInvalid mid-run
+        raise ValueError(
+            "matching_rounds requires integer node ids; map string ids to "
+            "ints first (e.g. state/ids.py)"
+        )
+    if tbl_ref is not None:
 
         @ray.remote
         def _match(t) -> pa.Table:
