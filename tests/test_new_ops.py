@@ -492,3 +492,20 @@ def test_chash_minimal_remap_property():
     # every surviving shard keeps all its original keys
     assert (others.n_after >= others.n_before).all()
     assert int(df.n_before.sum()) == int(df.n_after.sum())
+
+
+def test_katz_overflow_guard_raises():
+    """The pre-accumulation overflow guard fails fast (numpy would wrap
+    silently): an absurd alpha trips it on round 0 of a 2-edge graph."""
+    import pytest
+    import ray.data
+
+    from ontoea_ray.stages.graph import katz_rounds
+
+    edges = ray.data.from_arrow(
+        pa.table({"a": pa.array([1, 2], pa.int64()), "b": pa.array([2, 3], pa.int64())})
+    )
+    with pytest.raises(ray.exceptions.RayTaskError, match="overflow"):
+        katz_rounds(
+            edges, src="a", dst="b", rounds=2, alpha_milli=10**15
+        ).take_all()
