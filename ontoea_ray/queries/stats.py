@@ -1633,3 +1633,149 @@ def q_vocab_growth(sf_dir: str):
     curve["vocab_size"] = curve["vocab_size"].astype(np.int64)
     out = curve[["decile", "n_docs", "vocab_size", "new_tokens"]]
     return ray.data.from_arrow(_from_pandas_clean(out))
+
+
+# Benford first-digit audit of order totals
+# ---------------------------------------------------------------------------
+
+_BENFORD_MILLI = {d: int(__import__("math").log10(1 + 1 / d) * 1000) for d in range(1, 10)}
+
+_BENFORD_SQL = f"""
+    WITH c AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+               WHERE o_totalprice > 0),
+    d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM c),
+    n AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1),
+    t AS (SELECT SUM(n) AS total FROM n),
+    b(digit, benford_milli) AS (VALUES {", ".join(f"({d}, {m})" for d, m in _BENFORD_MILLI.items())})
+    SELECT b.digit, CAST(COALESCE(n.n, 0) AS BIGINT) AS n,
+           CAST(COALESCE(n.n, 0) * 1000 // t.total AS BIGINT) AS pct_milli,
+           CAST(b.benford_milli AS BIGINT) AS benford_milli
+    FROM b LEFT JOIN n USING (digit), t
+"""
+
+
+@_register("q_benford", _BENFORD_SQL)
+def q_benford(sf_dir: str):
+    """Benford first-digit audit of order totals (Newcomb 1881 / Benford
+    1938; Nigrini's fraud-audit standard): observed first-significant-
+    digit frequencies of o_totalprice cents against the log10(1+1/d)
+    expectation (inlined as integer milli constants, so no float ever
+    crosses the oracle) — the data-quality screen an ingest pipeline
+    runs to flag fabricated or truncated numeric feeds.  Digits extract
+    from the cents' decimal string (exact), counts reduce combiner-first
+    to 9 partials, and the 9-row audit is the only driver state."""
+    from ontoea_ray.functions.shuffle import keyed_aggregate
+
+    orders = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = np.round(
+            b["o_totalprice"].combine_chunks().to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        cents = cents[cents > 0]
+        digit = cents.copy()
+        while (digit >= 10).any():
+            digit[digit >= 10] //= 10
+        g = pd.DataFrame({"digit": digit}).groupby("digit", sort=False).size().reset_index(name="n")
+        g["n"] = g["n"].astype(np.int64)
+        return _from_pandas_clean(g)
+
+    counts = {
+        int(r["digit"]): int(r["n"])
+        for r in keyed_aggregate(
+            orders.map_batches(partial, batch_format="pyarrow"), ["digit"], sums=["n"]
+        ).take_all()
+    }  # 9-row audit: constant driver state
+    total = sum(counts.values())
+    out = pd.DataFrame(
+        {
+            "digit": np.arange(1, 10, dtype=np.int64),
+            "n": np.array([counts.get(d, 0) for d in range(1, 10)], np.int64),
+        }
+    )
+    out["pct_milli"] = (out["n"] * 1000 // max(total, 1)).astype(np.int64)
+    out["benford_milli"] = np.array(
+        [_BENFORD_MILLI[d] for d in range(1, 10)], np.int64
+    )
+    return ray.data.from_arrow(_from_pandas_clean(out))
+
+
+# lag-1 autocorrelation moments of the daily revenue series per event type
+# ---------------------------------------------------------------------------
+
+_AUTOCORR_SQL = """
+    WITH daily AS (SELECT event_type,
+                          CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT) AS day,
+                          CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS rev
+                   FROM events GROUP BY 1, 2),
+    lagged AS (SELECT event_type, day, rev,
+                      LAG(rev) OVER (PARTITION BY event_type ORDER BY day) AS prev,
+                      LAG(day) OVER (PARTITION BY event_type ORDER BY day) AS prev_day
+               FROM daily),
+    p AS (SELECT event_type, rev AS y, prev AS x FROM lagged
+          WHERE prev IS NOT NULL AND day = prev_day + 1)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(x) AS BIGINT) AS s_x, CAST(SUM(y) AS BIGINT) AS s_y,
+           CAST(SUM(x * x) AS BIGINT) AS s_xx, CAST(SUM(y * y) AS BIGINT) AS s_yy,
+           CAST(SUM(x * y) AS BIGINT) AS s_xy
+    FROM p GROUP BY event_type
+"""
+
+
+@_register("q_autocorr", _AUTOCORR_SQL)
+def q_autocorr(sf_dir: str):
+    """Lag-1 autocorrelation moment sums of each event type's daily
+    revenue series (consecutive-day pairs only — a gap breaks the lag):
+    the six integer moments from which the Pearson lag-1 coefficient
+    follows exactly, the persistence-vs-noise diagnostic a forecaster
+    reads before fitting anything (the time-series sibling of
+    q_assortativity's degree moments, and exact-oracle-friendly for the
+    same reason: BIGINT moments, no float).
+
+    Scale shape: per-(type, day) revenue collapses combiner-first into
+    one keyed exchange (days x types partials); the lag pairing is a
+    per-type co-located vectorized shift, and the moment reduction is a
+    second constant-width (|types|) exchange."""
+    from ontoea_ray.functions.shuffle import keyed_aggregate, with_partition_key
+
+    DAY = 86_400_000_000
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cents = np.round(
+            b["value"].combine_chunks().to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {"event_type": b["event_type"].to_pandas(), "day": ts // DAY, "rev": cents}
+        )
+        g = df.groupby(["event_type", "day"], sort=False)["rev"].sum().reset_index()
+        g["rev"] = g["rev"].astype(np.int64)
+        return _from_pandas_clean(g)
+
+    daily = keyed_aggregate(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "day"],
+        sums=["rev"],
+    )
+    parted = with_partition_key(daily, ["event_type"])
+
+    def moments(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["event_type", "day"], kind="mergesort")
+        et = df["event_type"].to_numpy(object)
+        day = df["day"].to_numpy(np.int64)
+        rev = df["rev"].to_numpy(np.int64)
+        same = np.r_[False, (et[1:] == et[:-1]) & (day[1:] == day[:-1] + 1)]
+        x, y, e = rev[np.r_[same[1:], False]], rev[same], et[same]
+        g = pd.DataFrame(
+            {
+                "event_type": e, "n_pairs": 1,
+                "s_x": x, "s_y": y, "s_xx": x * x, "s_yy": y * y, "s_xy": x * y,
+            }
+        ).groupby("event_type", sort=False).sum().reset_index()
+        for c in g.columns[1:]:
+            g[c] = g[c].astype(np.int64)
+        return _from_pandas_clean(g)
+
+    return parted.groupby("pkey").map_groups(moments, batch_format="pandas")
