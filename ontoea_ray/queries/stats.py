@@ -1647,7 +1647,7 @@ _BENFORD_SQL = f"""
     n AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1),
     t AS (SELECT SUM(n) AS total FROM n),
     b(digit, benford_milli) AS (VALUES {", ".join(f"({d}, {m})" for d, m in _BENFORD_MILLI.items())})
-    SELECT b.digit, CAST(COALESCE(n.n, 0) AS BIGINT) AS n,
+    SELECT CAST(b.digit AS BIGINT) AS digit, CAST(COALESCE(n.n, 0) AS BIGINT) AS n,
            CAST(COALESCE(n.n, 0) * 1000 // t.total AS BIGINT) AS pct_milli,
            CAST(b.benford_milli AS BIGINT) AS benford_milli
     FROM b LEFT JOIN n USING (digit), t
