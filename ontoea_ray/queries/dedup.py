@@ -1233,3 +1233,43 @@ def q_chash_remap(sf_dir: str):
     for c in out.columns[1:]:
         out[c] = out[c].astype(np.int64)
     return ray.data.from_arrow(_from_pandas_clean(out))
+
+
+# generalized (multiset) Jaccard near-dup pairs
+# ---------------------------------------------------------------------------
+
+_WJACCARD_SQL = """
+    WITH toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+    sh_all AS (SELECT doc_id,
+           unnest(CASE WHEN len(t) >= 3
+                  THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
+                  ELSE [array_to_string(t, ' ')] END) AS s
+           FROM toks),
+    tf AS (SELECT doc_id, s, CAST(COUNT(*) AS BIGINT) AS tf FROM sh_all GROUP BY 1, 2),
+    sizes AS (SELECT doc_id, SUM(tf) AS sz FROM tf GROUP BY 1),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     SUM(LEAST(a.tf, b.tf)) AS c
+              FROM tf a JOIN tf b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           CAST(c * 1000 // (sa.sz + sb.sz - c) AS BIGINT) AS jw_milli
+    FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
+               JOIN sizes sb ON inter.id_b = sb.doc_id
+    WHERE (1000 + 500) * c >= 500 * (sa.sz + sb.sz)
+"""
+
+
+@_register("q_weighted_jaccard", _WJACCARD_SQL)
+def q_weighted_jaccard(sf_dir: str):
+    """Generalized (multiset) Jaccard near-dup pairs at J_w >= 0.5:
+    Σ min(tf)/Σ max(tf) over 3-gram shingle term frequencies — the
+    repetition-aware measure that distinguishes a doc repeating a phrase
+    50x from one mentioning it once, where q_jaccard_pairs' SET measure
+    sees identical sets (`stages/dedup.weighted_jaccard_pairs`, which
+    reuses the whole set machinery via the level-explosion trick).  The
+    plain weighted self-join oracle value-checks the distributed plan
+    including every milli score."""
+    from ontoea_ray.stages.dedup import weighted_jaccard_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return weighted_jaccard_pairs(docs, threshold_milli=500)

@@ -1422,3 +1422,144 @@ def prefix_jaccard_pairs(
         )
 
     return with_ab.map_batches(verify, batch_format="pyarrow")
+
+
+def weighted_jaccard_pairs(
+    docs: ray.data.Dataset,
+    *,
+    threshold_milli: int = 500,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_group: int = 1000,
+) -> ray.data.Dataset:
+    """Exact GENERALIZED (multiset) Jaccard near-dup pairs over shingle
+    term frequencies: ``J_w = Σ_s min(tf_A, tf_B) / Σ_s max(tf_A, tf_B)``
+    (Σmax = sz_A + sz_B − Σmin with sz the total shingle count incl.
+    duplicates) — the repetition-aware measure that separates a doc that
+    repeats a phrase 50x from one mentioning it once, where the SET
+    Jaccard of `jaccard_pairs` sees them as identical.  Returns
+    (id_a, id_b, jw_milli) with id_a < id_b, J_w >= threshold.
+
+    Scale shape — the LEVEL-EXPLOSION trick reuses the set machinery
+    unchanged: each (doc, shingle, tf) row explodes into levels
+    k = 1..tf keyed (shingle, k), and a pair's co-occurrence count over
+    level buckets IS Σ min(tf_A, tf_B), so the existing segment-pairs
+    kernel + pair-keyed count (one bucket co-location + one pair
+    exchange, hot buckets capped with the logged-drop rule) computes the
+    weighted intersection with zero new shuffle machinery; total level
+    rows equal the corpus shingle instances, not more."""
+    import pyarrow.compute as pc
+
+    from ontoea_ray.functions.shuffle import compact, with_partition_key
+    from ontoea_ray.functions.text import tokenize
+
+    thr = threshold_milli
+
+    def explode(batch: pa.Table) -> pa.Table:
+        text = batch[text_col].combine_chunks()
+        ids = np.asarray(batch[id_col].to_pylist(), np.int64)
+        toks = tokenize(text)
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.diff(offs)
+        flat = toks.flatten()
+        nf = len(flat)
+        frames = []
+        if nf >= shingle_n:
+            row_id = np.repeat(np.arange(len(counts)), counts)
+            parts = [flat.slice(j, nf - shingle_n + 1) for j in range(shingle_n)]
+            joined = pc.binary_join_element_wise(*parts, " ")
+            valid = row_id[: nf - shingle_n + 1] == row_id[shingle_n - 1 :]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "d": row_id[: nf - shingle_n + 1][valid],
+                        "s": joined.to_pandas().to_numpy(object)[valid],
+                    }
+                )
+            )
+        short = counts < shingle_n
+        if short.any():
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "d": np.flatnonzero(short),
+                        "s": np.asarray(text.filter(pa.array(short)), object),
+                    }
+                )
+            )
+        if not frames:
+            return _from_pandas_clean(
+                pd.DataFrame(
+                    {
+                        id_col: pd.Series([], dtype=np.int64),
+                        "skey": pd.Series([], dtype=object),
+                        "sz": pd.Series([], dtype=np.int64),
+                    }
+                )
+            )
+        df = pd.concat(frames, ignore_index=True)
+        tf = df.groupby(["d", "s"], sort=False).size().reset_index(name="tf")
+        sz = tf.groupby("d", sort=False)["tf"].transform("sum").to_numpy(np.int64)
+        # level explosion: (d, s, tf) -> k = 1..tf rows keyed (s, k)
+        reps = tf["tf"].to_numpy(np.int64)
+        d_out = np.repeat(ids[tf["d"].to_numpy(np.int64)], reps)
+        sz_out = np.repeat(sz, reps)
+        lvl_base = np.concatenate([[0], np.cumsum(reps)])
+        k = (np.arange(int(reps.sum())) - np.repeat(lvl_base[:-1], reps) + 1).astype(np.int64)
+        s_out = np.repeat(tf["s"].to_numpy(object), reps)
+        skey = np.char.add(
+            np.char.add(s_out.astype(str), "\x1f"), k.astype(str)
+        ).astype(object)
+        return _from_pandas_clean(
+            pd.DataFrame({id_col: d_out, "skey": skey, "sz": sz_out})
+        )
+
+    lvl_rows = docs.map_batches(explode, batch_format="pyarrow")
+    parted = with_partition_key(lvl_rows, ["skey"])
+    pair_rows = parted.groupby("pkey").map_groups(
+        _pairs_from_bucket_block(
+            id_col, max_group, keys=("skey",), distinct=False, size_col="sz"
+        ),
+        batch_format="pandas",
+    )
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        part = (
+            df.groupby(["id_a", "id_b", "sz_a", "sz_b"], sort=False)
+            .size()
+            .reset_index(name="inter")
+        )
+        return _from_pandas_clean(part)
+
+    parts = compact(pair_rows.map_batches(partial_counts, batch_format="pyarrow"))
+    parted2 = with_partition_key(parts, ["id_a", "id_b"])
+
+    def merge_and_filter(df: pd.DataFrame) -> pa.Table:
+        g = (
+            df.groupby(["id_a", "id_b", "sz_a", "sz_b"], sort=False)["inter"]
+            .sum()
+            .reset_index()
+        )
+        c = g["inter"].to_numpy(np.int64)
+        tot = g["sz_a"].to_numpy(np.int64) + g["sz_b"].to_numpy(np.int64)
+        keep = (1000 + thr) * c >= thr * tot
+        g = g.loc[keep]
+        out = pd.DataFrame(
+            {
+                "id_a": g["id_a"].to_numpy(np.int64),
+                "id_b": g["id_b"].to_numpy(np.int64),
+                "jw_milli": (
+                    g["inter"].to_numpy(np.int64) * 1000
+                    // (
+                        g["sz_a"].to_numpy(np.int64)
+                        + g["sz_b"].to_numpy(np.int64)
+                        - g["inter"].to_numpy(np.int64)
+                    )
+                ).astype(np.int64),
+            }
+        )
+        return _from_pandas_clean(out)
+
+    return parted2.groupby("pkey").map_groups(merge_and_filter, batch_format="pandas")
