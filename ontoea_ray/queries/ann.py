@@ -157,3 +157,100 @@ def q_ann_pq(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+
+
+# kNN graph over the embeddings table (brute blocked, integer-exact)
+# ---------------------------------------------------------------------------
+
+_KNN_K = 3
+_KNN_DIM = 64
+_KNN_ID_BITS = 21  # composite sort key assumes vec_id < 2^21
+
+
+def _knn_graph_sql(k: int = _KNN_K, dim: int = _KNN_DIM) -> str:
+    return f"""
+    WITH q AS (SELECT vec_id,
+                      [CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+                       FOR i IN range(1, {dim + 1})] AS qv
+               FROM embeddings),
+    d AS (SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+                 CAST(list_sum([a.qv[i] * b.qv[i] FOR i IN range(1, {dim + 1})])
+                      AS BIGINT) AS dot
+          FROM q a JOIN q b ON a.vec_id <> b.vec_id),
+    r AS (SELECT vec_id, nbr_id, dot,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY dot DESC, nbr_id ASC) AS rnk
+          FROM d)
+    SELECT vec_id, CAST(rnk AS BIGINT) AS rnk, nbr_id, dot
+    FROM r WHERE rnk <= {k}
+"""
+
+
+@_register("q_knn_graph", _knn_graph_sql())
+def q_knn_graph(sf_dir: str):
+    """k-nearest-neighbor graph over the embeddings table (top-{_KNN_K}
+    by integer-milli dot product, ties to the smaller vec_id, self
+    excluded) — the all-pairs serving structure behind semantic dedup
+    clustering, graph-based ANN index builds (HNSW/NSG take a kNN graph
+    as input) and the alignment kernel's candidate neighbourhoods; the
+    registered surface for the brute all-pairs path whose per-query
+    sibling is q_ann_topk.
+
+    Scale shape: the quantized matrix ships ONCE via ray.put and every
+    batch computes its (B, N) integer dot block vectorized, reducing to
+    top-{_KNN_K} per row IN the batch with a composite (dot, id) sort
+    key (id < 2^{_KNN_ID_BITS} asserted) — no exchange at all; at index
+    scale the same loop runs per IVF/LSH bucket (stages/ann.py) instead
+    of all-pairs.  The oracle replays every neighbour, tie and dot."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+
+    def quant(b: pa.Table):
+        ids = np.asarray(b["vec_id"].combine_chunks(), np.int64)
+        flat = np.asarray(b["embedding"].combine_chunks().values, np.float32)
+        mat = np.floor(flat.reshape(len(b), -1).astype(np.float64) * 1000).astype(np.int64)
+        return ids, mat
+
+    # quantized matrix assembled INSIDE a Ray task (never on the driver);
+    # past the broadcast budget the brute all-pairs plan is the wrong tool
+    # by definition — fail with a pointer to the bucketed ANN indexes
+    from ontoea_ray.functions.broadcast import assemble_table_ref
+
+    _, tref = assemble_table_ref(emb)
+    if tref is None:
+        raise ValueError(
+            "q_knn_graph: embeddings exceed the broadcast budget; build the "
+            "kNN graph per LSH/IVF bucket instead (stages/ann.py)"
+        )
+
+    @ray.remote
+    def _quant_all(tbl: pa.Table):
+        ids, mat = quant(tbl)
+        assert int(ids.max(initial=0)) < (1 << _KNN_ID_BITS)
+        return ids, mat
+
+    ref = _quant_all.remote(tref)
+
+    def topk(b: pa.Table) -> pa.Table:
+        cids, cmat = ray.get(ref)
+        ids, mat = quant(b)
+        dots = mat @ cmat.T  # (B, N) integer milli^2 products
+        # exclude self: composite key orders (dot DESC, id ASC)
+        key = dots * (1 << _KNN_ID_BITS) + ((1 << _KNN_ID_BITS) - 1 - cids)[None, :]
+        self_mask = ids[:, None] == cids[None, :]
+        # min+1, not min: argsort(-key) negates, and -int64.min WRAPS back
+        # to int64.min — the masked self row would sort FIRST instead of last
+        key[self_mask] = np.iinfo(np.int64).min + 1
+        order = np.argsort(-key, axis=1, kind="stable")[:, :_KNN_K]
+        rows = np.repeat(ids, _KNN_K)
+        nbrs = cids[order].reshape(-1)
+        dsel = np.take_along_axis(dots, order, axis=1).reshape(-1)
+        return pa.table(
+            {
+                "vec_id": pa.array(rows),
+                "rnk": pa.array(np.tile(np.arange(1, _KNN_K + 1, dtype=np.int64), len(ids))),
+                "nbr_id": pa.array(nbrs),
+                "dot": pa.array(dsel),
+            }
+        )
+
+    return emb.map_batches(topk, batch_format="pyarrow")
