@@ -230,8 +230,24 @@ def q_knn_graph(sf_dir: str):
 
     ref = _quant_all.remote(tref)
 
+    _empty = pa.table(
+        {
+            "vec_id": pa.array([], pa.int64()),
+            "rnk": pa.array([], pa.int64()),
+            "nbr_id": pa.array([], pa.int64()),
+            "dot": pa.array([], pa.int64()),
+        }
+    )
+
     def topk(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return _empty
         cids, cmat = ray.get(ref)
+        # a corpus of N vectors has at most N-1 non-self neighbours per row;
+        # clamp so tiny inputs degrade like the oracle instead of crashing
+        keff = min(_KNN_K, len(cids) - 1)
+        if keff <= 0:
+            return _empty
         ids, mat = quant(b)
         dots = mat @ cmat.T  # (B, N) integer milli^2 products
         # exclude self: composite key orders (dot DESC, id ASC)
@@ -240,14 +256,14 @@ def q_knn_graph(sf_dir: str):
         # min+1, not min: argsort(-key) negates, and -int64.min WRAPS back
         # to int64.min — the masked self row would sort FIRST instead of last
         key[self_mask] = np.iinfo(np.int64).min + 1
-        order = np.argsort(-key, axis=1, kind="stable")[:, :_KNN_K]
-        rows = np.repeat(ids, _KNN_K)
+        order = np.argsort(-key, axis=1, kind="stable")[:, :keff]
+        rows = np.repeat(ids, keff)
         nbrs = cids[order].reshape(-1)
         dsel = np.take_along_axis(dots, order, axis=1).reshape(-1)
         return pa.table(
             {
                 "vec_id": pa.array(rows),
-                "rnk": pa.array(np.tile(np.arange(1, _KNN_K + 1, dtype=np.int64), len(ids))),
+                "rnk": pa.array(np.tile(np.arange(1, keff + 1, dtype=np.int64), len(ids))),
                 "nbr_id": pa.array(nbrs),
                 "dot": pa.array(dsel),
             }

@@ -409,7 +409,20 @@ def q_resample(sf_dir: str):
     ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
     parted = with_partition_key(ev, ["user_id"])
 
+    _empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "slot_us": pa.array([], pa.int64()),
+            "value_cents": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+        }
+    )
+
     def fill(df: pd.DataFrame) -> pa.Table:
+        # empty-frame guard BEFORE the segment loop: the loop's zip would
+        # otherwise produce one (0, 0) segment and dereference t[0]
+        if df.empty:
+            return _empty
         df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         ts_us = df["ts"].astype("int64").to_numpy()
         cents = np.round(df["value"].to_numpy() * 100).astype(np.int64)
@@ -428,15 +441,6 @@ def q_resample(sf_dir: str):
             cnts.append(np.bincount((t - grid[0]) // HOUR, minlength=len(grid)).astype(np.int64))
             slots.append(grid)
             uids.append(np.full(len(grid), uvals[lo], np.int64))
-        if not uids:
-            return pa.table(
-                {
-                    "user_id": pa.array([], pa.int64()),
-                    "slot_us": pa.array([], pa.int64()),
-                    "value_cents": pa.array([], pa.int64()),
-                    "n_events": pa.array([], pa.int64()),
-                }
-            )
         return pa.table(
             {
                 "user_id": pa.array(np.concatenate(uids)),

@@ -1669,10 +1669,12 @@ def q_benford(sf_dir: str):
     orders = _read(sf_dir, "orders", ["o_totalprice"])
 
     def partial(b: pa.Table) -> pa.Table:
-        cents = np.round(
-            b["o_totalprice"].combine_chunks().to_numpy(zero_copy_only=False) * 100
-        ).astype(np.int64)
-        cents = cents[cents > 0]
+        raw = b["o_totalprice"].combine_chunks().to_numpy(zero_copy_only=False)
+        # filter on the RAW value like the oracle's WHERE o_totalprice > 0 —
+        # a price in (0, 0.005) rounds to 0 cents but must still count in the
+        # denominator, and its digit string is "0" handled below
+        raw = raw[raw > 0]
+        cents = np.round(raw * 100).astype(np.int64)
         digit = cents.copy()
         while (digit >= 10).any():
             digit[digit >= 10] //= 10

@@ -1121,8 +1121,17 @@ def dedup_tiles(
 
 # per-worker-process cache for the prefix-jaccard verify index: plain map
 # tasks reuse worker processes, so a module-level slot gives actor-style
-# build-once reuse without paying actor-pool startup
+# build-once reuse without paying actor-pool startup.  BOUNDED: one slot
+# per family ("df" frame / "idx" verify index) — inserting a new ref evicts
+# the family's previous entry, so repeated executions in one long-lived
+# session (bench loops, budget-path re-runs) cannot grow worker memory.
 _PJ_INDEX_CACHE: dict = {}
+
+
+def _pj_cache_put(family: str, key: tuple, value):
+    for stale in [k for k in _PJ_INDEX_CACHE if k[0] == family and k != key]:
+        del _PJ_INDEX_CACHE[stale]
+    _PJ_INDEX_CACHE[key] = value
 
 
 def prefix_jaccard_pairs(
@@ -1228,7 +1237,7 @@ def prefix_jaccard_pairs(
             dtab = _PJ_INDEX_CACHE.get(key)
             if dtab is None:
                 dtab = ray.get(dfref).to_pandas()
-                _PJ_INDEX_CACHE[key] = dtab
+                _pj_cache_put("df", key, dtab)
             return _mark(g.merge(dtab, on="token", how="left", sort=False))
 
         prefix = rows.map_batches(prefix_batch, batch_format="pyarrow")
@@ -1347,10 +1356,9 @@ def prefix_jaccard_pairs(
                 offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
                 order = np.argsort(did, kind="stable")
                 got = (did[order], offs[:-1][order], (offs[1:] - offs[:-1])[order], flat)
-                # no eviction: the df frame and verify index of ONE query
-                # coexist in a streaming run; both are bounded and worker
-                # processes are short-lived relative to the session
-                cache[key] = got
+                # the df frame and verify index of ONE query coexist in a
+                # streaming run; _pj_cache_put keeps exactly one per family
+                _pj_cache_put("idx", key, got)
             return got
 
         def verify_bcast(b: pa.Table) -> pa.Table:

@@ -509,3 +509,27 @@ def test_katz_overflow_guard_raises():
         katz_rounds(
             edges, src="a", dst="b", rounds=2, alpha_milli=10**15
         ).take_all()
+
+
+def test_knn_graph_tiny_corpus_clamps_k(tmp_path):
+    """A corpus with N-1 < K must degrade to min(K, N-1) neighbours per
+    vector (like the SQL oracle's ROW_NUMBER <= K) instead of crashing on
+    mismatched column lengths (round-5 ADVICE fix)."""
+    import pyarrow.parquet as pq
+
+    from ontoea_ray.queries import QUERIES
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((2, 64))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(2, dtype=np.int64)),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(vecs.reshape(-1), pa.float64()), 64
+            ),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+    out = pa.Table.from_pylist(QUERIES["q_knn_graph"](str(tmp_path)).take_all())
+    got = {(r["vec_id"], r["rnk"], r["nbr_id"]) for r in out.to_pylist()}
+    assert got == {(0, 1, 1), (1, 1, 0)}
