@@ -397,6 +397,168 @@ GROUP BY 1
 """
 
 
+def _ivf_sqdist(dim: int):
+    """Integer squared-Euclidean list expression factory for dim-wide qv/cv."""
+    rng = f"range(1, {dim + 1})"
+
+    def sqdist(qv: str, cv: str) -> str:
+        return f"list_sum([({qv}[i] - {cv}[i]) * ({qv}[i] - {cv}[i]) FOR i IN {rng}])"
+
+    return sqdist
+
+
+def _ivf_training_ctes(
+    *,
+    source: str,
+    n_centroids: int,
+    dim: int,
+    iters: int,
+    scale: int,
+    sample_size: int,
+) -> str:
+    """The shared integer-k-means training chain (mirrors
+    ``stages.ann.train_centroids_integer`` + the final full-corpus
+    assignment): CTEs ``qall`` (every row's quantized vector + hash rank),
+    ``cent{iters}`` (trained centroids) and ``finalasg`` (vec_id -> home
+    cid, ties to lowest cid).  Every step is integer-exact and
+    order-independent, so the centroids come out bit-identical to the
+    engine's.  Used by :func:`ann_ivf_topk_sql` and
+    :func:`knn_graph_bucketed_sql`."""
+    rng = f"range(1, {dim + 1})"
+    sqdist = _ivf_sqdist(dim)
+    parts = [f"WITH {splitmix64_ctes(source, 'vec_id')},"]
+    parts.append(f"""
+  hord AS (SELECT vec_id, embedding,
+                  ROW_NUMBER() OVER (ORDER BY _h ASC, vec_id ASC) AS hrank
+           FROM sm3),
+  qall AS MATERIALIZED (SELECT vec_id, hrank,
+                  [CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {scale}) AS BIGINT)
+                   FOR i IN {rng}] AS qv
+           FROM hord),
+  train AS MATERIALIZED (SELECT * FROM qall WHERE hrank <= {sample_size}),
+  cent0 AS (SELECT hrank - 1 AS cid, qv AS cv FROM train WHERE hrank <= {n_centroids}),""")
+    for t in range(iters):
+        parts.append(f"""
+  best{t} AS (
+    SELECT vec_id, cid, qv FROM (
+      SELECT train.vec_id, c.cid, train.qv,
+             ROW_NUMBER() OVER (PARTITION BY train.vec_id
+                                ORDER BY {sqdist('train.qv', 'c.cv')} ASC, c.cid ASC) AS rn
+      FROM train CROSS JOIN cent{t} c)
+    WHERE rn = 1),
+  upd{t} AS (
+    SELECT cid, u.i AS d,
+           CAST(FLOOR(CAST(SUM(qv[u.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cval
+    FROM best{t}, UNNEST({rng}) AS u(i)
+    GROUP BY cid, u.i),
+  cent{t + 1} AS MATERIALIZED (
+    SELECT c.cid, COALESCE(n.cv, c.cv) AS cv
+    FROM cent{t} c
+    LEFT JOIN (SELECT cid, list(cval ORDER BY d) AS cv FROM upd{t} GROUP BY cid) n
+      USING (cid)),""")
+    parts.append(f"""
+  finalasg AS MATERIALIZED (
+    SELECT vec_id, cid FROM (
+      SELECT qall.vec_id, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY qall.vec_id
+                                ORDER BY {sqdist('qall.qv', 'c.cv')} ASC, c.cid ASC) AS rn
+      FROM qall CROSS JOIN cent{iters} c)
+    WHERE rn = 1),""")
+    return "\n".join(parts)
+
+
+def knn_graph_bucketed_sql(
+    *,
+    k: int = 3,
+    n_centroids: int = 16,
+    dim: int = 64,
+    iters: int = 4,
+    scale: int = 1000,
+    nprobe: int = 4,
+    work_list: int = 10,
+    refine_rounds: int = 2,
+    degree_cap: int = 64,
+    sample_size: int = 20_000,
+    source: str = "embeddings",
+) -> str:
+    """FULL value oracle for ``stages.ann.knn_graph_bucketed`` (as driven
+    by q_knn_graph_bucketed): re-trains the integer coarse quantizer
+    (:func:`_ivf_training_ctes`), replays every vector's home list and
+    ``nprobe`` probe lists and the SEED pair enumeration (candidate's
+    home list IN query's probes, self excluded, top ``work_list`` per
+    vector), then unrolls the ``refine_rounds`` NN-descent rounds — the
+    undirected (uncapped) neighbour pairs UNION the shared-vertex local
+    join over each vertex's ``degree_cap`` lowest-id undirected
+    neighbours, rescored by the integer milli dot and cut back to the
+    top ``work_list`` — and finally emits rnk <= k.  There is NO float
+    step anywhere, so every output column hash-matches bit-for-bit —
+    the approximation is vs the exact kNN graph (recall pinned in
+    pytest), not nondeterminism."""
+    sqdist = _ivf_sqdist(dim)
+    rng = f"range(1, {dim + 1})"
+    L = max(work_list, k)
+    train = _ivf_training_ctes(
+        source=source, n_centroids=n_centroids, dim=dim, iters=iters,
+        scale=scale, sample_size=sample_size,
+    )
+    parts = [f"""{train}
+  probes AS (
+    SELECT vec_id, cid FROM (
+      SELECT q.vec_id, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                ORDER BY {sqdist('q.qv', 'c.cv')} ASC, c.cid ASC) AS rn
+      FROM qall q CROSS JOIN cent{iters} c)
+    WHERE rn <= {nprobe}),
+  pairs AS (
+    SELECT q.vec_id AS vec_id, n.vec_id AS nbr_id,
+           CAST(list_sum([q.qv[i] * n.qv[i] FOR i IN {rng}]) AS BIGINT) AS dot
+    FROM qall q
+    JOIN probes p ON p.vec_id = q.vec_id
+    JOIN finalasg f ON f.cid = p.cid AND f.vec_id <> q.vec_id
+    JOIN qall n ON n.vec_id = f.vec_id),
+  e0 AS MATERIALIZED (
+    SELECT vec_id, nbr_id, dot FROM (
+      SELECT vec_id, nbr_id, dot,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY dot DESC, nbr_id ASC) AS rn
+      FROM pairs)
+    WHERE rn <= {L}),"""]
+    for r in range(refine_rounds):
+        parts.append(f"""
+  und{r} AS MATERIALIZED (SELECT vec_id AS x, nbr_id AS s FROM e{r}
+             UNION SELECT nbr_id, vec_id FROM e{r}),
+  undc{r} AS MATERIALIZED (SELECT x, s FROM (
+      SELECT x, s, ROW_NUMBER() OVER (PARTITION BY x ORDER BY s ASC) AS rn
+      FROM und{r})
+    WHERE rn <= {degree_cap}),
+  cand{r} AS MATERIALIZED (
+    SELECT DISTINCT a.s AS vec_id, b.s AS nbr_id
+    FROM undc{r} a JOIN undc{r} b ON a.x = b.x AND a.s <> b.s
+    UNION SELECT x, s FROM und{r}),
+  sc{r} AS MATERIALIZED (
+    SELECT c.vec_id, c.nbr_id,
+           CAST(list_sum([q.qv[i] * n.qv[i] FOR i IN {rng}]) AS BIGINT) AS dot
+    FROM cand{r} c
+    JOIN qall q ON q.vec_id = c.vec_id
+    JOIN qall n ON n.vec_id = c.nbr_id),
+  e{r + 1} AS MATERIALIZED (
+    SELECT vec_id, nbr_id, dot FROM (
+      SELECT vec_id, nbr_id, dot,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY dot DESC, nbr_id ASC) AS rn
+      FROM sc{r})
+    WHERE rn <= {L}),""")
+    parts.append(f"""
+  ranked AS (
+    SELECT vec_id, nbr_id, dot,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dot DESC, nbr_id ASC) AS rnk
+    FROM e{refine_rounds})
+SELECT vec_id, CAST(rnk AS BIGINT) AS rnk, nbr_id, dot
+FROM ranked WHERE rnk <= {k}""")
+    return "\n".join(parts)
+
+
 def ann_ivf_topk_sql(
     *,
     k: int = 10,
@@ -430,48 +592,14 @@ def ann_ivf_topk_sql(
     the same DuckDB-vs-numpy float64 dot-product caveat as
     :func:`ann_lsh_topk_sql`, validated empirically per sf."""
     rng = f"range(1, {dim + 1})"
-
-    def sqdist(qv: str, cv: str) -> str:
-        return f"list_sum([({qv}[i] - {cv}[i]) * ({qv}[i] - {cv}[i]) FOR i IN {rng}])"
-
-    parts = [f"WITH {splitmix64_ctes(source, 'vec_id')},"]
+    sqdist = _ivf_sqdist(dim)
+    parts = [
+        _ivf_training_ctes(
+            source=source, n_centroids=n_centroids, dim=dim, iters=iters,
+            scale=scale, sample_size=sample_size,
+        )
+    ]
     parts.append(f"""
-  hord AS (SELECT vec_id, embedding,
-                  ROW_NUMBER() OVER (ORDER BY _h ASC, vec_id ASC) AS hrank
-           FROM sm3),
-  qall AS (SELECT vec_id, hrank,
-                  [CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {scale}) AS BIGINT)
-                   FOR i IN {rng}] AS qv
-           FROM hord),
-  train AS (SELECT * FROM qall WHERE hrank <= {sample_size}),
-  cent0 AS (SELECT hrank - 1 AS cid, qv AS cv FROM train WHERE hrank <= {n_centroids}),""")
-    for t in range(iters):
-        parts.append(f"""
-  best{t} AS (
-    SELECT vec_id, cid, qv FROM (
-      SELECT train.vec_id, c.cid, train.qv,
-             ROW_NUMBER() OVER (PARTITION BY train.vec_id
-                                ORDER BY {sqdist('train.qv', 'c.cv')} ASC, c.cid ASC) AS rn
-      FROM train CROSS JOIN cent{t} c)
-    WHERE rn = 1),
-  upd{t} AS (
-    SELECT cid, u.i AS d,
-           CAST(FLOOR(CAST(SUM(qv[u.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cval
-    FROM best{t}, UNNEST({rng}) AS u(i)
-    GROUP BY cid, u.i),
-  cent{t + 1} AS (
-    SELECT c.cid, COALESCE(n.cv, c.cv) AS cv
-    FROM cent{t} c
-    LEFT JOIN (SELECT cid, list(cval ORDER BY d) AS cv FROM upd{t} GROUP BY cid) n
-      USING (cid)),""")
-    parts.append(f"""
-  finalasg AS (
-    SELECT vec_id, cid FROM (
-      SELECT qall.vec_id, c.cid,
-             ROW_NUMBER() OVER (PARTITION BY qall.vec_id
-                                ORDER BY {sqdist('qall.qv', 'c.cv')} ASC, c.cid ASC) AS rn
-      FROM qall CROSS JOIN cent{iters} c)
-    WHERE rn = 1),
   qvec AS (SELECT qv FROM qall WHERE vec_id = {query_vec_id}),
   probes AS (
     SELECT cid FROM (

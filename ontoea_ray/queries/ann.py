@@ -218,8 +218,9 @@ def q_knn_graph(sf_dir: str):
     _, tref = assemble_table_ref(emb)
     if tref is None:
         raise ValueError(
-            "q_knn_graph: embeddings exceed the broadcast budget; build the "
-            "kNN graph per LSH/IVF bucket instead (stages/ann.py)"
+            "q_knn_graph: embeddings exceed the broadcast budget; use the "
+            "bucketed scale path instead: stages.ann.knn_graph_bucketed "
+            "(registered as q_knn_graph_bucketed)"
         )
 
     @ray.remote
@@ -270,3 +271,35 @@ def q_knn_graph(sf_dir: str):
         )
 
     return emb.map_batches(topk, batch_format="pyarrow")
+
+
+from ontoea_ray.functions.lsh_sql import knn_graph_bucketed_sql
+
+
+@_register(
+    "q_knn_graph_bucketed",
+    knn_graph_bucketed_sql(k=_KNN_K, n_centroids=16, dim=_KNN_DIM, iters=4,
+                           scale=1000, nprobe=4),
+)
+def q_knn_graph_bucketed(sf_dir: str):
+    """The BUCKETED kNN-graph — the 100 TB scale path the exact
+    ``q_knn_graph`` fails fast toward past its broadcast budget: an
+    integer-k-means coarse quantizer (bounded sample, SQL-replayable)
+    SEEDS each vector's working list from its nprobe closest lists
+    (per-bucket integer composite-key kernel — seed work N * list_size
+    * nprobe, linear at fixed list size), then NN-descent local-join
+    rounds (Dong et al. WWW'11; vectors travel with the edges, hub
+    groups capped at degree_cap lowest ids) refine the lists at
+    O(N * work_list^2) per round before the final top-{_KNN_K} cut.
+    Pruned-work + recall-vs-exact assertions pinned in pytest.
+
+    Full value oracle: DuckDB re-trains the quantizer and replays the
+    probe sets, the seed pairs, every NN-descent round and every
+    integer dot and tie — bit-for-bit
+    (`functions.lsh_sql.knn_graph_bucketed_sql`)."""
+    from ontoea_ray.stages.ann import knn_graph_bucketed
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return knn_graph_bucketed(
+        emb, k=_KNN_K, n_centroids=16, iters=4, scale=1000, nprobe=4
+    )

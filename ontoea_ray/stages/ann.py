@@ -970,6 +970,317 @@ def ivf_index_topk(
     return out
 
 
+def knn_graph_bucketed(
+    embeddings: ray.data.Dataset,
+    *,
+    k: int = 3,
+    n_centroids: int = 16,
+    iters: int = 4,
+    scale: int = 1000,
+    nprobe: int = 4,
+    work_list: int = 10,
+    refine_rounds: int = 2,
+    degree_cap: int = 64,
+    sample_size: int = 20_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    id_bits: int = 21,
+    return_stats: bool = False,
+):
+    """kNN-graph construction at corpus scale — the path the exact
+    all-pairs ``q_knn_graph`` fails fast toward past its broadcast budget
+    (the serving structure behind HNSW/NSG index builds and semantic-dedup
+    clustering).  Two phases, both integer-exact and SQL-replayable:
+
+    SEED (IVF-bucketed, pruned-quadratic): train the integer k-means
+    coarse quantizer on a BOUNDED sample (:func:`train_centroids_integer`
+    — driver state is O(n_centroids x dim) ints); one corpus pass assigns
+    every vector a home list (integer argmin, ties -> lowest cid) and its
+    ``nprobe`` closest probe lists, exploding into nprobe (list, id, qv)
+    rows — home rows double as CANDIDATES, all rows are QUERIES in their
+    probed lists.  One list-keyed exchange; per bucket the integer
+    composite-key kernel ((dot << id_bits) | ~id — dot DESC, id ASC)
+    takes each query's top candidates in one matmul.  Seed work =
+    sum_b |queries_b| x |candidates_b| ~ N^2 * nprobe / n_centroids —
+    size n_centroids ~ N / list_size so this is N * list_size * nprobe,
+    LINEAR in N at fixed list size.
+
+    REFINE (NN-descent local joins, Dong et al. WWW'11): each vector
+    keeps a working list of ``work_list`` >= k best neighbours; per round
+    the undirected edge set is partitioned by SHARED VERTEX (each
+    endpoint's quantized vector travels WITH the edge — the standard
+    distributed NN-descent shape), every group emits all ordered pairs of
+    its <= ``degree_cap`` lowest-id members with their integer dot
+    computed in-group, and a vec-keyed reduce merges new pairs with the
+    previous lists (distinct, top-``work_list`` by dot DESC, id ASC).
+    Round work is O(N * (2*work_list)^2) — linear in N, independent of
+    corpus size per vector.  ``degree_cap`` bounds hub blowup with a
+    deterministic lowest-id rule the oracle replays.
+
+    Output: global top-k from the final working lists —
+    (vec_id, rnk, nbr_id, dot), same schema as the exact operator;
+    recall vs the exact graph is pinned in pytest, precision is exact
+    (every edge carries its true integer dot, and the full chain is
+    bit-replayed by `functions.lsh_sql.knn_graph_bucketed_sql`).
+
+    ``return_stats=True`` additionally returns ``{"seed_pairs": ...,
+    "exact_pairs": ..., "n_vectors": ..., "list_sizes": {...},
+    "refine_pairs_per_round": [...]}`` — the pruned-work evidence
+    (seed_pairs << exact_pairs; refine pairs ~ C * N)."""
+    import pandas as pd
+
+    from ontoea_ray.functions.shuffle import with_partition_key
+
+    L = max(work_list, k)
+    cent = train_centroids_integer(
+        embeddings, n_centroids=n_centroids, iters=iters, scale=scale,
+        sample_size=sample_size, id_col=id_col, vec_col=vec_col,
+    )
+    npr = min(nprobe, cent.shape[0])
+    cent_ref = ray.put(cent)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        ids = np.asarray(
+            batch[id_col].combine_chunks().to_numpy(zero_copy_only=False), np.int64
+        )
+        if len(ids):
+            assert int(ids.max()) < (1 << id_bits), "vec_id exceeds id_bits budget"
+        q = _quantize_int(_batch_vectors(batch, vec_col), scale)
+        dist = np.stack([((q - cc) ** 2).sum(axis=1) for cc in c], axis=1)
+        # stable argsort: equal distances keep ascending cid order — the
+        # same (dist ASC, cid ASC) tie-break the SQL oracle replays
+        probe = np.argsort(dist, axis=1, kind="stable")[:, :npr]
+        d = q.shape[1] if len(ids) else 0
+        reps = np.repeat(np.arange(len(ids)), npr)
+        return pa.table(
+            {
+                "list_id": pa.array(probe.reshape(-1).astype(np.int64)),
+                id_col: pa.array(ids[reps]),
+                "home": pa.array(np.tile(np.arange(npr) == 0, len(ids))),
+                "qv": pa.FixedSizeListArray.from_arrays(
+                    pa.array(q[reps].reshape(-1), pa.int64()), d
+                ),
+            }
+        )
+
+    exploded = embeddings.select_columns([id_col, vec_col]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+
+    stats = None
+    if return_stats:
+        from ray.data.aggregate import Count, Sum
+
+        def to_flags(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "list_id": b["list_id"],
+                    "is_home": b["home"].combine_chunks().cast(pa.int64()),
+                }
+            )
+
+        per_list = (
+            exploded.map_batches(to_flags, batch_format="pyarrow")
+            .groupby("list_id")
+            .aggregate(Count(alias_name="nq"), Sum("is_home", alias_name="nc"))
+            .take_all()
+        )  # <= n_centroids rows: constant driver state
+        work = sum(int(r["nq"]) * int(r["nc"]) for r in per_list)
+        n = sum(int(r["nc"]) for r in per_list)
+        stats = {
+            "seed_pairs": work,
+            "exact_pairs": n * max(n - 1, 0),
+            "n_vectors": n,
+            "list_sizes": {int(r["list_id"]): int(r["nc"]) for r in per_list},
+            "refine_pairs_per_round": [],
+        }
+
+    parted = with_partition_key(exploded, ["list_id"])
+    sentinel = np.iinfo(np.int64).min + 1
+
+    def _lst(mat: np.ndarray) -> pa.ListArray:
+        # plain list<int64> (NOT FixedSizeList): the type is width-free, so
+        # empty partitions concat cleanly with d-wide ones
+        n = len(mat)
+        d = mat.shape[1] if n else 0
+        offs = np.arange(0, (n + 1) * d, d, dtype=np.int64) if n else np.zeros(1, np.int64)
+        return pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()), pa.array(mat.reshape(-1), pa.int64())
+        )
+
+    def _edge_table(vids, nbrs, dots, vmat, nmat) -> pa.Table:
+        return pa.table(
+            {
+                id_col: pa.array(np.asarray(vids, np.int64)),
+                "nbr_id": pa.array(np.asarray(nbrs, np.int64)),
+                "dot": pa.array(np.asarray(dots, np.int64)),
+                "qv_v": _lst(vmat),
+                "qv_n": _lst(nmat),
+            }
+        )
+
+    _Z = np.zeros((0, 0), np.int64)
+    _EMPTY_EDGES = _edge_table(
+        np.array([], np.int64), np.array([], np.int64), np.array([], np.int64), _Z, _Z
+    )
+
+    def bucket_topk(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return _EMPTY_EDGES
+        outs = []
+        for _, g in df.groupby("list_id", sort=False):
+            cand = g[g["home"].to_numpy(bool)]
+            if len(cand) == 0:
+                continue
+            cids = cand[id_col].to_numpy(np.int64)
+            cmat = np.stack(cand["qv"].to_numpy())
+            qids = g[id_col].to_numpy(np.int64)
+            qmat = np.stack(g["qv"].to_numpy())
+            dots = qmat @ cmat.T
+            key = dots * (1 << id_bits) + ((1 << id_bits) - 1 - cids)[None, :]
+            key[qids[:, None] == cids[None, :]] = sentinel
+            # top (L+1) within the bucket is enough: the global reduce
+            # re-ranks, so only >= L non-self survivors per query matter
+            kk = min(L + 1, len(cids))
+            order = np.argsort(-key, axis=1, kind="stable")[:, :kk]
+            sel_key = np.take_along_axis(key, order, axis=1).reshape(-1)
+            rows = np.repeat(np.arange(len(qids)), kk)
+            cols = order.reshape(-1)
+            keep = sel_key != sentinel
+            rows, cols = rows[keep], cols[keep]
+            outs.append(
+                _edge_table(
+                    qids[rows], cids[cols], dots[rows, cols], qmat[rows], cmat[cols]
+                )
+            )
+        if not outs:
+            return _EMPTY_EDGES
+        return pa.concat_tables(outs)
+
+    def reduce_list(df: pd.DataFrame) -> pa.Table:
+        """Per-vector merge: distinct neighbours, top-L by (dot DESC, id ASC)."""
+        if df.empty:
+            return _EMPTY_EDGES
+        df = df.sort_values(
+            [id_col, "dot", "nbr_id"], ascending=[True, False, True], kind="mergesort"
+        )
+        df = df.drop_duplicates([id_col, "nbr_id"])
+        df = df.groupby(id_col, sort=False).head(L).reset_index(drop=True)
+        return _edge_table(
+            df[id_col].to_numpy(np.int64),
+            df["nbr_id"].to_numpy(np.int64),
+            df["dot"].to_numpy(np.int64),
+            np.stack(df["qv_v"].to_numpy()),
+            np.stack(df["qv_n"].to_numpy()),
+        )
+
+    seeded = parted.groupby("pkey").map_groups(bucket_topk, batch_format="pandas")
+    edges = (
+        with_partition_key(seeded, [id_col])
+        .groupby("pkey")
+        .map_groups(reduce_list, batch_format="pandas")
+    )
+
+    def local_join(df: pd.DataFrame) -> pa.Table:
+        """Per shared-vertex group: all ordered pairs of the <= degree_cap
+        lowest-id members, dots computed in-group from the carried qv."""
+        if df.empty:
+            return _EMPTY_EDGES
+        outs = []
+        for _, g in df.groupby("x", sort=False):
+            g = g.drop_duplicates("s").sort_values("s", kind="mergesort")
+            if len(g) > degree_cap:
+                g = g.head(degree_cap)
+            if len(g) < 2:
+                continue
+            sids = g["s"].to_numpy(np.int64)
+            smat = np.stack(g["qv_s"].to_numpy())
+            dots = smat @ smat.T
+            n = len(sids)
+            ii, jj = np.nonzero(~np.eye(n, dtype=bool))
+            outs.append(
+                _edge_table(sids[ii], sids[jj], dots[ii, jj], smat[ii], smat[jj])
+            )
+        if not outs:
+            return _EMPTY_EDGES
+        return pa.concat_tables(outs)
+
+    for _ in range(refine_rounds):
+        edges = edges.materialize()  # consumed three times per round
+
+        def to_und(b: pa.Table) -> pa.Table:
+            # both directions: each row contributes its NEIGHBOUR's vector
+            # to the shared-vertex group (vectors travel with the edge)
+            return pa.table(
+                {
+                    "x": pa.concat_arrays(
+                        [b[id_col].combine_chunks(), b["nbr_id"].combine_chunks()]
+                    ),
+                    "s": pa.concat_arrays(
+                        [b["nbr_id"].combine_chunks(), b[id_col].combine_chunks()]
+                    ),
+                    "qv_s": pa.concat_arrays(
+                        [b["qv_n"].combine_chunks(), b["qv_v"].combine_chunks()]
+                    ),
+                }
+            )
+
+        und = edges.map_batches(to_und, batch_format="pyarrow")
+        joined = (
+            with_partition_key(und, ["x"])
+            .groupby("pkey")
+            .map_groups(local_join, batch_format="pandas")
+        )
+
+        def to_rev(b: pa.Table) -> pa.Table:
+            # reversed edges as candidates (dot is symmetric)
+            return pa.table(
+                {
+                    id_col: b["nbr_id"],
+                    "nbr_id": b[id_col],
+                    "dot": b["dot"],
+                    "qv_v": b["qv_n"],
+                    "qv_n": b["qv_v"],
+                }
+            )
+
+        cand = edges.union(
+            edges.map_batches(to_rev, batch_format="pyarrow"), joined
+        )
+        if return_stats:
+            stats["refine_pairs_per_round"].append(cand.count())
+        edges = (
+            with_partition_key(cand, [id_col])
+            .groupby("pkey")
+            .map_groups(reduce_list, batch_format="pandas")
+        )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype=np.int64),
+                    "rnk": pd.Series([], dtype=np.int64),
+                    "nbr_id": pd.Series([], dtype=np.int64),
+                    "dot": pd.Series([], dtype=np.int64),
+                }
+            )
+        df = df.sort_values(
+            [id_col, "dot", "nbr_id"], ascending=[True, False, True], kind="mergesort"
+        )
+        df = df.groupby(id_col, sort=False).head(k).reset_index(drop=True)
+        df["rnk"] = (df.groupby(id_col, sort=False).cumcount() + 1).astype(np.int64)
+        return df[[id_col, "rnk", "nbr_id", "dot"]]
+
+    out = (
+        with_partition_key(edges.drop_columns(["qv_v", "qv_n"]), [id_col])
+        .groupby("pkey")
+        .map_groups(finish, batch_format="pandas")
+    )
+    return (out, stats) if return_stats else out
+
+
 def centroid_assign(
     embeddings: ray.data.Dataset,
     centroids: np.ndarray,
