@@ -647,27 +647,94 @@ def build_pq_index(
     )
     dsub = books.shape[2]
     books_ref = ray.put(books)
+    encode = _pq_encoder(books_ref, m, dsub, scale, id_col, vec_col)
+
+    os.makedirs(index_dir, exist_ok=True)
+    embeddings.map_batches(encode, batch_format="pyarrow").write_parquet(index_dir)
+    # build-time distortion baseline for upsert drift detection: one
+    # column-pruned streaming pass over the just-written code table
+    mean_qerr = ray.data.read_parquet(index_dir, columns=["qerr"]).mean("qerr")
+    np.save(os.path.join(index_dir, "_codebooks.npy"), books)
+    meta = {
+        "kind": "pq", "m": m, "ksub": int(books.shape[1]), "dsub": int(dsub),
+        "scale": scale, "id_col": id_col, "vec_col": vec_col,
+        "mean_qerr": float(mean_qerr) if mean_qerr is not None else None,
+    }
+    with open(os.path.join(index_dir, "_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def _pq_encoder(books_ref, m: int, dsub: int, scale: int, id_col: str, vec_col: str):
+    """Shared PQ encode kernel: codes + the row's integer quantization
+    error (``qerr`` — sum over subspaces of the assigned code's squared
+    distance).  ``qerr`` rides in the code table as one extra int64 column
+    (queries column-prune it away); its mean is the distortion signal the
+    upsert drift check compares against the build baseline."""
 
     def encode(batch: pa.Table) -> pa.Table:
         bk = ray.get(books_ref)
         q = _quantize_int(_batch_vectors(batch, vec_col), scale)
         cols = {id_col: batch[id_col].combine_chunks().cast(pa.int64())}
+        err = np.zeros(len(batch), np.int64)
         for s in range(m):
             sub = q[:, s * dsub : (s + 1) * dsub]
             dist = ((sub[:, None, :] - bk[s][None, :, :]) ** 2).sum(axis=2)
-            cols[f"code_{s}"] = pa.array(np.argmin(dist, axis=1).astype(np.int64))
+            code = np.argmin(dist, axis=1)
+            err += dist[np.arange(len(code)), code]
+            cols[f"code_{s}"] = pa.array(code.astype(np.int64))
+        cols["qerr"] = pa.array(err)
         return pa.table(cols)
 
-    os.makedirs(index_dir, exist_ok=True)
-    embeddings.map_batches(encode, batch_format="pyarrow").write_parquet(index_dir)
-    np.save(os.path.join(index_dir, "_codebooks.npy"), books)
-    meta = {
-        "kind": "pq", "m": m, "ksub": int(books.shape[1]), "dsub": int(dsub),
-        "scale": scale, "id_col": id_col, "vec_col": vec_col,
+    return encode
+
+
+def pq_index_upsert(
+    embeddings: ray.data.Dataset,
+    index_dir: str,
+    *,
+    drift_threshold: float = 1.5,
+) -> dict:
+    """Incremental INSERT into a :func:`build_pq_index` directory — the PQ
+    twin of :func:`lsh_index_upsert` / :func:`ivf_index_upsert`: the
+    increment is encoded with the PERSISTED codebooks (never re-trained,
+    so codes stay comparable across generations) and appended as new
+    parquet files in the same directory; queries see old + new rows with
+    no index rewrite.  Append-only semantics, as for LSH/IVF.
+
+    Drift check (the rebuild trigger FAISS-style PQ maintenance needs):
+    the increment's mean integer quantization error is compared against
+    the build-time baseline recorded in ``_meta.json`` — codebooks frozen
+    at build slowly stop fitting a drifting feed, and rising distortion
+    is the signal.  Returns meta + ``n_added``, ``inc_mean_qerr``,
+    ``drift`` (ratio vs baseline, None for pre-baseline indexes) and
+    ``rebuild_recommended`` (drift > ``drift_threshold``).  The increment
+    is materialized once to compute its distortion — increment-sized by
+    assumption, never corpus-sized."""
+    with open(os.path.join(index_dir, "_meta.json")) as f:
+        meta = json.load(f)
+    books = np.load(os.path.join(index_dir, "_codebooks.npy"))
+    m, dsub, scale = meta["m"], meta["dsub"], meta["scale"]
+    books_ref = ray.put(books)
+    encode = _pq_encoder(books_ref, m, dsub, scale, meta["id_col"], meta["vec_col"])
+
+    coded = embeddings.map_batches(encode, batch_format="pyarrow").materialize()
+    n_added = coded.count()
+    inc_mean = coded.mean("qerr") if n_added else None
+    coded.write_parquet(index_dir)
+    base = meta.get("mean_qerr")
+    drift = (
+        float(inc_mean) / float(base)
+        if inc_mean is not None and base
+        else None
+    )
+    return {
+        **meta,
+        "n_added": n_added,
+        "inc_mean_qerr": float(inc_mean) if inc_mean is not None else None,
+        "drift": drift,
+        "rebuild_recommended": bool(drift is not None and drift > drift_threshold),
     }
-    with open(os.path.join(index_dir, "_meta.json"), "w") as f:
-        json.dump(meta, f)
-    return meta
 
 
 def pq_index_topk(

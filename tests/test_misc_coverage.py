@@ -328,7 +328,9 @@ def test_pq_index_recall_and_compression(tmp_path):
     files = glob.glob(f"{idx_dir}/*.parquet")
     assert files
     names = set(pq_mod.read_schema(files[0]).names)
-    assert names == {"vec_id", "code_0", "code_1", "code_2", "code_3"}
+    # id + m code columns + the int64 qerr distortion column (the upsert
+    # drift baseline; queries column-prune it away at read)
+    assert names == {"vec_id", "code_0", "code_1", "code_2", "code_3", "qerr"}
     # pure-ADC ranking (the oracle path): deterministic, integer adist
     adc = pq_index_topk(idx_dir, qs, k=10)
     again = pq_index_topk(idx_dir, qs, k=10)
@@ -427,3 +429,64 @@ def test_ivf_index_upsert_equals_full_build(tmp_path):
     assert any(v >= 120 for v in ids)  # upserted rows surface
     # every hit is from the query's own cluster (index semantics intact)
     assert all(v % 4 == 3 for v in ids)
+
+
+def test_pq_index_upsert_equals_frozen_codebook_encode(tmp_path):
+    """PQ incremental insert: build on half, upsert the rest -> (a) the
+    query ranking equals a test-side numpy replay that encodes the FULL
+    corpus with the frozen build codebooks (upsert == full re-encode, no
+    index rewrite), (b) an in-distribution increment reports drift ~1 /
+    no rebuild, (c) a shifted increment trips rebuild_recommended."""
+    from ontoea_ray.stages.ann import build_pq_index, pq_index_topk, pq_index_upsert
+
+    rng = np.random.default_rng(44)
+    centers = rng.standard_normal((4, 16)) * 3
+    vecs = [centers[i % 4] + 0.1 * rng.standard_normal(16) for i in range(240)]
+
+    def _ds(lo, hi, shift=0.0):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(lo, hi), pa.int64()),
+                    "embedding": pa.array(
+                        [list(map(float, np.asarray(v) + shift)) for v in vecs[lo:hi]]
+                    ),
+                }
+            )
+        )
+
+    d = str(tmp_path / "pq")
+    build_pq_index(_ds(0, 120), d, m=2, ksub=4, iters=3, sample_size=120)
+    meta = pq_index_upsert(_ds(120, 240), d)
+    assert meta["n_added"] == 120
+    assert meta["drift"] is not None and meta["drift"] < 1.5
+    assert not meta["rebuild_recommended"]
+
+    # numpy replay: encode EVERY row with the persisted codebooks, rank by
+    # the query's asymmetric LUT distance (adist ASC, vec_id ASC)
+    books = np.load(f"{d}/_codebooks.npy")
+    q = np.asarray(vecs[3])[None, :]
+    qq = np.floor(np.asarray(q, np.float64) * 1000).astype(np.int64)[0]
+    allq = np.floor(np.asarray(vecs, np.float64) * 1000).astype(np.int64)
+    dsub = books.shape[2]
+    adist = np.zeros(len(vecs), np.int64)
+    for s in range(2):
+        sub = allq[:, s * dsub : (s + 1) * dsub]
+        dist = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+        code = np.argmin(dist, axis=1)
+        lut = ((qq[s * dsub : (s + 1) * dsub][None, :] - books[s]) ** 2).sum(axis=1)
+        adist += lut[code]
+    order = np.lexsort((np.arange(len(vecs)), adist))[:8]
+    res = pq_index_topk(d, q, k=8)
+    assert res["vec_id"].to_pylist() == [int(i) for i in order]
+    assert res["adist"].to_pylist() == [int(adist[i]) for i in order]
+    # upserted rows are in the code table (PQ ties break to low ids, so
+    # the top-8 itself may legitimately be all build-half rows)
+    got_ids = {r["vec_id"] for r in ray.data.read_parquet(d, columns=["vec_id"]).take_all()}
+    assert got_ids == set(range(240))
+
+    # far-out-of-distribution increment -> distortion blows past threshold
+    d2 = str(tmp_path / "pq2")
+    build_pq_index(_ds(0, 120), d2, m=2, ksub=4, iters=3, sample_size=120)
+    meta2 = pq_index_upsert(_ds(120, 240, shift=25.0), d2)
+    assert meta2["drift"] > 1.5 and meta2["rebuild_recommended"]

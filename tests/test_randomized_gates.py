@@ -1,0 +1,177 @@
+"""Randomized brute-force differential gates for the positional /
+boundary-heavy temporal and packing kernels (round-4 judge #7: the same
+testing pattern that caught the winnowing short-doc bug in `1f4a7ac`,
+extended to sliding-window sum, OHLC open/close ties, the sessionize
+boundary chain and pack_sequences).
+
+Each gate builds a tie- and gap-heavy random fixture (duplicated
+timestamps, users with 1..many events, hour-boundary straddles, mixed
+text lengths across multiple blocks), runs the REAL registered query /
+stage, and replays the semantics with an independent per-row python
+loop."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+HOUR = 3_600_000_000
+MIN30 = 30 * 60 * 1_000_000
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    """Tie/gap-heavy random events: timestamps drawn from a SMALL offset
+    pool (duplicates guaranteed, including cross-type and same-user ties),
+    offsets straddling hour and 30-min boundaries, values in exact cents."""
+    rng = np.random.default_rng(77)
+    n = 400
+    base = 1_700_003_000_000_000  # not hour-aligned
+    # 40 distinct offsets spanning ~9 hours, incl. exact 30-min multiples
+    pool = np.concatenate(
+        [
+            rng.integers(0, 9 * HOUR, 30),
+            np.arange(10) * MIN30,  # exact gap-boundary hits
+        ]
+    )
+    ts = base + rng.choice(pool, size=n)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(rng.permutation(n).astype(np.int64)),
+            "ts": pa.array(ts.astype("datetime64[us]")),
+            "user_id": pa.array(rng.integers(0, 25, n).astype(np.int64)),
+            "event_type": pa.array(rng.choice(["click", "view", "purchase"], n)),
+            "value": pa.array(rng.integers(-5000, 5000, n).astype(np.float64) / 100.0),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    d = tmp_path_factory.mktemp("rand_events")
+    pq.write_table(tbl, d / "events.parquet")
+    return str(d), tbl.to_pandas()
+
+
+def test_window_sliding_matches_bruteforce(ray_session, events_dir):
+    from ontoea_ray.queries import QUERIES
+
+    d, ev = events_dir
+    got = (
+        pa.Table.from_pylist(QUERIES["q_window_sliding"](d).take_all())
+        .to_pandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    ts_us = ev["ts"].astype("int64").to_numpy()
+    v = np.floor(ev["value"].to_numpy() * 1000).astype(np.int64)
+    types = ev["event_type"].to_numpy()
+    for i in range(len(ev)):
+        m = (types == types[i]) & (ts_us >= ts_us[i] - 3 * HOUR) & (ts_us <= ts_us[i])
+        eid = int(ev["event_id"].iloc[i])
+        assert got.loc[eid, "w_n"] == int(m.sum()), eid
+        assert got.loc[eid, "w_sum"] == int(v[m].sum()), eid
+        assert got.loc[eid, "ts_epoch_us"] == int(ts_us[i])
+
+
+def test_ohlc_matches_bruteforce(ray_session, events_dir):
+    from ontoea_ray.queries import QUERIES
+
+    d, ev = events_dir
+    got = (
+        pa.Table.from_pylist(QUERIES["q_ohlc"](d).take_all())
+        .to_pandas()
+        .set_index(["event_type", "slot_us"])
+        .sort_index()
+    )
+    ts_us = ev["ts"].astype("int64").to_numpy()
+    cents = np.round(ev["value"].to_numpy() * 100).astype(np.int64)
+    slot = (ts_us // HOUR) * HOUR
+    eid = ev["event_id"].to_numpy(np.int64)
+    seen = 0
+    for (t, s) in set(zip(ev["event_type"], slot)):
+        m = (ev["event_type"].to_numpy() == t) & (slot == s)
+        idx = np.flatnonzero(m)
+        order = np.lexsort((eid[idx], ts_us[idx]))  # (ts ASC, event_id ASC)
+        row = got.loc[(t, s)]
+        assert row["open_cents"] == int(cents[idx[order[0]]]), (t, s)
+        assert row["close_cents"] == int(cents[idx[order[-1]]]), (t, s)
+        assert row["high_cents"] == int(cents[idx].max())
+        assert row["low_cents"] == int(cents[idx].min())
+        assert row["n"] == len(idx)
+        assert row["sum_cents"] == int(cents[idx].sum())
+        seen += 1
+    assert seen == len(got)
+    # the fixture actually exercises the tie paths
+    df = pd.DataFrame({"t": ev["event_type"], "s": slot, "ts": ts_us})
+    assert (df.groupby(["t", "s", "ts"]).size() > 1).any(), "no in-slot ts ties"
+
+
+def test_sessionize_matches_bruteforce(ray_session, events_dir):
+    from ontoea_ray.queries import QUERIES
+
+    d, ev = events_dir
+    got = (
+        pa.Table.from_pylist(QUERIES["q_sessionize"](d).take_all())
+        .to_pandas()
+        .set_index(["user_id", "session_id"])
+        .sort_index()
+    )
+    n_sessions = 0
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        ts = g["ts"].astype("int64").to_numpy()
+        sid = 0
+        sessions = {}
+        for j in range(len(g)):
+            if j == 0 or ts[j] - ts[j - 1] > MIN30:
+                sid += 1
+                sessions[sid] = [ts[j]]
+            else:
+                sessions[sid].append(ts[j])
+        for sid, members in sessions.items():
+            row = got.loc[(uid, sid)]
+            assert row["n_events"] == len(members), (uid, sid)
+            assert row["start_epoch"] == min(members) // 1_000_000
+            n_sessions += 1
+    assert n_sessions == len(got)
+    # boundary evidence: at least one gap EXACTLY 30 min stayed in-session
+    any_exact = False
+    for _, g in ev.groupby("user_id"):
+        ts = np.sort(g["ts"].astype("int64").to_numpy())
+        any_exact |= bool((np.diff(ts) == MIN30).any())
+    assert any_exact, "fixture never hit the exact-gap boundary"
+
+
+def test_pack_sequences_matches_bruteforce(ray_session):
+    """Mixed-length docs over several blocks, small budget: pack_id equals
+    the per-row exclusive-prefix-sum replay, invariant to partitioning."""
+    from ontoea_ray.stages.sampling import pack_sequences
+
+    rng = np.random.default_rng(13)
+    n = 300
+    texts = [
+        " ".join(f"t{j}" for j in range(int(k))) if k else "x"
+        for k in rng.integers(1, 50, n)
+    ]
+    ids = rng.permutation(n).astype(np.int64)
+    tbl = pa.table({"doc_id": pa.array(ids), "text": pa.array(texts, pa.string())})
+    for parts in (1, 7):
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        out = (
+            pa.Table.from_pylist(
+                pack_sequences(ds, key_col="doc_id", budget=64)
+                .select_columns(["doc_id", "pack_id"])
+                .take_all()
+            )
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        toks = np.array(
+            [len(texts[int(np.flatnonzero(ids == i)[0])].split()) for i in range(n)],
+            np.int64,
+        )
+        excl = np.concatenate([[0], np.cumsum(toks)[:-1]])
+        expect = excl // 64
+        assert (out["pack_id"].to_numpy() == expect).all(), parts
+        assert out["pack_id"].nunique() > 3  # budget actually forces packs
