@@ -62,24 +62,44 @@ def q_multimodal_features(sf_dir: str):
 
 @_register("q_multimodal_audio")  # binary plumbing — rows-only driver check
 def q_multimodal_audio(sf_dir: str):
-    """Audio branch of the multimodal plumbing: doc bytes as an opaque
-    audio payload, deterministic fake PCM decode (codec stubbed), REAL
-    vectorized per-window RMS / zero-crossing feature kernel with integer
-    outputs — deterministic per input, so rows+schema are meaningful."""
-    from ontoea_ray.stages.multimodal import audio_features_stage, decode_audio_stage
+    """Audio branch of the multimodal plumbing, REAL end-to-end since
+    round 5: each doc becomes a deterministic 16-bit PCM WAV payload
+    (integer triangle wave parameterized by doc_id — no float synth to
+    disagree about), the stage decodes it with the pure-Python RIFF
+    parser (`stages.multimodal.decode_wav_pcm` — NOT the fake path), and
+    the vectorized per-window RMS / zero-crossing kernel emits integer
+    features.  Compressed-codec formats remain stubbed; this query proves
+    the decode plumbing on the one audio container that needs no codec."""
+    from ontoea_ray.stages.multimodal import (
+        audio_features_stage,
+        decode_audio_stage,
+        encode_wav_pcm,
+    )
 
     def to_media(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"].combine_chunks(), np.int64)
+        # integer triangle wave: period 8 + (doc_id % 23), amplitude
+        # 500 + 31*(doc_id % 97) — every sample integer-exact
+        payloads = []
+        t = np.arange(2048, dtype=np.int64)
+        for did in ids:
+            period = 8 + int(did) % 23
+            amp = 500 + 31 * (int(did) % 97)
+            phase = t % period
+            tri = np.where(phase * 2 < period, phase, period - phase)
+            wave = (tri * (2 * amp) // max(period // 2, 1) - amp).astype(np.int16)
+            payloads.append(encode_wav_pcm(wave, 16000))
         return pa.table(
             {
-                "media_id": batch["doc_id"],
-                "payload": batch["text"].combine_chunks().cast(pa.binary()),
+                "media_id": pa.array(ids),
+                "payload": pa.array(payloads, pa.binary()),
             }
         )
 
-    media = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+    media = _read(sf_dir, "documents", ["doc_id"]).map_batches(
         to_media, batch_format="pyarrow"
     )
-    feats = audio_features_stage(decode_audio_stage(media, fake=True))
+    feats = audio_features_stage(decode_audio_stage(media, fake=False))
 
     def summarize(batch: pa.Table) -> pa.Table:
         d = batch["features"].combine_chunks()

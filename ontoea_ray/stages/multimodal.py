@@ -1,13 +1,19 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` payloads with
 typed metadata, processed by actor-pool ``map_batches`` stages.
 
-The decode kernels themselves are STUBBED (the container ships no
-image/audio codecs): ``DecodeImage``/``DecodeAudio`` raise
-``NotImplementedError`` unless constructed with ``fake=True``, in which
-case a deterministic fake decoder (seeded from the payload bytes) stands in
-so the Ray-side plumbing — schema, batch size, actor signature, output
-layout — is real and tested end-to-end.  Swap ``_decode_real`` for a
-Pillow/librosa call on a machine that has them.
+Codec status (the container ships no image/audio libraries):
+
+- REAL pure-Python decoders for the container-free formats: 16-bit PCM
+  WAV (:func:`decode_wav_pcm` — RIFF chunk walk, numpy frombuffer) and
+  binary PPM/PGM (:func:`decode_ppm` — P6/P5 header parse + raw plane).
+  ``DecodeAudio`` / ``DecodeImage`` route real payloads through these;
+  matching encoders exist so tests pin exact round-trips.
+- Compressed formats (JPEG/PNG/MP3/OGG/MP4...) remain honestly STUBBED:
+  `_decode_real` raises ``NotImplementedError`` naming the gap; construct
+  with ``fake=True`` for the deterministic payload-seeded fake so the
+  Ray-side plumbing — schema, batch size, actor signature, output layout
+  — stays testable end-to-end.  Swap in Pillow/librosa on a machine that
+  has them.
 
 Batch-size guidance: binary payloads are large; size ``batch_size`` so
 ``batch_size × max_payload × concurrency`` fits each worker's heap (pass
@@ -17,10 +23,104 @@ small values like 16-64 for multi-MB media).
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pyarrow as pa
 import ray.data
+
+
+# ---------------------------------------------------------------------------
+# pure-Python codecs (no external libraries; formats that need none)
+# ---------------------------------------------------------------------------
+
+
+def decode_wav_pcm(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a 16-bit PCM RIFF/WAVE payload -> (mono int16 samples,
+    sample_rate).  Multichannel files take channel 0 (deterministic — a
+    mixdown would round).  Raises ``ValueError`` on non-RIFF payloads and
+    ``NotImplementedError`` for compressed (non-PCM) WAV variants."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV payload missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only 16-bit PCM WAV is decodable without codec libraries "
+            f"(got format={audio_format}, bits={bits})"
+        )
+    frames = np.frombuffer(data, dtype="<i2")
+    if n_channels > 1:
+        frames = frames[:: n_channels]  # channel 0
+    return frames.astype(np.int16), int(sample_rate)
+
+
+def encode_wav_pcm(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Minimal mono 16-bit PCM WAV writer (the test-vector twin of
+    :func:`decode_wav_pcm`)."""
+    pcm = np.asarray(samples, "<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(pcm), b"WAVE", b"fmt ", 16, 1, 1,
+        sample_rate, sample_rate * 2, 2, 16, b"data", len(pcm),
+    )
+    return hdr + pcm
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Decode a binary PPM (P6) or PGM (P5) payload -> (h, w, 3) uint8
+    (grayscale replicates to 3 channels).  Handles comments and maxval <=
+    255; raises ``ValueError`` on anything else."""
+    if payload[:2] not in (b"P6", b"P5"):
+        raise ValueError("not a binary PPM/PGM payload")
+    gray = payload[:2] == b"P5"
+    # header = magic + 3 whitespace-separated ints, '#' comments allowed
+    fields, pos = [], 2
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    ch = 1 if gray else 3
+    raw = np.frombuffer(payload, np.uint8, count=h * w * ch, offset=pos)
+    px = raw.reshape(h, w, ch)
+    return np.repeat(px, 3, axis=2) if gray else px.copy()
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """Minimal binary P6 writer for (h, w, 3) uint8 arrays."""
+    h, w, _ = pixels.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + np.asarray(pixels, np.uint8).tobytes()
+
+
+def _resize_nearest(px: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Nearest-neighbor resize (h0, w0, 3) -> (h, w, 3) via index gather —
+    deterministic, no interpolation rounding to disagree about."""
+    h0, w0, _ = px.shape
+    ri = (np.arange(h) * h0) // h
+    ci = (np.arange(w) * w0) // w
+    return px[ri[:, None], ci[None, :], :]
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -51,9 +151,15 @@ class DecodeImage:
         self.fake = fake
 
     def _decode_real(self, payload: bytes) -> np.ndarray:
+        # container-free formats decode for real (pure-Python P6/P5
+        # parser + deterministic nearest-neighbor resize); compressed
+        # formats stay honestly stubbed
+        if payload[:2] in (b"P6", b"P5"):
+            return _resize_nearest(decode_ppm(payload), self.h, self.w).reshape(-1)
         raise NotImplementedError(
-            "image codecs are not available in this environment; construct "
-            "DecodeImage(fake=True) for the deterministic test decoder"
+            "only binary PPM/PGM decodes without codec libraries in this "
+            "environment; construct DecodeImage(fake=True) for the "
+            "deterministic test decoder on other formats"
         )
 
     def _decode_fake(self, payload: bytes) -> np.ndarray:
@@ -189,27 +295,41 @@ class DecodeAudio:
         self.n_samples = n_samples
         self.fake = fake
 
-    def _decode_real(self, payload: bytes) -> np.ndarray:
+    def _decode_real(self, payload: bytes) -> tuple[np.ndarray, int]:
+        # 16-bit PCM WAV decodes for real (pure-Python RIFF walk);
+        # compressed formats stay honestly stubbed
+        if payload[:4] == b"RIFF":
+            samples, rate = decode_wav_pcm(payload)
+            out = np.zeros(self.n_samples, np.int16)
+            n = min(len(samples), self.n_samples)
+            out[:n] = samples[:n]  # truncate / zero-pad to the fixed width
+            return out, rate
         raise NotImplementedError(
-            "audio codecs are not available in this environment; construct "
-            "DecodeAudio(fake=True) for the deterministic test decoder"
+            "only 16-bit PCM WAV decodes without codec libraries in this "
+            "environment; construct DecodeAudio(fake=True) for the "
+            "deterministic test decoder on other formats"
         )
 
-    def _decode_fake(self, payload: bytes) -> np.ndarray:
-        return _payload_rng(payload).integers(
-            -(2**15), 2**15, self.n_samples, dtype=np.int16
+    def _decode_fake(self, payload: bytes) -> tuple[np.ndarray, int]:
+        return (
+            _payload_rng(payload).integers(
+                -(2**15), 2**15, self.n_samples, dtype=np.int16
+            ),
+            16000,
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         decode = self._decode_fake if self.fake else self._decode_real
-        pcm = np.stack([decode(p) for p in batch["payload"].to_pylist()])
+        decoded = [decode(p) for p in batch["payload"].to_pylist()]
+        pcm = np.stack([d[0] for d in decoded]) if decoded else np.zeros((0, self.n_samples), np.int16)
+        rates = np.array([d[1] for d in decoded], np.int32)
         return pa.table(
             {
                 "media_id": batch["media_id"],
                 "pcm": pa.FixedSizeListArray.from_arrays(
                     pa.array(pcm.reshape(-1), pa.int16()), self.n_samples
                 ),
-                "sample_rate": pa.array(np.full(len(batch), 16000, np.int32)),
+                "sample_rate": pa.array(rates),
             }
         )
 

@@ -3,6 +3,7 @@ artifact save/retest round-trip."""
 
 import numpy as np
 import pytest
+import ray.data
 
 from ontoea_ray.functions.similarity import l2_normalize
 from ontoea_ray.stages.multimodal import (
@@ -234,3 +235,104 @@ def test_blockwise_type_fused_eval_matches_dense_features():
     assert got["hits"][1] == round(float((ranks < 1).sum()) / n * 100, 3)
     assert got["mr"] == pytest.approx(float((ranks + 1).mean()))
     assert got["mrr"] == pytest.approx(float((1 / (ranks + 1)).mean()))
+
+
+def test_wav_pcm_codec_roundtrip_and_stage():
+    """Pure-Python WAV-PCM codec: encode->decode is bit-exact (mono and
+    channel-0 of stereo), the REAL (fake=False) DecodeAudio stage emits the
+    exact samples + the file's true sample rate, and non-WAV payloads still
+    raise the honest stub error."""
+    import pyarrow as pa
+
+    from ontoea_ray.stages.multimodal import (
+        DecodeAudio,
+        decode_audio_stage,
+        decode_wav_pcm,
+        encode_wav_pcm,
+    )
+
+    rng = np.random.default_rng(9)
+    mono = rng.integers(-(2**15), 2**15, 777, dtype=np.int16)
+    samples, rate = decode_wav_pcm(encode_wav_pcm(mono, 22050))
+    assert rate == 22050 and (samples == mono).all()
+
+    # stereo: interleave, decoder takes channel 0
+    import struct
+
+    stereo = np.empty(400, np.int16)
+    stereo[0::2] = mono[:200]
+    stereo[1::2] = -1
+    pcm = stereo.astype("<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(pcm), b"WAVE", b"fmt ", 16,
+        1, 2, 8000, 8000 * 4, 4, 16, b"data", len(pcm),
+    )
+    s2, r2 = decode_wav_pcm(hdr + pcm)
+    assert r2 == 8000 and (s2 == mono[:200]).all()
+
+    media = ray.data.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array([7], pa.int64()),
+                "payload": pa.array([encode_wav_pcm(mono, 44100)], pa.binary()),
+            }
+        )
+    )
+    out = decode_audio_stage(media, fake=False, n_samples=1024).take_all()
+    assert out[0]["sample_rate"] == 44100
+    pcm_out = np.asarray(out[0]["pcm"], np.int16)
+    assert (pcm_out[:777] == mono).all()  # 777-sample clip, zero-padded
+    assert (pcm_out[777:] == 0).all()
+
+    with pytest.raises(NotImplementedError):
+        DecodeAudio(fake=False)(
+            pa.table({"media_id": pa.array([1], pa.int64()),
+                      "payload": pa.array([b"ID3\x04junk"], pa.binary())})
+        )
+    with pytest.raises(NotImplementedError):  # compressed WAV variant
+        decode_wav_pcm(
+            struct.pack("<4sI4s4sIHHIIHH4sI", b"RIFF", 36, b"WAVE", b"fmt ", 16,
+                        3, 1, 8000, 32000, 4, 32, b"data", 0)
+        )
+
+
+def test_ppm_codec_roundtrip_and_stage():
+    """Pure-Python PPM/PGM codec: P6 round-trip is bit-exact (incl. header
+    comments), P5 replicates to 3 channels, and the REAL DecodeImage stage
+    nearest-neighbor-resizes a known 2x2 image into exact 16x16 blocks."""
+    import pyarrow as pa
+
+    from ontoea_ray.stages.multimodal import (
+        decode_image_stage,
+        decode_ppm,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(10)
+    img = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+    assert (decode_ppm(encode_ppm(img)) == img).all()
+    with_comment = b"P6\n# a comment\n7 5\n255\n" + img.tobytes()
+    assert (decode_ppm(with_comment) == img).all()
+
+    gray = rng.integers(0, 256, (3, 4), dtype=np.uint8)
+    p5 = b"P5\n4 3\n255\n" + gray.tobytes()
+    assert (decode_ppm(p5) == np.repeat(gray[:, :, None], 3, axis=2)).all()
+
+    # 2x2 color squares -> each quadrant of the 32x32 resize is constant
+    quad = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [9, 9, 9]]], np.uint8
+    )
+    media = ray.data.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array([1], pa.int64()),
+                "payload": pa.array([encode_ppm(quad)], pa.binary()),
+            }
+        )
+    )
+    out = decode_image_stage(media, fake=False, target=(32, 32)).take_all()
+    px = np.asarray(out[0]["pixels"], np.uint8).reshape(32, 32, 3)
+    assert (px[:16, :16] == [255, 0, 0]).all()
+    assert (px[:16, 16:] == [0, 255, 0]).all()
+    assert (px[16:, :16] == [0, 0, 255]).all()
+    assert (px[16:, 16:] == [9, 9, 9]).all()
