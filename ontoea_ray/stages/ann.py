@@ -1255,10 +1255,12 @@ def knn_graph_bucketed(
         if df.empty:
             return _EMPTY_EDGES
         outs = []
+        n_capped = 0
         for _, g in df.groupby("x", sort=False):
             g = g.drop_duplicates("s").sort_values("s", kind="mergesort")
             if len(g) > degree_cap:
                 g = g.head(degree_cap)
+                n_capped += 1
             if len(g) < 2:
                 continue
             sids = g["s"].to_numpy(np.int64)
@@ -1268,6 +1270,16 @@ def knn_graph_bucketed(
             ii, jj = np.nonzero(~np.eye(n, dtype=bool))
             outs.append(
                 _edge_table(sids[ii], sids[jj], dots[ii, jj], smat[ii], smat[jj])
+            )
+        if n_capped:
+            import logging
+
+            # not silent: a heavily-capped round means hub recall loss —
+            # the cap itself is deterministic (lowest ids) and replayed by
+            # the SQL oracle, so correctness-vs-oracle is unaffected
+            logging.getLogger(__name__).warning(
+                "knn_graph_bucketed: %d hub vertices truncated to degree_cap=%d "
+                "in this partition", n_capped, degree_cap,
             )
         if not outs:
             return _EMPTY_EDGES
