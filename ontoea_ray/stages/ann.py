@@ -1049,6 +1049,7 @@ def knn_graph_bucketed(
     refine_rounds: int = 2,
     degree_cap: int = 64,
     sample_size: int = 20_000,
+    small_n: int = 4096,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     id_bits: int = 21,
@@ -1104,6 +1105,22 @@ def knn_graph_bucketed(
         sample_size=sample_size, id_col=id_col, vec_col=vec_col,
     )
     npr = min(nprobe, cent.shape[0])
+
+    # two-plan shape (the repo-wide pattern for graph-ish operators): a
+    # corpus at most ``small_n`` rows runs the IDENTICAL integer algorithm
+    # in ONE Ray task — the distributed plan's ~7 per-round exchanges are
+    # pure fixed cost at that size.  Bit-equality between plans is pinned
+    # in tests/test_knn_bucketed.py.
+    if small_n and embeddings.count() <= small_n:
+        res = _knn_bucketed_small(
+            embeddings, cent, k=k, L=L, npr=npr, scale=scale,
+            refine_rounds=refine_rounds, degree_cap=degree_cap,
+            id_col=id_col, vec_col=vec_col, id_bits=id_bits,
+            return_stats=return_stats,
+        )
+        if res is not None:  # None: row count small but bytes over budget
+            return res
+
     cent_ref = ray.put(cent)
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -1357,6 +1374,124 @@ def knn_graph_bucketed(
         .groupby("pkey")
         .map_groups(finish, batch_format="pandas")
     )
+    return (out, stats) if return_stats else out
+
+
+def _knn_bucketed_small(
+    embeddings: ray.data.Dataset,
+    cent: np.ndarray,
+    *,
+    k: int,
+    L: int,
+    npr: int,
+    scale: int,
+    refine_rounds: int,
+    degree_cap: int,
+    id_col: str,
+    vec_col: str,
+    id_bits: int,
+    return_stats: bool,
+):
+    """Single-task plan of :func:`knn_graph_bucketed` for corpora small
+    enough that one worker holds the (N, N) integer dot block: the SAME
+    integer seed + NN-descent rounds, same tie rules and degree cap —
+    bit-identical to the distributed plan (pinned in pytest) without its
+    per-round exchange fixed costs."""
+    from ontoea_ray.functions.broadcast import assemble_table_ref
+
+    _, tref = assemble_table_ref(embeddings, columns=[id_col, vec_col])
+    if tref is None:  # bytes over the broadcast budget: distributed plan
+        return None
+    sentinel = np.iinfo(np.int64).min + 1
+
+    @ray.remote
+    def _solve(tbl: pa.Table):
+        ids = np.asarray(
+            tbl[id_col].combine_chunks().to_numpy(zero_copy_only=False), np.int64
+        )
+        n = len(ids)
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "rnk": pa.array([], pa.int64()),
+                "nbr_id": pa.array([], pa.int64()),
+                "dot": pa.array([], pa.int64()),
+            }
+        )
+        stats = {
+            "seed_pairs": 0, "exact_pairs": 0, "n_vectors": n,
+            "list_sizes": {}, "refine_pairs_per_round": [],
+        }
+        if n == 0:
+            return empty, stats
+        assert int(ids.max()) < (1 << id_bits)
+        q = _quantize_int(_batch_vectors(tbl, vec_col), scale)
+        dist = np.stack([((q - cc) ** 2).sum(axis=1) for cc in cent], axis=1)
+        probe = np.argsort(dist, axis=1, kind="stable")[:, :npr]
+        home = probe[:, 0]
+        dots = q @ q.T
+        key = dots * (1 << id_bits) + ((1 << id_bits) - 1 - ids)[None, :]
+        key[np.arange(n), np.arange(n)] = sentinel
+        kk = cent.shape[0]
+        pmat = np.zeros((n, kk), bool)
+        pmat[np.repeat(np.arange(n), probe.shape[1]), probe.reshape(-1)] = True
+        allowed = pmat[:, home]  # allowed[i, j]: j's home list is probed by i
+        nc = np.bincount(home, minlength=kk)
+        nq = np.bincount(probe.reshape(-1), minlength=kk)
+        stats.update(
+            seed_pairs=int((nc * nq).sum()),
+            exact_pairs=n * (n - 1),
+            list_sizes={int(c): int(nc[c]) for c in range(kk) if nc[c]},
+        )
+
+        def topL(kmask: np.ndarray) -> list[np.ndarray]:
+            keym = np.where(kmask, key, sentinel)
+            order = np.argsort(-keym, axis=1, kind="stable")[:, :L]
+            sel = np.take_along_axis(keym, order, axis=1)
+            return [order[i][sel[i] != sentinel] for i in range(n)]
+
+        edges = topL(allowed)  # seed working lists
+        for _ in range(refine_rounds):
+            und = np.zeros((n, n), bool)
+            for i, nb in enumerate(edges):
+                und[i, nb] = True
+            und |= und.T
+            cand = und.copy()
+            n_cand_rows = 2 * sum(len(nb) for nb in edges)  # in1 + in2
+            for x in range(n):
+                s = np.flatnonzero(und[x])
+                if len(s) > degree_cap:
+                    # deterministic lowest-id cap, as in the distributed plan
+                    s = s[np.argsort(ids[s], kind="stable")[:degree_cap]]
+                if len(s) >= 2:
+                    cand[np.ix_(s, s)] = True
+                    n_cand_rows += len(s) * (len(s) - 1)
+            cand[np.arange(n), np.arange(n)] = False
+            stats["refine_pairs_per_round"].append(n_cand_rows)
+            edges = topL(cand)
+        rows = np.concatenate([np.full(len(nb), i, np.int64) for i, nb in enumerate(edges)])
+        nbrs = np.concatenate(edges) if edges else np.array([], np.int64)
+        kvals = key[rows, nbrs]
+        # per-row the lists are already key-ordered; cut to top-k
+        rnk = np.concatenate(
+            [np.arange(1, len(nb) + 1, dtype=np.int64) for nb in edges]
+        )
+        keep = rnk <= k
+        rows, nbrs, rnk = rows[keep], nbrs[keep], rnk[keep]
+        return (
+            pa.table(
+                {
+                    id_col: pa.array(ids[rows]),
+                    "rnk": pa.array(rnk),
+                    "nbr_id": pa.array(ids[nbrs]),
+                    "dot": pa.array(dots[rows, nbrs]),
+                }
+            ),
+            stats,
+        )
+
+    tbl, stats = ray.get(_solve.remote(tref))
+    out = ray.data.from_arrow(tbl)
     return (out, stats) if return_stats else out
 
 

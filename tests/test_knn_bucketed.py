@@ -84,3 +84,33 @@ def test_bucketed_tiny_corpus_degrades(ray_session, tmp_path):
         for r in knn_graph_bucketed(ds, k=3, n_centroids=4, nprobe=4).take_all()
     }
     assert got == {(0, 1, 1), (1, 1, 0)}
+
+
+def test_bucketed_plans_bit_equal(ray_session):
+    """Two-plan shape: the single-task small-N plan and the distributed
+    plan (forced via small_n=0) must agree bit-for-bit — same seed lists,
+    same NN-descent rounds, same caps, ties and stats formulas."""
+    import ray.data
+
+    from ontoea_ray.stages.ann import knn_graph_bucketed
+
+    emb = ray.data.read_parquet(
+        f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def run(small_n):
+        out, stats = knn_graph_bucketed(
+            emb, k=3, n_centroids=16, iters=4, scale=1000, nprobe=4,
+            work_list=10, refine_rounds=2, small_n=small_n, return_stats=True,
+        )
+        rows = sorted(
+            (r["vec_id"], r["rnk"], r["nbr_id"], r["dot"]) for r in out.take_all()
+        )
+        return rows, stats
+
+    small_rows, small_stats = run(4096)
+    dist_rows, dist_stats = run(0)
+    assert small_rows == dist_rows
+    for key in ("seed_pairs", "exact_pairs", "n_vectors", "list_sizes",
+                "refine_pairs_per_round"):
+        assert small_stats[key] == dist_stats[key], key
