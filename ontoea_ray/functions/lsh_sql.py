@@ -559,6 +559,67 @@ FROM ranked WHERE rnk <= {k}""")
     return "\n".join(parts)
 
 
+def graph_ann_topk_sql(
+    *,
+    k: int = 10,
+    beam: int = 4,
+    hops: int = 4,
+    graph_k: int = 3,
+    dim: int = 64,
+    scale: int = 1000,
+    query_vec_id: int = 0,
+    source: str = "embeddings",
+) -> str:
+    """FULL value oracle for ``stages.ann.graph_ann_topk`` over an
+    ``exact=True`` :func:`~ontoea_ray.stages.ann.build_knn_graph_index`
+    (as driven by q_graph_ann): rebuilds the exact integer kNN graph,
+    then unrolls the deterministic beam walk — entry at MIN(vec_id),
+    each hop expands the frontier's out-neighbours, NEW candidates all
+    join the visited pool, the top-``beam`` new candidates (integer dot
+    DESC, id ASC) become the next frontier, and after ``hops`` hops the
+    visited pool's top-``k`` is the answer.  Every dot is an integer
+    milli product — no float anywhere, bit-for-bit replay."""
+    rng = f"range(1, {dim + 1})"
+    parts = [f"""
+WITH q AS MATERIALIZED (
+    SELECT vec_id,
+           [CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {scale}) AS BIGINT)
+            FOR i IN {rng}] AS qv
+    FROM {source}),
+  g AS MATERIALIZED (
+    SELECT vec_id, nbr_id FROM (
+      SELECT a.vec_id, b.vec_id AS nbr_id,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+               ORDER BY list_sum([a.qv[i] * b.qv[i] FOR i IN {rng}]) DESC,
+                        b.vec_id ASC) AS rnk
+      FROM q a JOIN q b ON a.vec_id <> b.vec_id)
+    WHERE rnk <= {graph_k}),
+  qv0 AS (SELECT qv FROM q WHERE vec_id = {query_vec_id}),
+  sc AS MATERIALIZED (
+    SELECT q.vec_id, CAST(list_sum([q.qv[i] * qv0.qv[i] FOR i IN {rng}]) AS BIGINT) AS dot
+    FROM q CROSS JOIN qv0),
+  v0 AS MATERIALIZED (SELECT MIN(vec_id) AS id FROM q),
+  f0 AS (SELECT id FROM v0),"""]
+    for t in range(1, hops + 1):
+        parts.append(f"""
+  c{t} AS MATERIALIZED (
+    SELECT DISTINCT g.nbr_id AS id FROM g JOIN f{t - 1} f ON g.vec_id = f.id
+    WHERE g.nbr_id NOT IN (SELECT id FROM v{t - 1})),
+  f{t} AS MATERIALIZED (
+    SELECT id FROM (
+      SELECT c.id, ROW_NUMBER() OVER (ORDER BY sc.dot DESC, c.id ASC) AS rn
+      FROM c{t} c JOIN sc ON sc.vec_id = c.id)
+    WHERE rn <= {beam}),
+  v{t} AS MATERIALIZED (SELECT id FROM v{t - 1} UNION SELECT id FROM c{t}),""")
+    parts.append(f"""
+  fin AS (
+    SELECT sc.vec_id, sc.dot,
+           ROW_NUMBER() OVER (ORDER BY sc.dot DESC, sc.vec_id ASC) AS rnk
+    FROM v{hops} v JOIN sc ON sc.vec_id = v.id)
+SELECT vec_id, CAST(rnk AS BIGINT) AS rnk, dot FROM fin WHERE rnk <= {k}""")
+    return "\n".join(parts)
+
+
 def ann_ivf_topk_sql(
     *,
     k: int = 10,

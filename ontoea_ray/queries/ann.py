@@ -303,3 +303,53 @@ def q_knn_graph_bucketed(sf_dir: str):
     return knn_graph_bucketed(
         emb, k=_KNN_K, n_centroids=16, iters=4, scale=1000, nprobe=4
     )
+
+
+from ontoea_ray.functions.lsh_sql import graph_ann_topk_sql
+
+
+@_register(
+    "q_graph_ann",
+    graph_ann_topk_sql(k=10, beam=4, hops=4, graph_k=_KNN_K, dim=_KNN_DIM, scale=1000),
+)
+def q_graph_ann(sf_dir: str):
+    """Graph-ANN serving: the kNN graph persisted as an HNSW/NSG-style
+    index (adjacency + DENORMALIZED neighbour vectors, sharded by
+    vec_id % n_shards) answers a query by a deterministic beam walk —
+    entry at the min id (index metadata), each hop reads ONLY the
+    frontier's shard partitions, scores new candidates by integer milli
+    dot, keeps the top-4 beam, and after 4 hops ranks the visited pool.
+    Driver state is the visited pool (constant-bounded); I/O is shard-
+    pruned (stats pinned in pytest).  This closes the loop the kNN-graph
+    operators advertise: q_knn_graph / q_knn_graph_bucketed BUILD the
+    structure, this query SERVES from it.
+
+    Full value oracle: DuckDB rebuilds the exact integer graph and
+    unrolls every hop, beam cut and tie of the walk — bit-for-bit
+    (`functions.lsh_sql.graph_ann_topk_sql`).  The bucketed-graph
+    serving variant (exact=False index) is pinned by a pytest recall
+    gate instead."""
+    import hashlib
+    import os
+
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+
+    from ontoea_ray.stages.ann import build_knn_graph_index, graph_ann_topk
+
+    src = f"{sf_dir}/embeddings.parquet"
+    tag = hashlib.blake2b(
+        f"knngraph-exact:{os.path.abspath(src)}:{os.path.getmtime(src)}".encode(),
+        digest_size=8,
+    ).hexdigest()
+    index_dir = f"/tmp/ontoea_ann_index/{tag}"
+    if not os.path.exists(os.path.join(index_dir, "_meta.json")):
+        build_knn_graph_index(
+            _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+            index_dir, k=_KNN_K, exact=True,
+        )
+    tbl = _pq.read_table(src, columns=["vec_id", "embedding"])
+    q = np.asarray(
+        tbl.filter(_pc.equal(tbl["vec_id"], 0))["embedding"].to_pylist()[0], np.float64
+    )
+    return graph_ann_topk(index_dir, q, k=10, beam=4, hops=4)

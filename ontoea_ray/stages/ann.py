@@ -1495,6 +1495,236 @@ def _knn_bucketed_small(
     return (out, stats) if return_stats else out
 
 
+def build_knn_graph_index(
+    embeddings: ray.data.Dataset,
+    index_dir: str,
+    *,
+    k: int = 3,
+    exact: bool = False,
+    n_shards: int = 8,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    id_bits: int = 21,
+    **bucketed_kwargs,
+) -> dict:
+    """Persist a kNN graph as a SERVING index for graph-ANN search
+    (:func:`graph_ann_topk`) — the HNSW/NSG-style layout where each
+    node's adjacency is stored WITH the neighbours' quantized vectors
+    (denormalized, so a walk step scores candidates without a second
+    lookup), partitioned by ``shard = vec_id % n_shards`` so a search
+    reads only its frontier's shards.
+
+    ``exact=False`` (default): edges from :func:`knn_graph_bucketed` —
+    the corpus-scale build.  ``exact=True``: brute all-pairs integer
+    top-k (same kernel/tie rules as q_knn_graph) — the oracle-friendly
+    build for broadcast-sized corpora.  Row schema:
+    (vec_id, qv, rnk, nbr_id, nbr_qv); vectors are floor(v*scale) int64
+    lists, identical on both sides of every oracle."""
+    if exact:
+        from ontoea_ray.functions.broadcast import assemble_table_ref
+
+        embeddings, tref = assemble_table_ref(embeddings, columns=[id_col, vec_col])
+        if tref is None:
+            raise ValueError(
+                "build_knn_graph_index(exact=True) needs a broadcast-sized "
+                "corpus; use exact=False (knn_graph_bucketed) at scale"
+            )
+        sentinel = np.iinfo(np.int64).min + 1
+
+        @ray.remote
+        def _exact_edges(tbl: pa.Table) -> pa.Table:
+            ids = np.asarray(
+                tbl[id_col].combine_chunks().to_numpy(zero_copy_only=False), np.int64
+            )
+            assert int(ids.max(initial=0)) < (1 << id_bits)
+            q = _quantize_int(_batch_vectors(tbl, vec_col), scale)
+            n = len(ids)
+            keff = min(k, n - 1)
+            if keff <= 0:
+                return pa.table(
+                    {
+                        id_col: pa.array([], pa.int64()),
+                        "qv": pa.array([], pa.list_(pa.int64())),
+                        "rnk": pa.array([], pa.int64()),
+                        "nbr_id": pa.array([], pa.int64()),
+                        "nbr_qv": pa.array([], pa.list_(pa.int64())),
+                    }
+                )
+            dots = q @ q.T
+            key = dots * (1 << id_bits) + ((1 << id_bits) - 1 - ids)[None, :]
+            key[np.arange(n), np.arange(n)] = sentinel
+            order = np.argsort(-key, axis=1, kind="stable")[:, :keff]
+            rows = np.repeat(np.arange(n), keff)
+            cols = order.reshape(-1)
+            return pa.table(
+                {
+                    id_col: pa.array(ids[rows]),
+                    "qv": pa.array([v.tolist() for v in q[rows]], pa.list_(pa.int64())),
+                    "rnk": pa.array(np.tile(np.arange(1, keff + 1, dtype=np.int64), n)),
+                    "nbr_id": pa.array(ids[cols]),
+                    "nbr_qv": pa.array([v.tolist() for v in q[cols]], pa.list_(pa.int64())),
+                }
+            )
+
+        edges = ray.data.from_arrow(ray.get(_exact_edges.remote(tref)))
+    else:
+        graph = knn_graph_bucketed(
+            embeddings, k=k, scale=scale, id_col=id_col, vec_col=vec_col,
+            id_bits=id_bits, **bucketed_kwargs,
+        )
+        # re-attach both endpoint vectors (the bucketed output drops them):
+        # one quantize pass builds (id, qv), then two co-located joins
+        vecs = embeddings.select_columns([id_col, vec_col])
+
+        def quantize(b: pa.Table) -> pa.Table:
+            ids = b[id_col].combine_chunks().cast(pa.int64())
+            q = _quantize_int(_batch_vectors(b, vec_col), scale)
+            return pa.table(
+                {
+                    id_col: ids,
+                    "qv": pa.array([v.tolist() for v in q], pa.list_(pa.int64())),
+                }
+            )
+
+        from ontoea_ray.functions.join import hash_join
+
+        qtab = vecs.map_batches(quantize, batch_format="pyarrow")
+        edges = hash_join(graph.drop_columns(["dot"]), qtab, on=[id_col])
+        nbr_q = qtab.map_batches(
+            lambda b: pa.table({"nbr_id": b[id_col], "nbr_qv": b["qv"]}),
+            batch_format="pyarrow",
+        )
+        edges = hash_join(edges, nbr_q, on=["nbr_id"])
+
+    def shard(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b[id_col].combine_chunks().to_numpy(zero_copy_only=False), np.int64)
+        b = b.replace_schema_metadata(None)
+        return b.append_column("shard", pa.array(ids % n_shards))
+
+    os.makedirs(index_dir, exist_ok=True)
+    edges.map_batches(shard, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["shard"]
+    )
+    # the walk's entry point (global min id) is index metadata, computed
+    # once at build — searches must not scan for it
+    entry = embeddings.min(id_col)
+    meta = {
+        "kind": "knn_graph", "k": k, "n_shards": n_shards, "scale": scale,
+        "exact": exact, "id_col": id_col, "vec_col": vec_col,
+        "entry": int(entry) if entry is not None else None,
+    }
+    with open(os.path.join(index_dir, "_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def graph_ann_topk(
+    index_dir: str,
+    query_vector: np.ndarray,
+    *,
+    k: int = 10,
+    beam: int = 4,
+    hops: int = 4,
+    return_stats: bool = False,
+):
+    """Graph-ANN beam search over a :func:`build_knn_graph_index`
+    directory — the serving walk an HNSW/NSG-style index runs, made
+    fully deterministic and SQL-replayable:
+
+    - entry = the smallest vec_id; visited = {entry};
+    - each hop expands the frontier's out-neighbours (reading ONLY the
+      frontier's ``shard=`` partitions — pruned I/O), scores the NEW
+      candidates by integer milli dot against the query, adds them all
+      to the visited pool, and keeps the top-``beam`` new candidates
+      (dot DESC, id ASC) as the next frontier;
+    - after ``hops`` hops the answer is the visited pool's top-``k``.
+
+    Driver state is the visited pool (<= 1 + hops*beam*k_graph entries)
+    and the frontier — constant-bounded, never corpus-sized.  Returns
+    (vec_id, rnk, dot); with ``return_stats=True`` also
+    ``{"scanned_shards": [...], "total_shards": N, "n_visited": ...}``."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pqm
+
+    with open(os.path.join(index_dir, "_meta.json")) as f:
+        meta = json.load(f)
+    n_shards, scale, id_col = meta["n_shards"], meta["scale"], meta["id_col"]
+    qq = np.floor(np.asarray(query_vector, np.float64).reshape(-1) * scale).astype(np.int64)
+
+    def shard_files(s: int) -> list[str]:
+        d = os.path.join(index_dir, f"shard={s}")
+        if not os.path.isdir(d):
+            return []
+        return [os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")]
+
+    def read_rows(frontier: np.ndarray) -> pa.Table:
+        shards = sorted({int(v) % n_shards for v in frontier})
+        paths = [p for s in shards for p in shard_files(s)]
+        scanned.update(shards)
+        if not paths:
+            return pa.table({id_col: pa.array([], pa.int64())})
+        tbl = pa.concat_tables(
+            [pqm.read_table(p, columns=[id_col, "qv", "nbr_id", "nbr_qv"]) for p in paths]
+        )
+        return tbl.filter(pc.is_in(tbl[id_col], value_set=pa.array(frontier)))
+
+    scanned: set[int] = set()
+    if meta.get("entry") is None:
+        empty = pa.table({ "vec_id": pa.array([], pa.int64()),
+                           "rnk": pa.array([], pa.int64()),
+                           "dot": pa.array([], pa.int64())})
+        stats = {"scanned_shards": [], "total_shards": n_shards, "n_visited": 0}
+        return (empty, stats) if return_stats else empty
+
+    entry = int(meta["entry"])
+    erows = read_rows(np.array([entry], np.int64))
+    eq = np.asarray(erows["qv"][0].as_py(), np.int64)
+    visited: dict[int, int] = {entry: int(eq @ qq)}
+    frontier = np.array([entry], np.int64)
+    frontier_rows = erows
+    for _ in range(hops):
+        if len(frontier) == 0:
+            break
+        nbrs = np.asarray(
+            frontier_rows["nbr_id"].combine_chunks().to_numpy(zero_copy_only=False),
+            np.int64,
+        )
+        nq = frontier_rows["nbr_qv"].combine_chunks()
+        flat = np.asarray(nq.values, np.int64)
+        d = len(flat) // max(len(nbrs), 1)
+        mats = flat.reshape(len(nbrs), d) if len(nbrs) else np.zeros((0, len(qq)), np.int64)
+        new_mask = np.array([int(v) not in visited for v in nbrs], bool)
+        ids_new, mat_new = nbrs[new_mask], mats[new_mask]
+        if len(ids_new):
+            uniq, first = np.unique(ids_new, return_index=True)
+            dots = mat_new[first] @ qq
+            for v, dt in zip(uniq, dots):
+                visited[int(v)] = int(dt)
+            order = np.lexsort((uniq, -dots))[:beam]
+            frontier = uniq[order]
+        else:
+            frontier = np.array([], np.int64)
+        if len(frontier):
+            frontier_rows = read_rows(frontier)
+    ids = np.array(sorted(visited), np.int64)
+    dots = np.array([visited[int(v)] for v in ids], np.int64)
+    order = np.lexsort((ids, -dots))[: min(k, len(ids))]
+    out = pa.table(
+        {
+            "vec_id": pa.array(ids[order]),
+            "rnk": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            "dot": pa.array(dots[order]),
+        }
+    )
+    stats = {
+        "scanned_shards": sorted(scanned),
+        "total_shards": n_shards,
+        "n_visited": len(visited),
+    }
+    return (out, stats) if return_stats else out
+
+
 def centroid_assign(
     embeddings: ray.data.Dataset,
     centroids: np.ndarray,
