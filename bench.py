@@ -144,10 +144,11 @@ def run_bench() -> dict:
                     dt = round(time.time() - t0, 3)
                     if best is None or dt < best:
                         best = dt
-                q_times[name] = best
             except Exception as exc:  # one broken query must not lose the round's bench
                 print(f"bench: {name} failed: {exc!r}", file=sys.stderr)
-                q_times[name] = -1.0
+            # a transient failure on a LATER repeat keeps the successful
+            # reading; -1.0 only when no repeat ever finished
+            q_times[name] = best if best is not None else -1.0
 
     result = {
         "metric": "flagship_kg_construct_seconds",

@@ -338,8 +338,10 @@ def q_graph_ann(sf_dir: str):
     from ontoea_ray.stages.ann import build_knn_graph_index, graph_ann_topk
 
     src = f"{sf_dir}/embeddings.parquet"
+    # v2: index meta carries entry + entry_qv (the tag versions the FORMAT
+    # so a cached pre-upgrade index can never serve a new-format read)
     tag = hashlib.blake2b(
-        f"knngraph-exact:{os.path.abspath(src)}:{os.path.getmtime(src)}".encode(),
+        f"knngraph-exact-v2:{os.path.abspath(src)}:{os.path.getmtime(src)}".encode(),
         digest_size=8,
     ).hexdigest()
     index_dir = f"/tmp/ontoea_ann_index/{tag}"

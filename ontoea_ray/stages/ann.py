@@ -723,11 +723,15 @@ def pq_index_upsert(
     inc_mean = coded.mean("qerr") if n_added else None
     coded.write_parquet(index_dir)
     base = meta.get("mean_qerr")
-    drift = (
-        float(inc_mean) / float(base)
-        if inc_mean is not None and base
-        else None
-    )
+    if inc_mean is None or base is None:
+        drift = None  # pre-baseline index or empty increment
+    elif float(base) == 0.0:
+        # a perfectly-fitting build (every vector on a centroid) must not
+        # disable the detector: any nonzero increment error is infinite
+        # relative drift
+        drift = float("inf") if float(inc_mean) > 0 else 1.0
+    else:
+        drift = float(inc_mean) / float(base)
     return {
         **meta,
         "n_added": n_added,
@@ -1094,7 +1098,13 @@ def knn_graph_bucketed(
     ``return_stats=True`` additionally returns ``{"seed_pairs": ...,
     "exact_pairs": ..., "n_vectors": ..., "list_sizes": {...},
     "refine_pairs_per_round": [...]}`` — the pruned-work evidence
-    (seed_pairs << exact_pairs; refine pairs ~ C * N)."""
+    (seed_pairs << exact_pairs; refine pairs ~ C * N).
+
+    Input-execution note: the plan choice costs one ``count()`` and the
+    trainer one bounded-sample pass — metadata-cheap / streaming for
+    file-backed datasets, but a DERIVED pipeline (map_batches upstream)
+    re-executes per pass; ``.materialize()`` such inputs before calling
+    (or pass ``small_n=0`` to skip the count at true scale)."""
     import pandas as pd
 
     from ontoea_ray.functions.shuffle import with_partition_key
@@ -1345,6 +1355,9 @@ def knn_graph_bucketed(
             edges.map_batches(to_rev, batch_format="pyarrow"), joined
         )
         if return_stats:
+            # materialize so the count does not force the union pipeline
+            # to execute twice (once counted, once exchanged)
+            cand = cand.materialize()
             stats["refine_pairs_per_round"].append(cand.count())
         edges = (
             with_partition_key(cand, [id_col])
@@ -1441,7 +1454,10 @@ def _knn_bucketed_small(
         stats.update(
             seed_pairs=int((nc * nq).sum()),
             exact_pairs=n * (n - 1),
-            list_sizes={int(c): int(nc[c]) for c in range(kk) if nc[c]},
+            # nq[c] > 0 (not nc) mirrors the distributed plan's groupby
+            # over exploded rows: a probed-but-home-empty list appears
+            # with size 0 there, so it must here too
+            list_sizes={int(c): int(nc[c]) for c in range(kk) if nq[c]},
         )
 
         def topL(kmask: np.ndarray) -> list[np.ndarray]:
@@ -1471,7 +1487,6 @@ def _knn_bucketed_small(
             edges = topL(cand)
         rows = np.concatenate([np.full(len(nb), i, np.int64) for i, nb in enumerate(edges)])
         nbrs = np.concatenate(edges) if edges else np.array([], np.int64)
-        kvals = key[rows, nbrs]
         # per-row the lists are already key-ordered; cut to top-k
         rnk = np.concatenate(
             [np.arange(1, len(nb) + 1, dtype=np.int64) for nb in edges]
@@ -1606,13 +1621,36 @@ def build_knn_graph_index(
     edges.map_batches(shard, batch_format="pyarrow").write_parquet(
         index_dir, partition_cols=["shard"]
     )
-    # the walk's entry point (global min id) is index metadata, computed
-    # once at build — searches must not scan for it
-    entry = embeddings.min(id_col)
+    # the walk's entry point (global min id) and its quantized vector are
+    # index metadata, computed once at build by a per-batch min-reduce
+    # that carries the winning row's vector out (no search-time scans,
+    # and a zero-out-degree entry still answers with itself)
+    def batch_min(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()), "qv": pa.array([], pa.list_(pa.int64()))}
+            )
+        ids = np.asarray(b[id_col].combine_chunks().to_numpy(zero_copy_only=False), np.int64)
+        j = int(np.argmin(ids))
+        qv = _quantize_int(_batch_vectors(b.slice(j, 1), vec_col), scale)[0]
+        return pa.table(
+            {id_col: pa.array([int(ids[j])], pa.int64()),
+             "qv": pa.array([qv.tolist()], pa.list_(pa.int64()))}
+        )
+
+    mins = (
+        embeddings.select_columns([id_col, vec_col])
+        .map_batches(batch_min, batch_format="pyarrow")
+        .sort(id_col)
+        .limit(1)
+        .take_all()
+    )
+    entry = int(mins[0][id_col]) if mins else None
     meta = {
         "kind": "knn_graph", "k": k, "n_shards": n_shards, "scale": scale,
         "exact": exact, "id_col": id_col, "vec_col": vec_col,
-        "entry": int(entry) if entry is not None else None,
+        "entry": entry,
+        "entry_qv": [int(x) for x in mins[0]["qv"]] if mins else None,
     }
     with open(os.path.join(index_dir, "_meta.json"), "w") as f:
         json.dump(meta, f)
@@ -1658,12 +1696,21 @@ def graph_ann_topk(
             return []
         return [os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")]
 
+    _empty_rows = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "qv": pa.array([], pa.list_(pa.int64())),
+            "nbr_id": pa.array([], pa.int64()),
+            "nbr_qv": pa.array([], pa.list_(pa.int64())),
+        }
+    )
+
     def read_rows(frontier: np.ndarray) -> pa.Table:
         shards = sorted({int(v) % n_shards for v in frontier})
         paths = [p for s in shards for p in shard_files(s)]
         scanned.update(shards)
         if not paths:
-            return pa.table({id_col: pa.array([], pa.int64())})
+            return _empty_rows
         tbl = pa.concat_tables(
             [pqm.read_table(p, columns=[id_col, "qv", "nbr_id", "nbr_qv"]) for p in paths]
         )
@@ -1677,15 +1724,19 @@ def graph_ann_topk(
         stats = {"scanned_shards": [], "total_shards": n_shards, "n_visited": 0}
         return (empty, stats) if return_stats else empty
 
+    # the entry's quantized vector is INDEX METADATA (stored at build):
+    # an entry with zero out-edges still answers with itself, exactly as
+    # the SQL oracle does, and the walk never reads a shard just for it
     entry = int(meta["entry"])
-    erows = read_rows(np.array([entry], np.int64))
-    eq = np.asarray(erows["qv"][0].as_py(), np.int64)
+    eq = np.asarray(meta["entry_qv"], np.int64)
     visited: dict[int, int] = {entry: int(eq @ qq)}
     frontier = np.array([entry], np.int64)
-    frontier_rows = erows
     for _ in range(hops):
         if len(frontier) == 0:
             break
+        # reads happen at the hop that consumes them — no trailing read
+        # after the final hop
+        frontier_rows = read_rows(frontier)
         nbrs = np.asarray(
             frontier_rows["nbr_id"].combine_chunks().to_numpy(zero_copy_only=False),
             np.int64,
@@ -1705,8 +1756,6 @@ def graph_ann_topk(
             frontier = uniq[order]
         else:
             frontier = np.array([], np.int64)
-        if len(frontier):
-            frontier_rows = read_rows(frontier)
     ids = np.array(sorted(visited), np.int64)
     dots = np.array([visited[int(v)] for v in ids], np.int64)
     order = np.lexsort((ids, -dots))[: min(k, len(ids))]

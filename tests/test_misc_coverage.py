@@ -490,3 +490,36 @@ def test_pq_index_upsert_equals_frozen_codebook_encode(tmp_path):
     build_pq_index(_ds(0, 120), d2, m=2, ksub=4, iters=3, sample_size=120)
     meta2 = pq_index_upsert(_ds(120, 240, shift=25.0), d2)
     assert meta2["drift"] > 1.5 and meta2["rebuild_recommended"]
+
+
+def test_pq_upsert_zero_baseline_still_detects_drift(tmp_path):
+    """A perfectly-fitting build (mean_qerr == 0: every vector IS a
+    centroid) must not disable the drift detector — a distorted increment
+    reads drift = inf and trips the rebuild flag."""
+    from ontoea_ray.stages.ann import build_pq_index, pq_index_upsert
+
+    base_vecs = np.eye(4, 16) * 2.0  # 4 distinct vectors, 120 copies
+    def _ds(lo, hi, shift=0.0):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(lo, hi), pa.int64()),
+                    "embedding": pa.array(
+                        [list(map(float, base_vecs[i % 4] + shift)) for i in range(lo, hi)]
+                    ),
+                }
+            )
+        )
+
+    d = str(tmp_path / "pq0")
+    build_pq_index(_ds(0, 120), d, m=2, ksub=4, iters=3, sample_size=120)
+    import json as _json
+
+    assert _json.load(open(f"{d}/_meta.json"))["mean_qerr"] == 0.0
+    meta = pq_index_upsert(_ds(120, 240, shift=7.0), d)
+    assert meta["drift"] == float("inf") and meta["rebuild_recommended"]
+    # identical-distribution increment on the zero baseline: drift 1, calm
+    d2 = str(tmp_path / "pq1")
+    build_pq_index(_ds(0, 120), d2, m=2, ksub=4, iters=3, sample_size=120)
+    meta2 = pq_index_upsert(_ds(120, 240), d2)
+    assert meta2["drift"] == 1.0 and not meta2["rebuild_recommended"]
