@@ -212,19 +212,28 @@ def q_sessionize(sf_dir: str):
     """
     WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
          c AS (SELECT event_id, user_id, ts, CAST(FLOOR(value * 1000) AS BIGINT) AS v
-               FROM events WHERE event_type = 'click')
-    SELECT p.event_id AS event_id, p.user_id AS user_id,
-           CAST(epoch_us(p.ts) AS BIGINT) AS ts_epoch_us,
-           c.event_id AS click_event_id,
-           CAST(epoch_us(c.ts) AS BIGINT) AS click_ts_epoch_us,
-           c.v AS click_value_milli
-    FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+               FROM events WHERE event_type = 'click'),
+    pairs AS (
+      SELECT p.event_id AS event_id, p.user_id AS user_id, p.ts AS pts,
+             c.event_id AS click_event_id, c.ts AS cts, c.v,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts DESC, c.event_id DESC) AS rn
+      FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts)
+    SELECT event_id, user_id,
+           CAST(epoch_us(pts) AS BIGINT) AS ts_epoch_us,
+           click_event_id,
+           CAST(epoch_us(cts) AS BIGINT) AS click_ts_epoch_us,
+           v AS click_value_milli
+    FROM pairs WHERE rn = 1
     """,
 )
 def q_asof_join(sf_dir: str):
     """Backward as-of join (each purchase ↔ the user's latest click at or
-    before it) — the custom temporal operator (`stages/temporal.asof_join`):
-    one keyed exchange, vectorized merge_asof per partition."""
+    before it, ties among same-timestamp clicks to the LARGEST event_id —
+    a plain SQL ASOF JOIN leaves that tie unspecified, so the oracle is
+    the explicit windowed formulation and the engine passes right_tie)
+    — the custom temporal operator (`stages/temporal.asof_join`): one
+    keyed exchange, vectorized merge_asof per partition."""
     from ontoea_ray.stages.temporal import asof_join
 
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
@@ -243,6 +252,7 @@ def q_asof_join(sf_dir: str):
         on="ts",
         left_cols=["event_id"],
         right_cols=["click_event_id", "click_value_milli"],
+        right_tie="click_event_id",
     )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:

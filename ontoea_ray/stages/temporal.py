@@ -103,6 +103,7 @@ def asof_join(
     left_cols: list[str],
     right_cols: list[str],
     rsuffix: str = "_r",
+    right_tie: str | None = None,
     width: int | None = None,
 ) -> ray.data.Dataset:
     """Backward as-of INNER join: for each left row, the right row with the
@@ -112,14 +113,27 @@ def asof_join(
 
     left_cols / right_cols: payload columns to carry from each side (key
     and ``on`` are implicit; right's ``on`` is emitted as ``on + rsuffix``).
+
+    ``right_tie``: column breaking ties among right rows sharing (key, on)
+    — the GREATEST tie value wins, deterministically.  Without it, which
+    duplicate-(key, on) right row supplies the payload is input-order
+    dependent (merge_asof keeps the last after a stable ts sort) — fine
+    when (key, on) is unique, unspecified otherwise, and a plain SQL ASOF
+    JOIN is equally unspecified; callers whose right side can carry ties
+    should pass it (q_asof_join passes event_id).
     """
     lpay = [c for c in left_cols if c not in (key, on)]
     rpay = [c for c in right_cols if c not in (key, on)]
+    if right_tie is not None and right_tie not in (key, on) and right_tie not in rpay:
+        rpay = rpay + [right_tie]
     both = _merged_sides(left, right, key, on, lpay, rpay, width=width)
+    r_sort = [on] + ([right_tie] if right_tie else [])
 
     def join_part(df: pd.DataFrame) -> pd.DataFrame:
         l = df[df["side"] == 0].sort_values(on, kind="mergesort")
-        r = df[df["side"] == 1].sort_values(on, kind="mergesort")
+        # sorting ties ascending + merge_asof keeping the LAST preceding
+        # row = the greatest right_tie wins (deterministic)
+        r = df[df["side"] == 1].sort_values(r_sort, kind="mergesort")
         rr = r[[key, on] + rpay].rename(
             columns={on: on + rsuffix, **{c: c + rsuffix for c in rpay if c in lpay}}
         )

@@ -175,3 +175,87 @@ def test_pack_sequences_matches_bruteforce(ray_session):
         expect = excl // 64
         assert (out["pack_id"].to_numpy() == expect).all(), parts
         assert out["pack_id"].nunique() > 3  # budget actually forces packs
+
+
+def test_asof_join_matches_bruteforce_with_ties(ray_session, events_dir):
+    """Backward as-of with a TIE-HEAVY right side: each purchase pairs
+    with the user's click of greatest (ts, event_id) at-or-before it —
+    the deterministic rule both the engine (right_tie) and the windowed
+    oracle implement; this gate exists because a plain merge_asof /
+    SQL ASOF leaves same-timestamp right rows unspecified."""
+    from ontoea_ray.queries import QUERIES
+
+    d, ev = events_dir
+    got = (
+        pa.Table.from_pylist(QUERIES["q_asof_join"](d).take_all())
+        .to_pandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    ts = ev["ts"].astype("int64").to_numpy()
+    eid = ev["event_id"].to_numpy(np.int64)
+    uid = ev["user_id"].to_numpy(np.int64)
+    typ = ev["event_type"].to_numpy()
+    v = np.floor(ev["value"].to_numpy() * 1000).astype(np.int64)
+    n_pairs = 0
+    tie_hits = 0
+    for i in np.flatnonzero(typ == "purchase"):
+        m = (typ == "click") & (uid == uid[i]) & (ts <= ts[i])
+        if not m.any():
+            assert int(eid[i]) not in got.index
+            continue
+        cand = np.flatnonzero(m)
+        j = cand[np.lexsort((eid[cand], ts[cand]))[-1]]  # greatest (ts, id)
+        row = got.loc[int(eid[i])]
+        assert row["click_event_id"] == eid[j], eid[i]
+        assert row["click_ts_epoch_us"] == ts[j]
+        assert row["click_value_milli"] == v[j]
+        n_pairs += 1
+        tie_hits += int((ts[cand] == ts[j]).sum() > 1)
+    assert n_pairs == len(got)
+    assert tie_hits > 0, "fixture never exercised a same-ts click tie"
+
+
+def test_debounce_matches_bruteforce(ray_session, events_dir):
+    """TTL suppression with gap EXACTLY equal to the window (<= keeps
+    suppressing) and duplicate timestamps (gap 0 suppresses)."""
+    from ontoea_ray.queries import QUERIES
+
+    d, ev = events_dir
+    got = (
+        pa.Table.from_pylist(QUERIES["q_debounce"](d).take_all())
+        .to_pandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    W = 30 * 60 * 1_000_000
+    counts = {}
+    for (u, t), g in ev.groupby(["user_id", "event_type"]):
+        tsg = np.sort(g["ts"].astype("int64").to_numpy())
+        sup = (np.diff(tsg) <= W).sum() if len(tsg) > 1 else 0
+        k, s = counts.get(t, (0, 0))
+        counts[t] = (k + len(tsg) - sup, s + sup)
+    for t, (kept, suppressed) in counts.items():
+        assert got.loc[t, "n_kept"] == kept, t
+        assert got.loc[t, "n_suppressed"] == suppressed, t
+    assert sum(s for _, s in counts.values()) > 0  # ties actually suppress
+
+
+def test_running_total_matches_bruteforce(ray_session, events_dir):
+    """Per-user ordered cumsum with (ts, event_id) tie ordering."""
+    from ontoea_ray.queries import QUERIES
+
+    d, ev = events_dir
+    got = (
+        pa.Table.from_pylist(QUERIES["q_running_total"](d).take_all())
+        .to_pandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    v = np.floor(ev["value"].to_numpy() * 1000).astype(np.int64)
+    for uid, g in ev.groupby("user_id"):
+        idx = g.sort_values(["ts", "event_id"], kind="mergesort").index
+        run = 0
+        for i in idx:
+            run += int(v[ev.index.get_loc(i)]) if False else int(np.floor(ev.loc[i, "value"] * 1000))
+            assert got.loc[int(ev.loc[i, "event_id"]), "running_milli"] == run
